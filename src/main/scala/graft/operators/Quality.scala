@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Percentage-consistency repair, null handling, and the data-quality summary.
+  *
+  * Reference semantics:
+  *  - P3-P5/P7/P14 (src/transform/transform.py:139-182): for each fuel column f
+  *    with a twin `f_perc`, recompute `calc = f / GENERATION * 100`; where
+  *    `|calc - f_perc| > tolerance` replace the stored percentage with the
+  *    recomputed one. Float division by 0.0 yields ±Infinity and null
+  *    propagates — identical in Polars and Spark doubles. A null comparison in
+  *    the `when` predicate is falsy → keeps the raw value, matching Polars.
+  *  - P8-P10 (src/transform/transform.py:186-200): count rows with ANY null,
+  *    drop rows with null key columns, fill remaining float nulls with 0.0.
+  *  - S10 (src/transform/transform.py:223-233): 2-column literal summary table.
+  *
+  * Scale note: repair + null handling are pure per-row projections/filters —
+  * no shuffle, fused into one codegen stage. The quality *counts* are separate
+  * actions; at scale compute them in one pass with a single `agg` of
+  * conditional sums (see [[inconsistencyCounts]]) rather than one job per fuel.
+  */
+object Quality {
+
+  val DefaultTolerance = 1.0
+
+  /** P3-P5 + P14: repair `_perc` columns inconsistent with fuel/GENERATION*100. */
+  def repairPercentages(
+      df: DataFrame,
+      fuels: Seq[String] = graft.schema.Schemas.repairableFuels,
+      tolerance: Double = DefaultTolerance): DataFrame = {
+    val present = df.columns.toSet
+    val repairable = fuels.filter(f => present(f) && present(f + "_perc") && present("GENERATION"))
+    // One select, not N withColumns: single projection node over the 34-col row.
+    val out = df.columns.map { c =>
+      repairable.find(f => c == f + "_perc") match {
+        case Some(f) =>
+          val calc = col(f) / col("GENERATION") * lit(100.0)
+          when(abs(calc - col(c)) > tolerance, calc).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    df.select(out.toIndexedSeq: _*)
+  }
+
+  /** P7 as a single job: per-fuel count of rows whose stored percentage deviates
+    * beyond tolerance. One scan + one partial-aggregating `agg` instead of the
+    * reference's one filter-count pass per fuel.
+    */
+  def inconsistencyCounts(
+      df: DataFrame,
+      fuels: Seq[String] = graft.schema.Schemas.repairableFuels,
+      tolerance: Double = DefaultTolerance): Map[String, Long] = {
+    val present = df.columns.toSet
+    val repairable = fuels.filter(f => present(f) && present(f + "_perc") && present("GENERATION"))
+    if (repairable.isEmpty) return Map.empty
+    val aggs = repairable.map { f =>
+      val calc = col(f) / col("GENERATION") * lit(100.0)
+      sum(when(abs(calc - col(f + "_perc")) > tolerance, 1L).otherwise(0L)).as(f)
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    repairable.zipWithIndex.map { case (f, i) =>
+      f -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
+  /** P8: count of rows where any column is null (horizontal OR). */
+  def anyNullCount(df: DataFrame): Long =
+    df.filter(df.columns.map(col(_).isNull).reduce(_ || _)).count()
+
+  /** P9+P10: drop rows with null keys, then fill float-typed nulls with 0.0. */
+  def handleMissing(df: DataFrame, keyCols: Seq[String] = Seq("_id", "DATETIME")): DataFrame = {
+    val keys = keyCols.filter(df.columns.contains(_))
+    val dropped = if (keys.nonEmpty) df.na.drop(keys) else df
+    val floatCols = dropped.schema.fields
+      .filter(_.dataType == DoubleType).map(_.name).toIndexedSeq
+    if (floatCols.isEmpty) dropped else dropped.na.fill(0.0, floatCols)
+  }
+
+  /** S10: the literal-rows quality summary table. */
+  def qualitySummary(
+      spark: SparkSession,
+      totalRaw: Long,
+      totalClean: Long,
+      issues: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    (Seq("Total raw records" -> totalRaw, "Total clean records" -> totalClean) ++ issues)
+      .toDF("Check", "Count")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Align, Cast, Dedup, Quality}
+import graft.schema.Schemas
+
+/** End-to-end pipeline orchestration mirroring the reference's scheduled run
+  * (reference: src/pipeline/run.py:16-47 wrapped by src/serve/run_history.py:11-60).
+  *
+  * Stages (reference: src/transform/transform.py:14-79):
+  *   landing frame → align schema → lenient parse/cast → %-repair →
+  *   null handling → keep-last dedup → quality summary.
+  *
+  * Incremental semantics (S2/S6): resume cursor = `max(_id)` probed from the
+  * sink before each run (run.py:20-21) — self-healing, no external offset
+  * store. The fetch loop's keyset pagination
+  * (`WHERE _id > cursor ORDER BY _id LIMIT n`, fetch_neso.py:66-71) becomes a
+  * plain filter+sort+limit over the source relation.
+  *
+  * Scale note: the whole transform is lazy — align/cast/repair/null-handling
+  * fuse into a single codegen stage over the scan; the only shuffles are the
+  * two dedup windows. Quality counts are computed as one conditional-sum `agg`
+  * pass, not one job per metric.
+  */
+object Pipeline {
+
+  final case class TransformResult(
+      clean: DataFrame,
+      totalRaw: Long,
+      totalClean: Long,
+      issues: Seq[(String, Long)])
+
+  /** S6/A1: resume cursor from the sink — `max(_id)`, 0 when empty. */
+  def lastId(df: DataFrame, id: String = "_id"): Long = {
+    val row = df.agg(max(col(id))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** S2: one keyset page — `WHERE id > cursor ORDER BY id LIMIT batch`. */
+  def keysetPage(df: DataFrame, cursor: Long, batchSize: Int, id: String = "_id"): DataFrame =
+    df.filter(col(id) > lit(cursor)).orderBy(col(id)).limit(batchSize)
+
+  /** The full transform: landing (all-string) frame → typed, repaired, deduped. */
+  def transform(landing: DataFrame, tolerance: Double = Quality.DefaultTolerance): TransformResult = {
+    val spark = landing.sparkSession
+    if (landing.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.generation)
+      return TransformResult(empty, 0L, 0L, Seq.empty)
+    }
+    val aligned = Align.alignSchema(landing, Schemas.landing)
+    val typed = Cast.parseAndCast(aligned, "DATETIME", Schemas.measureCols ++ Schemas.percCols)
+      .withColumn("_id", col("_id").cast("long"))
+    val totalRaw = typed.count()
+    val inconsistent = Quality.inconsistencyCounts(typed, tolerance = tolerance)
+    val repaired = Quality.repairPercentages(typed, tolerance = tolerance)
+    val nullRows = Quality.anyNullCount(repaired)
+    val filled = Quality.handleMissing(repaired)
+    val afterNulls = filled.count()
+    val deduped = Dedup.dedupKeepLast(filled)
+    val totalClean = deduped.count()
+    val issues =
+      Seq("Rows with any null" -> nullRows,
+        "Duplicates removed" -> (afterNulls - totalClean)) ++
+      inconsistent.toSeq.sortBy(_._1).map { case (f, n) => s"Inconsistent $f percentage" -> n }
+    TransformResult(deduped, totalRaw, totalClean, issues)
+  }
+
+  /** §3.1: one scheduled run — probe cursor, transform, upsert, metrics row. */
+  def runPipeline(
+      spark: SparkSession,
+      landingBatch: DataFrame,
+      sinkPath: String,
+      metricsPath: String): TransformResult = {
+    import spark.implicits._
+    val startTs = new java.sql.Timestamp(System.currentTimeMillis())
+    var result: TransformResult = null
+    var error: Option[String] = None
+    try {
+      result = transform(landingBatch)
+      graft.sources.Merge.upsertToPath(spark, result.clean, sinkPath, Seq("_id"))
+    } catch {
+      case e: Exception => error = Some(e.getMessage)
+    }
+    val stopTs = new java.sql.Timestamp(System.currentTimeMillis())
+    val lastFetched = if (result != null && result.totalClean > 0) lastId(result.clean) else 0L
+    val metrics = Seq((
+      startTs, stopTs, lastFetched,
+      if (result != null) result.totalRaw else 0L,
+      if (result != null) result.totalClean else 0L,
+      error.isEmpty, error.orNull))
+      .toDF("run_start", "run_stop", "last_fetched_id", "total_fetched",
+        "valid_records", "success", "error_message")
+    graft.sources.Merge.appendMetrics(metrics, metricsPath)
+    if (error.isDefined) throw new RuntimeException(error.get)
+    result
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Exact
+import graft.operators.{Align, Dedup, Quality, Resample, Reshape}
+import graft.sources.{Merge, Tables}
+import graft.pipeline.Pipeline
+
+/** Reference-parity operator queries (SURVEY.md §2) over the driver corpus.
+  *
+  * `events` plays the role of the reference's `generation` time series
+  * (ts ↔ DATETIME, event_id ↔ _id, value ↔ MW columns — FIXTURES.md §4).
+  * Every query is paired with equivalent DuckDB SQL in [[oracleSql]]; both
+  * sides ORDER BY a unique key so results are row-order deterministic, and all
+  * double aggregation goes through [[graft.functions.Exact]] so hashes match
+  * bit-for-bit across engines.
+  */
+object ReferenceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Extract the numeric `k` from the props JSON-ish string, as double. */
+  private def kOf(props: org.apache.spark.sql.Column) =
+    regexp_extract(props, "\"k\": (\\d+)", 1).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // S3/P13-style scan: filter + project + order (pushed to parquet scan).
+    "q01_scan_filter_project" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("event_id", "ts", "value")
+        .orderBy("event_id")
+    }),
+    // S2/P12/O4: one keyset page — WHERE id > cursor ORDER BY id LIMIT n.
+    "q02_keyset_page" -> ((s, dir) => {
+      Pipeline.keysetPage(Tables.events(s, dir), 500L, 1000, "event_id")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    // S4/S6/A1: scalar max-id probe.
+    "q03_max_probe" -> ((s, dir) =>
+      Tables.events(s, dir).agg(max(col("event_id")).as("last_id"))),
+    // S5/O3/P13: latest matching row — filter, sort desc, limit 1.
+    "q04_latest_probe" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+        .select("event_id", "ts", "event_type")
+    }),
+    // S10/A3: literal-rows quality summary from counts.
+    "q05_quality_summary" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val total = ev.count()
+      val clean = ev.filter(col("event_type") =!= "error").count()
+      Quality.qualitySummary(s, total, clean, Seq("error_events" -> (total - clean)))
+        .orderBy("Check")
+    }),
+    // P1/P2: schema alignment — project to target, missing column as typed null.
+    "q06_align_schema" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("value", DoubleType),
+        StructField("extra_metric", DoubleType)))
+      Align.alignSchema(Tables.events(s, dir), target).orderBy("event_id")
+    }),
+    // C1/C2: lenient parse/cast — null on malformed, never throws.
+    "q07_cast_lenient" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          "yyyy-MM-dd'T'HH:mm:ss").cast("timestamp_ntz").as("ts_parsed"),
+        kOf(col("props")).as("k_value"),
+        col("event_type").cast("double").as("bad_cast"))
+        .orderBy("event_id")
+    }),
+    // P3-P5: percentage-consistency repair via the Quality operator.
+    "q08_perc_repair" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("event_id"),
+        col("value").as("WIND"),
+        (col("value") + kOf(col("props"))).as("GENERATION"),
+        kOf(col("props")).as("WIND_perc"))
+      Quality.repairPercentages(base, Seq("WIND")).orderBy("event_id")
+    }),
+    // P8-P10: null handling — drop null keys, fill float nulls with 0.0.
+    "q09_null_handling" -> ((s, dir) => {
+      val withNulls = Tables.events(s, dir).select(
+        when(col("event_id") % 97 === 0, lit(null)).otherwise(col("event_id")).as("_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("value"))
+      Quality.handleMissing(withNulls, Seq("_id")).orderBy("_id")
+    }),
+    // D1+D2+D3: composed keep-last dedup (window row_number idiom).
+    "q10_dedup_keeplast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val d1 = Dedup.keepFirstBy(ev, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      val d2 = Dedup.keepFirstBy(d1, Seq("ts"), Seq(col("user_id").desc, col("event_id").desc))
+      d2.orderBy("event_id")
+    }),
+    // A4: 30-minute tumbling resample, mean of every numeric column.
+    "q11_resample_30m" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(Resample.bucketStart(col("ts"), "30m").cast("timestamp_ntz").as("bucket"))
+        .agg(
+          Exact.davg(col("value")).as("avg_value"),
+          Exact.davg(col("event_id")).as("avg_event_id"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    // P11: inclusive-inclusive date-range filter.
+    "q12_filter_range" -> ((s, dir) => {
+      Resample.filterByDate(Tables.events(s, dir), "ts",
+          "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .select("event_id", "ts", "value")
+        .orderBy("event_id")
+    }),
+    // §3.2 read path: resample FIRST, then filter on bucket labels.
+    "q13_resample_then_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(Resample.bucketStart(col("ts"), "1d").cast("timestamp_ntz").as("bucket"))
+        .agg(Exact.davg(col("value")).as("avg_value"))
+        .filter(col("bucket").between(
+          lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-15 00:00:00").cast("timestamp_ntz")))
+        .orderBy("bucket")
+    }),
+    // R1: wide→long unpivot.
+    "q14_unpivot" -> ((s, dir) => {
+      Reshape.unpivot(
+        Tables.lineitem(s, dir),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        variableName = "measure", valueName = "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+    // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    "q15_upsert" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      Merge.upsert(existing, updates.unionByName(inserts), Seq("event_id"))
+        .orderBy("event_id")
+    }),
+    // S8: run-metrics row (counts + min/max probes, single pass).
+    "q16_run_metrics" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("total_fetched"),
+        max(col("event_id")).as("last_fetched_id"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        count(when(col("event_type") === "error", lit(1))).as("error_events"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      "SELECT event_id, ts, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id",
+    "q02_keyset_page" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE event_id > 500 ORDER BY event_id LIMIT 1000",
+    "q03_max_probe" ->
+      "SELECT max(event_id) AS last_id FROM events",
+    "q04_latest_probe" ->
+      "SELECT event_id, ts, event_type FROM events WHERE event_type = 'signup' ORDER BY ts DESC, event_id DESC LIMIT 1",
+    "q05_quality_summary" ->
+      """SELECT * FROM (SELECT 'Total raw records' AS "Check", count(*) AS "Count" FROM events UNION ALL SELECT 'Total clean records', count(*) FROM events WHERE event_type <> 'error' UNION ALL SELECT 'error_events', count(*) FROM events WHERE event_type = 'error') ORDER BY "Check"""",
+    "q06_align_schema" ->
+      "SELECT event_id, ts, value, CAST(NULL AS DOUBLE) AS extra_metric FROM events ORDER BY event_id",
+    "q07_cast_lenient" ->
+      """SELECT event_id, try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_parsed, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k_value, TRY_CAST(event_type AS DOUBLE) AS bad_cast FROM events ORDER BY event_id""",
+    "q08_perc_repair" ->
+      """SELECT event_id, "WIND", "GENERATION", CASE WHEN abs("WIND" / "GENERATION" * 100 - raw_perc) > 1.0 THEN "WIND" / "GENERATION" * 100 ELSE raw_perc END AS "WIND_perc" FROM (SELECT event_id, value AS "WIND", value + k AS "GENERATION", k AS raw_perc FROM (SELECT event_id, value, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k FROM events)) ORDER BY event_id""",
+    "q09_null_handling" ->
+      "SELECT _id, COALESCE(value, 0.0) AS value FROM (SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS _id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value FROM events) WHERE _id IS NOT NULL ORDER BY _id",
+    "q10_dedup_keeplast" ->
+      "WITH d1 AS (SELECT event_id, ts, user_id, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) SELECT event_id, ts, user_id, event_type, value FROM d1 QUALIFY row_number() OVER (PARTITION BY ts ORDER BY user_id DESC, event_id DESC) = 1 ORDER BY event_id",
+    "q11_resample_30m" ->
+      "SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value, CAST(sum(CAST(event_id AS DECIMAL(30,10))) AS DOUBLE) / count(event_id) AS avg_event_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q12_filter_range" ->
+      "SELECT event_id, ts, value FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
+    "q13_resample_then_filter" ->
+      "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
+    "q14_unpivot" ->
+      "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q15_upsert" ->
+      "WITH existing AS (SELECT event_id, user_id, event_type, value FROM events), incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value FROM existing WHERE event_id % 10 = 0 UNION ALL SELECT event_id + 1000000, user_id, event_type, value FROM existing WHERE event_id < 50) SELECT * FROM (SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id) UNION ALL SELECT * FROM incoming) ORDER BY event_id",
+    "q16_run_metrics" ->
+      "SELECT count(*) AS total_fetched, max(event_id) AS last_fetched_id, min(ts) AS first_ts, max(ts) AS last_ts, count(CASE WHEN event_type = 'error' THEN 1 END) AS error_events FROM events"
+  )
+}

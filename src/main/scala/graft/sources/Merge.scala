@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Keyed idempotent upsert (MERGE emulation) and append sinks.
+  *
+  * Reference semantics (src/serve/load.py:14-51): batched
+  * `INSERT … ON CONFLICT(_id) DO UPDATE SET <all non-PK cols> = excluded.<col>`
+  * — i.e. incoming rows win on key collision; re-running the same batch leaves
+  * the table unchanged (idempotency proven by tests/test_db_load.py:85-100).
+  * Empty incoming batch is a no-op (load.py:20-22).
+  *
+  * Spark mapping: no transactional table format is available in this
+  * environment, so MERGE is expressed relationally —
+  * `existing ANTI JOIN incoming ON key, UNION ALL incoming` — and persisted by
+  * atomic directory swap.
+  *
+  * Scale note: the anti join shuffles both sides on the key unless the table
+  * is bucketed by the key (then only incoming shuffles) or incoming is small
+  * enough to broadcast — [[upsert]] broadcasts automatically under
+  * `autoBroadcastJoinThreshold` via AQE. On a real deployment this operator is
+  * the one place a Delta/Iceberg `MERGE INTO` should replace the emulation:
+  * copy-on-write rewrites only the files containing matched keys instead of
+  * rewriting the table.
+  */
+object Merge {
+
+  /** M1/S7: upsert as a pure query — incoming wins per key; idempotent. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming, keys, "left_anti").unionByName(incoming)
+
+  /** Persist an upsert result with write-temp-then-swap atomicity. */
+  def upsertToPath(
+      spark: SparkSession, incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
+    if (incoming.isEmpty) return // reference: empty batch is a no-op
+    val target = Paths.get(path)
+    val merged =
+      if (Files.exists(target)) upsert(spark.read.parquet(path), incoming, keys)
+      else incoming
+    val tmp = path.stripSuffix("/") + ".__graft_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val bak = path.stripSuffix("/") + ".__graft_bak"
+    val bakPath = Paths.get(bak)
+    deleteRecursive(bakPath)
+    if (Files.exists(target)) Files.move(target, bakPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(bakPath)
+  }
+
+  /** S8: append-only metrics sink (run history). */
+  def appendMetrics(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+}
