@@ -30,7 +30,8 @@ object SparkEntry {
     queriesList.map(m => m.oracleSql).reduce(_ ++ _)
 
   private def queriesList = Seq(
-    QueryGroup(graft.queries.ReferenceQueries.queries, graft.queries.ReferenceQueries.oracleSql)
+    QueryGroup(graft.queries.ReferenceQueries.queries, graft.queries.ReferenceQueries.oracleSql),
+    QueryGroup(graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracleSql)
   )
 
   private case class QueryGroup(

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-table / windowed analytics operators — the engine surface beyond
+  * reference parity (SURVEY.md §2.8, §7.4). The reference itself has zero
+  * joins; these are the operators a user of its *data* would reach for at
+  * scale, expressed so Catalyst picks the right physical join.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension joins (`region`/`nation`/`supplier`/`customer`) must be
+  *    broadcast — callers pass dims through [[dim]] so the plan never
+  *    shuffles the fact side for them.
+  *  - Fact⋈fact (`lineitem⋈orders`) is left to sort-merge + AQE (skew
+  *    handling, runtime shuffle coalescing) — no hint, because at 100 TB a
+  *    broadcast is impossible and SMJ on the join key is the right plan.
+  *  - Top-k per group is the window `row_number <= k` idiom: one shuffle on
+  *    the partition keys, map-side-combinable nothing — but rank truncation
+  *    happens before any further join, keeping downstream data tiny.
+  */
+object Analytics {
+
+  /** Mark a dimension table broadcast-able. */
+  def dim(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Top k rows per group, deterministic: `orderCols` must include a
+    * unique tiebreaker. One shuffle on `partitionCols`.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event (per `keyCol`, ordered by `tsCol` then `tieCol`) exceeds
+    * `gapSeconds`. Adds a `session_id` column (0-based per key).
+    *
+    * Single shuffle on `keyCol`; both windows share the same partitioning so
+    * Catalyst plans one exchange + one sort.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // Microsecond precision: second-truncating functions would misclassify
+    // gaps that straddle the threshold by <1s (oracle uses epoch_us too).
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val gap = micros(col(tsCol)) - micros(lag(col(tsCol), 1).over(w))
+    val newSession = when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("__new", newSession)
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__new")
+  }
+}

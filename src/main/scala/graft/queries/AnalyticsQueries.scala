@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Join / grouped-agg / window analytics over the TPC-H-ish corpus
+  * (SURVEY.md §7.4 — the engine surface beyond reference parity; the
+  * reference has zero joins, §2.8).
+  *
+  * All double aggregation goes through [[graft.functions.Exact]] (decimal
+  * accumulate → double) so values hash-match the DuckDB oracle regardless of
+  * accumulation order; every query ORDER BYs a unique key set.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-side exact sum of a double expression, as double.
+    * Scale 4 for money-magnitude columns (see [[graft.functions.Exact.dsum4]]),
+    * scale 10 for small-magnitude ones.
+    */
+  private def dsum(sqlExpr: String, scale: Int = 4): String =
+    s"CAST(sum(CAST(($sqlExpr) AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+    // Star join: fact `orders` ⋈ broadcast dims customer→nation→region.
+    // At 100 TB the three dim joins stay broadcast; only the final groupBy
+    // shuffles (5 regions → trivially small).
+    "q17_star_join_revenue" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Analytics.dim(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(Analytics.dim(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Analytics.dim(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Exact.dsum4(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name")
+    }),
+    // Fact ⋈ fact: lineitem ⋈ orders — sort-merge on orderkey, AQE handles
+    // skew/coalesce; revenue = extendedprice*(1-discount) per TPC-H.
+    "q18_fact_join_priority" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q1 pricing summary: single-table groupBy with partial (map-side)
+    // aggregation; the shuffle moves only 6 groups × accumulators.
+    "q19_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.dsum4(col("l_quantity")).as("sum_qty"),
+          Exact.dsum4(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("sum_disc_price"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // Distinct-agg: distinct ordering customers per market segment.
+    // countDistinct = two-phase shuffle (expand + agg); fine at scale since
+    // cardinality ≤ |customer|; approx_count_distinct is offered in
+    // Analytics for the 100 TB path but exactness is needed for the oracle.
+    "q20_distinct_customers" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Analytics.dim(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // Top-k per group: 3 highest-value orders per priority, deterministic
+    // tiebreak on orderkey. Window row_number ≤ k idiom — one shuffle.
+    "q21_topk_orders" -> ((s, dir) => {
+      Analytics.topKPerGroup(
+        Tables.orders(s, dir),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    // Semi/anti join: per nation, customers with vs without orders.
+    // Both branches broadcast the *bucketed key set*? No — at scale the
+    // orders side is huge, so semi/anti shuffle on custkey; the nation dim
+    // joins stay broadcast. Exercises left_semi + left_anti physical plans.
+    "q22_semi_anti_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val orders = Tables.orders(s, dir).select("o_custkey")
+      val nation = Analytics.dim(Tables.nation(s, dir))
+      val withO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+      val withoutO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+      nation
+        .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("n_name")
+    }),
+    // Gap-based sessionization (30-min gap): lag window → cumulative sum →
+    // per-user session stats. Single shuffle on user_id shared by both
+    // windows and the final groupBy (same partitioning — no re-exchange).
+    "q23_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      Analytics.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("session_id")) + 1).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+    // Tumbling 1-hour counts per event type (stream-shaped agg at rest).
+    "q24_tumbling_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+    // Rollup region → nation over customer account balances; grouping_id
+    // (`lvl`) disambiguates subtotal rows and makes ordering deterministic.
+    "q25_rollup_balance" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Analytics.dim(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Analytics.dim(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          Exact.dsum4(col("c_acctbal")).as("total_balance"),
+          grouping_id(col("r_name"), col("n_name")).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+    // TPC-H Q3 shipping priority: 3-way join, filter both fact sides, group
+    // by order, top 10 by revenue. Dim filter (mktsegment) broadcast-pruned;
+    // lineitem⋈orders sort-merge; final top-k is a single-partition sort of
+    // an already-aggregated (small) result.
+    "q26_shipping_priority" -> ((s, dir) => {
+      val cust = Analytics.dim(
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+      val orders = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_star_join_revenue" ->
+      s"""SELECT r_name, count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""".replaceAll("\\s+", " "),
+    "q18_fact_join_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+          ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    "q19_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty,
+          ${dsum("l_extendedprice")} AS sum_base_price,
+          ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          ${dsum("l_quantity", 10)} / count(l_quantity) AS avg_qty,
+          ${dsum("l_discount", 10)} / count(l_discount) AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "),
+    "q20_distinct_customers" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+          count(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""".replaceAll("\\s+", " "),
+    "q21_topk_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+          ORDER BY o_orderpriority, o_orderkey""".replaceAll("\\s+", " "),
+    "q22_semi_anti_customers" ->
+      """SELECT n_name,
+          count(CASE WHEN has_o THEN 1 END) AS with_orders,
+          count(CASE WHEN NOT has_o THEN 1 END) AS without_orders
+          FROM (SELECT c_nationkey,
+                  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+                FROM customer)
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""".replaceAll("\\s+", " "),
+    "q23_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, count(*) AS n_events, sum(new_s) AS n_sessions
+          FROM g GROUP BY user_id ORDER BY user_id""".replaceAll("\\s+", " "),
+    "q24_tumbling_counts" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+          count(*) AS n, ${dsum("value", 10)} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".replaceAll("\\s+", " "),
+    "q25_rollup_balance" ->
+      s"""SELECT r_name, n_name, count(*) AS n_customers,
+          ${dsum("c_acctbal")} AS total_balance,
+          CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST""".replaceAll("\\s+", " "),
+    "q26_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+          ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".replaceAll("\\s+", " ")
+  )
+}
