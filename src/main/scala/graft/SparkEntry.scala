@@ -31,7 +31,8 @@ object SparkEntry {
 
   private def queriesList = Seq(
     QueryGroup(graft.queries.ReferenceQueries.queries, graft.queries.ReferenceQueries.oracleSql),
-    QueryGroup(graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracleSql)
+    QueryGroup(graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracleSql),
+    QueryGroup(graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql)
   )
 
   private case class QueryGroup(

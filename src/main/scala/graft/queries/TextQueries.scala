@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis queries over `documents` (builder contract: token counting,
+  * quality scoring, language-ID, fingerprinting). Oracle SQL mirrors every
+  * expression step-for-step in DuckDB's list dialect; all ratios are single
+  * IEEE divisions of exact integers so values hash-match.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Token statistics: whitespace tokens, BPE-ish tokens, distinct tokens,
+    // mean token length. Pure per-row map — no shuffle except the final sort.
+    "q27_token_stats" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        (Text.nonSpaceChars(col("text")).cast("double") / size(t)).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+    // Quality scoring: length saturation + stopword density, rational only.
+    "q28_quality_score" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenHits(t, Text.Stopwords).as("n_stopwords"),
+        Text.qualityScore(col("text"), t).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // Language-ID heuristic: marker-token argmax with deterministic
+    // tiebreak; accuracy summarized against the corpus label.
+    "q29_lang_id" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), Text.langId(col("text"), t).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+    // Winnowing-lite fingerprint: min md5'd char-8-shingle per doc, plus
+    // collision groups (docs sharing a fingerprint = near-dup candidates).
+    "q30_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.minShingleFingerprint(col("text"), 8).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // Corpus-level n-gram mining: top-20 word bigrams. Explode → two-phase
+    // count (map-side partial agg) → global top-k with tiebreak.
+    "q31_top_bigrams" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(explode(Text.wordNgrams(t, 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_token_stats" ->
+      """SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+          len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+          CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS mean_tok_len
+          FROM documents ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q28_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+          SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_stopwords,
+            least(len(text), 400) / 400.0 * 0.5
+              + (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks)) * 0.5 AS quality
+          FROM t ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q29_lang_id" ->
+      """WITH t AS (SELECT lang, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          s AS (SELECT lang,
+            CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) AS s_en,
+            CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS DOUBLE) AS s_fr,
+            CAST(len(list_filter(toks, x -> list_contains(['el','los','y','una'], x))) AS DOUBLE) AS s_es,
+            CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das'], x))) AS DOUBLE) AS s_de,
+            CAST(len(text) - len(regexp_replace(text, '[一-鿿]', '', 'g')) AS DOUBLE)
+              / greatest(len(text), 1) * len(toks) AS s_zh
+          FROM t),
+          p AS (SELECT lang, greatest(s_en, s_fr, s_es, s_de, s_zh) AS best,
+            CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) <= 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+                 WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+                 WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+                 ELSE 'zh' END AS lang_pred FROM s)
+          SELECT lang, lang_pred, count(*) AS n FROM p
+          GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".replaceAll("\\s+", " "),
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+          list_min([md5(text[i:i+7]) for i in range(1, greatest(len(text)-7, 1) + 1)]) AS fingerprint
+          FROM documents ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q31_top_bigrams" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          b AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram FROM t)
+          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+          ORDER BY n DESC, bigram ASC LIMIT 20""".replaceAll("\\s+", " ")
+  )
+}
