@@ -32,7 +32,8 @@ object SparkEntry {
   private def queriesList = Seq(
     QueryGroup(graft.queries.ReferenceQueries.queries, graft.queries.ReferenceQueries.oracleSql),
     QueryGroup(graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracleSql),
-    QueryGroup(graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql)
+    QueryGroup(graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
+    QueryGroup(graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracleSql)
   )
 
   private case class QueryGroup(

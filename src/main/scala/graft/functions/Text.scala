@@ -97,9 +97,14 @@ object Text {
   def minShingleFingerprint(text: Column, k: Int = 8): Column =
     array_min(shingleHashes(text, k))
 
-  /** Word n-grams joined by a single space. */
+  /** Word n-grams joined by a single space. Guarded: Spark's `sequence`
+    * counts *down* when start > stop, so fewer than n tokens must yield an
+    * empty array, not bogus negative-index grams.
+    */
   def wordNgrams(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-data-pipeline scale (builder
+  * contract; the reference's own dedup is row-keyed keep-last,
+  * SURVEY.md §2.6 — these are the content-based generalizations).
+  *
+  * Determinism contract: the only hash is md5 (bit-identical in every
+  * engine), consumed either as a hex string (lexicographic min for MinHash)
+  * or via its first 8 hex digits parsed to a 32-bit int (SimHash), so a SQL
+  * oracle reproduces signatures exactly.
+  *
+  * Scale design (100 TB):
+  *  - Everything per-document is a codegen'd higher-order-function
+  *    expression — embarrassingly parallel, no shuffle.
+  *  - Candidate generation is always a *bucketed equi-join* (LSH band
+  *    value, SimHash band, shingle inverted index) — never a cross join.
+  *    Shuffle volume = O(docs × bands), and AQE's skew-join splitting
+  *    handles hot buckets.
+  *  - Pair verification (exact Jaccard / Hamming) runs only on candidates.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(graft.functions.Text.wordNgrams(toks, n))
+
+  /** MinHash signature: k independent hash views of the shingle set.
+    * hash_i(s) = md5(i || ":" || s); signature element i is the
+    * lexicographic minimum over shingles.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band values: the signature split into `k / rows` bands of `rows`
+    * elements, each band hashed to one value. Docs agreeing on ANY band
+    * become candidate pairs.
+    */
+  def lshBands(sig: Column, k: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(k / rows - 1)),
+      b => md5(concat_ws("", slice(sig, b * rows + 1, lit(rows)))))
+
+  /** Near-duplicate pairs via MinHash LSH: band-bucket equi-join for
+    * candidates, exact Jaccard verification, `jaccard >= threshold` kept.
+    * Input df must have columns (`idCol`, `shinglesCol`).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: String,
+      k: Int,
+      bandRows: Int,
+      threshold: Double): DataFrame = {
+    val sig = df
+      .filter(size(col(shinglesCol)) > 0)
+      .withColumn("__sig", minhashSignature(col(shinglesCol), k))
+    val bands = sig.select(
+      col(idCol), posexplode(lshBands(col("__sig"), k, bandRows)).as(Seq("__b", "__bv")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__bv") === col("b.__bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sha"))
+    val sb = sig.select(col(idCol).as("doc_b"), col(shinglesCol).as("__shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jaccard",
+        col("__common").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit SimHash over the token multiset (duplicates weighted).
+    * Bit j of the result is set iff sum over tokens of ±1 (the j-th bit of
+    * the token's 60-bit md5-prefix hash, mapped 1→+1, 0→−1) is positive.
+    * 60 bits = 15 hex digits — the widest md5 prefix that fits a *signed*
+    * 64-bit int in every engine (needed for the SQL oracle). Built as a SQL
+    * expression because bit shifts by a *column* amount are SQL-only; still
+    * fully codegen'd.
+    */
+  val SimhashBits = 60
+
+  def simhash60(toksSqlExpr: String): Column = {
+    val n = SimhashBits
+    val h = s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    val bitsums =
+      s"""aggregate($toksSqlExpr, array_repeat(cast(0 as bigint), $n),
+            (acc, t) -> zip_with(acc,
+              transform(sequence(0, ${n - 1}), j -> (shiftright($h, j) & 1) * 2 - 1),
+              (x, y) -> x + cast(y as bigint)))"""
+    expr(
+      s"""aggregate(sequence(0, ${n - 1}), cast(0 as bigint),
+            (acc, j) -> acc + if(element_at($bitsums, j + 1) > 0,
+                                 shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""")
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance: candidates share at
+    * least one of the 10 6-bit bands (pigeonhole: guaranteed complete for
+    * hamming <= 9), verified with bit_count(xor). For corpora ≫10⁶ docs use
+    * wider bands (10–16 bits) to keep buckets small.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String, maxHamming: Int): DataFrame = {
+    val bands = df.select(col(idCol), col(simhashCol),
+      posexplode(transform(sequence(lit(0), lit(9)),
+        p => shiftrighttable(col(simhashCol), p * 6).bitwiseAND(lit(63L)))).as(Seq("__p", "__nib")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.__p") === col("b.__p") && col("a.__nib") === col("b.__nib") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col(s"a.$simhashCol").as("__ha"), col(s"b.$simhashCol").as("__hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // shiftright with a Column shift amount (the DSL overload wants Int).
+  private def shiftrighttable(c: Column, by: Column): Column =
+    call_function("shiftright", c, by)
+
+  /** Exact-duplicate canonical mapping: every doc maps to the smallest
+    * doc id sharing its md5(text). One shuffle on the 128-bit content key —
+    * at 100 TB this is the classic content-hash dedup, and the md5 groupBy
+    * key distributes uniformly by construction.
+    */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    df.withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Exact n-gram Jaccard pairs via a shingle inverted index: explode
+    * shingles, equi-join on shingle, count co-occurrences per pair, compute
+    * exact Jaccard from set sizes. Complete (no approximation); candidate
+    * cost is sum over shingles of df². At larger corpora combine with
+    * [[minhashLshPairs]] or drop ubiquitous shingles first.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: String,
+      threshold: Double): DataFrame = {
+    val sized = df.filter(size(col(shinglesCol)) > 0)
+      .select(col(idCol), col(shinglesCol), size(col(shinglesCol)).as("__n"))
+    val inv = sized.select(col(idCol), col("__n"), explode(col(shinglesCol)).as("__s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard",
+        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

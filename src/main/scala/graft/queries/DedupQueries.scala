@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** Content-based deduplication over `documents` (builder contract: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard). The sf0.01 corpus has no exact
+  * duplicates, so each query runs on a deterministically augmented corpus —
+  * perturbed copies (`doc_id+100000`, first 14 chars dropped) and exact
+  * copies (`doc_id+200000`) — constructed identically in the oracle SQL.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ near-copies (doc_id%7==0) ∪ exact copies (doc_id%13==0). */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), expr("substring(text, 15)").as("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  private val AugSql =
+    """aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, substr(text, 15) FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 13 = 0)"""
+
+  /** Distinct word-trigram shingles per doc (both engines drop docs with
+    * fewer than 3 tokens — none exist in this corpus).
+    */
+  private val ShinglesSql =
+    """sh AS (SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug))"""
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash canonical mapping, listed dups only.
+    "q32_dedup_exact" -> ((s, dir) => {
+      TextDedup.exactCanonical(augmented(s, dir), "doc_id", "text")
+        .filter(col("is_dup"))
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    }),
+    // MinHash signature materialization (k=8) — the per-doc scale-out stage
+    // of LSH dedup, observable on its own.
+    "q33_minhash_signature" -> ((s, dir) => {
+      withShingles(augmented(s, dir))
+        .select(col("doc_id"),
+          concat_ws("|", TextDedup.minhashSignature(col("shingles"), 8)).as("signature"))
+        .orderBy("doc_id")
+    }),
+    // MinHash LSH near-dup pairs: 4 bands × 2 rows, Jaccard >= 0.5 verify.
+    "q34_minhash_lsh_pairs" -> ((s, dir) => {
+      TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shingles",
+        k = 8, bandRows = 2, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // SimHash near-dup pairs: 60-bit fingerprint, 6-bit bands, hamming <= 6.
+    "q35_simhash_pairs" -> ((s, dir) => {
+      val withSim = augmented(s, dir)
+        .withColumn("simhash", TextDedup.simhash60("split(trim(text), '\\\\s+')"))
+      TextDedup.simhashPairs(withSim, "doc_id", "simhash", maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // Exact n-gram Jaccard pairs via shingle inverted index (no LSH
+    // approximation): complete ground truth for q34 at the same threshold.
+    "q36_jaccard_pairs" -> ((s, dir) => {
+      TextDedup.jaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shingles", threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_dedup_exact" ->
+      s"""WITH $AugSql,
+          c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM aug)
+          SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
+          ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q33_minhash_signature" ->
+      s"""WITH $AugSql, $ShinglesSql
+          SELECT doc_id,
+            array_to_string([list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
+                             for i in range(0, 8)], '|') AS signature
+          FROM sh ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q34_minhash_lsh_pairs" ->
+      s"""WITH $AugSql, $ShinglesSql,
+          sig AS (SELECT doc_id, shingles,
+                    [list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
+                     for i in range(0, 8)] AS mh
+                  FROM sh WHERE len(shingles) > 0),
+          bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+          WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q35_simhash_pairs" ->
+      raw"""WITH $AugSql,
+          tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug),
+          bs AS (SELECT doc_id,
+                   [list_sum(list_transform(toks,
+                      t -> CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> j) & 1) = 1
+                                THEN 1 ELSE -1 END))
+                    for j in range(0, 60)] AS sums
+                 FROM tok),
+          sim AS (SELECT doc_id,
+                    list_sum([CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                              for j in range(0, 60)]) AS simhash
+                  FROM bs),
+          bands AS (SELECT doc_id, simhash, p, (simhash >> (p*6)) & 63 AS nib
+                    FROM sim, unnest(range(0, 10)) AS u(p)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+                   FROM bands a JOIN bands b ON a.p = b.p AND a.nib = b.nib AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+          FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q36_jaccard_pairs" ->
+      s"""WITH $AugSql, $ShinglesSql,
+          sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+          inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                      count(*) AS common
+                    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+          FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " ")
+  )
+}
