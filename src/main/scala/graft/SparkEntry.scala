@@ -33,7 +33,9 @@ object SparkEntry {
     QueryGroup(graft.queries.ReferenceQueries.queries, graft.queries.ReferenceQueries.oracleSql),
     QueryGroup(graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracleSql),
     QueryGroup(graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
-    QueryGroup(graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracleSql)
+    QueryGroup(graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracleSql),
+    QueryGroup(graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
+    QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql)
   )
 
   private case class QueryGroup(

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (builder contract: ANN over `array<float>`).
+  *
+  * Everything is higher-order-function expressions over the array column —
+  * no UDFs, no collect; the probe vector travels as a broadcast single-row
+  * DataFrame, so brute-force top-k is a full scan + per-partition top-k
+  * (TakeOrderedAndProject) with no shuffle of the scanned data.
+  *
+  * Determinism: dot products fold left-to-right in both Spark (`aggregate`)
+  * and the DuckDB oracle (`list_sum` over an index-ordered comprehension);
+  * `sqrt` is IEEE-correctly-rounded everywhere, so cosine values are
+  * bit-identical across engines.
+  *
+  * Scale path (100 TB): random-hyperplane LSH — deterministic md5-derived
+  * planes, so signatures are reproducible in any engine — turns the O(N)
+  * scan into a bucket equi-join probing ~N/2^bits of the data; at cluster
+  * scale the bucketed table would be written bucketed-by-signature so probes
+  * prune to one bucket file per table (an IVF-style layout).
+  */
+object Similarity {
+
+  /** Double dot product of two float-array columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity via one dot and two IEEE sqrts. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Random-hyperplane LSH signature of `embSqlExpr` (a SQL expression for
+    * the array<float> column): `bits` planes; plane p's i-th component is
+    * (md5int(p:i) % 2001 − 1000) / 1000 ∈ [−1, 1] — fully deterministic and
+    * reproducible from SQL in any engine with md5. Bit p of the signature
+    * is set iff dot(v, plane_p) > 0 (scale-invariant: v and c·v collide).
+    */
+  def lshSignature(embSqlExpr: String, bits: Int, dim: Int): Column = {
+    val planeComp =
+      """((cast(conv(substring(md5(concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000) / 1000.0)"""
+    val planeDot =
+      s"""aggregate(sequence(1, $dim), cast(0.0 as double),
+            (acc2, i) -> acc2 + cast(element_at($embSqlExpr, i) as double) * $planeComp)"""
+    expr(
+      s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
+            (acc, p) -> acc + if($planeDot > 0,
+                                 shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""")
+  }
+
+  /** Brute-force top-k by cosine against a 1-row probe DataFrame
+    * (columns: `probeCol` the vector). Probe is broadcast; result is k rows.
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      probe: DataFrame,
+      probeCol: String,
+      k: Int): DataFrame =
+    df.crossJoin(broadcast(probe))
+      .withColumn("cosine", cosine(col(embCol), col(probeCol)))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** All pairs in the same LSH bucket with cosine >= threshold.
+    * Candidate generation is a bucket equi-join (signature equality);
+    * verification computes exact cosine on candidates only.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      sigCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(embCol).as("__ea"), col(sigCol).as("__sa"))
+    val b = df.select(col(idCol).as("vec_b"), col(embCol).as("__eb"), col(sigCol).as("__sb"))
+    a.join(b, col("__sa") === col("__sb") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("__ea"), col("__eb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-plumbing queries. The media table is synthesized
+  * deterministically from `documents` (utf-8 payloads — the corpus text is
+  * pure ASCII, so DuckDB can recompute every byte-level feature with
+  * `unicode()` on character slices). The JVM side runs the REAL pipeline —
+  * typed Dataset → mapPartitions → FakeCodec — and the oracle reimplements
+  * the codec arithmetic in SQL, so the whole batch shape is value-checked.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def media(s: SparkSession, dir: String) =
+    Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+
+  /** DuckDB: list of byte values (== code points; ASCII corpus). */
+  private val BytesSql =
+    "[unicode(text[i:i]) for i in range(1, len(text) + 1)]"
+
+  val queries: Map[String, Q] = Map(
+    // Full decode/feature pipeline via mapPartitions (batch-shaped codec
+    // calls), features verified value-for-value by the SQL oracle.
+    "q41_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(media(s, dir)).toDF()
+        .select(
+          col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"),
+          concat_ws(",", col("histogram")).as("histogram"),
+          // fixed-point view of the float embedding: floor(v·1e6) is
+          // identical in every IEEE engine (no decimal-rounding ties)
+          concat_ws(",",
+            transform(col("embedding"), v => floor(v.cast("double") * 1e6).cast("long")))
+            .as("embedding"))
+        .orderBy("media_id")
+    }),
+    // Metadata-only scan: never touches the payload column (column
+    // pruning keeps 100 TB of media bytes unread).
+    "q42_media_meta" -> ((s, dir) => {
+      media(s, dir).toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("duration_ms")).as("total_ms"),
+          max(col("width")).as("max_width"),
+          max(col("sample_rate")).as("max_rate"))
+        .orderBy("kind")
+    }),
+    // Frame sampling stub: every other 64-byte window of each video
+    // payload becomes a "frame" row (media_id, frame_idx, frame_bytes).
+    "q43_frame_sample" -> ((s, dir) => {
+      val videos = media(s, dir).filter(col("kind") === "video")
+      import videos.sparkSession.implicits._
+      videos.flatMap { r =>
+        Multimodal.FakeCodec.sampleFrames(r.content, 64).zipWithIndex.map {
+          case (chunk, k) => (r.media_id, k.toLong * 2, chunk.length)
+        }
+      }.toDF("media_id", "frame_idx", "frame_bytes")
+        .orderBy("media_id", "frame_idx")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_media_features" ->
+      s"""WITH b AS (SELECT doc_id AS media_id,
+            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+            $BytesSql AS bytes FROM documents)
+          SELECT media_id, kind, len(bytes) AS n_bytes,
+            CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS byte_mean,
+            array_to_string([len(list_filter(bytes, x -> (x >> 4) = h))::BIGINT
+                             for h in range(0, 16)], ',') AS histogram,
+            array_to_string([CAST(floor(CAST(
+                CAST(list_sum([bytes[i] for i in range(1, len(bytes) + 1)
+                               if (i - 1) % 8 = d]) % 997 AS FLOAT)
+                / CAST(997 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)
+              for d in range(0, 8)], ',') AS embedding
+          FROM b ORDER BY media_id""".replaceAll("\\s+", " "),
+    "q42_media_meta" ->
+      """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+          count(*) AS n,
+          sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END) AS total_ms,
+          max(CASE WHEN doc_id % 3 = 0 THEN 640 ELSE 0 END) AS max_width,
+          max(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END) AS max_rate
+          FROM documents GROUP BY 1 ORDER BY kind""".replaceAll("\\s+", " "),
+    "q43_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, len(text) AS n FROM documents
+                    WHERE doc_id % 3 = 2),
+          f AS (SELECT media_id,
+                  unnest([i for i in range(0, CAST(ceil(n / 64.0) AS BIGINT)) if i % 2 = 0]) AS frame_idx,
+                  n FROM v)
+          SELECT media_id, frame_idx, CAST(least(64, n - frame_idx * 64) AS INT) AS frame_bytes
+          FROM f ORDER BY media_id, frame_idx""".replaceAll("\\s+", " ")
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over `embeddings` (vec_id, embedding:
+  * array<float> ×64, label). Probe = the vec_id 0 vector. Cosine values are
+  * bit-deterministic (see [[graft.operators.Similarity]]), so the oracle
+  * hash-compares exact doubles.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+
+  /** DuckDB dot product of two array expressions, sequential fold. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${Dim + 1})])"
+
+  private def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** DuckDB mirror of [[Similarity.lshSignature]]. */
+  private def duckSig(emb: String, bits: Int): String =
+    s"""list_sum([CASE WHEN
+          list_sum([CAST($emb[i] AS DOUBLE)
+                    * ((('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)
+                    for i in range(1, ${Dim + 1})]) > 0
+          THEN (1::BIGINT << p) ELSE 0::BIGINT END for p in range(0, $bits)])"""
+
+  private def probe(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+
+  /** embeddings ∪ exactly-doubled copies (×2 is an exponent bump — no float
+    * rounding — so copies are bitwise-scale-exact and cosine(v, 2v) = 1.0).
+    */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(
+      e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
+  private val AugSql =
+    """aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id % 5 = 0)"""
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force exact cosine top-10: full scan + broadcast probe +
+    // TakeOrderedAndProject — the at-scale baseline every ANN variant is
+    // measured against.
+    "q37_cosine_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", probe(s, dir), "probe_emb", k = 10)
+    }),
+    // ANN via random-hyperplane LSH (4 bits → 16 buckets): probe's bucket
+    // only, then exact cosine top-5 among candidates. The scale path: with
+    // a signature-bucketed table layout this reads ~1/16th of the data.
+    "q38_ann_lsh" -> ((s, dir) => {
+      val sig = Similarity.lshSignature("embedding", bits = 4, dim = Dim)
+      val all = Tables.embeddings(s, dir).withColumn("sig", sig)
+      val probeSig = all.filter(col("vec_id") === 0)
+        .select(col("sig").as("probe_sig"), col("embedding").as("probe_emb"))
+      all.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeSig), col("sig") === col("probe_sig"))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+    // Embedding near-dup pairs: 8-bit LSH bucket equi-join + cosine >= 0.999
+    // verify. Finds exactly the constructed scaled copies (natural max
+    // cosine in this corpus is 0.51).
+    "q39_embedding_neardup" -> ((s, dir) => {
+      val withSig = augmented(s, dir)
+        .withColumn("sig", Similarity.lshSignature("embedding", bits = 8, dim = Dim))
+      Similarity.nearDupPairs(withSig, "vec_id", "embedding", "sig", threshold = 0.999)
+        .orderBy("vec_a", "vec_b")
+    }),
+    // Per-label centroids in long form (k-means E-step shape): explode dims
+    // → mean per (label, dim). Floats are dyadic, so decimal-cast rounding
+    // can hit exact ties that HALF_UP (Spark) and half-even (DuckDB) break
+    // differently — quantize by floor(v·1e7) instead: identical in every
+    // IEEE engine, summed exactly as integers. One shuffle, map-side combine.
+    "q40_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(
+          ((sum(floor(col("v").cast("double") * 1e7)).cast("double") / 1e7)
+            / count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q37_cosine_topk" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
+          FROM embeddings, p WHERE vec_id <> 0
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q38_ann_lsh" ->
+      s"""WITH sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 4)} AS sig
+                        FROM embeddings),
+          p AS (SELECT sig AS psig, embedding AS pe FROM sigs WHERE vec_id = 0)
+          SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
+          FROM sigs, p WHERE vec_id <> 0 AND sig = psig
+          ORDER BY cosine DESC, vec_id ASC LIMIT 5""".replaceAll("\\s+", " "),
+    "q39_embedding_neardup" ->
+      s"""WITH $AugSql,
+          sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 8)} AS sig FROM aug)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ${duckCosine("a.embedding", "b.embedding")} AS cosine
+          FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999
+          ORDER BY vec_a, vec_b""".replaceAll("\\s+", " "),
+    "q40_label_centroids" ->
+      s"""SELECT label, i AS dim,
+          (CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+            / 10000000.0) / count(*) AS centroid,
+          count(*) AS n
+          FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)
+          GROUP BY label, i ORDER BY label, dim""".replaceAll("\\s+", " ")
+  )
+}
