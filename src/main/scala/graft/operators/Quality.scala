@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -26,6 +26,17 @@ object Quality {
 
   val DefaultTolerance = 1.0
 
+  /** `f / g * 100` with IEEE float semantics for g == 0 (±Infinity, NaN for
+    * 0/0) — matching Polars. Spark's non-ANSI `/` returns NULL on a zero
+    * denominator, so the IEEE cases are synthesized explicitly.
+    */
+  private[operators] def ieeeDivPct(f: Column, g: Column): Column =
+    when(g === 0.0,
+      when(f > 0.0, lit(Double.PositiveInfinity))
+        .when(f < 0.0, lit(Double.NegativeInfinity))
+        .when(f === 0.0, lit(Double.NaN))) // f null → null, like division
+      .otherwise(f / g * lit(100.0))
+
   /** P3-P5 + P14: repair `_perc` columns inconsistent with fuel/GENERATION*100. */
   def repairPercentages(
       df: DataFrame,
@@ -37,8 +48,13 @@ object Quality {
     val out = df.columns.map { c =>
       repairable.find(f => c == f + "_perc") match {
         case Some(f) =>
-          val calc = col(f) / col("GENERATION") * lit(100.0)
-          when(abs(calc - col(c)) > tolerance, calc).otherwise(col(c)).as(c)
+          val calc = ieeeDivPct(col(f), col("GENERATION"))
+          // NaN guard: Polars' `NaN > tol` is false (keeps raw) but Spark
+          // and DuckDB order NaN above every double — make the Polars
+          // behavior explicit so all three engines agree.
+          when(isnan(calc), col(c))
+            .when(abs(calc - col(c)) > tolerance, calc)
+            .otherwise(col(c)).as(c)
         case None => col(c)
       }
     }
@@ -57,8 +73,9 @@ object Quality {
     val repairable = fuels.filter(f => present(f) && present(f + "_perc") && present("GENERATION"))
     if (repairable.isEmpty) return Map.empty
     val aggs = repairable.map { f =>
-      val calc = col(f) / col("GENERATION") * lit(100.0)
-      sum(when(abs(calc - col(f + "_perc")) > tolerance, 1L).otherwise(0L)).as(f)
+      val calc = ieeeDivPct(col(f), col("GENERATION"))
+      sum(when(isnan(calc), 0L)
+        .when(abs(calc - col(f + "_perc")) > tolerance, 1L).otherwise(0L)).as(f)
     }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     repairable.zipWithIndex.map { case (f, i) =>

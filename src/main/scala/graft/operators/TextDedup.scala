@@ -28,14 +28,26 @@ object TextDedup {
   def shingles(toks: Column, n: Int = 3): Column =
     array_distinct(graft.functions.Text.wordNgrams(toks, n))
 
-  /** MinHash signature: k independent hash views of the shingle set.
-    * hash_i(s) = md5(i || ":" || s); signature element i is the
-    * lexicographic minimum over shingles.
+  /** MinHash signature (array<bigint>, length k) over a shingle-array
+    * column named `shinglesColName`.
+    *
+    * One md5 per shingle: the 32-bit md5-prefix base hash H(s) is computed
+    * once (bound via the `transform(array(...), hs -> ...)` let-idiom), and
+    * the k views are universal-hash permutations
+    * h_i(s) = (H(s)·(2i+1) + i·2654435761) mod 2³² — exact int64
+    * arithmetic, reproducible in any SQL engine. Signature element i is
+    * min over shingles of h_i.
     */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  def minhashSignature(shinglesColName: String, k: Int): Column = {
+    val baseHashes =
+      s"transform($shinglesColName, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+    expr(
+      s"""element_at(transform(array($baseHashes), hs ->
+            transform(sequence(0, ${k - 1}), i ->
+              array_min(transform(hs, h ->
+                (h * (2*i + 1) + i * cast(2654435761 as bigint))
+                  % cast(4294967296 as bigint))))), 1)""")
+  }
 
   /** LSH band values: the signature split into `k / rows` bands of `rows`
     * elements, each band hashed to one value. Docs agreeing on ANY band
@@ -44,7 +56,8 @@ object TextDedup {
   def lshBands(sig: Column, k: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(k / rows - 1)),
-      b => md5(concat_ws("", slice(sig, b * rows + 1, lit(rows)))))
+      b => concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string"))))
 
   /** Near-duplicate pairs via MinHash LSH: band-bucket equi-join for
     * candidates, exact Jaccard verification, `jaccard >= threshold` kept.
@@ -59,8 +72,14 @@ object TextDedup {
       threshold: Double): DataFrame = {
     val sig = df
       .filter(size(col(shinglesCol)) > 0)
-      .withColumn("__sig", minhashSignature(col(shinglesCol), k))
-    val bands = sig.select(
+      .withColumn("__sig", minhashSignature(shinglesCol, k))
+    // Repartition barrier: without it CollapseProject inlines the signature
+    // expression into every band and both sides of the self-join (≈10×
+    // recompute of the md5 pass). With it the signature is computed once
+    // below the exchange — which is also the scale-correct shape (shuffle
+    // tiny signatures, not text).
+    val sigMat = sig.select(col(idCol), col("__sig")).repartition(col(idCol))
+    val bands = sigMat.select(
       col(idCol), posexplode(lshBands(col("__sig"), k, bandRows)).as(Seq("__b", "__bv")))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -91,16 +110,21 @@ object TextDedup {
 
   def simhash60(toksSqlExpr: String): Column = {
     val n = SimhashBits
-    val h = s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    // md5 once per token: hash the token array first, then fold bits.
+    val tokenHashes =
+      s"transform($toksSqlExpr, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     val bitsums =
-      s"""aggregate($toksSqlExpr, array_repeat(cast(0 as bigint), $n),
-            (acc, t) -> zip_with(acc,
-              transform(sequence(0, ${n - 1}), j -> (shiftright($h, j) & 1) * 2 - 1),
+      s"""aggregate($tokenHashes, array_repeat(cast(0 as bigint), $n),
+            (acc, h) -> zip_with(acc,
+              transform(sequence(0, ${n - 1}), j -> (shiftright(h, j) & 1) * 2 - 1),
               (x, y) -> x + cast(y as bigint)))"""
+    // let-bind the bitsum array so the final bit-assembly fold does not
+    // re-evaluate the whole aggregation per bit
     expr(
-      s"""aggregate(sequence(0, ${n - 1}), cast(0 as bigint),
-            (acc, j) -> acc + if(element_at($bitsums, j + 1) > 0,
-                                 shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""")
+      s"""element_at(transform(array($bitsums), bs ->
+            aggregate(sequence(0, ${n - 1}), cast(0 as bigint),
+              (acc, j) -> acc + if(element_at(bs, j + 1) > 0,
+                                   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1)""")
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance: candidates share at
@@ -109,7 +133,11 @@ object TextDedup {
     * wider bands (10–16 bits) to keep buckets small.
     */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String, maxHamming: Int): DataFrame = {
-    val bands = df.select(col(idCol), col(simhashCol),
+    // Repartition barrier: compute the (expensive) simhash expression once
+    // below an exchange instead of letting projection collapse inline it
+    // into all 10 bands × both join sides (≈40× recompute without it).
+    val mat = df.select(col(idCol), col(simhashCol)).repartition(col(idCol))
+    val bands = mat.select(col(idCol), col(simhashCol),
       posexplode(transform(sequence(lit(0), lit(9)),
         p => shiftrighttable(col(simhashCol), p * 6).bitwiseAND(lit(63L)))).as(Seq("__p", "__nib")))
     val cand = bands.as("a")

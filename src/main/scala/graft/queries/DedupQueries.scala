@@ -45,6 +45,17 @@ object DedupQueries {
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
 
+  /** 32-bit md5-prefix base hash per shingle (mirrors the Spark side). */
+  private val HashesSql =
+    """hashed AS (SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS hs
+       FROM sh)"""
+
+  /** MinHash signature from base hashes: k=8 universal-hash permutations. */
+  private val SigSql =
+    """[list_min([(h * (2*i + 1) + i * 2654435761) % 4294967296 for h in hs])
+       for i in range(0, 8)]"""
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash canonical mapping, listed dups only.
     "q32_dedup_exact" -> ((s, dir) => {
@@ -58,7 +69,9 @@ object DedupQueries {
     "q33_minhash_signature" -> ((s, dir) => {
       withShingles(augmented(s, dir))
         .select(col("doc_id"),
-          concat_ws("|", TextDedup.minhashSignature(col("shingles"), 8)).as("signature"))
+          concat_ws("|",
+            transform(TextDedup.minhashSignature("shingles", 8), x => x.cast("string")))
+            .as("signature"))
         .orderBy("doc_id")
     }),
     // MinHash LSH near-dup pairs: 4 bands × 2 rows, Jaccard >= 0.5 verify.
@@ -91,18 +104,14 @@ object DedupQueries {
           SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
           ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q33_minhash_signature" ->
-      s"""WITH $AugSql, $ShinglesSql
-          SELECT doc_id,
-            array_to_string([list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
-                             for i in range(0, 8)], '|') AS signature
-          FROM sh ORDER BY doc_id""".replaceAll("\\s+", " "),
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql
+          SELECT doc_id, array_to_string($SigSql, '|') AS signature
+          FROM hashed ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q34_minhash_lsh_pairs" ->
-      s"""WITH $AugSql, $ShinglesSql,
-          sig AS (SELECT doc_id, shingles,
-                    [list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
-                     for i in range(0, 8)] AS mh
-                  FROM sh WHERE len(shingles) > 0),
-          bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bv
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, shingles, $SigSql AS mh
+                  FROM hashed WHERE len(shingles) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
                     FROM sig, unnest(range(0, 4)) AS u(b)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)

@@ -175,7 +175,7 @@ object ReferenceQueries {
     "q07_cast_lenient" ->
       """SELECT event_id, try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_parsed, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k_value, TRY_CAST(event_type AS DOUBLE) AS bad_cast FROM events ORDER BY event_id""",
     "q08_perc_repair" ->
-      """SELECT event_id, "WIND", "GENERATION", CASE WHEN abs("WIND" / "GENERATION" * 100 - raw_perc) > 1.0 THEN "WIND" / "GENERATION" * 100 ELSE raw_perc END AS "WIND_perc" FROM (SELECT event_id, value AS "WIND", value + k AS "GENERATION", k AS raw_perc FROM (SELECT event_id, value, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k FROM events)) ORDER BY event_id""",
+      """SELECT event_id, "WIND", "GENERATION", CASE WHEN isnan(calc) THEN raw_perc WHEN abs(calc - raw_perc) > 1.0 THEN calc ELSE raw_perc END AS "WIND_perc" FROM (SELECT *, CASE WHEN "GENERATION" = 0 THEN (CASE WHEN "WIND" > 0 THEN 'infinity'::DOUBLE WHEN "WIND" < 0 THEN '-infinity'::DOUBLE WHEN "WIND" = 0 THEN 'nan'::DOUBLE END) ELSE "WIND" / "GENERATION" * 100 END AS calc FROM (SELECT event_id, value AS "WIND", value + k AS "GENERATION", k AS raw_perc FROM (SELECT event_id, value, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k FROM events))) ORDER BY event_id""",
     "q09_null_handling" ->
       "SELECT _id, COALESCE(value, 0.0) AS value FROM (SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS _id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value FROM events) WHERE _id IS NOT NULL ORDER BY _id",
     "q10_dedup_keeplast" ->

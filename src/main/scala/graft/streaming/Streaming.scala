@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface — the reference's incremental semantics
+  * (SURVEY.md §2.10) re-expressed stream-natively.
+  *
+  * Reference mapping:
+  *  - hourly APScheduler run (scheduler/job.py) → `Trigger.AvailableNow` per
+  *    scheduled submit, or `Trigger.ProcessingTime` for a resident stream
+  *  - `last_id = max(_id)` resume probe (pipeline/run.py:20-22) → the
+  *    checkpointed source offset (exactly-once without the self-probe)
+  *  - keep-last dedup + upsert (transform.py:206-220, serve/load.py) →
+  *    per-micro-batch dedup inside `foreachBatch` + idempotent MERGE sink
+  *  - read-time resample (helpers.py:31-46) → watermarked tumbling windows
+  *    maintained incrementally
+  *
+  * Scale notes: watermarks bound all state; the windowed-agg state is
+  * O(windows × groups), dedup state O(keys inside watermark horizon).
+  * `foreachBatch` gives the sink the same batch DataFrame the batch engine
+  * uses — one code path for both (the micro-batch IS a DataFrame).
+  */
+object Streaming {
+
+  /** A4 as a stream: tumbling mean per window, incrementally maintained.
+    * Late rows beyond `watermark` are dropped (the batch pipeline's
+    * keep-last dedup handles them on re-ingest instead).
+    */
+  def tumblingMeans(
+      events: DataFrame,
+      tsCol: String,
+      interval: String,
+      watermark: String,
+      valueCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), interval))
+      .agg(
+        count(lit(1)).as("n"),
+        valueCols.map(c => avg(col(c)).as(s"avg_$c")): _*)
+      .select((col("window.start").as("bucket") +: col("n") +:
+        valueCols.map(c => col(s"avg_$c"))): _*)
+
+  /** Streaming keep-first dedup by key with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, state for older
+    * keys is reclaimed.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  // ---- Gap sessionization with explicit state (flatMapGroupsWithState) ----
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionState(start: Long, lastTs: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom-state sessionization: emits a session row when a gap >
+    * `gapSeconds` closes it (plus on state timeout). The streaming
+    * counterpart of [[graft.operators.Analytics.sessionize]] — state is one
+    * (start, lastTs, n) triple per live user, bounded by the event-time
+    * timeout.
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: close and emit the open session
+            val out = state.getOption.map(s =>
+              SessionOut(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once event time passes last + gap
+              state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** §3.1 as a stream: micro-batch → keep-last dedup → idempotent MERGE →
+    * metrics append, all inside `foreachBatch` (same operators as the batch
+    * pipeline). Exactly-once via checkpoint + idempotent sink.
+    */
+  def incrementalMergeSink(
+      events: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      sinkPath: String,
+      metricsPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val deduped = graft.operators.Dedup.keepFirstBy(
+          batch, Seq(keyCol), Seq(col(orderCol).desc, col(keyCol).desc))
+        graft.sources.Merge.upsertToPath(spark, deduped, sinkPath, Seq(keyCol))
+        val n = deduped.count()
+        graft.sources.Merge.appendMetrics(
+          Seq((batchId, n, new java.sql.Timestamp(System.currentTimeMillis())))
+            .toDF("batch_id", "rows_upserted", "committed_at"),
+          metricsPath)
+      }
+      .start()
+}

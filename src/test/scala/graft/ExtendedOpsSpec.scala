@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Similarity, TextDedup}
+import graft.functions.Text
+
+/** Extended-surface operators: analytics windows, text analysis, content
+  * dedup, similarity search.
+  */
+class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // -- analytics -------------------------------------------------------------
+
+  test("topKPerGroup keeps k deterministic rows per group") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val out = Analytics.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "v").as[(String, Int)].collect().toSeq
+    assert(out == Seq(("a", 2), ("a", 3), ("b", 9)))
+  }
+
+  test("sessionize: 30-min gap starts a new session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 3L), // 80-min gap → new session
+      (2L, ts("2024-01-01 09:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Analytics.sessionize(df, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
+  }
+
+  // -- text ------------------------------------------------------------------
+
+  test("tokens + wordNgrams; fewer-than-n tokens yield empty array") {
+    val df = Seq("the quick brown fox", "hi").toDF("text")
+    val out = df.select(Text.wordNgrams(Text.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("the quick brown", "quick brown fox"))
+    assert(out(1).isEmpty)
+  }
+
+  test("quality score is 1.0 for long stopword-free text, lower with stopwords") {
+    val df = Seq(
+      ("x " * 250).trim, // 499 chars, no stopwords
+      ("the " * 125).trim // all stopwords
+    ).toDF("text")
+    val out = df.select(
+      Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
+      .as[Double].collect()
+    assert(out(0) == 1.0)
+    assert(out(1) < 0.6)
+  }
+
+  test("langId picks the marker-dominant language deterministically") {
+    val df = Seq("le la et bonjour", "der die und das", "xyzzy qqq").toDF("text")
+    val out = df.select(Text.langId(col("text"), Text.tokens(col("text"))))
+      .as[String].collect().toSeq
+    assert(out == Seq("fr", "de", "und"))
+  }
+
+  test("minShingleFingerprint is stable and equal for equal text") {
+    val df = Seq("abcdefghij", "abcdefghij", "zzzyyyxxxwww").toDF("text")
+    val out = df.select(Text.minShingleFingerprint(col("text"), 8)).as[String].collect()
+    assert(out(0) == out(1))
+    assert(out(0) != out(2)) // disjoint shingle sets → different fingerprints
+  }
+
+  // -- content dedup ---------------------------------------------------------
+
+  test("exactCanonical maps duplicates to the smallest doc_id") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val out = TextDedup.exactCanonical(df, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_dup")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((3L, 3L, false), (7L, 7L, false), (10L, 3L, true)))
+  }
+
+  test("minhash LSH finds identical and near-identical docs, skips unrelated") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "beta gamma delta epsilon zeta eta theta iota kappa" // 1 word dropped
+    val other = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("doc_id", "text")
+      .withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
+    val pairs = TextDedup.minhashLshPairs(df, "doc_id", "shingles", 8, 2, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash60: identical docs at hamming 0; near docs close; jaccardPairs exact") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("doc_id", "text")
+      .withColumn("simhash", TextDedup.simhash60("split(trim(text), '\\\\s+')"))
+    val pairs = TextDedup.simhashPairs(df, "doc_id", "simhash", 6)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+
+    val withSh = df.withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
+    val jp = TextDedup.jaccardPairs(withSh, "doc_id", "shingles", 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(jp((1L, 2L)) == 1.0)
+    assert(jp((1L, 3L)) == 7.0 / 8.0) // 7 shared trigrams of 8 total
+  }
+
+  // -- similarity ------------------------------------------------------------
+
+  test("cosine: parallel=1, orthogonal=0, antiparallel=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(0f, 3f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == -1.0)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(Array(1f, 0f))).toDF("probe_emb")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probe, "probe_emb", 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("LSH signature is scale-invariant (v and 2v share all buckets)") {
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
+      (2L, Array.tabulate(64)(i => 2f * (i % 7 - 3))))
+      .toDF("vec_id", "embedding")
+    val sigs = df.withColumn("sig", Similarity.lshSignature("embedding", 8, 64))
+      .select("sig").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+/** Structured Streaming semantics via MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumblingMeans maintains windowed means incrementally") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = Streaming.tumblingMeans(df, "ts", "30 minutes", "10 minutes", Seq("value"))
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), 10.0),
+        (ts("2024-01-01 10:25:00"), 20.0),
+        (ts("2024-01-01 10:35:00"), 30.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling").orderBy("bucket")
+        .select("bucket", "n", "avg_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      assert(out == Seq(
+        (ts("2024-01-01 10:00:00"), 2L, 15.0),
+        (ts("2024-01-01 10:30:00"), 1L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("id", "ts")
+    val q = Streaming.dedupStream(df, "ts", "1 hour", Seq("id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+        (2L, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:10:00"))) // still a dup
+      q.processAllAvailable()
+      val out = spark.table("dedup").select("id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream closes a session on gap and emits it") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Streaming.sessionizeStream(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1L),
+        SessionEvent(1L, ts("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      // 80-minute gap closes the first session in-batch
+      mem.addData(SessionEvent(1L, ts("2024-01-01 11:30:00"), 3L))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)].collect().toSeq
+      assert(out == Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("incrementalMergeSink: dedup + idempotent merge + metrics per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("_id", "DATETIME", "value")
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0), // same key: keep-last wins
+      (2L, ts("2024-01-01 10:00:00"), 3.0))
+    val q1 = Streaming.incrementalMergeSink(df, "_id", "DATETIME",
+      s"$dir/sink", s"$dir/metrics", s"$dir/ckpt")
+    q1.awaitTermination()
+    // second incremental run: update key 2, add key 3
+    mem.addData((2L, ts("2024-01-01 12:00:00"), 30.0), (3L, ts("2024-01-01 12:00:00"), 9.0))
+    val q2 = Streaming.incrementalMergeSink(df, "_id", "DATETIME",
+      s"$dir/sink", s"$dir/metrics", s"$dir/ckpt")
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$dir/sink").orderBy("_id")
+      .select("_id", "value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2.0), (2L, 30.0), (3L, 9.0)))
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    assert(metrics.count() == 2)
+    assert(metrics.agg(sum("rows_upserted")).head().getLong(0) == 4L)
+  }
+}
