@@ -35,7 +35,8 @@ object SparkEntry {
     QueryGroup(graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
     QueryGroup(graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracleSql),
     QueryGroup(graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
-    QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql)
+    QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
+    QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql)
   )
 
   private case class QueryGroup(

@@ -38,17 +38,34 @@ object Similarity {
     * (md5int(p:i) % 2001 − 1000) / 1000 ∈ [−1, 1] — fully deterministic and
     * reproducible from SQL in any engine with md5. Bit p of the signature
     * is set iff dot(v, plane_p) > 0 (scale-invariant: v and c·v collide).
+    *
+    * The plane matrix is row-independent, so it is materialized driver-side
+    * (same md5 formula) and inlined as a literal — computing it per row via
+    * SQL md5 costs bits×dim hashes per row for identical values.
     */
   def lshSignature(embSqlExpr: String, bits: Int, dim: Int): Column = {
-    val planeComp =
-      """((cast(conv(substring(md5(concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000) / 1000.0)"""
-    val planeDot =
-      s"""aggregate(sequence(1, $dim), cast(0.0 as double),
-            (acc2, i) -> acc2 + cast(element_at($embSqlExpr, i) as double) * $planeComp)"""
+    val planesSql = (0 until bits).map { p =>
+      (1 to dim).map(i => s"${planeComponent(p, i)}d").mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
     expr(
-      s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
-            (acc, p) -> acc + if($planeDot > 0,
-                                 shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""")
+      s"""element_at(transform(array($planesSql), planes ->
+            aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
+              (acc, p) -> acc + if(
+                aggregate(zip_with($embSqlExpr, element_at(planes, p + 1),
+                            (x, y) -> cast(x as double) * y),
+                          cast(0.0 as double), (a, v) -> a + v) > 0,
+                shiftleft(cast(1 as bigint), p), cast(0 as bigint)))), 1)""")
+  }
+
+  /** Plane component (md5int(p:i) % 2001 − 1000)/1000 — the driver-side twin
+    * of the SQL formula in the oracle (identical md5, identical integer
+    * arithmetic, one exact double division).
+    */
+  private[operators] def planeComponent(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
   /** Brute-force top-k by cosine against a 1-row probe DataFrame
@@ -77,8 +94,11 @@ object Similarity {
       embCol: String,
       sigCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("vec_a"), col(embCol).as("__ea"), col(sigCol).as("__sa"))
-    val b = df.select(col(idCol).as("vec_b"), col(embCol).as("__eb"), col(sigCol).as("__sb"))
+    // Repartition barrier: signature computed once below the exchange, not
+    // inlined into both sides of the self-join by projection collapse.
+    val mat = df.select(col(idCol), col(embCol), col(sigCol)).repartition(col(idCol))
+    val a = mat.select(col(idCol).as("vec_a"), col(embCol).as("__ea"), col(sigCol).as("__sa"))
+    val b = mat.select(col(idCol).as("vec_b"), col(embCol).as("__eb"), col(sigCol).as("__sb"))
     a.join(b, col("__sa") === col("__sb") && col("vec_a") < col("vec_b"))
       .withColumn("cosine", cosine(col("__ea"), col("__eb")))
       .filter(col("cosine") >= threshold)

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.operators.{Align, Analytics}
+import graft.sources.Tables
+
+/** Remaining SURVEY.md §2 inventory items not exercised elsewhere:
+  * A2/C3/C4 (date bounds + defaults), P6/P14/C5 (derived chart column,
+  * drop-by-suffix, string cosmetics), O5 (stable slice), plus join coverage
+  * for the `part`/`supplier` dimensions.
+  */
+object CoverageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A2 + C3 + C4: dataset date bounds and the UI's default range starts
+    // (7d/14d/13w/5y before max), all from one aggregation pass.
+    "q44_date_bounds" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .agg(
+          to_date(min(col("ts"))).as("min_date"),
+          to_date(max(col("ts"))).as("max_date"))
+        .select(
+          col("min_date"), col("max_date"),
+          date_sub(col("max_date"), 7).as("default_7d"),
+          date_sub(col("max_date"), 14).as("default_14d"),
+          date_sub(col("max_date"), 13 * 7).as("default_13w"),
+          date_sub(col("max_date"), 365 * 5).as("default_5y"))
+    }),
+    // P6 + P14 + C5 + R1: chart prep — derived CARBON column, helper-column
+    // drop by suffix, display-name cosmetics, then unpivot to long form.
+    "q45_chart_prep" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("event_id"),
+        col("value").as("GENERATION"),
+        (col("value") * 0.4).as("ZERO_CARBON"),
+        (col("value") * 2).as("GENERATION_calc"), // helper cols: dropped below
+        (col("value") - 1).as("GENERATION_diff"))
+      val withDerived = Align.dropBySuffix(
+        base.withColumn("CARBON", col("GENERATION") - col("ZERO_CARBON")),
+        "_calc", "_diff")
+      graft.operators.Reshape
+        .unpivot(withDerived, Seq("event_id"), Seq("GENERATION", "ZERO_CARBON", "CARBON"))
+        .withColumn("Fuel", initcap(lower(regexp_replace(col("Fuel"), "_", " "))))
+        .orderBy("event_id", "Fuel")
+    }),
+    // O5: stable slice rows [1000, 1100) in event_id order via row_number —
+    // the deterministic replacement for positional df.slice.
+    "q46_slice" -> ((s, dir) => {
+      val w = Window.orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), row_number().over(w).as("rn"))
+        .filter(col("rn") > 1000 && col("rn") <= 1100)
+        .drop("rn")
+        .orderBy("event_id")
+    }),
+    // Join coverage for part/supplier: revenue and supplier count by brand
+    // over lineitem ⋈ part(bcast) ⋈ supplier(bcast).
+    "q47_brand_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Analytics.dim(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Analytics.dim(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+        .orderBy("p_brand")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_date_bounds" ->
+      """SELECT CAST(min(ts) AS DATE) AS min_date, CAST(max(ts) AS DATE) AS max_date,
+          CAST(max(ts) AS DATE) - 7 AS default_7d,
+          CAST(max(ts) AS DATE) - 14 AS default_14d,
+          CAST(max(ts) AS DATE) - 91 AS default_13w,
+          CAST(max(ts) AS DATE) - 1825 AS default_5y
+          FROM events""".replaceAll("\\s+", " "),
+    "q45_chart_prep" ->
+      """WITH base AS (SELECT event_id, value AS g, value * 0.4 AS z FROM events)
+          SELECT event_id,
+            CASE v WHEN 'GENERATION' THEN 'Generation' WHEN 'ZERO_CARBON' THEN 'Zero Carbon' ELSE 'Carbon' END AS "Fuel",
+            CASE v WHEN 'GENERATION' THEN g WHEN 'ZERO_CARBON' THEN z ELSE g - z END AS value
+          FROM base, unnest(['GENERATION', 'ZERO_CARBON', 'CARBON']) AS u(v)
+          ORDER BY event_id, "Fuel"""".replaceAll("\\s+", " "),
+    "q46_slice" ->
+      """SELECT event_id, event_type FROM events
+          QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 1001 AND 1100
+          ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q47_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_lines,
+          count(DISTINCT s_suppkey) AS n_suppliers,
+          CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY p_brand ORDER BY p_brand""".replaceAll("\\s+", " ")
+  )
+}
