@@ -28,26 +28,41 @@ object TextDedup {
   def shingles(toks: Column, n: Int = 3): Column =
     array_distinct(graft.functions.Text.wordNgrams(toks, n))
 
-  /** MinHash signature (array<bigint>, length k) over a shingle-array
-    * column named `shinglesColName`.
-    *
-    * One md5 per shingle: the 32-bit md5-prefix base hash H(s) is computed
-    * once (bound via the `transform(array(...), hs -> ...)` let-idiom), and
-    * the k views are universal-hash permutations
-    * h_i(s) = (H(s)·(2i+1) + i·2654435761) mod 2³² — exact int64
-    * arithmetic, reproducible in any SQL engine. Signature element i is
-    * min over shingles of h_i.
+  /** Distinct 32-bit shingle hashes derived from per-TOKEN md5 hashes:
+    * H(w₁..wₙ) = fold(h, t → (h·8191 + H32(t)) mod 2³²) over the n-gram's
+    * token hashes. One md5 per token (not per shingle — an n-fold saving,
+    * since every token appears in n shingles); the combination is exact
+    * int64 arithmetic reproducible in any SQL engine.
     */
-  def minhashSignature(shinglesColName: String, k: Int): Column = {
-    val baseHashes =
-      s"transform($shinglesColName, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+  def shingleHashes(toksColName: String, n: Int): Column = {
+    val tokenHashes =
+      s"transform($toksColName, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    // combine h[i+1..i+n]: fold left with multiplier 8191 (fits int64:
+    // 2^32 · 8191 < 2^45), mod 2^32 at the end of each step
+    val combine = (1 to n)
+      .map(j => s"element_at(hs, i + $j)")
+      .reduce((acc, h) => s"(($acc * 8191 + $h) % cast(4294967296 as bigint))")
     expr(
-      s"""element_at(transform(array($baseHashes), hs ->
-            transform(sequence(0, ${k - 1}), i ->
-              array_min(transform(hs, h ->
-                (h * (2*i + 1) + i * cast(2654435761 as bigint))
-                  % cast(4294967296 as bigint))))), 1)""")
+      s"""element_at(transform(array($tokenHashes), hs ->
+            if(size(hs) >= $n,
+               array_distinct(transform(sequence(0, size(hs) - $n), i -> $combine)),
+               array())), 1)""")
   }
+
+  /** MinHash signature (array<bigint>, length k) over a 32-bit hash-array
+    * column named `hashesColName` (see [[shingleHashes]]).
+    *
+    * The k views are universal-hash permutations
+    * h_i(H) = (H·(2i+1) + i·2654435761) mod 2³² — exact int64 arithmetic,
+    * reproducible in any SQL engine. Signature element i is min over the
+    * set of h_i.
+    */
+  def minhashSignature(hashesColName: String, k: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${k - 1}), i ->
+            array_min(transform($hashesColName, h ->
+              (h * (2*i + 1) + i * cast(2654435761 as bigint))
+                % cast(4294967296 as bigint))))""")
 
   /** LSH band values: the signature split into `k / rows` bands of `rows`
     * elements, each band hashed to one value. Docs agreeing on ANY band
@@ -60,19 +75,22 @@ object TextDedup {
         transform(slice(sig, b * rows + 1, lit(rows)), x => x.cast("string"))))
 
   /** Near-duplicate pairs via MinHash LSH: band-bucket equi-join for
-    * candidates, exact Jaccard verification, `jaccard >= threshold` kept.
-    * Input df must have columns (`idCol`, `shinglesCol`).
+    * candidates, exact Jaccard verification over the distinct shingle-hash
+    * sets (int sets intersect ~10× faster than string sets),
+    * `jaccard >= threshold` kept. Input df must have columns
+    * (`idCol`, `hashesCol` — see [[shingleHashes]]).
     */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
-      shinglesCol: String,
+      hashesCol: String,
       k: Int,
       bandRows: Int,
       threshold: Double): DataFrame = {
+    val shinglesCol = hashesCol
     val sig = df
       .filter(size(col(shinglesCol)) > 0)
-      .withColumn("__sig", minhashSignature(shinglesCol, k))
+      .withColumn("__sig", minhashSignature(hashesCol, k))
     // Repartition barrier: without it CollapseProject inlines the signature
     // expression into every band and both sides of the self-join (≈10×
     // recompute of the md5 pass). With it the signature is computed once
@@ -125,6 +143,26 @@ object TextDedup {
             aggregate(sequence(0, ${n - 1}), cast(0 as bigint),
               (acc, j) -> acc + if(element_at(bs, j + 1) > 0,
                                    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1)""")
+  }
+
+  /** [[simhash60]] as an explode + columnar aggregation returning
+    * (`idCol`, simhash) — identical values, but the 60 bit-sums run as
+    * codegen'd conditional sums over exploded token hashes instead of
+    * per-row array folds (≈5× faster, and the aggregation is itself the
+    * materialization barrier the band join needs). One md5 per token row.
+    */
+  def simhashAgg(df: DataFrame, idCol: String, toksSqlExpr: String): DataFrame = {
+    val n = SimhashBits
+    val tok = df
+      .select(col(idCol), explode(expr(toksSqlExpr)).as("__t"))
+      .withColumn("__h", expr("cast(conv(substring(md5(__t), 1, 15), 16, 10) as bigint)"))
+    val sums = (0 until n).map(j =>
+      sum(expr(s"(shiftright(__h, $j) & 1) * 2 - 1")).as(s"__b$j"))
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until n).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance: candidates share at

@@ -37,19 +37,26 @@ object DedupQueries {
     * fewer than 3 tokens — none exist in this corpus).
     */
   private val ShinglesSql =
-    """sh AS (SELECT doc_id,
+    """sh AS (SELECT doc_id, toks,
          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug))"""
 
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
+    df.withColumn("toks", Text.tokens(col("text")))
+      .withColumn("shingles", TextDedup.shingles(col("toks"), 3))
+      .withColumn("shash", TextDedup.shingleHashes("toks", 3))
 
-  /** 32-bit md5-prefix base hash per shingle (mirrors the Spark side). */
+  /** Distinct 32-bit shingle hashes from per-token md5 hashes (mirrors
+    * [[TextDedup.shingleHashes]]: fold h·8191 + H32(token), mod 2³²).
+    */
   private val HashesSql =
     """hashed AS (SELECT doc_id, shingles,
-         [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS hs
-       FROM sh)"""
+         list_distinct([((th[i]*8191 + th[i+1]) % 4294967296 * 8191 + th[i+2]) % 4294967296
+                        for i in range(1, greatest(len(th) - 1, 1))]) AS hs
+       FROM (SELECT doc_id, shingles,
+               [('0x' || substr(md5(t), 1, 8))::BIGINT for t in toks] AS th
+             FROM sh))"""
 
   /** MinHash signature from base hashes: k=8 universal-hash permutations. */
   private val SigSql =
@@ -70,29 +77,29 @@ object DedupQueries {
       withShingles(augmented(s, dir))
         .select(col("doc_id"),
           concat_ws("|",
-            transform(TextDedup.minhashSignature("shingles", 8), x => x.cast("string")))
+            transform(TextDedup.minhashSignature("shash", 8), x => x.cast("string")))
             .as("signature"))
         .orderBy("doc_id")
     }),
     // MinHash LSH near-dup pairs: 4 bands × 2 rows, Jaccard >= 0.5 verify.
     "q34_minhash_lsh_pairs" -> ((s, dir) => {
       TextDedup.minhashLshPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shingles",
+        withShingles(augmented(s, dir)), "doc_id", "shash",
         k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
     // SimHash near-dup pairs: 60-bit fingerprint, 6-bit bands, hamming <= 6.
     "q35_simhash_pairs" -> ((s, dir) => {
-      val withSim = augmented(s, dir)
-        .withColumn("simhash", TextDedup.simhash60("split(trim(text), '\\\\s+')"))
-      TextDedup.simhashPairs(withSim, "doc_id", "simhash", maxHamming = 6)
+      val sim = TextDedup.simhashAgg(
+        augmented(s, dir), "doc_id", "split(trim(text), '\\\\s+')")
+      TextDedup.simhashPairs(sim, "doc_id", "simhash", maxHamming = 6)
         .orderBy("doc_a", "doc_b")
     }),
     // Exact n-gram Jaccard pairs via shingle inverted index (no LSH
     // approximation): complete ground truth for q34 at the same threshold.
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shingles", threshold = 0.5)
+        withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -109,18 +116,18 @@ object DedupQueries {
           FROM hashed ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q34_minhash_lsh_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
-          sig AS (SELECT doc_id, shingles, $SigSql AS mh
-                  FROM hashed WHERE len(shingles) > 0),
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
           bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
                     FROM sig, unnest(range(0, 4)) AS u(b)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+            CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
           FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-          WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-              / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+          WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q35_simhash_pairs" ->
       raw"""WITH $AugSql,
@@ -144,9 +151,9 @@ object DedupQueries {
           FROM cand WHERE bit_count(xor(ha, hb)) <= 6
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q36_jaccard_pairs" ->
-      s"""WITH $AugSql, $ShinglesSql,
-          sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
-          inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized),
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),
+          inv AS (SELECT doc_id, n, unnest(hs) AS s FROM sized),
           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
                       count(*) AS common
                     FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id

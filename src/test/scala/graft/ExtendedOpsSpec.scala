@@ -86,8 +86,10 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     val near = "beta gamma delta epsilon zeta eta theta iota kappa" // 1 word dropped
     val other = "one two three four five six seven eight nine ten"
     val df = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("doc_id", "text")
-      .withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
-    val pairs = TextDedup.minhashLshPairs(df, "doc_id", "shingles", 8, 2, 0.5)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("shingles", TextDedup.shingles(col("toks"), 3))
+      .withColumn("shash", TextDedup.shingleHashes("toks", 3))
+    val pairs = TextDedup.minhashLshPairs(df, "doc_id", "shash", 8, 2, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
@@ -103,6 +105,12 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     val pairs = TextDedup.simhashPairs(df, "doc_id", "simhash", 6)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(pairs((1L, 2L)) == 0L)
+
+    // scalar fold and explode-agg formulations must agree bit-for-bit
+    val viaAgg = TextDedup.simhashAgg(df, "doc_id", "split(trim(text), '\\\\s+')")
+      .orderBy("doc_id").select("simhash").as[Long].collect().toSeq
+    val viaFold = df.orderBy("doc_id").select("simhash").as[Long].collect().toSeq
+    assert(viaAgg == viaFold)
 
     val withSh = df.withColumn("shingles", TextDedup.shingles(Text.tokens(col("text")), 3))
     val jp = TextDedup.jaccardPairs(withSh, "doc_id", "shingles", 0.5)
