@@ -36,7 +36,8 @@ object SparkEntry {
     QueryGroup(graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracleSql),
     QueryGroup(graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
     QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
-    QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql)
+    QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql),
+    QueryGroup(graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql)
   )
 
   private case class QueryGroup(

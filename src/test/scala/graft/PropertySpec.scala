@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Align, Cast, Dedup}
+import graft.sources.Merge
+
+/** Property tests for the invariants the reference asserts only by example
+  * (SURVEY.md §5.2): dedup uniqueness, upsert idempotency, align-schema
+  * column contract, lenient casts never throwing. Uses raw ScalaCheck Gen
+  * with a fixed seed (the scalatest-scalacheck bridge is not available in
+  * this offline environment).
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Deterministic sampling loop standing in for forAll. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 12)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(check)
+    }
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(40, for {
+      id <- Gen.chooseNum(1L, 12L) // small domains force duplicates
+      t <- Gen.chooseNum(0L, 8L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (id, t * 3600000L, v))
+
+  test("property: composed dedup yields unique _id AND unique DATETIME") {
+    forAllSamples(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("_id", "ms", "v")
+          .withColumn("DATETIME", timestamp_millis(col("ms"))).drop("ms")
+        val out = Dedup.dedupKeepLast(df)
+        val n = out.count()
+        assert(out.select("_id").distinct().count() == out.select("_id").count())
+        assert(out.select("DATETIME").distinct().count() == n)
+        // dedup never invents rows
+        assert(n <= rows.length)
+      }
+    }
+  }
+
+  test("property: upsert is idempotent and key-complete") {
+    forAllSamples(Gen.zip(rowsGen, rowsGen)) { case (a, b) =>
+      val existing = a.toDF("_id", "t", "v").dropDuplicates("_id")
+      val incoming = b.toDF("_id", "t", "v").dropDuplicates("_id")
+      val once = Merge.upsert(existing, incoming, Seq("_id"))
+      val twice = Merge.upsert(once, incoming, Seq("_id"))
+      // applying the same batch again changes nothing
+      assert(once.orderBy("_id", "t", "v").collect().toSeq ==
+        twice.orderBy("_id", "t", "v").collect().toSeq)
+      // result keys = union of input keys
+      val keys = once.select("_id").as[Long].collect().toSet
+      val expected = (existing.select("_id").as[Long].collect() ++
+        incoming.select("_id").as[Long].collect()).toSet
+      assert(keys == expected)
+      // incoming rows win per key
+      val incomingKeys = incoming.select("_id").as[Long].collect().toSet
+      val winners = once.filter(col("_id").isin(incomingKeys.toSeq: _*))
+        .orderBy("_id").collect().toSeq
+      assert(winners == incoming.filter(col("_id").isin(incomingKeys.toSeq: _*))
+        .orderBy("_id").collect().toSeq)
+    }
+  }
+
+  test("property: alignSchema output columns equal target schema exactly") {
+    val target = graft.schema.Schemas.generation
+    forAllSamples(Gen.someOf(target.fields.map(_.name) ++ Seq("junk1", "junk2")), n = 6) { present =>
+      val df = spark.range(3).toDF("n")
+        .select((col("n") +: present.toList.map(c => lit("1").as(c))): _*)
+        .drop("n")
+      val out = Align.alignSchema(df, target)
+      // contract: output column NAMES == target schema, in order; types are
+      // coerced by the separate Cast stage (as in the reference, where align
+      // runs against the all-string landing schema)
+      assert(out.columns.toSeq == target.fields.map(_.name).toSeq)
+      val presentSet = present.toSet
+      out.schema.fields.filterNot(f => presentSet(f.name)).foreach { f =>
+        assert(f.dataType == target(f.name).dataType) // absent → typed null
+      }
+    }
+  }
+
+  test("property: lenient casts never throw, null iff unparsable") {
+    val strGen = Gen.oneOf(
+      Gen.numStr.map(s => if (s.isEmpty) "0" else s.take(15)),
+      Gen.alphaStr,
+      Gen.const(null: String),
+      Gen.chooseNum(-1e6, 1e6).map(_.toString))
+    forAllSamples(Gen.listOfN(25, strGen)) { vals =>
+      val out = Cast.castNumeric(vals.toDF("v"), Seq("v")).collect()
+      out.zip(vals).foreach { case (row, in) =>
+        val parsed = try Some(java.lang.Double.parseDouble(if (in == null) "x" else in))
+          catch { case _: Exception => None }
+        if (parsed.isEmpty) assert(row.isNullAt(0))
+        else assert(row.getDouble(0) == parsed.get)
+      }
+    }
+  }
+}
