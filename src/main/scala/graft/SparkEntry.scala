@@ -37,7 +37,8 @@ object SparkEntry {
     QueryGroup(graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
     QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
     QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql),
-    QueryGroup(graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql)
+    QueryGroup(graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
+    QueryGroup(graft.queries.SketchQueries.queries, graft.queries.SketchQueries.oracleSql)
   )
 
   private case class QueryGroup(

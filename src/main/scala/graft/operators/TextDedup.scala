@@ -166,18 +166,21 @@ object TextDedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance: candidates share at
-    * least one of the 10 6-bit bands (pigeonhole: guaranteed complete for
-    * hamming <= 9), verified with bit_count(xor). For corpora ≫10⁶ docs use
-    * wider bands (10–16 bits) to keep buckets small.
+    * least one of 7 8-bit bands over bits 0..55 (pigeonhole: complete for
+    * hamming <= 6 — at most 6 flipped bits can ruin at most 6 of 7 bands).
+    * Band width is the candidate-volume dial: 8-bit bands admit ~7/256 of
+    * random pairs vs ~1/6 for 6-bit bands; for ≫10⁶-doc corpora widen
+    * further (10–16 bits) and lower the guaranteed radius.
     */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6, "7x8-bit banding is only complete for hamming <= 6")
     // Repartition barrier: compute the (expensive) simhash expression once
     // below an exchange instead of letting projection collapse inline it
-    // into all 10 bands × both join sides (≈40× recompute without it).
+    // into all bands × both join sides (≈40× recompute without it).
     val mat = df.select(col(idCol), col(simhashCol)).repartition(col(idCol))
     val bands = mat.select(col(idCol), col(simhashCol),
-      posexplode(transform(sequence(lit(0), lit(9)),
-        p => shiftrighttable(col(simhashCol), p * 6).bitwiseAND(lit(63L)))).as(Seq("__p", "__nib")))
+      posexplode(transform(sequence(lit(0), lit(6)),
+        p => shiftrighttable(col(simhashCol), p * 8).bitwiseAND(lit(255L)))).as(Seq("__p", "__nib")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.__p") === col("b.__p") && col("a.__nib") === col("b.__nib") &&

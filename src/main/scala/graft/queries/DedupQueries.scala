@@ -142,8 +142,8 @@ object DedupQueries {
                     list_sum([CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
                               for j in range(0, 60)]) AS simhash
                   FROM bs),
-          bands AS (SELECT doc_id, simhash, p, (simhash >> (p*6)) & 63 AS nib
-                    FROM sim, unnest(range(0, 10)) AS u(p)),
+          bands AS (SELECT doc_id, simhash, p, (simhash >> (p*8)) & 255 AS nib
+                    FROM sim, unnest(range(0, 7)) AS u(p)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.simhash AS ha, b.simhash AS hb
                    FROM bands a JOIN bands b ON a.p = b.p AND a.nib = b.nib AND a.doc_id < b.doc_id)

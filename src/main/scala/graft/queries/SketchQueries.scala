@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Resample}
+import graft.sources.Tables
+
+/** Calendar-interval resampling over the multi-year `orders` table plus
+  * sketch-based approximate aggregates.
+  *
+  * q50 has NO oracle entry on purpose: HLL++ and KLL/GK quantile sketches
+  * are engine-specific algorithms, so cross-engine hash-matching is
+  * impossible by construction — the driver records the weaker rows-only
+  * check. The capability matters at 100 TB: approx_count_distinct is one
+  * pass + constant memory vs countDistinct's expand-shuffle, and
+  * approx_percentile avoids a full sort.
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A4 calendar path over years of data: monthly + yearly buckets from
+    // date_trunc (Spark's window() rejects month/year durations).
+    "q49_resample_calendar" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      orders
+        .groupBy(
+          Resample.bucketStart(col("o_orderdate"), "1y").cast("timestamp_ntz").as("year"),
+          Resample.bucketStart(col("o_orderdate"), "1mo").cast("timestamp_ntz").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          graft.functions.Exact.dsum4(col("o_totalprice")).as("revenue"))
+        .orderBy("month")
+    }),
+    // Sketches: HLL++ distinct customers + order-price quantiles per
+    // priority (rows-only check — see scaladoc).
+    "q50_approx_stats" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_resample_calendar" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1, 2 ORDER BY month""".replaceAll("\\s+", " ")
+    // q50 intentionally omitted (sketch values are engine-specific)
+  )
+}
