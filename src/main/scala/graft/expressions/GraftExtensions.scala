@@ -1,0 +1,46 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** SparkSessionExtensions registration for graft's native expressions, plus
+  * Column-level helpers for the DataFrame API.
+  *
+  * Usage (SQL): `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.expressions.GraftExtensions`, then
+  * `SELECT graft_cosine(a, b)`, `SELECT graft_minhash(hashes, 8)`.
+  * The DataFrame helpers below need no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The injected function descriptors (also usable directly against a
+    * live session's `functionRegistry`).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k: Int, _) => MinHashSignature(children(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be an integer literal, got $other")
+      }))
+
+  /** Native cosine similarity of two array<float> columns. */
+  def cosineNative(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Native MinHash signature of an array<bigint> hash column. */
+  def minhashNative(hashes: Column, k: Int): Column =
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(hashes), k))
+}

@@ -29,8 +29,18 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity via one dot and two IEEE sqrts. */
+  /** Cosine similarity — the native codegen'd Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]]); bit-identical to
+    * [[cosineHof]] (same fold order, same IEEE ops) but one primitive loop
+    * per row instead of interpreted lambdas.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.GraftExtensions.cosineNative(a, b)
+
+  /** Higher-order-function cosine (reference formulation; kept for
+    * cross-checking the native expression).
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Random-hyperplane LSH signature of `embSqlExpr` (a SQL expression for

@@ -55,9 +55,15 @@ object TextDedup {
     * The k views are universal-hash permutations
     * h_i(H) = (H·(2i+1) + i·2654435761) mod 2³² — exact int64 arithmetic,
     * reproducible in any SQL engine. Signature element i is min over the
-    * set of h_i.
+    * set of h_i. Implemented as the native codegen'd
+    * [[graft.expressions.MinHashSignature]] (one k-lane primitive loop);
+    * [[minhashSignatureHof]] is the equivalent SQL-function formulation.
     */
   def minhashSignature(hashesColName: String, k: Int): Column =
+    graft.expressions.GraftExtensions.minhashNative(col(hashesColName), k)
+
+  /** Higher-order-function formulation (kept for cross-checking). */
+  def minhashSignatureHof(hashesColName: String, k: Int): Column =
     expr(
       s"""transform(sequence(0, ${k - 1}), i ->
             array_min(transform($hashesColName, h ->

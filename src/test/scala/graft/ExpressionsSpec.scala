@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.GraftExtensions
+import graft.operators.{Similarity, TextDedup}
+
+/** Native Catalyst expressions: bit-equivalence with the HOF formulations
+  * (both interpreted eval and codegen paths), and SQL registration.
+  */
+class ExpressionsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat),
+      Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)),
+    (2L, Array.tabulate(64)(i => (i % 9 - 4).toFloat),
+      Array.tabulate(64)(i => (i % 5 - 2).toFloat)),
+    (3L, Array(1f, 0f) ++ Array.fill(62)(0f), Array(0f, 1f) ++ Array.fill(62)(0f)))
+
+  test("native cosine is bit-identical to the HOF formulation") {
+    val df = vecs.toDF("id", "a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native minhash is identical to the HOF formulation") {
+    val df = Seq(
+      (1L, Seq(17L, 123456789L, 4294967295L, 42L)),
+      (2L, Seq(0L, 1L)),
+      (3L, Seq(999999999L)))
+      .toDF("id", "hs")
+    val out = df.select(
+      TextDedup.minhashSignature("hs", 8).as("native"),
+      TextDedup.minhashSignatureHof("hs", 8).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    // wholestage off forces the interpreted/eval path
+    val df = vecs.toDF("id", "a", "b")
+    val expected = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect().toSeq
+      assert(interp == expected)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("graft_cosine / graft_minhash register as SQL functions") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    vecs.toDF("id", "a", "b").createOrReplaceTempView("vecs_t")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) FROM vecs_t ORDER BY id")
+      .as[Double].collect().toSeq
+    val viaDsl = vecs.toDF("id", "a", "b").orderBy("id")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(viaSql == viaDsl)
+    val mh = spark.sql("SELECT graft_minhash(array(17L, 42L), 4)").collect()(0).getSeq[Long](0)
+    assert(mh.length == 4)
+  }
+}
