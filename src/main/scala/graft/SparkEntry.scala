@@ -7,16 +7,28 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's spine (SURVEY.md §7.2): scan → keep-last dedup →
-    * daily-mean resample → date-range filter.
+    * The reference's full spine (SURVEY.md §3.2) plus the extended surface
+    * in one plan: keep-last dedup → hourly resample → date filter →
+    * sessionized-user join → unpivot for charting.
     */
   def entry(spark: SparkSession): DataFrame = {
     val ev = sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "value")
+    // reference spine: dedup → resample → filter on bucket labels
     val deduped = operators.Dedup.keepFirstBy(
-      ev, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
-    operators.Resample.resampleThenFilter(
-      deduped, "ts", "1d", "2024-01-01 00:00:00", "2024-12-31 00:00:00")
+      ev, Seq("ts"), Seq(col("event_id").desc))
+    val hourly = operators.Resample.resampleThenFilter(
+      deduped, "ts", "1h", "2024-01-01 00:00:00", "2024-12-31 00:00:00")
+    // extended surface: per-user sessions joined as a broadcast dim
+    val sessions = operators.Analytics
+      .sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .groupBy("user_id").agg(max(col("session_id") + 1).as("n_sessions"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_sessions")).as("n_sessions"))
+    // charting shape: wide → long
+    operators.Reshape.unpivot(
+      hourly.crossJoin(broadcast(sessions)),
+      ids = Seq("ts"), valueCols = Seq("value", "event_id", "n_sessions"),
+      variableName = "measure", valueName = "val")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -38,7 +50,8 @@ object SparkEntry {
     QueryGroup(graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
     QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql),
     QueryGroup(graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
-    QueryGroup(graft.queries.SketchQueries.queries, graft.queries.SketchQueries.oracleSql)
+    QueryGroup(graft.queries.SketchQueries.queries, graft.queries.SketchQueries.oracleSql),
+    QueryGroup(graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracleSql)
   )
 
   private case class QueryGroup(
