@@ -21,6 +21,13 @@ object Text {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Dedup-grade normalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace runs, trim. The standard pre-pass before
+    * content-hash dedup so cosmetic variants collide.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+
   /** Token count under a BPE-ish pre-tokenizer: runs of letters, runs of
     * digits, or single non-alphanumeric marks.
     */

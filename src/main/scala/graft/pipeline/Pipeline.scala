@@ -52,19 +52,21 @@ object Pipeline {
     val aligned = Align.alignSchema(landing, Schemas.landing)
     val typed = Cast.parseAndCast(aligned, "DATETIME", Schemas.measureCols ++ Schemas.percCols)
       .withColumn("_id", col("_id").cast("long"))
-    val totalRaw = typed.count()
-    val inconsistent = Quality.inconsistencyCounts(typed, tolerance = tolerance)
+    // ONE stats pass for raw count + null counts + per-fuel inconsistency
+    // (the reference runs a separate job per metric), then one action for
+    // the post-dedup cardinality: 2 scans total instead of 5.
+    val stats = Quality.transformStats(typed, tolerance = tolerance)
     val repaired = Quality.repairPercentages(typed, tolerance = tolerance)
-    val nullRows = Quality.anyNullCount(repaired)
     val filled = Quality.handleMissing(repaired)
-    val afterNulls = filled.count()
+    val afterNulls = stats.totalRaw - stats.nullKeyRows
     val deduped = Dedup.dedupKeepLast(filled)
     val totalClean = deduped.count()
     val issues =
-      Seq("Rows with any null" -> nullRows,
+      Seq("Rows with any null" -> stats.anyNullRows,
         "Duplicates removed" -> (afterNulls - totalClean)) ++
-      inconsistent.toSeq.sortBy(_._1).map { case (f, n) => s"Inconsistent $f percentage" -> n }
-    TransformResult(deduped, totalRaw, totalClean, issues)
+      stats.inconsistencies.toSeq.sortBy(_._1)
+        .map { case (f, n) => s"Inconsistent $f percentage" -> n }
+    TransformResult(deduped, stats.totalRaw, totalClean, issues)
   }
 
   /** §3.1: one scheduled run — probe cursor, transform, upsert, metrics row. */

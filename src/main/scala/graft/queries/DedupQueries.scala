@@ -64,9 +64,12 @@ object DedupQueries {
        for i in range(0, 8)]"""
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: content-hash canonical mapping, listed dups only.
+    // Exact dedup: normalize (lowercase / strip punctuation / collapse
+    // whitespace) then content-hash canonical mapping, listed dups only.
     "q32_dedup_exact" -> ((s, dir) => {
-      TextDedup.exactCanonical(augmented(s, dir), "doc_id", "text")
+      TextDedup.exactCanonical(
+        augmented(s, dir).withColumn("text", Text.normalize(col("text"))),
+        "doc_id", "text")
         .filter(col("is_dup"))
         .select("doc_id", "canonical_id")
         .orderBy("doc_id")
@@ -106,8 +109,11 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q32_dedup_exact" ->
-      s"""WITH $AugSql,
-          c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM aug)
+      raw"""WITH $AugSql,
+          norm AS (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS text
+            FROM aug),
+          c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM norm)
           SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
           ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q33_minhash_signature" ->

@@ -78,6 +78,22 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
+    // Multi-probe ANN: also search buckets at Hamming distance 1 from the
+    // probe's signature (flip any one plane) — recall recovered from LSH
+    // boundary effects at ~(bits+1)× the candidate set, still ≪ full scan.
+    "q52_ann_multiprobe" -> ((s, dir) => {
+      val sig = Similarity.lshSignature("embedding", bits = 4, dim = Dim)
+      val all = Tables.embeddings(s, dir).withColumn("sig", sig)
+      val probeSig = all.filter(col("vec_id") === 0)
+        .select(col("sig").as("probe_sig"), col("embedding").as("probe_emb"))
+      all.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeSig),
+          bit_count(col("sig").bitwiseXOR(col("probe_sig"))) <= 1)
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
     // Embedding near-dup pairs: 8-bit LSH bucket equi-join + cosine >= 0.999
     // verify. Finds exactly the constructed scaled copies (natural max
     // cosine in this corpus is 0.51).
@@ -116,6 +132,13 @@ object SimilarityQueries {
           p AS (SELECT sig AS psig, embedding AS pe FROM sigs WHERE vec_id = 0)
           SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
           FROM sigs, p WHERE vec_id <> 0 AND sig = psig
+          ORDER BY cosine DESC, vec_id ASC LIMIT 5""".replaceAll("\\s+", " "),
+    "q52_ann_multiprobe" ->
+      s"""WITH sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 4)} AS sig
+                        FROM embeddings),
+          p AS (SELECT sig AS psig, embedding AS pe FROM sigs WHERE vec_id = 0)
+          SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
+          FROM sigs, p WHERE vec_id <> 0 AND bit_count(xor(sig, psig)) <= 1
           ORDER BY cosine DESC, vec_id ASC LIMIT 5""".replaceAll("\\s+", " "),
     "q39_embedding_neardup" ->
       s"""WITH $AugSql,
