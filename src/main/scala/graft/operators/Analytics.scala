@@ -39,6 +39,30 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Skew-mitigating salted equi-join: the big (skewed) side gets a
+    * deterministic per-row salt in [0, salts); the small side is replicated
+    * once per salt value; the join runs on (key, salt). A hot key's rows
+    * spread over `salts` reducers instead of one straggler task. Result is
+    * row-identical to the plain join (inner/left semantics preserved).
+    *
+    * At 100 TB prefer AQE's automatic skew-join splitting first
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default); explicit
+    * salting is for the cases AQE can't split — e.g. a skewed aggregation
+    * feeding the join, or sort-merge buckets beyond the split threshold.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event (per `keyCol`, ordered by `tsCol` then `tieCol`) exceeds
     * `gapSeconds`. Adds a `session_id` column (0-based per key).

@@ -58,6 +58,19 @@ object CoverageQueries {
         .drop("rn")
         .orderBy("event_id")
     }),
+    // Skew-mitigating salted join, oracle-checked equivalent to the plain
+    // join: events (big, per-user skew) ⋈ per-user profile (small), salted
+    // over 8 buckets, then aggregated back per user.
+    "q53_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val profile = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("event_id")).as("first_event"))
+      Analytics.saltedJoin(ev, profile, "user_id", salts = 8)
+        .groupBy("user_id", "first_event")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    }),
     // Join coverage for part/supplier: revenue and supplier count by brand
     // over lineitem ⋈ part(bcast) ⋈ supplier(bcast).
     "q47_brand_revenue" -> ((s, dir) => {
@@ -93,6 +106,13 @@ object CoverageQueries {
       """SELECT event_id, event_type FROM events
           QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 1001 AND 1100
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q53_salted_join" ->
+      """WITH profile AS (SELECT user_id, min(event_id) AS first_event
+                          FROM events GROUP BY user_id)
+          SELECT e.user_id, p.first_event, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+          FROM events e JOIN profile p ON e.user_id = p.user_id
+          GROUP BY e.user_id, p.first_event ORDER BY e.user_id""".replaceAll("\\s+", " "),
     "q47_brand_revenue" ->
       """SELECT p_brand, count(*) AS n_lines,
           count(DISTINCT s_suppkey) AS n_suppliers,

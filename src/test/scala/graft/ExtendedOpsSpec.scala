@@ -35,6 +35,16 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
   }
 
+  test("saltedJoin is row-identical to the plain join on skewed keys") {
+    val big = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong % 7, i))
+      .toDF("k", "v") // 90% of rows share key 1
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).orderBy("k", "v", "tag").collect().toSeq
+    val salted = Analytics.saltedJoin(big, small, "k", salts = 4)
+      .orderBy("k", "v", "tag").collect().toSeq
+    assert(salted == plain)
+  }
+
   // -- text ------------------------------------------------------------------
 
   test("tokens + wordNgrams; fewer-than-n tokens yield empty array") {
