@@ -78,6 +78,42 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
+  /** Squared L2 distance of two float-array columns (sequential fold;
+    * float subtraction promoted to double — exact IEEE, engine-identical).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-style assignment: each vector's nearest centroid id (min squared
+    * L2, ties broken by centroid id). `centroids` must be broadcast-small
+    * (the coarse quantizer). Adds a `centroid_id` column.
+    *
+    * At 100 TB this is the index-build pass: write the table
+    * partitioned/bucketed by `centroid_id`, and a probe reads only its
+    * nProbe nearest buckets (see [[ivfTopK]]).
+    */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame, // (centroid_id, centroid_emb)
+      tag: String = "centroid_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = df.crossJoin(broadcast(centroids))
+      .withColumn("__dist", l2sq(col(embCol), col("centroid_emb")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__dist").asc, col("centroid_id").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__dist", "centroid_emb")
+      .withColumnRenamed("centroid_id", tag)
+  }
+
   /** Brute-force top-k by cosine against a 1-row probe DataFrame
     * (columns: `probeCol` the vector). Probe is broadcast; result is k rows.
     */

@@ -103,6 +103,33 @@ object SimilarityQueries {
       Similarity.nearDupPairs(withSig, "vec_id", "embedding", "sig", threshold = 0.999)
         .orderBy("vec_a", "vec_b")
     }),
+    // IVF-style ANN: 16 coarse centroids (deterministically the first 16
+    // vectors — a stand-in for k-means training), every vector assigned to
+    // its nearest centroid, probe searches its 4 nearest centroid buckets,
+    // exact cosine top-5 among candidates. At scale: table bucketed by
+    // centroid_id → probe reads 4/16ths of the index.
+    "q54_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", centroids)
+      val probeBuckets = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", Similarity.l2sq(col("embedding"), col("centroid_emb")))
+        .orderBy(col("__dist").asc, col("centroid_id").asc)
+        .limit(4)
+        .select(col("centroid_id").as("probe_bucket"))
+      val probeEmb = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeBuckets), col("centroid_id") === col("probe_bucket"))
+        .crossJoin(broadcast(probeEmb))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
     // Per-label centroids in long form (k-means E-step shape): explode dims
     // → mean per (label, dim). Floats are dyadic, so decimal-cast rounding
     // can hit exact ties that HALF_UP (Spark) and half-even (DuckDB) break
@@ -148,6 +175,27 @@ object SimilarityQueries {
           FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
           WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999
           ORDER BY vec_a, vec_b""".replaceAll("\\s+", " "),
+    "q54_ann_ivf" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT v.vec_id, v.embedding AS embedding, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          pb AS (SELECT cent.cid AS probe_bucket FROM embeddings v, cent
+                 WHERE v.vec_id = 0
+                 ORDER BY list_sum([(CAST(v.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE))
+                                    * (CAST(v.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE))
+                                    for i in range(1, ${Dim + 1})]) ASC, cent.cid ASC
+                 LIMIT 4),
+          pe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+          SELECT a.vec_id, ${duckCosine("a.embedding", "p")} AS cosine
+          FROM assigned a JOIN pb ON a.cid = pb.probe_bucket, pe
+          WHERE a.vec_id <> 0
+          ORDER BY cosine DESC, a.vec_id ASC LIMIT 5""".replaceAll("\\s+", " ")
+    },
     "q40_label_centroids" ->
       s"""SELECT label, i AS dim,
           (CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
