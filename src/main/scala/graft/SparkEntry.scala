@@ -51,7 +51,8 @@ object SparkEntry {
     QueryGroup(graft.queries.CoverageQueries.queries, graft.queries.CoverageQueries.oracleSql),
     QueryGroup(graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
     QueryGroup(graft.queries.SketchQueries.queries, graft.queries.SketchQueries.oracleSql),
-    QueryGroup(graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracleSql)
+    QueryGroup(graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracleSql),
+    QueryGroup(graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracleSql)
   )
 
   private case class QueryGroup(

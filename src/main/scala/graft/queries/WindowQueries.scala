@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Window-frame, pivot, set-operation, and ranking-family coverage —
+  * engine surface beyond the reference (which has no window frames, no
+  * pivot, no set ops; SURVEY §2.6/§2.8).
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Rolling mean over a 7-row frame per user (moving-average smoothing —
+    // the time-series op the reference's dashboard resample approximates).
+    // Exact decimal rolling sum / count so values hash-match.
+    "q55_rolling_mean" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("rolling_avg",
+          sum(col("value").cast("decimal(30,10)")).over(w).cast("double")
+            / count(col("value")).over(w))
+        .select("event_id", "user_id", "rolling_avg")
+        .orderBy("event_id")
+    }),
+    // Pivot (long → wide): per-user event-type counts as columns — the
+    // inverse of R1's unpivot.
+    "q56_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+    // Set operations: purchasers INTERSECT signups, and purchasers EXCEPT
+    // signups, tagged and unioned.
+    "q57_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchasers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val signups = ev.filter(col("event_type") === "signup").select("user_id").distinct()
+      purchasers.intersect(signups).withColumn("set_op", lit("both"))
+        .unionByName(purchasers.except(signups).withColumn("set_op", lit("purchase_only")))
+        .orderBy("set_op", "user_id")
+    }),
+    // Ranking family in one pass: rank / dense_rank / percent_rank /
+    // ntile(4) / cume_dist over order value per priority (unique tiebreak
+    // via orderkey keeps ntile deterministic).
+    "q58_ranking_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("rnk") <= 50)
+        .orderBy("o_orderpriority", "rnk")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_rolling_mean" ->
+      """SELECT event_id, user_id,
+          CAST(sum(CAST(value AS DECIMAL(30,10)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_avg
+          FROM events ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q56_pivot" ->
+      """SELECT user_id,
+          count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+          FROM events GROUP BY user_id ORDER BY user_id""".replaceAll("\\s+", " "),
+    "q57_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+          SELECT user_id, 'both' AS set_op FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM s)
+          UNION ALL
+          SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM s)
+          ORDER BY set_op, user_id""".replaceAll("\\s+", " "),
+    "q58_ranking_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+          rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          percent_rank() OVER w AS prnk, ntile(4) OVER w AS quartile,
+          cume_dist() OVER w AS cume
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+          QUALIFY rnk <= 50
+          ORDER BY o_orderpriority, rnk""".replaceAll("\\s+", " ")
+  )
+}
