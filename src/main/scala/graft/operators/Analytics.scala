@@ -63,6 +63,56 @@ object Analytics {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** AS-OF join: for every left row, the single latest right row with
+    * `rightTs <= leftTs` within the same `key` (the time-series point
+    * lookup Spark has no built-in operator for).
+    *
+    * Spark-first composition — no range join, no per-row subquery: tag and
+    * union both sides, then one window pass per key ordered by (ts, side)
+    * carries the most recent right payload forward (`last_value IGNORE
+    * NULLS`), and left rows read it off. ONE shuffle on the key, linear in
+    * rows — at 100 TB this beats a range join's quadratic bucket blowup
+    * and is the standard streaming-warehouse formulation. Right rows tied
+    * on (key, ts) are resolved by `rightTieBreak` descending first.
+    *
+    * Output: all left columns plus `asofCols` from the matched right row
+    * (null when no right row precedes the left row).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      asofCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    // dedup right per (key, ts): keep highest tiebreak — makes ties
+    // deterministic in both this and the oracle's ASOF formulation
+    val rightDedup = Dedup.keepFirstBy(
+      right, Seq(key, rightTs), Seq(col(rightTieBreak).desc))
+    // struct-pack each side so the union is collision-free by construction
+    val leftStruct = StructType(left.schema.fields)
+    val rightStruct = StructType(asofCols.map(c => rightDedup.schema(c)).toArray)
+    val leftSide = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), // left sorts AFTER right at equal ts → <= semantics
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
+    val rightSide = rightDedup.select(
+      col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      lit(null).cast(leftStruct).as("__l"),
+      struct(asofCols.map(col).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftSide.unionByName(rightSide)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        asofCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event (per `keyCol`, ordered by `tsCol` then `tieCol`) exceeds
     * `gapSeconds`. Adds a `session_id` column (0-based per key).

@@ -50,6 +50,22 @@ object WindowQueries {
         .unionByName(purchasers.except(signups).withColumn("set_op", lit("purchase_only")))
         .orderBy("set_op", "user_id")
     }),
+    // AS-OF join: each purchase matched to the user's latest click at or
+    // before it (union + last-value window — one shuffle, linear; see
+    // Analytics.asofJoin). Oracle uses DuckDB's native ASOF LEFT JOIN —
+    // independent implementations of the same semantics.
+    "q59_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.Analytics.asofJoin(
+        purchases, clicks, key = "user_id", leftTs = "ts", rightTs = "ts",
+        asofCols = Seq("click_id", "click_value"), rightTieBreak = "click_id")
+        .orderBy("event_id")
+    }),
     // Ranking family in one pass: rank / dense_rank / percent_rank /
     // ntile(4) / cume_dist over order value per priority (unique tiebreak
     // via orderkey keeps ntile deterministic).
@@ -92,6 +108,16 @@ object WindowQueries {
           UNION ALL
           SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM s)
           ORDER BY set_op, user_id""".replaceAll("\\s+", " "),
+    "q59_asof_join" ->
+      """WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+          c0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                 FROM events WHERE event_type = 'click'),
+          c AS (SELECT * FROM c0
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) = 1)
+          SELECT p.event_id, p.ts, p.user_id, p.value,
+            c.click_id AS asof_click_id, c.click_value AS asof_click_value
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+          ORDER BY p.event_id""".replaceAll("\\s+", " "),
     "q58_ranking_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,

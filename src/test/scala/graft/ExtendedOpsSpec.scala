@@ -45,6 +45,24 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(salted == plain)
   }
 
+  test("asofJoin matches latest right row at or before each left row per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 102L)) // before any right row → null
+      .toDF("k", "lts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 7L),
+      (1L, ts("2024-01-01 10:00:00"), 8L), // equal ts counts (<=)
+      (1L, ts("2024-01-01 11:00:00"), 9L),
+      (2L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("k", "rts", "rid")
+    val out = Analytics.asofJoin(left, right, "k", "lts", "rts", Seq("rid"), "rid")
+      .orderBy("lid").select("lid", "asof_rid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(out == Seq((100L, 8L), (101L, 9L), (102L, -1L)))
+  }
+
   // -- text ------------------------------------------------------------------
 
   test("tokens + wordNgrams; fewer-than-n tokens yield empty array") {
