@@ -39,6 +39,38 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Band (range) join: all (left, right) pairs with
+    * |leftTs − rightTs| <= maxGap, composed scale-correctly as an
+    * interval-bucketed equi-join — both sides bucket by
+    * floor(ts / maxGap), the left probes its own and both neighbor
+    * buckets, and the exact predicate filters the candidates. Candidate
+    * volume is O(rows × density per bucket) instead of the cross join a
+    * naive inequality join plans; all three bucket probes are one shuffle
+    * (the explode happens before the exchange).
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      maxGapSeconds: Long,
+      extraCond: Column = lit(true)): DataFrame = {
+    val gapUs = maxGapSeconds * 1000000L
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val l = left
+      .withColumn("__lus", us(col(leftTs)))
+      .withColumn("__b", explode(array(
+        floor(col("__lus") / gapUs) - 1,
+        floor(col("__lus") / gapUs),
+        floor(col("__lus") / gapUs) + 1)))
+    val r = right
+      .withColumn("__rus", us(col(rightTs)))
+      .withColumn("__b", floor(col("__rus") / gapUs))
+    l.join(r, Seq("__b"))
+      .filter(abs(col("__lus") - col("__rus")) <= gapUs && extraCond)
+      .drop("__b", "__lus", "__rus")
+  }
+
   /** Skew-mitigating salted equi-join: the big (skewed) side gets a
     * deterministic per-row salt in [0, salts); the small side is replicated
     * once per salt value; the join runs on (key, salt). A hot key's rows

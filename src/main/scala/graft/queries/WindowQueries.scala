@@ -66,6 +66,22 @@ object WindowQueries {
         asofCols = Seq("click_id", "click_value"), rightTieBreak = "click_id")
         .orderBy("event_id")
     }),
+    // Band (range) join: cross-user event pairs within 1 second, via the
+    // interval-bucketed equi-join (candidates = same/neighbor time bucket,
+    // then exact |gap| filter) — the scale path for inequality joins.
+    "q60_band_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts"))
+      val b = ev.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("ts_b"))
+      graft.operators.Analytics.bandJoin(
+        a, b, "ts", "ts_b", maxGapSeconds = 1L,
+        extraCond = col("a_user") < col("b_user"))
+        .select(col("a_id"), col("b_id"),
+          (unix_micros(col("ts_b").cast("timestamp"))
+            - unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("a_id", "b_id")
+    }),
     // Ranking family in one pass: rank / dense_rank / percent_rank /
     // ntile(4) / cume_dist over order value per priority (unique tiebreak
     // via orderkey keeps ntile deterministic).
@@ -118,6 +134,13 @@ object WindowQueries {
             c.click_id AS asof_click_id, c.click_value AS asof_click_value
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
           ORDER BY p.event_id""".replaceAll("\\s+", " "),
+    "q60_band_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+          FROM events a JOIN events b
+          ON a.user_id < b.user_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+          ORDER BY a_id, b_id""".replaceAll("\\s+", " "),
     "q58_ranking_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
