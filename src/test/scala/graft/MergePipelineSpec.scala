@@ -51,6 +51,41 @@ class MergePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(page == (41L to 50L))
   }
 
+  test("quality counts: inconsistency, any-null, and the one-pass stats agree") {
+    val df = Seq(
+      (Some(1L), Some(100.0), Some(10.0), Some(10.0)), // consistent
+      (Some(2L), Some(200.0), Some(50.0), Some(99.0)), // inconsistent
+      (None, Some(1.0), None, Some(3.0)), // null key + null fuel
+      (Some(4L), None, Some(1.0), Some(5.0))) // null GENERATION → calc null → not counted
+      .toDF("_id", "GENERATION", "WIND", "WIND_perc")
+    assert(graft.operators.Quality.inconsistencyCounts(df, Seq("WIND")) == Map("WIND" -> 1L))
+    assert(graft.operators.Quality.anyNullCount(df) == 2L)
+    val stats = graft.operators.Quality.transformStats(df, Seq("_id"), Seq("WIND"))
+    assert(stats.totalRaw == 4L && stats.anyNullRows == 2L && stats.nullKeyRows == 1L)
+    assert(stats.inconsistencies == Map("WIND" -> 1L))
+  }
+
+  test("runPipeline: end-to-end orchestration writes sink + success metrics row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val landing = Seq(
+      ("1", "2023-01-01T10:00:00", "100.0", "10.0", "10.0"),
+      ("2", "2023-01-01T10:30:00", "200.0", "50.0", "99.0"), // perc repaired
+      ("2", "2023-01-01T11:00:00", "210.0", "52.0", "90.0")) // dup _id: keep-last
+      .toDF("_id", "DATETIME", "GENERATION", "WIND", "WIND_perc")
+    val result = Pipeline.runPipeline(spark, landing, s"$dir/sink", s"$dir/metrics")
+    assert(result.totalRaw == 3L && result.totalClean == 2L)
+    val sink = spark.read.parquet(s"$dir/sink").orderBy("_id")
+    assert(sink.count() == 2)
+    val r2 = sink.filter(col("_id") === 2L).head()
+    assert(r2.getDouble(r2.fieldIndex("WIND_perc")) == 52.0 / 210.0 * 100.0) // repaired
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    assert(metrics.count() == 1)
+    val m = metrics.head()
+    assert(m.getBoolean(m.fieldIndex("success")))
+    assert(m.getLong(m.fieldIndex("last_fetched_id")) == 2L)
+    assert(m.getLong(m.fieldIndex("valid_records")) == 2L)
+  }
+
   test("transform on empty landing returns empty typed frame") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], graft.schema.Schemas.landing)
