@@ -33,6 +33,20 @@ object SketchQueries {
           graft.functions.Exact.dsum4(col("o_totalprice")).as("revenue"))
         .orderBy("month")
     }),
+    // EXACT percentiles (sort-based `percentile`, type-7 interpolation —
+    // the same definition as DuckDB's quantile_cont, so values hash-match).
+    // The exact/approx pair q61/q50 is the accuracy-vs-scale tradeoff:
+    // exact sorts per group; approx streams one sketch per group.
+    "q61_exact_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority")
+    }),
     // Sketches: HLL++ distinct customers + order-price quantiles per
     // priority (rows-only check — see scaladoc).
     "q50_approx_stats" -> ((s, dir) => {
@@ -53,7 +67,14 @@ object SketchQueries {
           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
           count(*) AS n_orders,
           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
-          FROM orders GROUP BY 1, 2 ORDER BY month""".replaceAll("\\s+", " ")
+          FROM orders GROUP BY 1, 2 ORDER BY month""".replaceAll("\\s+", " "),
+    "q61_exact_percentiles" ->
+      """SELECT o_orderpriority,
+          quantile_cont(o_totalprice, 0.5) AS p50,
+          quantile_cont(o_totalprice, 0.9) AS p90,
+          min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          FROM orders GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""".replaceAll("\\s+", " ")
     // q50 intentionally omitted (sketch values are engine-specific)
   )
 }
