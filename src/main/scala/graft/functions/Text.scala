@@ -99,9 +99,17 @@ object Text {
   /** Winnowing-lite document fingerprint: lexicographic min of the md5'd
     * character k-shingles. Identical construction is expressible in the
     * DuckDB oracle (list_min over a list comprehension), so fingerprints
-    * hash-match across engines.
+    * hash-match across engines. Native codegen'd expression
+    * ([[graft.expressions.MinShingleFingerprint]]); [[minShingleFingerprintHof]]
+    * is the equivalent built-in-function formulation.
     */
   def minShingleFingerprint(text: Column, k: Int = 8): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.MinShingleFingerprint(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text), k))
+
+  /** Higher-order-function formulation (kept for cross-checking). */
+  def minShingleFingerprintHof(text: Column, k: Int = 8): Column =
     array_min(shingleHashes(text, k))
 
   /** Word n-grams joined by a single space. Guarded: Spark's `sequence`

@@ -53,6 +53,15 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("native min-shingle fingerprint equals the HOF formulation") {
+    val df = Seq("abcdefghijklmno", "tiny", "a", "zz zz zz zz zz zz").toDF("text")
+    val out = df.select(
+      graft.functions.Text.minShingleFingerprint(col("text"), 8).as("native"),
+      graft.functions.Text.minShingleFingerprintHof(col("text"), 8).as("hof"))
+      .as[(String, String)].collect()
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("graft_cosine / graft_minhash register as SQL functions") {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
