@@ -112,6 +112,12 @@ object Text {
   def minShingleFingerprintHof(text: Column, k: Int = 8): Column =
     array_min(shingleHashes(text, k))
 
+  /** Word n-grams straight from text (native single-pass expression). */
+  def wordNgramsFromText(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.WordNgrams(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text), n))
+
   /** Word n-grams joined by a single space. Guarded: Spark's `sequence`
     * counts *down* when start > stop, so fewer than n tokens must yield an
     * empty array, not bogus negative-index grams.

@@ -55,11 +55,11 @@ object TextQueries {
         .orderBy("doc_id")
     }),
     // Corpus-level n-gram mining: top-20 word bigrams. Explode → two-phase
-    // count (map-side partial agg) → global top-k with tiebreak.
+    // count (map-side partial agg) → global top-k with tiebreak. Bigram
+    // construction is the native single-pass expression.
     "q31_top_bigrams" -> ((s, dir) => {
-      val t = Text.tokens(col("text"))
       Tables.documents(s, dir)
-        .select(explode(Text.wordNgrams(t, 2)).as("bigram"))
+        .select(explode(Text.wordNgramsFromText(col("text"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

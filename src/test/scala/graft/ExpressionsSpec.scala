@@ -62,6 +62,15 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     out.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native word n-grams equal the HOF formulation") {
+    val df = Seq("the quick  brown fox", "hi", "", "  spaced   out  ").toDF("text")
+    val out = df.select(
+      graft.functions.Text.wordNgramsFromText(col("text"), 2).as("native"),
+      graft.functions.Text.wordNgrams(graft.functions.Text.tokens(col("text")), 2).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("graft_cosine / graft_minhash register as SQL functions") {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
