@@ -82,6 +82,30 @@ object WindowQueries {
             - unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
         .orderBy("a_id", "b_id")
     }),
+    // Native session windows: Spark's built-in session_window (merging
+    // state machine) cross-validated against the oracle's independent
+    // lag/cumsum formulation — two constructions of the same semantics.
+    "q62_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("session_start"),
+          col("sw.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+    // Cube over two dims: all four grouping levels with grouping_id.
+    "q63_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum4(col("l_quantity")).as("sum_qty"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // Ranking family in one pass: rank / dense_rank / percent_rank /
     // ntile(4) / cume_dist over order value per priority (unique tiebreak
     // via orderkey keeps ntile deterministic).
@@ -141,6 +165,26 @@ object WindowQueries {
           ON a.user_id < b.user_id
           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
           ORDER BY a_id, b_id""".replaceAll("\\s+", " "),
+    "q62_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+          SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, session_start""".replaceAll("\\s+", " "),
+    "q63_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS lvl
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .replaceAll("\\s+", " "),
     "q58_ranking_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
