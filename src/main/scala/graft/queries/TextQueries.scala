@@ -65,6 +65,33 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
     })
+    ,
+    // TF-IDF: tf = term count / doc length, idf = ln(N / df), top-3 terms
+    // per doc. Scores emitted fixed-point (floor·1e6): ln is libm-computed
+    // in both engines and can differ in the last ulp, but distinct (tf, df)
+    // pairs are separated far beyond an ulp so ranking and the fixed-point
+    // values are stable; exact ties break on the term.
+    "q64_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val n = docs.count()
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+        .join(terms.groupBy("doc_id").agg(count(lit(1)).as("dl")), "doc_id")
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("score",
+          (col("tc").cast("double") / col("dl")) * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"),
+          floor(col("score") * 1e6).cast("long").as("score_fp"))
+        .orderBy("doc_id", "rn")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +135,23 @@ object TextQueries {
       """SELECT doc_id,
           list_min([md5(text[i:i+7]) for i in range(1, greatest(len(text)-7, 1) + 1)]) AS fingerprint
           FROM documents ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q64_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                        FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tc FROM terms GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (SELECT tf.doc_id, tf.term,
+              (CAST(tc AS DOUBLE) / dl.dl) * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN df ON tf.term = df.term, n)
+          SELECT doc_id,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn,
+            term, CAST(floor(score * 1000000.0) AS BIGINT) AS score_fp
+          FROM scored
+          QUALIFY rn <= 3
+          ORDER BY doc_id, rn""".replaceAll("\\s+", " "),
     "q31_top_bigrams" ->
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           b AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram FROM t)
