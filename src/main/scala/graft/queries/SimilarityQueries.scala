@@ -130,6 +130,24 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
+    // Int8 embedding quantization (training-data compression): per-vector
+    // symmetric scale = maxabs/127, elements floor(v/scale) ∈ [-128, 127],
+    // plus the max reconstruction error. All floor-based — no rounding-mode
+    // ambiguity between engines.
+    "q65_embedding_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      val scale = maxabs / 127.0
+      val q = transform(col("embedding"), v => floor(v.cast("double") / scale).cast("int"))
+      val err = array_max(zip_with(col("embedding"), q,
+        (v, qi) => abs(v.cast("double") - qi.cast("double") * scale)))
+      e.select(
+        col("vec_id"),
+        concat_ws(",", q).as("quantized"),
+        floor(scale * lit(1e9)).cast("long").as("scale_fp"),
+        floor(err * lit(1e9)).cast("long").as("max_err_fp"))
+        .orderBy("vec_id")
+    }),
     // Per-label centroids in long form (k-means E-step shape): explode dims
     // → mean per (label, dim). Floats are dyadic, so decimal-cast rounding
     // can hit exact ties that HALF_UP (Spark) and half-even (DuckDB) break
@@ -196,6 +214,20 @@ object SimilarityQueries {
           WHERE a.vec_id <> 0
           ORDER BY cosine DESC, a.vec_id ASC LIMIT 5""".replaceAll("\\s+", " ")
     },
+    "q65_embedding_quantize" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+            list_max([abs(CAST(v AS DOUBLE)) for v in embedding]) / 127.0 AS scale
+          FROM embeddings),
+          qq AS (SELECT vec_id, scale,
+            [CAST(floor(CAST(v AS DOUBLE) / scale) AS INT) for v in embedding] AS qv,
+            list_max([abs(CAST(embedding[i] AS DOUBLE)
+              - CAST(floor(CAST(embedding[i] AS DOUBLE) / scale) AS DOUBLE) * scale)
+              for i in range(1, ${Dim + 1})]) AS err
+          FROM q)
+          SELECT vec_id, array_to_string(qv, ',') AS quantized,
+            CAST(floor(scale * 1000000000.0) AS BIGINT) AS scale_fp,
+            CAST(floor(err * 1000000000.0) AS BIGINT) AS max_err_fp
+          FROM qq ORDER BY vec_id""".replaceAll("\\s+", " "),
     "q40_label_centroids" ->
       s"""SELECT label, i AS dim,
           (CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
