@@ -52,16 +52,41 @@ object MinShingleFingerprint {
 
   /** Min md5 (hex) over char k-shingles; for len < k one shingle = whole
     * text (mirrors the HOF's greatest(len-k+1, 1) guard).
+    *
+    * "Char" means Unicode code point — Spark's `substr`/`length` (UTF8String)
+    * and the DuckDB oracle both slice by code points, so shingling by UTF-16
+    * units would diverge on supplementary-plane text (and could split a
+    * surrogate pair mid-character). Texts without surrogates take a branch
+    * where UTF-16 index == code-point index (no boundary table needed).
     */
   def minShingleHex(s: String, k: Int): String = {
     val md = digests.get()
-    val n = math.max(s.length - (k - 1), 1)
+    val len = s.length
+    // boundaries(i) = UTF-16 offset of the i-th code point; identity when no
+    // surrogate pairs are present (the common case — skip the allocation).
+    var boundaries: Array[Int] = null
+    var nCp = len
+    if (s.codePointCount(0, len) != len) {
+      nCp = s.codePointCount(0, len)
+      boundaries = new Array[Int](nCp + 1)
+      var off = 0
+      var cp = 0
+      while (cp < nCp) {
+        boundaries(cp) = off
+        off = s.offsetByCodePoints(off, 1)
+        cp += 1
+      }
+      boundaries(nCp) = len
+    }
+    @inline def utf16(cpIdx: Int): Int =
+      if (boundaries == null) cpIdx else boundaries(cpIdx)
+    val n = math.max(nCp - (k - 1), 1)
     var min: Array[Byte] = null
     var i = 0
     while (i < n) {
       md.reset()
-      val end = math.min(i + k, s.length)
-      val d = md.digest(s.substring(i, end).getBytes("UTF-8"))
+      val end = math.min(i + k, nCp)
+      val d = md.digest(s.substring(utf16(i), utf16(end)).getBytes("UTF-8"))
       if (min == null || unsignedLess(d, min)) min = d
       i += 1
     }

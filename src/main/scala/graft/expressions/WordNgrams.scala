@@ -60,22 +60,43 @@ object WordNgrams {
     new GenericArrayData(out)
   }
 
-  /** split(trim(s), "\\s+") semantics, incl. the empty-string-token for
-    * blank input (Java split of "" yields [""]).
+  /** Exactly the Java-regex `\s` class (ASCII-only). Spark's `split` goes
+    * through Java regex, so `Character.isWhitespace` (full Unicode: U+2028,
+    * U+1680, U+2000–200A, ...) would silently diverge from the HOF/oracle
+    * formulation on Unicode whitespace.
+    */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
+  /** split(trim(s), "\\s+") semantics, bit-for-bit:
+    *   - trim strips ONLY ' ' (U+0020), matching Spark/DuckDB `trim` — not
+    *     Java String.trim (which strips every char <= U+0020);
+    *   - blank input yields [""] (split of "" yields [""]);
+    *   - Spark's split uses limit = -1, so a leading separator run (e.g.
+    *     "\tfoo" — trim left the tab) yields an empty FIRST token and a
+    *     trailing run yields an empty LAST token (unlike Java String.split,
+    *     which drops trailing empties).
     */
   private def tokenize(s: String): Array[String] = {
-    val t = s.trim
-    if (t.isEmpty) return Array("")
-    val out = new scala.collection.mutable.ArrayBuffer[String](t.length / 5 + 1)
-    var i = 0
-    val len = t.length
-    while (i < len) {
-      var j = i
-      while (j < len && !Character.isWhitespace(t.charAt(j))) j += 1
-      out += t.substring(i, j)
-      i = j
-      while (i < len && Character.isWhitespace(t.charAt(i))) i += 1
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo == hi) return Array("")
+    val out = new scala.collection.mutable.ArrayBuffer[String]((hi - lo) / 5 + 1)
+    var i = lo
+    if (isWs(s.charAt(i))) {
+      out += ""
+      while (i < hi && isWs(s.charAt(i))) i += 1
     }
+    while (i < hi) {
+      var j = i
+      while (j < hi && !isWs(s.charAt(j))) j += 1
+      out += s.substring(i, j)
+      i = j
+      while (i < hi && isWs(s.charAt(i))) i += 1
+    }
+    if (isWs(s.charAt(hi - 1))) out += ""
     out.toArray
   }
 }

@@ -159,16 +159,28 @@ object TextDedup {
     */
   def simhashAgg(df: DataFrame, idCol: String, toksSqlExpr: String): DataFrame = {
     val n = SimhashBits
-    val tok = df
-      .select(col(idCol), explode(expr(toksSqlExpr)).as("__t"))
+    val base = df.select(col(idCol), expr(toksSqlExpr).as("__toks"))
+    val tok = base
+      .select(col(idCol), explode(col("__toks")).as("__t"))
       .withColumn("__h", expr("cast(conv(substring(md5(__t), 1, 15), 16, 10) as bigint)"))
     val sums = (0 until n).map(j =>
       sum(expr(s"(shiftright(__h, $j) & 1) * 2 - 1")).as(s"__b$j"))
-    tok.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
+    // A null token poisons the fold in simhash60 (all bitsums null → 0 bits);
+    // plain sum() would silently ignore it, so track poisoning explicitly.
+    val aggCols = max(col("__h").isNull.cast("int")).as("__poisoned") +: sums
+    val aggd = tok.groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
       .select(col(idCol),
-        (0 until n).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        when(col("__poisoned") === 1, lit(0L)).otherwise(
+          (0 until n).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)).as("__sh"))
+    // explode() emits no rows for empty or null arrays, so those docs would
+    // vanish — left-join back to the full id set. simhash60 yields 0 for
+    // both (null bitsums make every if(...) take its 0 branch), so plain
+    // coalesce restores parity.
+    base.select(col(idCol))
+      .join(aggd, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__sh"), lit(0L)).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance: candidates share at

@@ -222,7 +222,7 @@ object AnalyticsQueries {
             CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-          SELECT user_id, count(*) AS n_events, sum(new_s) AS n_sessions
+          SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
           FROM g GROUP BY user_id ORDER BY user_id""".replaceAll("\\s+", " "),
     "q24_tumbling_counts" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,

@@ -82,7 +82,7 @@ object MultimodalQueries {
     "q42_media_meta" ->
       """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
           count(*) AS n,
-          sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END) AS total_ms,
+          CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END) AS BIGINT) AS total_ms,
           max(CASE WHEN doc_id % 3 = 0 THEN 640 ELSE 0 END) AS max_width,
           max(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END) AS max_rate
           FROM documents GROUP BY 1 ORDER BY kind""".replaceAll("\\s+", " "),

@@ -54,7 +54,12 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("native min-shingle fingerprint equals the HOF formulation") {
-    val df = Seq("abcdefghijklmno", "tiny", "a", "zz zz zz zz zz zz").toDF("text")
+    // incl. supplementary-plane text: Spark substr slices by code points, so
+    // the native loop must not shingle by UTF-16 units (surrogate pairs).
+    val df = Seq(
+      "abcdefghijklmno", "tiny", "a", "zz zz zz zz zz zz",
+      "emoji 😀😀 in the 🎉 middle of text", "😀", "🎉🎊🎈🎁🎂🎇🎆✨🎃🎄",
+      "mixed ascii 😀 and 汉字 text here").toDF("text")
     val out = df.select(
       graft.functions.Text.minShingleFingerprint(col("text"), 8).as("native"),
       graft.functions.Text.minShingleFingerprintHof(col("text"), 8).as("hof"))
@@ -63,12 +68,43 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("native word n-grams equal the HOF formulation") {
-    val df = Seq("the quick  brown fox", "hi", "", "  spaced   out  ").toDF("text")
+    // incl. Unicode whitespace (U+2028 LS, U+2000 EN QUAD, U+1680 OGHAM,
+    // U+00A0 NBSP): regex \s is ASCII-only, so these are TOKEN chars for the
+    // HOF; and a leading tab, which java split turns into an empty first
+    // token because trim() strips only ' '.
+    val df = Seq(
+      "the quick  brown fox", "hi", "", "  spaced   out  ",
+      "line separated text here", "en quad gap word",
+      "ogham space here now", "nbsp bound word pair",
+      "\tlead tab words", "trail tab words\t", " \t mixed \t lead",
+      "ab c\fd e\rf").toDF("text")
     val out = df.select(
       graft.functions.Text.wordNgramsFromText(col("text"), 2).as("native"),
       graft.functions.Text.wordNgrams(graft.functions.Text.tokens(col("text")), 2).as("hof"))
       .as[(Seq[String], Seq[String])].collect()
     out.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("simhashAgg matches simhash60 incl. zero-token and null-token docs") {
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words"), (4L, ""), (5L, "   "),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val toks = "split(trim(text), '\\\\s+')"
+    val viaExpr = df.select(col("doc_id"), TextDedup.simhash60(toks).as("simhash"))
+      .orderBy("doc_id").as[(Long, Option[Long])].collect().toSeq
+    val viaAgg = TextDedup.simhashAgg(df, "doc_id", toks)
+      .orderBy("doc_id").as[(Long, Option[Long])].collect().toSeq
+    assert(viaAgg == viaExpr)
+    // a null token element poisons the fold to 0 in both formulations
+    val dfNullTok = Seq(1L).toDF("doc_id")
+      .withColumn("toks", expr("array('word', cast(null as string))"))
+    val e = dfNullTok.select(TextDedup.simhash60("toks").as("s"))
+      .as[Option[Long]].head()
+    val a = TextDedup.simhashAgg(dfNullTok, "doc_id", "toks")
+      .select("simhash").as[Option[Long]].head()
+    assert(e == a)
   }
 
   test("graft_cosine / graft_minhash register as SQL functions") {
