@@ -49,6 +49,47 @@ object Merge {
     deleteRecursive(bakPath)
   }
 
+  /** Scale-safe MERGE: hash-bucket-partitioned sink where an upsert rewrites
+    * ONLY the partitions containing incoming keys (reference semantics
+    * unchanged: src/serve/load.py:30-48 touches only incoming `_id`s).
+    *
+    * Layout: `path/<partCol>=<b>/...` with `b = pmod(xxhash64(keys), numBuckets)`
+    * — a pure function of the merge keys, so a key's rows can never migrate
+    * between partitions and the anti join stays correct against the pruned
+    * read. The merge plan reads only touched partitions (directory-level
+    * partition pruning via the `isin` filter) and the write uses dynamic
+    * partition overwrite, so untouched partitions' files are not even opened.
+    * Per hourly batch at a 100 TB sink this rewrites `touched/numBuckets` of
+    * the table instead of all of it.
+    *
+    * Single-writer (as the reference's hourly scheduler is); dynamic
+    * overwrite commits per-partition via staging-dir rename, so a crash
+    * mid-commit can leave a subset of touched partitions updated — rerun the
+    * batch (idempotent per key) to converge.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int = 64,
+      partCol: String = "p_bucket"): Unit = {
+    if (incoming.isEmpty) return // reference: empty batch is a no-op
+    val withP = incoming.withColumn(
+      partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
+    if (!Files.exists(Paths.get(path))) {
+      withP.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
+    upsert(existing, withP, keys)
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
+      .parquet(path)
+  }
+
   /** S8: append-only metrics sink (run history). */
   def appendMetrics(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)

@@ -27,6 +27,54 @@ class MergePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(once.orderBy("_id").collect().toSeq == twice.orderBy("_id").collect().toSeq)
   }
 
+  test("upsertPartitioned: rewrites only partitions containing incoming keys") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_upsert_part").toString
+    val path = s"$dir/table"
+    val existing = (1L to 200L).map(i => (i, s"v$i")).toDF("_id", "v")
+    Merge.upsertPartitioned(spark, existing, path, Seq("_id"), numBuckets = 8)
+    // identity of every data file per partition dir: (name, size, mtime, inode)
+    def snapshot(): Map[String, Set[(String, Long, Long, String)]] =
+      Files.list(Paths.get(path)).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p_bucket="))
+        .map { d =>
+          d.getFileName.toString -> Files.list(d).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map { f =>
+              val at = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              (f.getFileName.toString, at.size(), at.lastModifiedTime().toMillis,
+                at.fileKey().toString)
+            }.toSet
+        }.toMap
+    val before = snapshot()
+    assert(before.size > 1, "seed data should span multiple buckets")
+    // incoming batch confined to ONE bucket: pick keys that hash there
+    val bucketOf = existing.select(col("_id"),
+      pmod(xxhash64(col("_id")), lit(8)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val targetBucket = bucketOf(1L)
+    val oneBucketKeys = (1L to 200L).filter(k => bucketOf(k) == targetBucket).take(5)
+    val incoming = oneBucketKeys.map(k => (k, s"UPDATED$k")).toDF("_id", "v")
+    Merge.upsertPartitioned(spark, incoming, path, Seq("_id"), numBuckets = 8)
+    val after = snapshot()
+    // untouched partitions: identical file sets, sizes, mtimes, inodes
+    for ((d, files) <- before if d != s"p_bucket=$targetBucket")
+      assert(after(d) == files, s"untouched partition $d was rewritten")
+    assert(after(s"p_bucket=$targetBucket") != before(s"p_bucket=$targetBucket"))
+    // merged content equals the relational upsert
+    val out = spark.read.parquet(path).drop("p_bucket")
+      .orderBy("_id").as[(Long, String)].collect().toSeq
+    val expected = Merge.upsert(existing, incoming, Seq("_id"))
+      .orderBy("_id").as[(Long, String)].collect().toSeq
+    assert(out == expected)
+    // idempotent: re-running the same batch leaves content unchanged
+    Merge.upsertPartitioned(spark, incoming, path, Seq("_id"), numBuckets = 8)
+    val again = spark.read.parquet(path).drop("p_bucket")
+      .orderBy("_id").as[(Long, String)].collect().toSeq
+    assert(again == expected)
+  }
+
   test("upsertToPath: creates, merges, idempotent re-run; empty batch no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val path = s"$dir/table"
