@@ -25,6 +25,32 @@ object Analytics {
   /** Mark a dimension table broadcast-able. */
   def dim(df: DataFrame): DataFrame = broadcast(df)
 
+  /** O5: stable positional slice rows (start, end] in `sortCols` order
+    * (reference semantics: DataFrame.slice for a display page).
+    *
+    * Scale shape: `orderBy.limit(end)` plans as TakeOrderedAndProject —
+    * every partition keeps its own top-`end`, a single merge keeps the
+    * global top-`end` — so the full input is never globally sorted and no
+    * task ever holds more than `end` rows. The row_number window that then
+    * numbers the slice runs over those ≤ `end` rows only. Cost is bounded
+    * by the PAGE position, not the table: the right plan for the UI-page
+    * semantics O5 serves. (A slice deep enough that `end` itself is huge is
+    * a different operator — keyset pagination, S2 — and that is how the
+    * reference pages too.)
+    *
+    * `sortCols` must be a total order (include a unique tiebreaker) or the
+    * slice boundary between equal keys is nondeterministic.
+    */
+  def stableSlice(df: DataFrame, sortCols: Seq[Column], start: Int, end: Int): DataFrame = {
+    require(start >= 0 && end >= start, s"bad slice bounds ($start, $end]")
+    val outCols = df.columns.map(col).toSeq
+    val w = Window.orderBy(sortCols: _*) // bounded: ≤ end rows reach it
+    df.orderBy(sortCols: _*).limit(end)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > start)
+      .select(outCols: _*)
+  }
+
   /** Top k rows per group, deterministic: `orderCols` must include a
     * unique tiebreaker. One shuffle on `partitionCols`.
     */

@@ -101,17 +101,27 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       embCol: String,
-      centroids: DataFrame, // (centroid_id, centroid_emb)
+      centroids: DataFrame, // (centroid_id, centroid_emb); centroid_id integral
       tag: String = "centroid_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = df.crossJoin(broadcast(centroids))
-      .withColumn("__dist", l2sq(col(embCol), col("centroid_emb")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__dist").asc, col("centroid_id").asc)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__dist", "centroid_emb")
-      .withColumnRenamed("centroid_id", tag)
+    // The quantizer collapses to ONE broadcast row holding all centroids as
+    // an array, so assignment is a pure per-row argmin fold: no shuffle of
+    // the data side at all (the earlier window formulation shuffled N×K rows
+    // and sorted; even a min_by aggregation would still exchange N rows).
+    // (dist, cid) struct comparison is lexicographic — exactly the
+    // min-dist-then-min-id tiebreak, and order-independent over the fold.
+    val centsArr = centroids.agg(
+      sort_array(collect_list(struct(
+        col("centroid_id").cast("long").as("cid"), col("centroid_emb").as("emb"))))
+        .as("__cents"))
+    val scored = transform(col("__cents"), c =>
+      struct(l2sq(col(embCol), c.getField("emb")).as("d"),
+        c.getField("cid").as("cid")))
+    val best = aggregate(scored,
+      struct(lit(Double.PositiveInfinity).as("d"), lit(Long.MaxValue).as("cid")),
+      (acc, x) => when(x < acc, x).otherwise(acc))
+    df.crossJoin(broadcast(centsArr))
+      .withColumn(tag, best.getField("cid"))
+      .drop("__cents")
   }
 
   /** Brute-force top-k by cosine against a 1-row probe DataFrame

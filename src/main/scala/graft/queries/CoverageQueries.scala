@@ -48,14 +48,12 @@ object CoverageQueries {
         .withColumn("Fuel", initcap(lower(regexp_replace(col("Fuel"), "_", " "))))
         .orderBy("event_id", "Fuel")
     }),
-    // O5: stable slice rows [1000, 1100) in event_id order via row_number —
-    // the deterministic replacement for positional df.slice.
+    // O5: stable slice rows (1000, 1100] in event_id order — top-k merge +
+    // bounded window, never a global sort of the input (Analytics.stableSlice).
     "q46_slice" -> ((s, dir) => {
-      val w = Window.orderBy(col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), row_number().over(w).as("rn"))
-        .filter(col("rn") > 1000 && col("rn") <= 1100)
-        .drop("rn")
+      Analytics.stableSlice(
+        Tables.events(s, dir).select(col("event_id"), col("event_type")),
+        Seq(col("event_id")), start = 1000, end = 1100)
         .orderBy("event_id")
     }),
     // Skew-mitigating salted join, oracle-checked equivalent to the plain

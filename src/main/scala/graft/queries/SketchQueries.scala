@@ -47,16 +47,28 @@ object SketchQueries {
           max(col("o_totalprice")).as("hi"))
         .orderBy("o_orderpriority")
     }),
-    // Sketches: HLL++ distinct customers + order-price quantiles per
-    // priority (rows-only check — see scaladoc).
+    // Sketches ONLY: HLL++ distinct customers + order-price quantiles per
+    // priority. Every exact column lives in q66 under the real oracle; what
+    // remains here is genuinely engine-specific (rows-only check), and
+    // SketchBoundsSpec pins the sketch error against the exact values.
     "q50_approx_stats" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"),
-          count(lit(1)).as("n"))
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // The exact companion to q50, oracle-checked: per-priority cardinalities
+    // the sketches approximate. countDistinct is the expand-shuffle whose
+    // cost q50's one-pass constant-memory HLL++ avoids at 100 TB.
+    "q66_exact_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     })
   )
@@ -73,6 +85,11 @@ object SketchQueries {
           quantile_cont(o_totalprice, 0.5) AS p50,
           quantile_cont(o_totalprice, 0.9) AS p90,
           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          FROM orders GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    "q66_exact_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n,
+          count(DISTINCT o_custkey) AS n_customers
           FROM orders GROUP BY o_orderpriority
           ORDER BY o_orderpriority""".replaceAll("\\s+", " ")
     // q50 intentionally omitted (sketch values are engine-specific)

@@ -31,23 +31,35 @@ object SourceQueries {
     override def maxId(): Long = if (rows.isEmpty) 0L else rows.last.id
   }
 
+  /** The keyset cursor q51 reads behind, and the cap on the simulated feed:
+    * only the queried window (id > cursor) is snapshotted to the driver, and
+    * an overflow past the cap fails loudly instead of OOMing the driver or
+    * silently truncating the oracle comparison.
+    */
+  private val Cursor = 5000L
+  private val FeedCap = 1 << 20
+
   val queries: Map[String, Q] = Map(
     "q51_dsv2_keyset_scan" -> ((s, dir) => {
       val snapshot = Tables.events(s, dir)
+        .filter(col("event_id") > Cursor) // feed only the window under test
         .select(
           col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
           col("event_type"), col("value"))
         .orderBy("event_id")
+        .limit(FeedCap)
         .collect()
         .map(r => FeedRecord(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      require(snapshot.length < FeedCap,
+        s"q51 feed snapshot hit the $FeedCap-row cap; raise it or shrink the window")
       FeedRegistry.register(s"events:$dir", new EventsFeed(snapshot))
       s.read.format("graft.sources.keyset.KeysetSource")
         .option("feed", s"events:$dir")
         .option("batchSize", 500)
         .option("numPartitions", 8)
         .load()
-        .filter(col("id") > 5000) // pushed into the source as the keyset cursor
+        .filter(col("id") > Cursor) // pushed into the source as the keyset cursor
         .select(col("id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("payload"), col("value"))
         .orderBy("id")

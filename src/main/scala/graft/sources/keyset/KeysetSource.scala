@@ -26,12 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `(start, end]`, giving checkpointed exactly-once without the
   *    self-healing max(_id) probe the reference re-derives per run.
   *
-  * Transport is pluggable via [[RecordFeed]] (an HTTP client in
-  * production; an in-memory feed in tests) — the engine sees only
-  * "ordered pages of records after a cursor".
+  * Transport is pluggable via [[RecordFeed]] — the engine sees only
+  * "ordered pages of records after a cursor". `option("url", ...)`
+  * constructs a retrying [[HttpRecordFeed]] per task (production);
+  * `option("feed", name)` resolves a registered in-memory feed (tests).
   *
   * Usage: `spark.read.format("graft.sources.keyset.KeysetSource")
-  *   .option("feed", name).option("batchSize", 1000).load()`
+  *   .option("url", "http://host/api").option("batchSize", 1000).load()`
   * (same for `readStream`).
   */
 class KeysetSource extends TableProvider {
@@ -43,7 +44,9 @@ class KeysetSource extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KeysetTable(
-      properties.getOrDefault("feed", ""),
+      FeedRef(
+        properties.getOrDefault("feed", ""),
+        properties.getOrDefault("url", "")),
       properties.getOrDefault("batchSize", "1000").toInt,
       properties.getOrDefault("numPartitions", "8").toInt)
 }
@@ -72,6 +75,17 @@ trait RecordFeed extends Serializable {
   * option (single-JVM local mode; a production build would construct an
   * HTTP client from connection options instead).
   */
+/** How a task obtains its transport: a registered in-memory feed (tests,
+  * single-JVM), or an HTTP endpoint constructed from the `url` option —
+  * each executor builds its own [[HttpRecordFeed]] client from the
+  * coordinates, nothing is serialized but strings.
+  */
+case class FeedRef(feedName: String, url: String) {
+  def resolve(): RecordFeed =
+    if (url.nonEmpty) new HttpRecordFeed(url) else FeedRegistry.get(feedName)
+  def label: String = if (url.nonEmpty) url else feedName
+}
+
 object FeedRegistry {
   private val feeds = new java.util.concurrent.ConcurrentHashMap[String, RecordFeed]()
   def register(name: String, feed: RecordFeed): Unit = feeds.put(name, feed)
@@ -80,19 +94,19 @@ object FeedRegistry {
       throw new IllegalArgumentException(s"no RecordFeed registered as '$name'"))
 }
 
-class KeysetTable(feedName: String, batchSize: Int, numPartitions: Int)
+class KeysetTable(ref: FeedRef, batchSize: Int, numPartitions: Int)
     extends Table with SupportsRead {
 
-  override def name(): String = s"keyset($feedName)"
+  override def name(): String = s"keyset(${ref.label})"
   override def schema(): StructType = KeysetSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeysetScanBuilder(feedName, batchSize, numPartitions)
+    new KeysetScanBuilder(ref, batchSize, numPartitions)
 }
 
-class KeysetScanBuilder(feedName: String, batchSize: Int, numPartitions: Int)
+class KeysetScanBuilder(ref: FeedRef, batchSize: Int, numPartitions: Int)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var cursor: Long = 0L
@@ -116,19 +130,19 @@ class KeysetScanBuilder(feedName: String, batchSize: Int, numPartitions: Int)
   override def pushedFilters(): Array[Filter] =
     if (cursor > 0) Array(GreaterThan("id", cursor)) else Array.empty
 
-  override def build(): Scan = new KeysetScan(feedName, batchSize, numPartitions, cursor)
+  override def build(): Scan = new KeysetScan(ref, batchSize, numPartitions, cursor)
 }
 
-class KeysetScan(feedName: String, batchSize: Int, numPartitions: Int, cursor: Long)
+class KeysetScan(ref: FeedRef, batchSize: Int, numPartitions: Int, cursor: Long)
     extends Scan {
   override def readSchema(): StructType = KeysetSource.Schema
-  override def description(): String = s"KeysetScan(feed=$feedName, cursor>$cursor)"
+  override def description(): String = s"KeysetScan(feed=${ref.label}, cursor>$cursor)"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       // split (cursor, maxId] into contiguous keyset windows — each task
       // pages independently; ranges are disjoint so no coordination needed
-      val max = FeedRegistry.get(feedName).maxId()
+      val max = ref.resolve().maxId()
       if (max <= cursor) Array.empty
       else {
         val span = max - cursor
@@ -142,21 +156,21 @@ class KeysetScan(feedName: String, batchSize: Int, numPartitions: Int, cursor: L
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KeysetReaderFactory(feedName, batchSize)
+      new KeysetReaderFactory(ref, batchSize)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeysetMicroBatchStream(feedName, batchSize, numPartitions)
+    new KeysetMicroBatchStream(ref, batchSize, numPartitions)
 }
 
 /** A keyset window (lo, hi] read by one task. */
 case class KeysetRange(lo: Long, hi: Long) extends InputPartition
 
-class KeysetReaderFactory(feedName: String, batchSize: Int) extends PartitionReaderFactory {
+class KeysetReaderFactory(ref: FeedRef, batchSize: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val range = partition.asInstanceOf[KeysetRange]
     new PartitionReader[InternalRow] {
-      private val feed = FeedRegistry.get(feedName)
+      private val feed = ref.resolve()
       private var cursor = range.lo
       private var page: Iterator[FeedRecord] = Iterator.empty
       private var current: FeedRecord = _
@@ -190,10 +204,10 @@ case class KeysetOffset(lastId: Long) extends Offset {
   override def json(): String = s"""{"lastId":$lastId}"""
 }
 
-class KeysetMicroBatchStream(feedName: String, batchSize: Int, numPartitions: Int)
+class KeysetMicroBatchStream(ref: FeedRef, batchSize: Int, numPartitions: Int)
     extends MicroBatchStream {
 
-  private def feed = FeedRegistry.get(feedName)
+  private def feed = ref.resolve()
 
   override def initialOffset(): Offset = KeysetOffset(0L)
   override def latestOffset(): Offset = KeysetOffset(feed.maxId())
@@ -208,7 +222,7 @@ class KeysetMicroBatchStream(feedName: String, batchSize: Int, numPartitions: In
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeysetReaderFactory(feedName, batchSize)
+    new KeysetReaderFactory(ref, batchSize)
 
   override def commit(end: Offset): Unit = () // nothing to ack upstream
   override def stop(): Unit = ()

@@ -169,6 +169,41 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq(1L, 2L))
   }
 
+  test("stableSlice: correct page, and plans top-k merge not a global sort") {
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8) // unordered input across partitions
+    val page = Analytics.stableSlice(df, Seq(col("id")), start = 100, end = 110)
+    assert(page.orderBy("id").as[(Long, String)].collect().toSeq ==
+      (101L to 110L).map(i => (i, s"v$i")))
+    // the full input must never be globally sorted: the limit plans as
+    // TakeOrderedAndProject (per-partition top-k + single bounded merge)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+    // empty page and page past the end
+    assert(Analytics.stableSlice(df, Seq(col("id")), 50, 50).count() == 0)
+    assert(Analytics.stableSlice(df, Seq(col("id")), 9990, 10050).count() == 10)
+  }
+
+  test("ivfAssign picks the nearest centroid with no shuffle of the data side") {
+    val vecs = Seq(
+      (10L, Array(0.1f, 0.2f)), (11L, Array(5.1f, 4.9f)),
+      (12L, Array(0.0f, 0.1f)), (13L, Array(4.8f, 5.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0f, 0f)), (1L, Array(5f, 5f)))
+      .toDF("centroid_id", "centroid_emb")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    assert(assigned.select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap == Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L))
+    // assignment is a broadcast + projection: the data side must not shuffle
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free assignment, got:\n$plan")
+    // equidistant vector: tie broken to the smaller centroid id
+    val tie = Seq((20L, Array(2.5f, 2.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfAssign(tie, "vec_id", "embedding", cents)
+      .select("centroid_id").as[Long].head() == 0L)
+  }
+
   test("LSH signature is scale-invariant (v and 2v share all buckets)") {
     val df = Seq(
       (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
