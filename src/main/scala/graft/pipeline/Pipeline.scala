@@ -76,19 +76,30 @@ object Pipeline {
     TransformResult(deduped, stats.totalRaw, totalClean, issues)
   }
 
-  /** §3.1: one scheduled run — probe cursor, transform, upsert, metrics row. */
+  /** §3.1: one scheduled run — probe cursor, transform, upsert, metrics row.
+    * `sinkBuckets > 0` selects the partition-pruned MERGE sink
+    * ([[graft.sources.Merge.upsertPartitioned]]) — the scale-safe layout
+    * where a batch rewrites only the hash-bucket partitions its keys touch;
+    * 0 keeps the single-directory swap sink (small sinks, exact reference
+    * layout).
+    */
   def runPipeline(
       spark: SparkSession,
       landingBatch: DataFrame,
       sinkPath: String,
-      metricsPath: String): TransformResult = {
+      metricsPath: String,
+      sinkBuckets: Int = 0): TransformResult = {
     import spark.implicits._
     val startTs = new java.sql.Timestamp(System.currentTimeMillis())
     var result: TransformResult = null
     var error: Option[String] = None
     try {
       result = transform(landingBatch)
-      graft.sources.Merge.upsertToPath(spark, result.clean, sinkPath, Seq("_id"))
+      if (sinkBuckets > 0)
+        graft.sources.Merge.upsertPartitioned(
+          spark, result.clean, sinkPath, Seq("_id"), numBuckets = sinkBuckets)
+      else
+        graft.sources.Merge.upsertToPath(spark, result.clean, sinkPath, Seq("_id"))
     } catch {
       case e: Exception => error = Some(e.getMessage)
     }

@@ -148,6 +148,27 @@ object ReferenceQueries {
       Merge.upsert(existing, updates.unionByName(inserts), Seq("event_id"))
         .orderBy("event_id")
     }),
+    // S7 through the scale-safe sink: the SAME merge as q15 but round-
+    // tripped through the hash-bucket-partitioned on-disk sink (write
+    // existing, upsert incoming, read back) — the oracle checks the sink's
+    // post-merge contents, so the partition-pruned rewrite path itself is
+    // under the correctness gate, not just spec-tested.
+    "q67_upsert_partitioned_sink" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q67").toString + "/sink"
+      Merge.upsertPartitioned(s, existing, sink, Seq("event_id"), numBuckets = 16)
+      Merge.upsertPartitioned(
+        s, updates.unionByName(inserts), sink, Seq("event_id"), numBuckets = 16)
+      s.read.parquet(sink).drop("p_bucket")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // S8: run-metrics row (counts + min/max probes, single pass).
     "q16_run_metrics" -> ((s, dir) => {
       Tables.events(s, dir).agg(
@@ -189,6 +210,8 @@ object ReferenceQueries {
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
     "q15_upsert" ->
+      "WITH existing AS (SELECT event_id, user_id, event_type, value FROM events), incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value FROM existing WHERE event_id % 10 = 0 UNION ALL SELECT event_id + 1000000, user_id, event_type, value FROM existing WHERE event_id < 50) SELECT * FROM (SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id) UNION ALL SELECT * FROM incoming) ORDER BY event_id",
+    "q67_upsert_partitioned_sink" ->
       "WITH existing AS (SELECT event_id, user_id, event_type, value FROM events), incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value FROM existing WHERE event_id % 10 = 0 UNION ALL SELECT event_id + 1000000, user_id, event_type, value FROM existing WHERE event_id < 50) SELECT * FROM (SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id) UNION ALL SELECT * FROM incoming) ORDER BY event_id",
     "q16_run_metrics" ->
       "SELECT count(*) AS total_fetched, max(event_id) AS last_fetched_id, min(ts) AS first_ts, max(ts) AS last_ts, count(CASE WHEN event_type = 'error' THEN 1 END) AS error_events FROM events"

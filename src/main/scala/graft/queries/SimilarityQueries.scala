@@ -137,15 +137,24 @@ object SimilarityQueries {
     "q65_embedding_quantize" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-      val scale = maxabs / 127.0
-      val q = transform(col("embedding"), v => floor(v.cast("double") / scale).cast("int"))
-      val err = array_max(zip_with(col("embedding"), q,
-        (v, qi) => abs(v.cast("double") - qi.cast("double") * scale)))
-      e.select(
-        col("vec_id"),
-        concat_ws(",", q).as("quantized"),
-        floor(scale * lit(1e9)).cast("long").as("scale_fp"),
-        floor(err * lit(1e9)).cast("long").as("max_err_fp"))
+      // Let-bind scale (and then q) via single-element-array transforms:
+      // subexpression elimination cannot see inside lambda bodies, so the
+      // naive formulation re-evaluates the O(dim) scale expression for every
+      // element of q and err — O(dim²) per row. Bound, each row is O(dim).
+      val bound = element_at(transform(array(maxabs / 127.0), sc => {
+        val q = transform(col("embedding"), v => floor(v.cast("double") / sc).cast("int"))
+        element_at(transform(array(q), qa => {
+          val err = array_max(zip_with(col("embedding"), qa,
+            (v, qi) => abs(v.cast("double") - qi.cast("double") * sc)))
+          struct(qa.as("q"), sc.as("scale"), err.as("err"))
+        }), 1)
+      }), 1)
+      e.select(col("vec_id"), bound.as("__b"))
+        .select(
+          col("vec_id"),
+          concat_ws(",", col("__b.q")).as("quantized"),
+          floor(col("__b.scale") * lit(1e9)).cast("long").as("scale_fp"),
+          floor(col("__b.err") * lit(1e9)).cast("long").as("max_err_fp"))
         .orderBy("vec_id")
     }),
     // Per-label centroids in long form (k-means E-step shape): explode dims

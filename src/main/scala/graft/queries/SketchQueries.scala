@@ -11,8 +11,10 @@ import graft.sources.Tables
   * q50 has NO oracle entry on purpose: HLL++ and KLL/GK quantile sketches
   * are engine-specific algorithms, so cross-engine hash-matching is
   * impossible by construction — the driver records the weaker rows-only
-  * check. The capability matters at 100 TB: approx_count_distinct is one
-  * pass + constant memory vs countDistinct's expand-shuffle, and
+  * check. Its exact companions ARE oracle-checked (q61 percentiles, q66
+  * count/countDistinct) and SketchBoundsSpec pins the sketch error against
+  * exact answers. The capability matters at 100 TB: approx_count_distinct
+  * is one pass + constant memory vs countDistinct's expand-shuffle, and
   * approx_percentile avoids a full sort.
   */
 object SketchQueries {
