@@ -253,4 +253,34 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Train/test decontamination: (train, test) doc pairs sharing at least
+    * `minShared` distinct word n-grams — the benchmark-contamination check a
+    * training corpus runs before release (n-gram collision against the eval
+    * set, GPT-3/PaLM-style).
+    *
+    * Scale shape: the eval set is orders of magnitude smaller than the
+    * corpus, so its exploded n-gram index is BROADCAST — the 100 TB train
+    * side streams through a broadcast hash join with no shuffle, and the
+    * per-pair count aggregates with map-side combine. Overlap counts use
+    * distinct n-grams per doc, so a phrase repeated inside one train doc
+    * cannot inflate its overlap.
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(array_distinct(
+        graft.functions.Text.wordNgramsFromText(col(textCol), n))).as("__g"))
+    grams(train, "train_id")
+      .join(broadcast(grams(test, "test_id")), "__g")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

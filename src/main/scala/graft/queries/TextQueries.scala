@@ -91,6 +91,39 @@ object TextQueries {
         .select(col("doc_id"), col("rn"), col("term"),
           floor(col("score") * 1e6).cast("long").as("score_fp"))
         .orderBy("doc_id", "rn")
+    }),
+    // Train/test decontamination: docs sharing >= 2 distinct word trigrams
+    // with the held-out slice (doc_id % 37 = 0 stands in for the eval set).
+    // Test-side n-gram index broadcast; train side never shuffles raw text.
+    "q68_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextDedup.contaminationPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("train_id", "test_id")
+    }),
+    // Gopher/C4-style repetition quality filters: duplicate-token fraction
+    // and most-common-token dominance, plus the keep decision. The top-token
+    // count is a real two-level aggregation (doc×token → doc), both with
+    // map-side combine — the 100 TB shape, not a per-row O(L²) fold.
+    "q69_quality_filters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = Text.tokens(col("text"))
+      val base = docs.select(
+        col("doc_id"), size(t).as("n_tokens"), size(array_distinct(t)).as("n_distinct"))
+      val top = docs.select(col("doc_id"), explode(t).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+      base.join(top, "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_cnt"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+            .as("dup_frac"),
+          (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
+        .withColumn("keep",
+          col("n_tokens") >= 40 && col("dup_frac") <= 0.65 && col("top_frac") <= 0.12)
+        .orderBy("doc_id")
     })
   )
 
@@ -156,6 +189,32 @@ object TextQueries {
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           b AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram FROM t)
           SELECT bigram, count(*) AS n FROM b GROUP BY bigram
-          ORDER BY n DESC, bigram ASC LIMIT 20""".replaceAll("\\s+", " ")
+          ORDER BY n DESC, bigram ASC LIMIT 20""".replaceAll("\\s+", " "),
+    "q68_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM t),
+          train AS (SELECT * FROM g WHERE doc_id % 37 <> 0),
+          test AS (SELECT * FROM g WHERE doc_id % 37 = 0)
+          SELECT train.doc_id AS train_id, test.doc_id AS test_id, count(*) AS n_shared
+          FROM train JOIN test ON train.g = test.g
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY train_id, test_id""".replaceAll("\\s+", " "),
+    "q69_quality_filters" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          base AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct FROM t),
+          tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          top AS (SELECT doc_id, max(c) AS top_cnt
+                  FROM (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+                  GROUP BY doc_id)
+          SELECT base.doc_id, n_tokens, n_distinct, top_cnt,
+            CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+            CAST(top_cnt AS DOUBLE) / n_tokens AS top_frac,
+            (n_tokens >= 40 AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.65
+              AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
+          FROM base JOIN top ON base.doc_id = top.doc_id
+          ORDER BY base.doc_id""".replaceAll("\\s+", " ")
   )
 }

@@ -184,6 +184,25 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Analytics.stableSlice(df, Seq(col("id")), 9990, 10050).count() == 10)
   }
 
+  test("contaminationPairs finds n-gram overlap with the eval set, distinct-counted") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the eval trigrams
+      (2L, "alpha beta gamma unrelated words here"), // one shared trigram only
+      (3L, "totally different content no overlap at all"),
+      (4L, "alpha beta gamma alpha beta gamma repeated phrase")) // repetition must not inflate
+      .toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon tail")).toDF("doc_id", "text")
+    val out = TextDedup.contaminationPairs(train, test, "doc_id", "text", n = 3, minShared = 2)
+      .orderBy("train_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares 3 distinct trigrams (abc, bcd, cde); doc 4 shares only 1
+    // distinct trigram (abc — its repetition counts once); docs 2/3 below threshold
+    assert(out == Seq((1L, 100L, 3L)))
+    val all = TextDedup.contaminationPairs(train, test, "doc_id", "text", n = 3, minShared = 1)
+      .orderBy("train_id").as[(Long, Long, Long)].collect().toSeq
+    assert(all == Seq((1L, 100L, 3L), (2L, 100L, 1L), (4L, 100L, 1L)))
+  }
+
   test("ivfAssign picks the nearest centroid with no shuffle of the data side") {
     val vecs = Seq(
       (10L, Array(0.1f, 0.2f)), (11L, Array(5.1f, 4.9f)),
