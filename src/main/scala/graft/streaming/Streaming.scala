@@ -118,7 +118,8 @@ object Streaming {
       sinkPath: String,
       metricsPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkBuckets: Int = 0): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -128,7 +129,14 @@ object Streaming {
         import spark.implicits._
         val deduped = graft.operators.Dedup.keepFirstBy(
           batch, Seq(keyCol), Seq(col(orderCol).desc, col(keyCol).desc))
-        graft.sources.Merge.upsertToPath(spark, deduped, sinkPath, Seq(keyCol))
+        // sinkBuckets > 0: partition-pruned MERGE — each micro-batch
+        // rewrites only the hash-bucket partitions its keys touch, so a
+        // long-running stream never pays a full-sink rewrite per batch.
+        if (sinkBuckets > 0)
+          graft.sources.Merge.upsertPartitioned(
+            spark, deduped, sinkPath, Seq(keyCol), numBuckets = sinkBuckets)
+        else
+          graft.sources.Merge.upsertToPath(spark, deduped, sinkPath, Seq(keyCol))
         val n = deduped.count()
         graft.sources.Merge.appendMetrics(
           Seq((batchId, n, new java.sql.Timestamp(System.currentTimeMillis())))

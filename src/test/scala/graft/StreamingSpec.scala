@@ -94,4 +94,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(metrics.count() == 2)
     assert(metrics.agg(sum("rows_upserted")).head().getLong(0) == 4L)
   }
+
+  test("incrementalMergeSink with sinkBuckets writes the partition-pruned sink") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_part").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("_id", "DATETIME", "value")
+    mem.addData((1L to 20L).map(i => (i, ts("2024-01-01 10:00:00"), i * 1.0)): _*)
+    Streaming.incrementalMergeSink(df, "_id", "DATETIME",
+      s"$dir/sink", s"$dir/metrics", s"$dir/ckpt", sinkBuckets = 4).awaitTermination()
+    // incremental micro-batch updates one key, adds one
+    mem.addData((7L, ts("2024-01-01 12:00:00"), 700.0), (21L, ts("2024-01-01 12:00:00"), 21.0))
+    Streaming.incrementalMergeSink(df, "_id", "DATETIME",
+      s"$dir/sink", s"$dir/metrics", s"$dir/ckpt", sinkBuckets = 4).awaitTermination()
+    val sink = spark.read.parquet(s"$dir/sink")
+    assert(sink.columns.contains("p_bucket"), "expected the partitioned layout")
+    val out = sink.orderBy("_id").select("_id", "value").as[(Long, Double)].collect().toSeq
+    val expected = (1L to 21L).map(i => (i, if (i == 7L) 700.0 else i * 1.0))
+    assert(out == expected)
+  }
 }
