@@ -232,16 +232,37 @@ object TextDedup {
     * shingles, equi-join on shingle, count co-occurrences per pair, compute
     * exact Jaccard from set sizes. Complete (no approximation); candidate
     * cost is sum over shingles of df². At larger corpora combine with
-    * [[minhashLshPairs]] or drop ubiquitous shingles first.
+    * [[minhashLshPairs]] or cap shingle document frequency.
+    *
+    * `maxShingleDf > 0` is the candidate-volume dial: shingles appearing in
+    * more than that many docs are dropped from the shingle UNIVERSE before
+    * indexing (per-doc set sizes recomputed over survivors), so the join's
+    * worst term — a ubiquitous shingle contributing df² candidate pairs —
+    * is bounded at maxShingleDf². Semantics shift to "Jaccard over
+    * non-ubiquitous shingles": a pair similar ONLY through stop-shingles
+    * drops out, which is normally the point (boilerplate should not make
+    * documents near-duplicates).
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       shinglesCol: String,
-      threshold: Double): DataFrame = {
-    val sized = df.filter(size(col(shinglesCol)) > 0)
-      .select(col(idCol), col(shinglesCol), size(col(shinglesCol)).as("__n"))
-    val inv = sized.select(col(idCol), col("__n"), explode(col(shinglesCol)).as("__s"))
+      threshold: Double,
+      maxShingleDf: Long = 0L): DataFrame = {
+    val inv =
+      if (maxShingleDf <= 0L) {
+        df.filter(size(col(shinglesCol)) > 0)
+          .select(col(idCol), size(col(shinglesCol)).as("__n"),
+            explode(col(shinglesCol)).as("__s"))
+      } else {
+        // shingles are distinct per doc, so count(*) per shingle == doc freq
+        val exploded = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
+        val kept = exploded.join(
+          exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxShingleDf).select("__s"),
+          "__s")
+        kept.join(kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
+      }
     inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(

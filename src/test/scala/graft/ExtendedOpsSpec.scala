@@ -184,6 +184,31 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Analytics.stableSlice(df, Seq(col("id")), 9990, 10050).count() == 10)
   }
 
+  test("jaccardPairs maxShingleDf drops ubiquitous-shingle pairs, keeps real near-dups") {
+    // docs 1/2 are genuine near-dups; docs 3/4 share ONLY the boilerplate
+    // trigram present in every doc ("standard legal disclaimer")
+    val docs = Seq(
+      (1L, "standard legal disclaimer alpha beta gamma delta"),
+      (2L, "standard legal disclaimer alpha beta gamma epsilon"),
+      (3L, "standard legal disclaimer one two three four five"),
+      (4L, "standard legal disclaimer six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", TextDedup.shingles(expr("split(trim(text), '\\\\s+')"), 3))
+    def pairs(cap: Long) =
+      TextDedup.jaccardPairs(docs, "doc_id", "sh", threshold = 0.2, maxShingleDf = cap)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // uncapped: boilerplate makes even 3-4 candidates (but below threshold);
+    // 1-2 passes on real overlap
+    assert(pairs(0L).contains((1L, 2L)))
+    // cap above the true max df changes nothing
+    assert(pairs(100L) == pairs(0L))
+    // cap at 2: the every-doc boilerplate shingles leave the universe;
+    // 1-2 still found (their overlap is non-ubiquitous), 3-4 can no longer
+    // even become a candidate
+    val capped = pairs(2L)
+    assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
+  }
+
   test("contaminationPairs finds n-gram overlap with the eval set, distinct-counted") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains the eval trigrams
