@@ -199,18 +199,21 @@ object TextDedup {
     val bands = mat.select(col(idCol), col(simhashCol),
       posexplode(transform(sequence(lit(0), lit(6)),
         p => shiftrighttable(col(simhashCol), p * 8).bitwiseAND(lit(255L)))).as(Seq("__p", "__nib")))
-    val cand = bands.as("a")
+    // Hamming-filter BEFORE the dedup exchange: both signatures ride the
+    // band join, so the test is a codegen'd map-side predicate — the
+    // distinct then shuffles only matching pairs (a few thousand) instead
+    // of every multi-band candidate (tens of millions at sf0.1). Same
+    // output: hamming is functional in (doc_a, doc_b).
+    bands.as("a")
       .join(bands.as("b"),
         col("a.__p") === col("b.__p") && col("a.__nib") === col("b.__nib") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
         col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col(s"a.$simhashCol").as("__ha"), col(s"b.$simhashCol").as("__hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+        bit_count(col(s"a.$simhashCol").bitwiseXOR(col(s"b.$simhashCol")))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   // shiftright with a Column shift amount (the DSL overload wants Int).

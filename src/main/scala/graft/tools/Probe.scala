@@ -3,28 +3,41 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe for dev-loop experiments (not part of the library surface). */
+/** Dev scratch: component-level timing probes (current target: q35 stages). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val sf = "/root/testdata/sf0.001"
-    for (t <- Seq("events", "orders", "lineitem", "embeddings", "documents", "region")) {
-      val df = spark.read.parquet(s"$sf/$t.parquet")
-      println(s"== $t: ${df.schema.simpleString}")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-    ev.select(min($"ts"), max($"ts")).show(truncate = false)
-    ev.select(date_trunc("month", $"ts"),
-      timestamp_seconds(floor(unix_timestamp($"ts") / 1800L) * 1800L)).show(3, truncate = false)
-    ev.select(date_trunc("month", $"ts")).printSchema()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    time("warm docs")(docs.count())
+    for (i <- 1 to 2) {
+      time(s"simhashAgg r$i") {
+        graft.operators.TextDedup
+          .simhashAgg(docs, "doc_id", "split(trim(text), '\\\\s+')").count()
+      }
+      time(s"pairs-from-materialized r$i") {
+        val sim = graft.operators.TextDedup
+          .simhashAgg(docs, "doc_id", "split(trim(text), '\\\\s+')")
+          .persist()
+        sim.count()
+        val n = graft.operators.TextDedup
+          .simhashPairs(sim, "doc_id", "simhash", maxHamming = 6).count()
+        sim.unpersist()
+        n
+      }
+    }
     spark.stop()
   }
 }
