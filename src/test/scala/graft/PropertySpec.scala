@@ -85,6 +85,43 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("property: stableSlice equals sorted drop/take for any bounds") {
+    val gen = for {
+      rows <- Gen.listOfN(60, Gen.chooseNum(1L, 1000000L))
+      start <- Gen.chooseNum(0, 70)
+      len <- Gen.chooseNum(0, 30)
+    } yield (rows.distinct, start, len)
+    forAllSamples(gen) { case (rows, start, len) =>
+      if (rows.nonEmpty) {
+        val df = rows.map(i => (i, s"v$i")).toDF("id", "v").repartition(5)
+        val out = graft.operators.Analytics
+          .stableSlice(df, Seq(col("id")), start, start + len)
+          .orderBy("id").as[(Long, String)].collect().toSeq
+        val expected = rows.sorted.slice(start, start + len).map(i => (i, s"v$i"))
+        assert(out == expected)
+      }
+    }
+  }
+
+  test("property: contamination overlap equals brute-force trigram intersection") {
+    val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl")
+    val doc = Gen.listOfN(10, word).map(_.mkString(" "))
+    forAllSamples(Gen.zip(Gen.listOfN(5, doc), doc), n = 8) { case (trainTexts, testText) =>
+      val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val test = Seq((100L, testText)).toDF("doc_id", "text")
+      val out = graft.operators.TextDedup
+        .contaminationPairs(train, test, "doc_id", "text", n = 3, minShared = 1)
+        .select("train_id", "n_shared").as[(Long, Long)].collect().toMap
+      def grams(t: String): Set[String] =
+        t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val expected = trainTexts.zipWithIndex
+        .map { case (t, i) => i.toLong -> (grams(t) & grams(testText)).size.toLong }
+        .filter(_._2 >= 1).toMap
+      assert(out == expected)
+    }
+  }
+
   test("property: lenient casts never throw, null iff unparsable") {
     val strGen = Gen.oneOf(
       Gen.numStr.map(s => if (s.isEmpty) "0" else s.take(15)),
