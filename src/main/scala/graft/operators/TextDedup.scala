@@ -290,17 +290,30 @@ object TextDedup {
     * distinct n-grams per doc, so a phrase repeated inside one train doc
     * cannot inflate its overlap.
     */
+  /** `hashGrams = true` joins on 60-bit md5 prefixes of the n-grams instead
+    * of the strings: the broadcast eval index and the join keys shrink to
+    * one long per n-gram (vs tens of bytes of text), at a ~N²/2⁶⁰ false-
+    * positive risk — negligible below ~10⁸ distinct n-grams, and the right
+    * default for a production-sized eval set. `false` keeps exact string
+    * equality (the oracle-checked configuration).
+    */
   def contaminationPairs(
       train: DataFrame,
       test: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minShared: Int = 2): DataFrame = {
-    def grams(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      explode(array_distinct(
-        graft.functions.Text.wordNgramsFromText(col(textCol), n))).as("__g"))
+      minShared: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, as: String) = {
+      val base = df.select(col(idCol).as(as),
+        explode(array_distinct(
+          graft.functions.Text.wordNgramsFromText(col(textCol), n))).as("__gs"))
+      if (hashGrams)
+        base.select(col(as),
+          expr("cast(conv(substring(md5(__gs), 1, 15), 16, 10) as bigint)").as("__g"))
+      else base.withColumnRenamed("__gs", "__g")
+    }
     grams(train, "train_id")
       .join(broadcast(grams(test, "test_id")), "__g")
       .groupBy("train_id", "test_id")

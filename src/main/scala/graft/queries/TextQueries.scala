@@ -124,6 +124,30 @@ object TextQueries {
         .withColumn("keep",
           col("n_tokens") >= 40 && col("dup_frac") <= 0.65 && col("top_frac") <= 0.12)
         .orderBy("doc_id")
+    }),
+    // Dataset card: the per-(source, lang) corpus summary a dataset owner
+    // publishes — doc/token volumes, length spread, and the survival rate
+    // of a repetition filter (dup-token fraction + min length; q69 adds
+    // top-token dominance, which needs its own agg level). One pass + one
+    // rollup, all map-side combinable; single exact divisions only.
+    "q70_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = Text.tokens(col("text"))
+      val perDoc = docs.select(
+        col("source"), col("lang"), col("n_chars"),
+        size(t).as("n_tokens"), size(array_distinct(t)).as("n_distinct"))
+        .withColumn("keep",
+          col("n_tokens") >= 40 &&
+            ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens")) <= 0.65)
+      perDoc.groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("keep").cast("long")).as("n_kept"))
+        .withColumn("keep_rate", col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("source", "lang")
     })
   )
 
@@ -215,6 +239,19 @@ object TextQueries {
             (n_tokens >= 40 AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.65
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
-          ORDER BY base.doc_id""".replaceAll("\\s+", " ")
+          ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q70_dataset_card" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+            regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          d AS (SELECT source, lang, n_chars, len(toks) AS n_tokens,
+            len(list_distinct(toks)) AS n_distinct FROM t),
+          k AS (SELECT *, (n_tokens >= 40 AND
+            CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.65) AS keep FROM d)
+          SELECT source, lang, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+          FROM k GROUP BY source, lang ORDER BY source, lang""".replaceAll("\\s+", " ")
   )
 }

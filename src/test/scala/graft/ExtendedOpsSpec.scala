@@ -226,6 +226,12 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     val all = TextDedup.contaminationPairs(train, test, "doc_id", "text", n = 3, minShared = 1)
       .orderBy("train_id").as[(Long, Long, Long)].collect().toSeq
     assert(all == Seq((1L, 100L, 3L), (2L, 100L, 1L), (4L, 100L, 1L)))
+    // hashed-gram mode (long join keys for a broadcast-sized wire format)
+    // produces identical overlap counts
+    val hashed = TextDedup.contaminationPairs(
+      train, test, "doc_id", "text", n = 3, minShared = 1, hashGrams = true)
+      .orderBy("train_id").as[(Long, Long, Long)].collect().toSeq
+    assert(hashed == all)
   }
 
   test("ivfAssign picks the nearest centroid with no shuffle of the data side") {
