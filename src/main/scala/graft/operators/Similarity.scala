@@ -124,6 +124,63 @@ object Similarity {
       .drop("__cents")
   }
 
+  /** Fixed-point Lloyd (k-means) iterations, exactly reproducible across
+    * engines: embeddings quantize to scale-1e7 int64 ONCE (float×1e7 is
+    * exact in double — 24-bit mantissa × 5⁷ fits 53 bits), distances are
+    * pure int64 sums of squared diffs, and each new centroid coordinate is
+    * floor(sum/count) via one IEEE double division of exact integers — so
+    * a 2-iteration run hash-matches a SQL oracle bit-for-bit, which is
+    * normally impossible for iterative float ML.
+    *
+    * Per iteration: assignment is the [[ivfAssign]] broadcast-fold shape
+    * (zero shuffle of the data side), the update one posexplode +
+    * map-side-combinable groupBy (shuffle carries k×dim accumulators).
+    * Init: the first k vectors by id (deterministic stand-in for k-means‖).
+    * Output: long-form final centroids (cid, dim, c_fp, n); clusters that
+    * empty out drop (same semantics in the oracle). At scale, persist the
+    * quantized frame across iterations — each iteration's lineage re-reads
+    * it once.
+    */
+  def kmeansFp(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 1e7): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val fp = df.select(col(idCol),
+      transform(col(embCol), x => floor(x.cast("double") * scale).cast("long")).as("__v"))
+    var cents = fp.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col("__v").as("__c"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val centsArr = cents.agg(
+        sort_array(collect_list(struct(col("cid"), col("__c")))).as("__cents"))
+      val scored = transform(col("__cents"), ct =>
+        struct(
+          aggregate(zip_with(col("__v"), ct.getField("__c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          ct.getField("cid").as("cid")))
+      val best = aggregate(scored,
+        struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+        (acc, x) => when(x < acc, x).otherwise(acc)).getField("cid")
+      val assigned = fp.crossJoin(broadcast(centsArr))
+        .select(col(idCol), col("__v"), best.as("cid"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("cid"), (col("__p") + 1).as("dim"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          floor(col("__s").cast("double") / col("n")).cast("long").as("c_fp"), col("n"))
+      out = sums
+      cents = sums.groupBy("cid").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c_fp")))),
+          s => s.getField("c_fp")).as("__c"))
+    }
+    out.orderBy("cid", "dim")
+  }
+
   /** Brute-force top-k by cosine against a 1-row probe DataFrame
     * (columns: `probeCol` the vector). Probe is broadcast; result is k rows.
     */

@@ -157,6 +157,13 @@ object SimilarityQueries {
           floor(col("__b.err") * lit(1e9)).cast("long").as("max_err_fp"))
         .orderBy("vec_id")
     }),
+    // Two exactly-verified Lloyd iterations (fixed-point k-means, k=8):
+    // iterative float ML hash-matched against a SQL oracle — quantize once,
+    // integer distances, floor(sum/n) centroid updates.
+    "q71_kmeans_fp" -> ((s, dir) => {
+      Similarity.kmeansFp(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+    }),
     // Per-label centroids in long form (k-means E-step shape): explode dims
     // → mean per (label, dim). Floats are dyadic, so decimal-cast rounding
     // can hit exact ties that HALF_UP (Spark) and half-even (DuckDB) break
@@ -243,6 +250,38 @@ object SimilarityQueries {
             / 10000000.0) / count(*) AS centroid,
           count(*) AS n
           FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)
-          GROUP BY label, i ORDER BY label, dim""".replaceAll("\\s+", " ")
+          GROUP BY label, i ORDER BY label, dim""".replaceAll("\\s+", " "),
+    "q71_kmeans_fp" ->
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS c FROM fp WHERE vec_id < 8),
+          d1 AS (SELECT f.vec_id, c.cid,
+                   list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+                 FROM fp f CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, cid FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+          s1 AS (SELECT a1.cid, u.i AS dim,
+                   CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+                     / count(*)) AS BIGINT) AS cfp
+                 FROM a1 JOIN fp f ON a1.vec_id = f.vec_id
+                 CROSS JOIN unnest(range(1, ${Dim + 1})) AS u(i)
+                 GROUP BY 1, 2),
+          c1 AS (SELECT cid, list(cfp ORDER BY dim) AS c FROM s1 GROUP BY cid),
+          d2 AS (SELECT f.vec_id, c.cid,
+                   list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+                 FROM fp f CROSS JOIN c1 c),
+          a2 AS (SELECT vec_id, cid FROM d2
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+          s2 AS (SELECT a2.cid, u.i AS dim,
+                   CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+                     / count(*)) AS BIGINT) AS c_fp,
+                   count(*) AS n
+                 FROM a2 JOIN fp f ON a2.vec_id = f.vec_id
+                 CROSS JOIN unnest(range(1, ${Dim + 1})) AS u(i)
+                 GROUP BY 1, 2)
+          SELECT cid, dim, c_fp, n FROM s2 ORDER BY cid, dim""".replaceAll("\\s+", " ")
   )
 }
