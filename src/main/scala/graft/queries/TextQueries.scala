@@ -125,6 +125,24 @@ object TextQueries {
           col("n_tokens") >= 40 && col("dup_frac") <= 0.65 && col("top_frac") <= 0.12)
         .orderBy("doc_id")
     }),
+    // Token-entropy quality signal: H = -Σ (c/n)·ln(c/n) over the doc's
+    // token distribution (low entropy = repetitive/template text). Each
+    // TERM is floored to fixed-point BEFORE summing — int64 addition is
+    // associative, so the nondeterministic aggregation order cannot move
+    // the result the way summing raw libm doubles could.
+    "q72_token_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val n = counts.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      counts.join(n, "doc_id")
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .withColumn("term_fp", floor(-col("p") * log(col("p")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("term_fp")).as("entropy_fp"),
+          count(lit(1)).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    }),
     // Dataset card: the per-(source, lang) corpus summary a dataset owner
     // publishes — doc/token volumes, length spread, and the survival rate
     // of a repetition filter (dup-token fraction + min length; q69 adds
@@ -240,6 +258,17 @@ object TextQueries {
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
           ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q72_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+          SELECT c.doc_id,
+            CAST(sum(CAST(floor(-(CAST(c.c AS DOUBLE) / n.n)
+              * ln(CAST(c.c AS DOUBLE) / n.n) * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_fp,
+            count(*) AS n_distinct_tokens
+          FROM c JOIN n ON c.doc_id = n.doc_id
+          GROUP BY c.doc_id ORDER BY c.doc_id""".replaceAll("\\s+", " "),
     "q70_dataset_card" ->
       """WITH t AS (SELECT source, lang, n_chars,
             regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
