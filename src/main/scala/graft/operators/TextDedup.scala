@@ -278,6 +278,54 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise similarity into dedup DECISIONS: docs in one component form a
+    * duplicate cluster whose canonical representative is the minimum id
+    * (the label). Iterative min-label propagation: every node starts
+    * labeled with its own id and repeatedly takes the min of its
+    * neighbors' labels; converges in O(component diameter) rounds —
+    * near-dup clusters are clique-ish, so usually 2–3. Each round is one
+    * join + one map-side-combinable min aggregation; convergence is
+    * checked with a count so the loop stops as soon as labels are stable
+    * (maxIters bounds pathological chains; at 10⁹-edge scale swap in the
+    * large-star/small-star variant, same DataFrame ops).
+    *
+    * Output: (doc_id, cluster_id) for every doc appearing in `pairs`;
+    * singletons never enter a pair and stay out by construction.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Train/test decontamination: (train, test) doc pairs sharing at least
     * `minShared` distinct word n-grams — the benchmark-contamination check a
     * training corpus runs before release (n-gram collision against the eval

@@ -104,6 +104,17 @@ object DedupQueries {
       TextDedup.jaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.5)
         .orderBy("doc_a", "doc_b")
+    }),
+    // Pairs → dedup DECISIONS: connected components over the q34 near-dup
+    // pairs; every doc in a cluster labeled with the component's min id
+    // (its canonical representative). Iterative min-label propagation on
+    // the Spark side, recursive CTE in the oracle — both exact.
+    "q73_dedup_clusters" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
     })
   )
 
@@ -166,6 +177,26 @@ object DedupQueries {
                     GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
           FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
-          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " ")
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q73_dedup_clusters" ->
+      s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          pairs AS (SELECT doc_a, doc_b
+                    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lbl) AS (SELECT id, id FROM nodes
+                             UNION
+                             SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+          GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
   )
 }

@@ -209,6 +209,22 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
   }
 
+  test("connectedComponents labels clusters with the min id, incl. long chains") {
+    // components: chain 1-2-3-4-5 (diameter 4 forces several propagation
+    // rounds), clique 10-11-12, pair 20-21; 30 is a singleton (no pair)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("contaminationPairs finds n-gram overlap with the eval set, distinct-counted") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains the eval trigrams
