@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible alternative to
+  * RNG sampling for corpus downsampling and data-mix rebalancing (per-
+  * source/language rates when assembling a training mix).
+  *
+  * A row is kept iff md5(key) mod 10000 < rate·10000: no RNG state, so the
+  * sample is identical across runs, engines, partitionings and cluster
+  * sizes, membership is stable under incremental reprocessing (a doc's
+  * fate never changes when the corpus around it grows), and the SAME
+  * predicate is expressible in any engine with md5 — which is what puts it
+  * under the cross-engine oracle gate, unlike `df.sample`/`sampleBy`
+  * (engine-specific RNG). Pure codegen'd filter: pushes below joins,
+  * no shuffle.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 10000) from the row key (md5-derived). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(hashBucket(key) < math.round(rate * 10000).toInt)
+  }
+
+  /** Per-stratum rates (e.g. language → keep fraction), `default` for
+    * strata not listed. One codegen'd CASE over the stratum column.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      default: Double): DataFrame = {
+    require((default +: rates.values.toSeq).forall(r => r >= 0 && r <= 1))
+    val threshold = rates.foldLeft(lit(math.round(default * 10000).toInt)) {
+      case (acc, (s, r)) => when(stratum === s, lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+}

@@ -143,6 +143,17 @@ object TextQueries {
           count(lit(1)).as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
+    // Data-mix rebalancing: deterministic stratified downsampling by
+    // language (keep 80% en, 30% zh, 50% otherwise) via md5-bucket
+    // membership — reproducible across engines/runs/cluster sizes, which
+    // is why it can sit under the oracle gate while RNG sampling cannot.
+    "q74_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        key = col("doc_id"), stratum = col("lang"),
+        rates = Map("en" -> 0.8, "zh" -> 0.3), default = 0.5)
+        .orderBy("doc_id")
+    }),
     // Dataset card: the per-(source, lang) corpus summary a dataset owner
     // publishes — doc/token volumes, length spread, and the survival rate
     // of a repetition filter (dup-token fraction + min length; q69 adds
@@ -258,6 +269,11 @@ object TextQueries {
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
           ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q74_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+            < CASE WHEN lang = 'zh' THEN 3000 WHEN lang = 'en' THEN 8000 ELSE 5000 END
+          ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q72_token_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
                     FROM documents),

@@ -209,6 +209,24 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
   }
 
+  test("hashSample: rate-accurate, deterministic, stable under corpus growth") {
+    import graft.operators.Sampling
+    val ids = (1L to 20000L).toDF("id")
+    val kept = Sampling.hashSample(ids, col("id"), 0.3).as[Long].collect().toSet
+    // rate accuracy: binomial(20000, 0.3) stays within ±3σ ≈ ±195
+    assert(math.abs(kept.size - 6000) < 300, s"got ${kept.size} of expected ~6000")
+    // deterministic: identical on re-evaluation
+    assert(Sampling.hashSample(ids, col("id"), 0.3).as[Long].collect().toSet == kept)
+    // membership stable under growth: the first 20k keep identical fates
+    // inside a 40k corpus (incremental reprocessing invariant)
+    val bigger = Sampling.hashSample((1L to 40000L).toDF("id"), col("id"), 0.3)
+      .as[Long].collect().toSet
+    assert(bigger.filter(_ <= 20000L) == kept)
+    // nested rates: a 0.1 sample is a subset of a 0.3 sample (same buckets)
+    val tighter = Sampling.hashSample(ids, col("id"), 0.1).as[Long].collect().toSet
+    assert(tighter.subsetOf(kept))
+  }
+
   test("connectedComponents labels clusters with the min id, incl. long chains") {
     // components: chain 1-2-3-4-5 (diameter 4 forces several propagation
     // rounds), clique 10-11-12, pair 20-21; 30 is a singleton (no pair)
