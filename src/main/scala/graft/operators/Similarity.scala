@@ -137,9 +137,21 @@ object Similarity {
     * map-side-combinable groupBy (shuffle carries k×dim accumulators).
     * Init: the first k vectors by id (deterministic stand-in for k-means‖).
     * Output: long-form final centroids (cid, dim, c_fp, n); clusters that
-    * empty out drop (same semantics in the oracle). At scale, persist the
-    * quantized frame across iterations — each iteration's lineage re-reads
-    * it once.
+    * empty out drop (same semantics in the oracle).
+    *
+    * Lineage control: at `iters <= 2` the whole run stays one lazy plan
+    * (the oracle-checked configuration, byte-identical to r02). Beyond
+    * that, each iteration's plan would otherwise nest every previous
+    * iteration's assignment+update (analysis cost grows geometrically, the
+    * same failure mode [[graft.operators.TextDedup]]'s loops hit), so the
+    * quantized frame is persisted ONCE and each round's k×dim centroid
+    * rows — broadcast-small by the same contract as [[ivfAssign]]'s
+    * quantizer — are collected and rebuilt as a local-backed frame.
+    * Per-round work is then constant (one cached scan + one k×dim-row
+    * collect), plans stay O(1), and nothing but the single `fp` persist
+    * exists to release at the end. The collected values are exact int64 /
+    * floor-division results, so the rebuild is bit-identical to the lazy
+    * plan.
     */
   def kmeansFp(
       df: DataFrame,
@@ -149,8 +161,12 @@ object Similarity {
       iters: Int,
       scale: Double = 1e7): DataFrame = {
     require(iters >= 1 && k >= 1)
-    val fp = df.select(col(idCol),
+    val truncate = iters > 2
+    val fpPlan = df.select(col(idCol),
       transform(col(embCol), x => floor(x.cast("double") * scale).cast("long")).as("__v"))
+    val fp = if (truncate)
+      fpPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fpPlan
     var cents = fp.filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("cid"), col("__v").as("__c"))
     var out: DataFrame = null
@@ -173,12 +189,19 @@ object Similarity {
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("n"))
         .select(col("cid"), col("dim"),
           floor(col("__s").cast("double") / col("n")).cast("long").as("c_fp"), col("n"))
-      out = sums
-      cents = sums.groupBy("cid").agg(
+      out = if (truncate) {
+        import scala.jdk.CollectionConverters._
+        df.sparkSession.createDataFrame(sums.collect().toSeq.asJava, sums.schema)
+      } else sums
+      cents = out.groupBy("cid").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("c_fp")))),
           s => s.getField("c_fp")).as("__c"))
     }
-    out.orderBy("cid", "dim")
+    val result = out.orderBy("cid", "dim")
+    // `out` is local-backed in the truncated path, so the quantized frame
+    // can be released immediately — the result no longer references it
+    if (truncate) fp.unpersist(blocking = false)
+    result
   }
 
   /** Brute-force top-k by cosine against a 1-row probe DataFrame

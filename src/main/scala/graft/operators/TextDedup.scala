@@ -285,45 +285,179 @@ object TextDedup {
     * labeled with its own id and repeatedly takes the min of its
     * neighbors' labels; converges in O(component diameter) rounds —
     * near-dup clusters are clique-ish, so usually 2–3. Each round is one
-    * join + one map-side-combinable min aggregation; convergence is
-    * checked with a count so the loop stops as soon as labels are stable
-    * (maxIters bounds pathological chains; at 10⁹-edge scale swap in the
-    * large-star/small-star variant, same DataFrame ops).
+    * join + one map-side-combinable min aggregation; the OLD label rides
+    * along in the update pass, so convergence is read off the same cached
+    * frame with a 1-row agg (no extra per-round join). maxIters bounds
+    * pathological chains; for those (and 10⁹-edge graphs) use
+    * [[connectedComponentsStar]], which converges in O(log) rounds.
     *
     * Output: (doc_id, cluster_id) for every doc appearing in `pairs`;
-    * singletons never enter a pair and stay out by construction.
+    * singletons never enter a pair and stay out by construction. The
+    * result is local-checkpointed (one extra pass over the tiny label
+    * frame) and every loop cache is released before returning — a
+    * long-lived session sees no storage-memory residue.
     */
+  /** Materialize `df` as a persisted row RDD wrapped in a constant-size
+    * LogicalRDD frame. Iterative algorithms MUST break lineage this way:
+    * a cached-but-not-checkpointed loop re-analyzes a logical plan that
+    * grows geometrically with rounds (each round references the previous
+    * one several times), which is an OOM by round ~10 regardless of data
+    * size. The caller owns the returned RDD and unpersists it when the
+    * next round has materialized.
+    */
+  private def materializeRound(
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    val (edges, edgesRdd) = materializeRound(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .distinct())
+    var (labels, labelsRdd) = materializeRound(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlbl")).as("nlbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      // carry the old label through the update: the convergence probe is a
+      // 1-row aggregation over this round's materialized pass, not a second
+      // full join
+      val (next, nextRdd) = materializeRound(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("lbl").as("__old"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      val changedRow = next.agg(sum((col("lbl") =!= col("__old")).cast("long"))).head()
+      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
+      labels = next.select("id", "lbl")
       converged = changed == 0
       iters += 1
     }
-    edges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // localCheckpoint materializes the (small) label frame and truncates
+    // what lineage remains, so every loop RDD can be released NOW instead
+    // of leaking until ContextCleaner notices.
+    val result = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    labelsRdd.unpersist(blocking = false)
+    edgesRdd.unpersist(blocking = false)
+    result
+  }
+
+  /** Connected components via alternating large-star / small-star rounds —
+    * the O(log n)-round algorithm for graphs where label propagation's
+    * O(diameter) rounds would be the bottleneck (chains, 10⁹-edge graphs;
+    * cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Each round is two groupBy-min + join passes over the edge
+    * set; at the fixed point every node holds an edge straight to its
+    * component's minimum id (a star), which is exactly the
+    * (doc_id, cluster_id) labeling [[connectedComponents]] produces.
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself) — long paths collapse
+    *    toward local minima in parallel (pointer-doubling-style).
+    *  - small-star: every node connects its smaller-or-equal neighbors to
+    *    that minimum — stars re-form so the next large-star can jump
+    *    further.
+    *
+    * Convergence is detected with an order-independent content checksum
+    * (count + id sums + xxhash64 sum) of the edge set — one 1-row agg per
+    * round on the frame the round materializes anyway; the astronomically
+    * unlikely checksum collision only costs one extra round. Same
+    * release discipline as [[connectedComponents]]: result is
+    * local-checkpointed, all round caches freed before returning.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 30): DataFrame =
+    connectedComponentsStarWithRounds(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponentsStar]] plus the number of rounds it took —
+    * exposed so specs can pin the O(log n) convergence behavior.
+    */
+  private[graft] def connectedComponentsStarWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    // undirected neighbor view: both directions, self-loops dropped
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+
+    // for each node: min(neighbors ∪ {self}); larger neighbors point there
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = bothDirs(e)
+      val mins = nbrs.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // orient large→small; each node's smaller neighbors (and itself) point
+    // to the minimum of that set
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
+      or.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
+        sum(xxhash64(col("src"), col("dst")))).head()
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (g(0), g(1), g(2), g(3))
+    }
+
+    var (edges, edgesRdd) = materializeRound(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var sig = checksum(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // each round rematerializes as a LogicalRDD — see materializeRound:
+      // without lineage truncation the round-k plan grows geometrically
+      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges)))
+      val nsig = checksum(next)
+      edgesRdd.unpersist(blocking = false)
+      edges = next
+      edgesRdd = nextRdd
+      converged = nsig == sig
+      sig = nsig
+      rounds += 1
+    }
+    // fixed point: edges = (node → component min) stars; roots (component
+    // minima) appear only as dst, and label themselves
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+    val result = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionByName(roots.select(col("id").as("doc_id"), col("id").as("cluster_id")))
+      .localCheckpoint(true)
+    edgesRdd.unpersist(blocking = false)
+    (result, rounds)
   }
 
   /** Train/test decontamination: (train, test) doc pairs sharing at least

@@ -29,7 +29,16 @@ object Pipeline {
       clean: DataFrame,
       totalRaw: Long,
       totalClean: Long,
-      issues: Seq[(String, Long)])
+      issues: Seq[(String, Long)]) {
+    /** Release the persisted dedup frame backing `clean`. Call once the
+      * consuming action has run (sink write, output collection); `clean`
+      * stays valid afterwards and simply recomputes if re-consumed. Without
+      * this a long-lived session (a scheduler loop, a bench sweep) accretes
+      * one orphaned cache per run until ContextCleaner happens to notice.
+      */
+    def release(): Unit = if (clean.storageLevel.useMemory || clean.storageLevel.useDisk)
+      clean.unpersist(blocking = false)
+  }
 
   /** S6/A1: resume cursor from the sink — `max(_id)`, 0 when empty. */
   def lastId(df: DataFrame, id: String = "_id"): Long = {
@@ -58,8 +67,9 @@ object Pipeline {
     // materializes the `typed` cache, the cardinality count materializes the
     // `deduped` cache, and the caller's output action reads `deduped` straight
     // from cache: one parse-scan + one dedup shuffle total, where the uncached
-    // chain re-scanned and re-deduped per action. Caches are unreferenced
-    // after the result is consumed; ContextCleaner reclaims them.
+    // chain re-scanned and re-deduped per action. The caller owns the
+    // `deduped` cache and drops it via TransformResult.release() once its
+    // consuming action has run (runPipeline does this automatically).
     val stats = Quality.transformStats(typed, tolerance = tolerance)
     val repaired = Quality.repairPercentages(typed, tolerance = tolerance)
     val filled = Quality.handleMissing(repaired)
@@ -113,6 +123,9 @@ object Pipeline {
       .toDF("run_start", "run_stop", "last_fetched_id", "total_fetched",
         "valid_records", "success", "error_message")
     graft.sources.Merge.appendMetrics(metrics, metricsPath)
+    // all consuming actions (sink write, lastId probe) are done — drop the
+    // transform's dedup cache so scheduled runs leave no storage residue
+    if (result != null) result.release()
     if (error.isDefined) throw new RuntimeException(error.get)
     result
   }

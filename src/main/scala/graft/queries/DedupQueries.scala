@@ -115,10 +115,20 @@ object DedupQueries {
         k = 8, bandRows = 2, threshold = 0.5)
       TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
+    }),
+    // Same clusters via alternating large-star/small-star rounds — the
+    // O(log n)-round CC variant for chain-shaped components and 10⁹-edge
+    // graphs, hash-checked against the identical recursive-CTE oracle.
+    "q77_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q32_dedup_exact" ->
       raw"""WITH $AugSql,
           norm AS (SELECT doc_id,
@@ -199,4 +209,10 @@ object DedupQueries {
           SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
           GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
   )
+
+  /** q77 computes the same clusters with a different algorithm, so its
+    * oracle is the identical recursive-CTE reachability query.
+    */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q77_dedup_clusters_star" -> oracleSqlBase("q73_dedup_clusters"))
 }

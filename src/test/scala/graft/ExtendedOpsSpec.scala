@@ -243,6 +243,66 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponentsStar matches label propagation on mixed topologies") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a 1000-node chain") {
+    // label propagation moves the min label ONE hop per round — a
+    // 1000-node path needs ~999 rounds (maxIters=20 would stop far short);
+    // alternating large-star/small-star collapses it in ~log2(n) rounds.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (labels, rounds) =
+      TextDedup.connectedComponentsStarWithRounds(chain, "doc_a", "doc_b", maxRounds = 15)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 1000 && out.forall(_._2 == 1L), "all nodes label to the chain min")
+    assert(rounds <= 12, s"expected O(log n) ≈ 10 rounds, took $rounds")
+    // release discipline: the per-round caches are gone; only the
+    // local-checkpointed result frame itself may remain persisted
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "loop caches must be released before returning")
+  }
+
+  test("kmeansFp deep-iteration path: constant plans, fixed point, no leaks") {
+    // two well-separated blobs; init (first k ids) lands one seed in each,
+    // so Lloyd reaches its fixed point by iteration 2 — every later
+    // iteration must reproduce the same centroids exactly
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(100.0f, 100.0f)),
+      (2L, Array(0.5f, 0.2f)), (3L, Array(99.5f, 100.2f)),
+      (4L, Array(0.1f, 0.4f)), (5L, Array(100.3f, 99.8f)),
+      (6L, Array(0.3f, 0.1f)), (7L, Array(99.9f, 100.1f)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r6 = Similarity.kmeansFp(pts, "vec_id", "embedding", k = 2, iters = 6)
+    val c6 = r6.as[(Long, Int, Long, Long)].collect().toSeq
+    // lazy (iters<=2) and truncated (iters>2) paths agree at the fixed point
+    val c2 = Similarity.kmeansFp(pts, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val c7 = Similarity.kmeansFp(pts, "vec_id", "embedding", k = 2, iters = 7)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(c6 == c7 && c6 == c2)
+    // the deep-iteration result plan is local-backed and constant-size —
+    // NOT six nested assignment/update rounds (which grow geometrically)
+    assert(r6.queryExecution.analyzed.toString.length < 5000,
+      "iters=6 plan must not nest previous iterations")
+    // <= because ContextCleaner may concurrently reclaim OTHER tests'
+    // leftovers between the two reads; the point is kmeansFp adds nothing
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "the quantized-frame persist must be released")
+  }
+
   test("contaminationPairs finds n-gram overlap with the eval set, distinct-counted") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains the eval trigrams
