@@ -76,16 +76,18 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val terms = docs.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
-      val n = docs.count()
+      // corpus size rides in as a broadcast 1-row aggregate instead of a
+      // plan-build-time count() — one job per execution, not two
+      val n1 = docs.agg(count(lit(1)).cast("double").as("__n"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
         .join(terms.groupBy("doc_id").agg(count(lit(1)).as("dl")), "doc_id")
       val df = terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(df, "term")
+      tf.join(df, "term").crossJoin(broadcast(n1))
         .withColumn("score",
-          (col("tc").cast("double") / col("dl")) * log(lit(n.toDouble) / col("df")))
+          (col("tc").cast("double") / col("dl")) * log(col("__n") / col("df")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"),
@@ -101,6 +103,20 @@ object TextQueries {
         docs.filter(col("doc_id") % 37 =!= 0),
         docs.filter(col("doc_id") % 37 === 0),
         "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("train_id", "test_id")
+    }),
+    // Production-configuration decontamination: identical semantics to q68
+    // but joining on 60-bit md5-prefix keys — one long per n-gram instead
+    // of tens of bytes of text, the wire format a production-sized eval
+    // index broadcasts with. The oracle performs the same hashed join, so
+    // this configuration is hash-verified rather than only spec-matched to
+    // string mode.
+    "q75_decontaminate_hashed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextDedup.contaminationPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
         .orderBy("train_id", "test_id")
     }),
     // Gopher/C4-style repetition quality filters: duplicate-token fraction
@@ -252,6 +268,18 @@ object TextQueries {
           test AS (SELECT * FROM g WHERE doc_id % 37 = 0)
           SELECT train.doc_id AS train_id, test.doc_id AS test_id, count(*) AS n_shared
           FROM train JOIN test ON train.g = test.g
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY train_id, test_id""".replaceAll("\\s+", " "),
+    "q75_decontaminate_hashed" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM t),
+          h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g),
+          train AS (SELECT * FROM h WHERE doc_id % 37 <> 0),
+          test AS (SELECT * FROM h WHERE doc_id % 37 = 0)
+          SELECT train.doc_id AS train_id, test.doc_id AS test_id, count(*) AS n_shared
+          FROM train JOIN test ON train.hg = test.hg
           GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY train_id, test_id""".replaceAll("\\s+", " "),
     "q69_quality_filters" ->

@@ -60,4 +60,85 @@ class StreamingE2ESpec extends AnyFunSuite with SparkFixture {
     val metrics = spark.read.parquet(s"$dir/metrics")
     assert(metrics.filter(col("rows_upserted") > 0).count() == 2)
   }
+
+  private class ScriptedFeed extends RecordFeed {
+    @volatile var records: Vector[FeedRecord] = Vector.empty
+    override def fetchPage(afterId: Long, limit: Int): Seq[FeedRecord] =
+      records.filter(_.id > afterId).sortBy(_.id).take(limit)
+    override def maxId(): Long = if (records.isEmpty) 0L else records.map(_.id).max
+  }
+
+  test("micro-batches through the PARTITIONED sink equal the batch upsert; untouched buckets byte-identical") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val Buckets = 8
+    val feed = new ScriptedFeed
+    FeedRegistry.register("e2ep", feed)
+    val dir = Files.createTempDirectory("graft_e2e_part").toString
+    val sinkPath = s"$dir/sink"
+
+    def rec(i: Long, key: String) = FeedRecord(i, i * 1000000L, key, i.toDouble)
+
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .format("graft.sources.keyset.KeysetSource")
+        .option("feed", "e2ep").option("batchSize", 7).load()
+        .select(col("payload").as("key"), col("ts"), col("value"))
+      Streaming.incrementalMergeSink(
+        events, keyCol = "key", orderCol = "ts",
+        sinkPath = sinkPath, metricsPath = s"$dir/metrics",
+        checkpointDir = s"$dir/ckpt", trigger = Trigger.AvailableNow(),
+        sinkBuckets = Buckets).awaitTermination()
+    }
+
+    // per-bucket file snapshot: (name, size, mtime) per p_bucket=* directory
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      Files.list(Paths.get(sinkPath)).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p_bucket="))
+        .map(d => d.getFileName.toString -> Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val at = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+            (f.getFileName.toString, at.size(), at.lastModifiedTime().toMillis)
+          }.toSet).toMap
+
+    // two "hourly" runs over all 10 keys
+    feed.records = (1L to 30L).map(i => rec(i, s"k${i % 10}")).toVector
+    runOnce()
+    feed.records = feed.records ++ (31L to 45L).map(i => rec(i, s"k${i % 10}"))
+    runOnce()
+
+    // third run delivers records for ONE key only — its bucket must be the
+    // only directory whose files change (partition-pruned MERGE per batch)
+    val before = snapshot()
+    feed.records = feed.records ++ (46L to 50L).map(i => rec(i, "k3"))
+    runOnce()
+    val after = snapshot()
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("k3")), lit(Buckets)).cast("int")).head().getInt(0)
+    assert(before.keys == after.keys)
+    before.foreach { case (d, files) =>
+      if (d == s"p_bucket=$touched") assert(after(d) != files, s"$d must be rewritten")
+      else assert(after(d) == files, s"$d files must be byte-identical (not rewritten)")
+    }
+
+    // the streamed sink equals one BATCH upsertPartitioned of the keep-last
+    // dedup over every record ever fed — the reference's hourly loop and the
+    // one-shot batch agree end-to-end
+    import spark.implicits._
+    val allRows = feed.records.map(r => (r.payload, r.tsMicros, r.value))
+      .toDF("key", "us", "value")
+      .select(col("key"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val batchDedup = graft.operators.Dedup.keepFirstBy(
+      allRows, Seq("key"), Seq(col("ts").desc, col("key").desc))
+    graft.sources.Merge.upsertPartitioned(
+      spark, batchDedup, s"$dir/batch_sink", Seq("key"), numBuckets = Buckets)
+    val streamed = spark.read.parquet(sinkPath)
+      .select("key", "ts", "value", "p_bucket").as[(String, java.sql.Timestamp, Double, Int)]
+      .collect().sortBy(_._1)
+    val batch = spark.read.parquet(s"$dir/batch_sink")
+      .select("key", "ts", "value", "p_bucket").as[(String, java.sql.Timestamp, Double, Int)]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
