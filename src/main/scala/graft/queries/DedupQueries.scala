@@ -125,6 +125,21 @@ object DedupQueries {
         k = 8, bandRows = 2, threshold = 0.5)
       TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
+    }),
+    // The dedup DECISION applied: the cleaned corpus — every cluster keeps
+    // only its canonical (min-id) member; singletons pass through. The drop
+    // set is tiny relative to the corpus, so the anti join broadcasts at
+    // scale (AQE); the big side never shuffles.
+    "q80_dedup_apply" -> ((s, dir) => {
+      val docs = augmented(s, dir)
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(docs), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      val drop = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -211,8 +226,23 @@ object DedupQueries {
   )
 
   /** q77 computes the same clusters with a different algorithm, so its
-    * oracle is the identical recursive-CTE reachability query.
+    * oracle is the identical recursive-CTE reachability query; q80 extends
+    * the same CTE chain with the keep-canonical anti join.
     */
   val oracleSql: Map[String, String] =
-    oracleSqlBase + ("q77_dedup_clusters_star" -> oracleSqlBase("q73_dedup_clusters"))
+    oracleSqlBase +
+      ("q77_dedup_clusters_star" -> oracleSqlBase("q73_dedup_clusters")) +
+      ("q80_dedup_apply" -> {
+        val q73 = oracleSqlBase("q73_dedup_clusters")
+        val labelsTail =
+          """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+             GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+        require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q80")
+        q73.stripSuffix(labelsTail).trim + "," +
+          """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+             SELECT a.doc_id, len(a.text) AS n_chars
+             FROM aug a LEFT JOIN labels l ON a.doc_id = l.doc_id
+             WHERE l.doc_id IS NULL OR l.cluster_id = a.doc_id
+             ORDER BY a.doc_id""".replaceAll("\\s+", " ")
+      })
 }

@@ -159,6 +159,70 @@ object TextQueries {
           count(lit(1)).as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
+    // Corpus-LM quality signal (CCNet-style): score every doc by the mean
+    // negative log-likelihood of its bigrams under the corpus's own MLE
+    // bigram model, P(w2|w1) = c(w1 w2)/c(w1 ·). High avg NLL = surprising
+    // text (noise, boilerplate-free junk); low = templated. Each -ln term
+    // is floored to fixed-point BEFORE summing (the q72 rule: int64 adds
+    // commute, raw libm doubles don't). Shapes: the two count tables are
+    // map-side-combinable aggs; the scoring joins shuffle on bigram / w1
+    // (at 100 TB the LM tables are precomputed + bucketed artifacts).
+    "q79_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bi = docs.select(col("doc_id"),
+        explode(Text.wordNgramsFromText(col("text"), 2)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bi.join(c2, "bg").join(c1, "w1")
+        .withColumn("term_fp",
+          floor(-log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term_fp")).as("nll_fp"))
+        .withColumn("avg_nll_fp",
+          floor(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    // The contamination DECISION applied: the releasable training corpus —
+    // train docs sharing >= 2 trigrams with the eval set are dropped via a
+    // left-anti join on the (tiny, broadcastable) contaminated-id set.
+    // Uses the hashed-gram production configuration end-to-end.
+    "q81_decontaminate_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 37 =!= 0)
+      val contaminated = graft.operators.TextDedup.contaminationPairs(
+        train, docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // Sequence packing for training: docs fill context windows of 2048
+    // tokens in doc_id order within each language — streaming first-fit,
+    // the shape TPU/GPU input pipelines use. bin = floor(fill-before/cap)
+    // via a running-total window; cap = 2^11 so the double division is
+    // exact for any int64 < 2^53. Window is per-language (parallel across
+    // strata; at 100 TB you pack within (shard, lang) partitions), and the
+    // rollup aggregates bins with map-side combine.
+    "q78_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val sized = docs.select(col("lang"), col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sized.withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")).cast("double") / 2048.0).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    }),
     // Data-mix rebalancing: deterministic stratified downsampling by
     // language (keep 80% en, 30% zh, 50% otherwise) via md5-bucket
     // membership — reproducible across engines/runs/cluster sizes, which
@@ -297,6 +361,46 @@ object TextQueries {
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
           ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q79_lm_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          b AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg FROM t),
+          w AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+          c2 AS (SELECT bg, count(*) AS c2 FROM w GROUP BY bg),
+          c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY w1),
+          s AS (SELECT w.doc_id,
+                  CAST(floor(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000.0) AS BIGINT) AS term_fp
+                FROM w JOIN c2 ON w.bg = c2.bg JOIN c1 ON w.w1 = c1.w1)
+          SELECT doc_id, count(*) AS n_bigrams,
+            CAST(sum(term_fp) AS BIGINT) AS nll_fp,
+            CAST(floor(CAST(sum(term_fp) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_fp
+          FROM s GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q81_decontaminate_apply" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM t),
+          h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g),
+          train AS (SELECT * FROM h WHERE doc_id % 37 <> 0),
+          test AS (SELECT * FROM h WHERE doc_id % 37 = 0),
+          bad AS (SELECT train.doc_id AS train_id
+                  FROM train JOIN test ON train.hg = test.hg
+                  GROUP BY train.doc_id, test.doc_id HAVING count(*) >= 2)
+          SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+          WHERE d.doc_id % 37 <> 0
+            AND d.doc_id NOT IN (SELECT train_id FROM bad)
+          ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q78_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+          c AS (SELECT lang, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+          b AS (SELECT lang, doc_id, n_tokens,
+            CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin FROM c)
+          SELECT lang, bin, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM b GROUP BY lang, bin ORDER BY lang, bin""".replaceAll("\\s+", " "),
     "q74_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
