@@ -159,6 +159,41 @@ object TextQueries {
           count(lit(1)).as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
+    // Length-outlier trimming: keep docs inside their LANGUAGE's exact
+    // [p5, p95] token-count band (per-stratum outlier removal, the
+    // length-filter step of a C4-style cleanup). Exact sort-based
+    // percentile per group (the q61/q50 exact-vs-sketch tradeoff); the
+    // 5-row bounds table broadcasts, so the probe side never shuffles.
+    "q82_length_trim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sized = docs.select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).as("n_tokens"))
+      val bounds = sized.groupBy("lang").agg(
+        expr("percentile(n_tokens, 0.05)").as("p05"),
+        expr("percentile(n_tokens, 0.95)").as("p95"))
+      sized.join(broadcast(bounds), "lang")
+        .filter(col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
+    // Vocabulary coverage / OOV-rate: fraction of each doc's tokens outside
+    // the corpus top-20 vocabulary (deterministic top-k: count desc, token
+    // asc). The vocab is broadcast — the token stream is scored map-side,
+    // the shape a fixed-tokenizer coverage check has at 100 TB.
+    "q83_oov_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(20)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Corpus-LM quality signal (CCNet-style): score every doc by the mean
     // negative log-likelihood of its bigrams under the corpus's own MLE
     // bigram model, P(w2|w1) = c(w1 w2)/c(w1 ·). High avg NLL = surprising
@@ -361,6 +396,24 @@ object TextQueries {
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
           ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q82_length_trim" ->
+      """WITH t AS (SELECT doc_id, lang,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+          b AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS p05,
+                  quantile_cont(n_tokens, 0.95) AS p95 FROM t GROUP BY lang)
+          SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN b ON t.lang = b.lang
+          WHERE t.n_tokens >= b.p05 AND t.n_tokens <= b.p95
+          ORDER BY t.doc_id""".replaceAll("\\s+", " "),
+    "q83_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents),
+          v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+                                 ORDER BY c DESC, tok ASC LIMIT 20))
+          SELECT t.doc_id, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+          FROM tok t LEFT JOIN v ON t.tok = v.tok
+          GROUP BY t.doc_id ORDER BY t.doc_id""".replaceAll("\\s+", " "),
     "q79_lm_score" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           b AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg FROM t),
