@@ -122,6 +122,54 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-duplicate check: candidate pairs between INCOMING
+    * docs and the existing corpus only — never corpus×corpus. This is the
+    * production ingest shape: an hourly batch is checked against a 100 TB
+    * corpus by joining the batch's band values against the corpus's band
+    * index; the batch side is broadcast (bands of a batch are tiny), so
+    * the band join itself moves no corpus data — the only corpus-side
+    * exchange is the signature barrier, which carries (id, signature)
+    * tuples, never text. At cluster scale the corpus band index is a
+    * precomputed, bucketed artifact and even that barrier disappears —
+    * the probe reads only colliding band buckets.
+    *
+    * Inputs follow [[minhashLshPairs]] (`idCol`, `hashesCol` from
+    * [[shingleHashes]]); output (corpus_id, incoming_id, jaccard) with
+    * exact Jaccard ≥ threshold verified on the distinct shingle-hash sets.
+    */
+  def minhashLshPairsIncremental(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      k: Int,
+      bandRows: Int,
+      threshold: Double): DataFrame = {
+    def sigOf(df: DataFrame) = df
+      .filter(size(col(hashesCol)) > 0)
+      .withColumn("__sig", minhashSignature(hashesCol, k))
+    // same repartition barrier as minhashLshPairs: signature computed once
+    // below an exchange, not inlined into every band by projection collapse
+    def bandsOf(df: DataFrame) = sigOf(df)
+      .select(col(idCol), col("__sig")).repartition(col(idCol))
+      .select(col(idCol),
+        posexplode(lshBands(col("__sig"), k, bandRows)).as(Seq("__b", "__bv")))
+    val cand = bandsOf(corpus).as("c")
+      .join(broadcast(bandsOf(incoming).as("i")),
+        col("c.__b") === col("i.__b") && col("c.__bv") === col("i.__bv"))
+      .select(col(s"c.$idCol").as("corpus_id"), col(s"i.$idCol").as("incoming_id"))
+      .distinct()
+    val sc = sigOf(corpus).select(col(idCol).as("corpus_id"), col(hashesCol).as("__sha"))
+    val si = sigOf(incoming).select(col(idCol).as("incoming_id"), col(hashesCol).as("__shb"))
+    cand.join(sc, "corpus_id").join(broadcast(si), "incoming_id")
+      .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jaccard",
+        col("__common").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "incoming_id", "jaccard")
+  }
+
   /** 60-bit SimHash over the token multiset (duplicates weighted).
     * Bit j of the result is set iff sum over tokens of ±1 (the j-th bit of
     * the token's 60-bit md5-prefix hash, mapped 1→+1, 0→−1) is positive.

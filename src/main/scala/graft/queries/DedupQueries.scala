@@ -126,6 +126,19 @@ object DedupQueries {
       TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    // Incremental ingest dedup: the synthetic copies (ids >= 100000) play
+    // an incoming hourly batch checked against the base corpus — candidate
+    // generation joins the batch's (broadcast) band values against the
+    // corpus band index; corpus text never shuffles. Same data as q34, so
+    // the result is exactly q34's cross-side pairs.
+    "q84_dedup_incremental" -> ((s, dir) => {
+      val aug = withShingles(augmented(s, dir))
+      TextDedup.minhashLshPairsIncremental(
+        aug.filter(col("doc_id") < 100000),
+        aug.filter(col("doc_id") >= 100000),
+        "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
+        .orderBy("corpus_id", "incoming_id")
+    }),
     // The dedup DECISION applied: the cleaned corpus — every cluster keeps
     // only its canonical (min-id) member; singletons pass through. The drop
     // set is tiny relative to the corpus, so the anti join broadcasts at
@@ -232,6 +245,22 @@ object DedupQueries {
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q77_dedup_clusters_star" -> oracleSqlBase("q73_dedup_clusters")) +
+      ("q84_dedup_incremental" ->
+        s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+            sig AS (SELECT doc_id, hs, $SigSql AS mh
+                    FROM hashed WHERE len(hs) > 0),
+            bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                      FROM sig, unnest(range(0, 4)) AS u(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS incoming_id
+                     FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                     WHERE a.doc_id < 100000 AND b.doc_id >= 100000)
+            SELECT corpus_id, incoming_id,
+              CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+            FROM cand JOIN sig sa ON sa.doc_id = corpus_id JOIN sig sb ON sb.doc_id = incoming_id
+            WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+            ORDER BY corpus_id, incoming_id""".replaceAll("\\s+", " ")) +
       ("q80_dedup_apply" -> {
         val q73 = oracleSqlBase("q73_dedup_clusters")
         val labelsTail =

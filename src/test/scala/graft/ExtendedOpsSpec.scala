@@ -348,6 +348,28 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       .select("centroid_id").as[Long].head() == 0L)
   }
 
+  test("minhashLshPairsIncremental: finds cross-side dups, broadcasts the batch side") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (102L, "totally different incoming content with no overlap at all"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("shash", TextDedup.shingleHashes("toks", 3))
+    val out = TextDedup.minhashLshPairsIncremental(
+      docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100),
+      "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
+    val rows = out.as[(Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((1L, 101L)))
+    assert(rows.head._3 == 1.0) // identical shingle sets
+    // candidate generation joins the corpus band index against a BROADCAST
+    // of the batch's bands — the corpus side must not shuffle for the join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"expected the incoming band side broadcast, got:\n$plan")
+  }
+
   test("LSH signature is scale-invariant (v and 2v share all buckets)") {
     val df = Seq(
       (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),

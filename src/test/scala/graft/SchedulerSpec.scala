@@ -54,4 +54,19 @@ class SchedulerSpec extends AnyFunSuite with SparkFixture {
     assert(ids.toSeq == (1L to 60L), s"sink diverged: ${ids.length} rows")
     assert(spark.read.parquet(metrics).count() >= 2) // one run-history row per run
   }
+
+  test("scheduled runs leave no persisted storage residue (release discipline)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched_leak").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // several back-to-back runs — each transform persists two frames
+    // internally; runPipeline must release them after the sink write
+    for (i <- 1 to 3) {
+      val batch = (1L to 30L)
+        .map(j => (j.toString, f"2024-01-0$i%dT${j / 60}%02d:${j % 60}%02d:00", j.toDouble))
+        .toDF("_id", "DATETIME", "GAS")
+      Pipeline.runPipeline(spark, batch, s"$dir/sink", s"$dir/metrics", sinkBuckets = 4)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "a scheduler-shaped loop must not accrete persisted frames across runs")
+  }
 }
