@@ -220,6 +220,31 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Incremental ANN near-dup: an incoming vector batch checked against the
+    * corpus — bucket equi-join on LSH signature with the batch side
+    * BROADCAST. Candidates are cross-side only (the corpus never
+    * self-joins) and the corpus side needs no exchange at all: the
+    * signature is evaluated once per row inside the broadcast-join stage
+    * and cosine verification is map-side. The production ingest shape for
+    * embeddings, mirroring [[graft.operators.TextDedup.minhashLshPairsIncremental]];
+    * at cluster scale the corpus is written bucketed by signature and the
+    * probe reads only colliding buckets.
+    */
+  def nearDupPairsIncremental(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      embCol: String,
+      sigCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_a"), col(embCol).as("__ea"), col(sigCol).as("__sa"))
+    val i = incoming.select(col(idCol).as("vec_b"), col(embCol).as("__eb"), col(sigCol).as("__sb"))
+    c.join(broadcast(i), col("__sa") === col("__sb"))
+      .withColumn("cosine", cosine(col("__ea"), col("__eb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** All pairs in the same LSH bucket with cosine >= threshold.
     * Candidate generation is a bucket equi-join (signature equality);
     * verification computes exact cosine on candidates only.

@@ -103,6 +103,18 @@ object SimilarityQueries {
       Similarity.nearDupPairs(withSig, "vec_id", "embedding", "sig", threshold = 0.999)
         .orderBy("vec_a", "vec_b")
     }),
+    // Incremental ingest ANN: the scaled copies (vec_id >= 10000) play an
+    // incoming batch checked against the base corpus — signature equi-join
+    // with the batch side broadcast, so the corpus has NO exchange at all
+    // (plan-asserted in spec); cosine verification is map-side.
+    "q85_embedding_incremental" -> ((s, dir) => {
+      val aug = augmented(s, dir)
+        .withColumn("sig", Similarity.lshSignature("embedding", bits = 8, dim = Dim))
+      Similarity.nearDupPairsIncremental(
+        aug.filter(col("vec_id") < 10000), aug.filter(col("vec_id") >= 10000),
+        "vec_id", "embedding", "sig", threshold = 0.999)
+        .orderBy("vec_a", "vec_b")
+    }),
     // IVF-style ANN: 16 coarse centroids (deterministically the first 16
     // vectors — a stand-in for k-means training), every vector assigned to
     // its nearest centroid, probe searches its 4 nearest centroid buckets,
@@ -207,6 +219,15 @@ object SimilarityQueries {
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             ${duckCosine("a.embedding", "b.embedding")} AS cosine
           FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999
+          ORDER BY vec_a, vec_b""".replaceAll("\\s+", " "),
+    "q85_embedding_incremental" ->
+      s"""WITH $AugSql,
+          sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 8)} AS sig FROM aug)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ${duckCosine("a.embedding", "b.embedding")} AS cosine
+          FROM sigs a JOIN sigs b ON a.sig = b.sig
+            AND a.vec_id < 10000 AND b.vec_id >= 10000
           WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999
           ORDER BY vec_a, vec_b""".replaceAll("\\s+", " "),
     "q54_ann_ivf" -> {

@@ -370,6 +370,25 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       s"expected the incoming band side broadcast, got:\n$plan")
   }
 
+  test("nearDupPairsIncremental: corpus side joins with zero exchange") {
+    val mk = (seed: Int) => Array.tabulate(16)(i => ((i * seed) % 7 - 3).toFloat)
+    val vecs = Seq(
+      (1L, mk(1)), (2L, mk(2)),
+      (101L, mk(1).map(_ * 2f)), // scaled copy of 1: same LSH bucket, cosine 1
+      (102L, mk(5)))
+      .toDF("vec_id", "embedding")
+      .withColumn("sig", Similarity.lshSignature("embedding", bits = 8, dim = 16))
+    val out = Similarity.nearDupPairsIncremental(
+      vecs.filter(col("vec_id") < 100), vecs.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", "sig", threshold = 0.999)
+    val rows = out.as[(Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((1L, 101L)))
+    // the batch side broadcasts; the corpus side must have NO exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"expected broadcast-only join, got:\n$plan")
+  }
+
   test("LSH signature is scale-invariant (v and 2v share all buckets)") {
     val df = Seq(
       (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
