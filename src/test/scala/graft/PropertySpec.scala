@@ -103,6 +103,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("property: window-based sequence packing equals the sequential fill model") {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512
+    val gen: Gen[List[(Long, String, Int)]] = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(1L, 500L)
+      lang <- Gen.oneOf("en", "fr", "zh")
+      n <- Gen.chooseNum(1, 900) // docs may exceed cap on their own
+    } yield (id, lang, n))
+    forAllSamples(gen, n = 8) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = rows.toDF("doc_id", "lang", "n_tokens")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")).cast("double") / cap).cast("long"))
+        .select("lang", "doc_id", "bin")
+        .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      // sequential reference model: walk each language in doc_id order,
+      // assigning bin = fill-before / cap
+      val expected = rows.groupBy(_._2).flatMap { case (lang, docs) =>
+        var fill = 0L
+        docs.sortBy(_._1).map { case (id, _, n) =>
+          val bin = fill / cap
+          fill += n
+          (lang, id) -> bin
+        }
+      }
+      assert(packed == expected)
+    }
+  }
+
   test("property: contamination overlap equals brute-force trigram intersection") {
     val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl")
     val doc = Gen.listOfN(10, word).map(_.mkString(" "))
