@@ -159,6 +159,31 @@ object TextQueries {
           count(lit(1)).as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
+    // Corpus snapshot diff (data versioning): v2 drops every 11th doc,
+    // rewrites every 17th surviving doc, and adds the perturbed copies —
+    // the diff classifies ids as added/removed/changed/unchanged by
+    // comparing content hashes across a full outer join on the id. One
+    // shuffle per side on the id; at 100 TB both snapshots would be
+    // bucketed by id and the join co-locates. The md5 comparison never
+    // moves text, only 128-bit digests.
+    "q86_corpus_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, expr("substring(text, 8)")).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      v1.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("status")
+    }),
     // Length-outlier trimming: keep docs inside their LANGUAGE's exact
     // [p5, p95] token-count band (per-stratum outlier removal, the
     // length-filter step of a C4-style cleanup). Exact sort-based
@@ -396,6 +421,23 @@ object TextQueries {
               AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12) AS keep
           FROM base JOIN top ON base.doc_id = top.doc_id
           ORDER BY base.doc_id""".replaceAll("\\s+", " "),
+    "q86_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+          v2 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN substr(text, 8) ELSE text END AS text
+                 FROM v1 WHERE doc_id % 11 <> 0
+                 UNION ALL
+                 SELECT doc_id + 100000, text FROM v1 WHERE doc_id % 7 = 0),
+          j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                  md5(a.text) AS h1, md5(b.text) AS h2
+                FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+          c AS (SELECT doc_id,
+                  CASE WHEN h1 IS NULL THEN 'added'
+                       WHEN h2 IS NULL THEN 'removed'
+                       WHEN h1 = h2 THEN 'unchanged'
+                       ELSE 'changed' END AS status FROM j)
+          SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM c GROUP BY status ORDER BY status""".replaceAll("\\s+", " "),
     "q82_length_trim" ->
       """WITH t AS (SELECT doc_id, lang,
             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
