@@ -33,7 +33,10 @@ object GraftExtensions {
         case Literal(k: Int, _) => MinHashSignature(children(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhash k must be an integer literal, got $other")
-      }))
+      }),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => SimHash60Expr(children(0))))
 
   /** Native cosine similarity of two array<float> columns. */
   def cosineNative(a: Column, b: Column): Column =
@@ -43,4 +46,8 @@ object GraftExtensions {
   /** Native MinHash signature of an array<bigint> hash column. */
   def minhashNative(hashes: Column, k: Int): Column =
     ColumnShim.column(MinHashSignature(ColumnShim.expression(hashes), k))
+
+  /** Native 60-bit SimHash of an array<string> token column. */
+  def simhash60Native(tokens: Column): Column =
+    ColumnShim.column(SimHash60Expr(ColumnShim.expression(tokens)))
 }

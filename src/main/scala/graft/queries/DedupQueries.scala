@@ -92,9 +92,14 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
     // SimHash near-dup pairs: 60-bit fingerprint, 6-bit bands, hamming <= 6.
+    // The fingerprint is the native codegen'd expression (one md5+counter
+    // loop per row); simhashPairs' repartition barrier materializes it once
+    // below the band join. ExpressionsSpec pins bit-parity against the HOF
+    // fold and the explode+agg formulation.
     "q35_simhash_pairs" -> ((s, dir) => {
-      val sim = TextDedup.simhashAgg(
-        augmented(s, dir), "doc_id", "split(trim(text), '\\\\s+')")
+      val sim = augmented(s, dir).select(col("doc_id"),
+        graft.expressions.GraftExtensions.simhash60Native(
+          expr("split(trim(text), '\\\\s+')")).as("simhash"))
       TextDedup.simhashPairs(sim, "doc_id", "simhash", maxHamming = 6)
         .orderBy("doc_a", "doc_b")
     }),

@@ -107,6 +107,34 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(e == a)
   }
 
+  test("native simhash60 matches the HOF fold and the agg formulation bit-for-bit") {
+    // adversarial corpus: dup docs, empty/whitespace/null text, unicode
+    // tokens incl. supplementary-plane chars (md5 hashes UTF-8 bytes in
+    // both the expression and SQL md5), long docs
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words"), (4L, ""), (5L, "   "),
+      (6L, null.asInstanceOf[String]),
+      (7L, "café naïve 中文 😀emoji"),
+      (8L, Seq.tabulate(500)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = "split(trim(text), '\\\\s+')"
+    val viaNative = df.select(col("doc_id"),
+      GraftExtensions.simhash60Native(expr(toks)).as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val viaExpr = df.select(col("doc_id"), TextDedup.simhash60(toks).as("simhash"))
+      .orderBy("doc_id").as[(Long, Option[Long])].collect().toSeq
+    val viaAgg = TextDedup.simhashAgg(df, "doc_id", toks)
+      .orderBy("doc_id").as[(Long, Option[Long])].collect().toSeq
+    assert(viaNative.map { case (id, v) => (id, Some(v)) } == viaExpr)
+    assert(viaNative.map { case (id, v) => (id, Some(v)) } == viaAgg)
+    // null token element → 0, like the fold's null poisoning
+    val nullTok = Seq(1L).toDF("doc_id")
+      .withColumn("toks", expr("array('word', cast(null as string))"))
+    assert(nullTok.select(GraftExtensions.simhash60Native(col("toks")))
+      .as[Long].head() == 0L)
+  }
+
   test("graft_cosine / graft_minhash register as SQL functions") {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
