@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: scaling probe for the dedup pipeline — replicates the sf0.1
+  * corpus `mult`× with shifted ids (each replica's text perturbed by a
+  * replica-tag token so replicas are not exact dups of each other) and runs
+  * shingle→minhash→LSH pairs→star connected components end-to-end, timing
+  * each stage. Usage: tools/run.sh graft.tools.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val big = (0 until mult).map { r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _)
+      // near-dup planted pairs across replicas: every 7th doc keeps replica 0's text
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(mult * 1000000L)).as("doc_id"),
+          expr("substring(text, 15)").as("text")))
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val hashed = big
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
+      .select("doc_id", "shash")
+    val nDocs = time("corpus materialize")(big.count())
+    println(s"[scale] docs = $nDocs")
+    val pairs = graft.operators.TextDedup.minhashLshPairs(
+      hashed, "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = time("minhash LSH pairs")(pairs.count())
+    println(s"[scale] pairs = $nPairs")
+    val (labels, rounds) = graft.operators.TextDedup
+      .connectedComponentsStarWithRounds(pairs, "doc_a", "doc_b", maxRounds = 30)
+    val nClusters = time("star CC")(labels.select("cluster_id").distinct().count())
+    println(s"[scale] clustered docs = ${labels.count()}, clusters = $nClusters, rounds = $rounds")
+    pairs.unpersist()
+    spark.stop()
+  }
+}
