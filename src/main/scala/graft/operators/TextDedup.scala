@@ -497,6 +497,15 @@ object TextDedup {
       sig = nsig
       rounds += 1
     }
+    // Pre-convergence a node can still hold SEVERAL outgoing edges, so an
+    // early exit would emit duplicate, possibly-wrong labels — fail loudly
+    // instead. O(log n) rounds means the default budget covers any corpus
+    // that fits on hardware; hitting it indicates a bug, not a big graph.
+    if (!converged) {
+      edgesRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxRounds rounds")
+    }
     // fixed point: edges = (node → component min) stars; roots (component
     // minima) appear only as dst, and label themselves
     val roots = edges.select(col("dst").as("id")).distinct()

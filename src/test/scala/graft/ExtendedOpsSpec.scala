@@ -272,6 +272,11 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
     // local-checkpointed result frame itself may remain persisted
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
       "loop caches must be released before returning")
+    // an exhausted round budget fails loudly — a partial star forest would
+    // otherwise emit duplicate labels
+    intercept[IllegalStateException] {
+      TextDedup.connectedComponentsStarWithRounds(chain, "doc_a", "doc_b", maxRounds = 2)
+    }
   }
 
   test("kmeansFp deep-iteration path: constant plans, fixed point, no leaks") {
