@@ -77,10 +77,24 @@ object Merge {
     if (incoming.isEmpty) return // reference: empty batch is a no-op
     val withP = incoming.withColumn(
       partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
+    // The bucket count is part of the sink's on-disk contract: rows land in
+    // pmod(hash, N), so merging with a different N would let a key's rows
+    // migrate partitions — the pruned anti-join would miss the conflict and
+    // silently duplicate keys. Record N beside the data (underscore-prefixed
+    // → invisible to parquet directory reads) and refuse a mismatched merge.
+    val marker = Paths.get(path, "_graft_buckets")
     if (!Files.exists(Paths.get(path))) {
       withP.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+      Files.writeString(marker, numBuckets.toString)
       return
     }
+    if (Files.exists(marker)) {
+      val recorded = Files.readString(marker).trim.toInt
+      require(recorded == numBuckets,
+        s"sink at $path is bucketed with $recorded buckets; upsert called with " +
+          s"$numBuckets — keys would migrate partitions and the merge would " +
+          "silently duplicate them. Rewrite the sink to change bucketing.")
+    } else Files.writeString(marker, numBuckets.toString) // pre-marker sink: adopt
     val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isin(touched: _*)) // prunes to touched directories

@@ -75,6 +75,25 @@ class MergePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(again == expected)
   }
 
+  test("upsertPartitioned refuses a merge with a mismatched bucket count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_nbuck").toString
+    val path = s"$dir/table"
+    Merge.upsertPartitioned(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("_id", "v"),
+      path, Seq("_id"), numBuckets = 8)
+    // a different N would migrate keys between partitions and silently
+    // duplicate them past the pruned anti-join — must throw instead
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertPartitioned(spark, Seq((1L, "X")).toDF("_id", "v"),
+        path, Seq("_id"), numBuckets = 4)
+    }
+    assert(ex.getMessage.contains("bucketed with 8"))
+    // same N still merges fine
+    Merge.upsertPartitioned(spark, Seq((1L, "X")).toDF("_id", "v"),
+      path, Seq("_id"), numBuckets = 8)
+    assert(spark.read.parquet(path).filter(col("_id") === 1L)
+      .select("v").as[String].head() == "X")
+  }
+
   test("upsertToPath: creates, merges, idempotent re-run; empty batch no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val path = s"$dir/table"
