@@ -103,6 +103,33 @@ object SimilarityQueries {
       Similarity.nearDupPairs(withSig, "vec_id", "embedding", "sig", threshold = 0.999)
         .orderBy("vec_a", "vec_b")
     }),
+    // Cross-modal curation: quality filtering decided on the TEXT corpus
+    // propagates to the vector store — embeddings keep only vectors whose
+    // doc survives the q69 repetition filter (doc and vector stores share
+    // the id space). The kept-id set is small → broadcast; the embedding
+    // table never shuffles. norm_fp rides along (sqrt is IEEE-exact,
+    // fixed-point floored) as the vector-side sanity stat.
+    "q87_curated_embeddings" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, dir)
+      val t = Text.tokens(col("text"))
+      val base = docs.select(col("doc_id"),
+        size(t).as("n_tokens"), size(array_distinct(t)).as("n_distinct"))
+      val top = docs.select(col("doc_id"), explode(t).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+      val keep = base.join(top, "doc_id")
+        .filter(col("n_tokens") >= 40 &&
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens") <= 0.65 &&
+          col("top_cnt").cast("double") / col("n_tokens") <= 0.12)
+        .select("doc_id")
+      Tables.embeddings(s, dir)
+        .join(broadcast(keep), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("label"),
+          floor(sqrt(Similarity.dot(col("embedding"), col("embedding"))) * 1e6)
+            .cast("long").as("norm_fp"))
+        .orderBy("vec_id")
+    }),
     // Incremental ingest ANN: the scaled copies (vec_id >= 10000) play an
     // incoming batch checked against the base corpus — signature equi-join
     // with the batch side broadcast, so the corpus has NO exchange at all
@@ -221,6 +248,22 @@ object SimilarityQueries {
           FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
           WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999
           ORDER BY vec_a, vec_b""".replaceAll("\\s+", " "),
+    "q87_curated_embeddings" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          base AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct FROM t),
+          tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          top AS (SELECT doc_id, max(c) AS top_cnt
+                  FROM (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+                  GROUP BY doc_id),
+          keep AS (SELECT base.doc_id FROM base JOIN top ON base.doc_id = top.doc_id
+                   WHERE n_tokens >= 40
+                     AND CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.65
+                     AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.12)
+          SELECT e.vec_id, e.label,
+            CAST(floor(sqrt(${duckDot("e.embedding", "e.embedding")}) * 1000000.0) AS BIGINT) AS norm_fp
+          FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id
+          ORDER BY e.vec_id""".replaceAll("\\s+", " "),
     "q85_embedding_incremental" ->
       s"""WITH $AugSql,
           sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 8)} AS sig FROM aug)
