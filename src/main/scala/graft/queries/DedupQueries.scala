@@ -144,6 +144,18 @@ object DedupQueries {
         "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("corpus_id", "incoming_id")
     }),
+    // Dedup audit: the cluster-size histogram a dataset card quotes ("N
+    // pairs, M triples, ... largest cluster K") — two map-side-combinable
+    // aggregations over the CC labels.
+    "q88_dedup_stats" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
     // The dedup DECISION applied: the cleaned corpus — every cluster keeps
     // only its canonical (min-id) member; singletons pass through. The drop
     // set is tiny relative to the corpus, so the anti join broadcasts at
@@ -266,6 +278,18 @@ object DedupQueries {
             WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
             ORDER BY corpus_id, incoming_id""".replaceAll("\\s+", " ")) +
+      ("q88_dedup_stats" -> {
+        val q73 = oracleSqlBase("q73_dedup_clusters")
+        val labelsTail =
+          """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+             GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+        require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q88")
+        q73.stripSuffix(labelsTail).trim + "," +
+          """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+             SELECT cluster_size, count(*) AS n_clusters
+             FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".replaceAll("\\s+", " ")
+      }) +
       ("q80_dedup_apply" -> {
         val q73 = oracleSqlBase("q73_dedup_clusters")
         val labelsTail =
