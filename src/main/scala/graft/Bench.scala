@@ -74,10 +74,18 @@ object Bench {
         f"[bench-diag] $name: reps=${reps.map(r => f"$r%.2f").mkString("/")} median=$median%.2f gc=${gcMillis() - gc0}ms")
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Full-name per-query medians to stderr for humans; the stdout JSON line
+    // uses the short `qNN` ids and 3-decimal seconds so the WHOLE line fits
+    // the driver's 2000-char stdout tail window (BENCH_r01–r03 all recorded
+    // parsed:null because the full-name line overflowed it).
+    results.foreach { case (k, v) =>
+      System.err.println(f"[bench-final] $k%-32s ${v}%.3f s")
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"tables-warmed; per-query median-of-three runs; leaked caches reaped between queries"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-median-of-3"}""")
     spark.stop()
   }
 }

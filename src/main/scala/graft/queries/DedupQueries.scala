@@ -147,11 +147,13 @@ object DedupQueries {
     // Dedup audit: the cluster-size histogram a dataset card quotes ("N
     // pairs, M triples, ... largest cluster K") — two map-side-combinable
     // aggregations over the CC labels.
+    // Star CC (q77's algorithm): same labels as label propagation — q73/q77
+    // hash-match the identical oracle — at roughly half the sweep cost.
     "q88_dedup_stats" -> ((s, dir) => {
       val pairs = TextDedup.minhashLshPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
         k = 8, bandRows = 2, threshold = 0.5)
-      TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
@@ -165,7 +167,7 @@ object DedupQueries {
       val pairs = TextDedup.minhashLshPairs(
         withShingles(docs), "doc_id", "shash",
         k = 8, bandRows = 2, threshold = 0.5)
-      val drop = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
