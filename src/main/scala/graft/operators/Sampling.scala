@@ -28,6 +28,43 @@ object Sampling {
     df.filter(hashBucket(key) < math.round(rate * 10000).toInt)
   }
 
+  /** Repeat-factor data mixing — the upsampling side of mix assembly:
+    * weight w per stratum means every row appears floor(w) times plus one
+    * extra copy kept with probability frac(w). The fractional keep is
+    * decided by md5(key:copy), so the mix is deterministic across
+    * engines/runs/cluster sizes and stable under corpus growth, exactly
+    * like [[hashSample]]. floor/ceil/threshold are computed DRIVER-side
+    * into integer literals (one codegen'd CASE each) — no runtime float
+    * arithmetic whose rounding could diverge between engines.
+    *
+    * Scale shape: explode multiplies rows map-side (no shuffle); the copy
+    * index rides along so downstream shuffles spread duplicated keys.
+    * Weights above `maxWeight` are refused — a fat weight on a fat
+    * stratum silently multiplying the corpus is a config error, not a
+    * plan.
+    */
+  def epochMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weights: Map[String, Double],
+      default: Double,
+      maxWeight: Double = 8.0): DataFrame = {
+    require((default +: weights.values.toSeq).forall(w => w >= 0 && w <= maxWeight),
+      s"epoch weights must be in [0, $maxWeight]")
+    def cases(f: Double => Long): Column =
+      weights.foldLeft(lit(f(default))) { case (acc, (s, w)) =>
+        when(stratum === s, lit(f(w))).otherwise(acc)
+      }
+    val nFull = cases(w => math.floor(w).toLong)
+    val nTotal = cases(w => math.ceil(w).toLong)
+    val fracThreshold = cases(w => math.round((w - math.floor(w)) * 10000))
+    df.withColumn("copy_idx",
+        explode(sequence(lit(0L), greatest(nTotal - 1L, lit(0L)))))
+      .filter(col("copy_idx") < nFull ||
+        hashBucket(concat(key.cast("string"), lit(":"), col("copy_idx"))) < fracThreshold)
+  }
+
   /** Per-stratum rates (e.g. language → keep fraction), `default` for
     * strata not listed. One codegen'd CASE over the stratum column.
     */

@@ -326,6 +326,35 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Containment pairs — the asymmetric companion to [[jaccardPairs]]:
+    * containment = |A∩B| / min(|A|, |B|), which detects a document whose
+    * shingle set is (nearly) a SUBSET of another's — quotes, boilerplate
+    * wrappers, and truncated re-posts that Jaccard misses because the
+    * larger doc dilutes the union. Same inverted-index candidate
+    * generation as jaccardPairs (one equi-join on shingle hash, count
+    * aggregated — never all-pairs), so the 100 TB shape is identical;
+    * only the final scalar differs.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: String,
+      threshold: Double): DataFrame = {
+    val inv = df.filter(size(col(shinglesCol)) > 0)
+      .select(col(idCol), size(col(shinglesCol)).as("__n"),
+        explode(col(shinglesCol)).as("__s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("containment",
+        col("__common").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Connected components over near-duplicate pairs — the step that turns
     * pairwise similarity into dedup DECISIONS: docs in one component form a
     * duplicate cluster whose canonical representative is the minimum id

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Sampling, Scrub}
+import graft.sources.Tables
+
+/** Corpus-curation surface: PII scrubbing, vocabulary coverage, context-
+  * window chunking, and repeat-factor mix assembly over `documents`. The
+  * sf corpora contain no natural PII, so q89 runs on a deterministically
+  * decorated corpus — emails/URLs/phones appended by doc_id modulus,
+  * constructed identically in the oracle SQL (same device as
+  * [[DedupQueries]]' augmented corpus).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def decorated(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now"))).otherwise(col("text")))
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" see https://site"), (col("doc_id") % 9).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"), lit(" today")))
+        .otherwise(col("text")))
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(col("text")))
+
+  private val DecSql =
+    """d1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         ELSE text END AS text FROM documents),
+       d2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         THEN text || ' see https://site' || CAST(doc_id % 9 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' today'
+         ELSE text END AS text FROM d1),
+       dec AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         ELSE text END AS text FROM d2)"""
+
+  val queries: Map[String, Q] = Map(
+    // PII scrub before release: per-doc detection counts plus the md5 of
+    // the redacted text itself — the redaction OUTPUT is hash-verified
+    // against the oracle performing the same RE2-subset replacements.
+    "q89_pii_scrub" -> ((s, dir) => {
+      val d = decorated(s, dir)
+      d.select(col("doc_id"),
+          Scrub.countMatches(col("text"), Scrub.EmailRe).as("n_emails"),
+          Scrub.countMatches(col("text"), Scrub.UrlRe).as("n_urls"),
+          Scrub.countMatches(col("text"), Scrub.PhoneRe).as("n_phones"),
+          md5(Scrub.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+    // Tokenizer-design input: top-100 corpus vocabulary with cumulative
+    // coverage — "how much of the corpus do the k most frequent words
+    // explain". Counts shuffle once (map-side combined); the top-k is a
+    // TakeOrderedAndProject, and the window runs over 100 rows, not the
+    // vocabulary. Coverage = exact-int cumsum / exact-int total, so the
+    // doubles are bit-identical cross-engine.
+    "q91_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("total"))
+      val ord = Seq(col("n").desc, col("word").asc)
+      val cum = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.orderBy(ord: _*).limit(100)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .withColumn("coverage", sum(col("n")).over(cum).cast("double") / col("total"))
+        .select("rank", "word", "n", "coverage")
+        .orderBy("rank")
+    }),
+    // Context-window chunking: split every doc's token stream into
+    // 64-token windows (the shard-prep step before packing/tokenizing).
+    // Chunks are built inside one codegen'd HOF projection — no explode
+    // of tokens, no shuffle; posexplode emits (chunk_idx, chunk) rows.
+    "q92_chunk_split" -> ((s, dir) => {
+      val W = 64
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / W).cast("int")),
+            i => struct(
+              least(lit(W), size(col("toks")) - i * W).cast("long").as("n_tokens"),
+              md5(concat_ws(" ", slice(col("toks"), i * W + lit(1), lit(W))))
+                .as("chunk_md5")))).as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // Mix assembly with repeat factors: src0 seen 2.5x per epoch, src3
+    // downsampled to a quarter, src7 1.75x, everything else once —
+    // deterministic md5(key:copy) fractional membership, integer
+    // thresholds fixed driver-side.
+    "q93_epoch_mix" -> ((s, dir) => {
+      Sampling.epochMix(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        key = col("doc_id"), stratum = col("source"),
+        weights = Map("src0" -> 2.5, "src3" -> 0.25, "src7" -> 1.75),
+        default = 1.0)
+        .select("doc_id", "copy_idx", "source", "lang")
+        .orderBy("doc_id", "copy_idx")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q89_pii_scrub" ->
+      raw"""WITH $DecSql
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${Scrub.EmailRe}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '${Scrub.UrlRe}')) AS BIGINT) AS n_urls,
+            CAST(len(regexp_extract_all(text, '${Scrub.PhoneRe}')) AS BIGINT) AS n_phones,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+              '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+              '${Scrub.UrlRe}', '<URL>', 'g'),
+              '${Scrub.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+          FROM dec ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q91_vocab_coverage" ->
+      raw"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                      FROM documents),
+          c AS (SELECT word, count(*) AS n FROM t GROUP BY word),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+          top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100)
+          SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+            word, n,
+            CAST(CAST(sum(n) OVER (ORDER BY n DESC, word
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / total AS coverage
+          FROM top, tot ORDER BY rank""".replaceAll("\\s+", " "),
+    "q92_chunk_split" ->
+      raw"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                        FROM documents),
+          n AS (SELECT doc_id, toks, ((len(toks) - 1) // 64) + 1 AS nch FROM tok)
+          SELECT doc_id,
+            unnest(range(0, nch)) AS chunk_idx,
+            unnest([least(64, len(toks) - i*64) for i in range(0, nch)]) AS n_tokens,
+            unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
+                    for i in range(0, nch)]) AS chunk_md5
+          FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q93_epoch_mix" ->
+      """WITH w AS (SELECT doc_id, source, lang,
+            CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 ELSE 1 END AS nfull,
+            CASE source WHEN 'src0' THEN 3 WHEN 'src3' THEN 1 WHEN 'src7' THEN 2 ELSE 1 END AS ntot,
+            CASE source WHEN 'src0' THEN 5000 WHEN 'src3' THEN 2500 WHEN 'src7' THEN 7500 ELSE 0 END AS thr
+          FROM documents),
+          e AS (SELECT doc_id, source, lang, nfull, thr,
+                  unnest(range(0, ntot)) AS copy_idx FROM w)
+          SELECT doc_id, copy_idx, source, lang FROM e
+          WHERE copy_idx < nfull OR
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)), 1, 8))::BIGINT % 10000 < thr
+          ORDER BY doc_id, copy_idx""".replaceAll("\\s+", " ")
+  )
+}

@@ -110,6 +110,15 @@ object DedupQueries {
         withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
+    // Asymmetric containment — |A∩B| / min(|A|,|B|): catches a doc whose
+    // shingles are a near-subset of another's (truncated re-posts, quoted
+    // wrappers) that Jaccard dilutes away. The augmented corpus's suffix
+    // copies are exactly this shape.
+    "q90_containment_pairs" -> ((s, dir) => {
+      TextDedup.containmentPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Pairs → dedup DECISIONS: connected components over the q34 near-dup
     // pairs; every doc in a cluster labeled with the component's min id
     // (its canonical representative). Iterative min-label propagation on
@@ -234,6 +243,17 @@ object DedupQueries {
                     GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
           FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q90_containment_pairs" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),
+          inv AS (SELECT doc_id, n, unnest(hs) AS s FROM sized),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                      count(*) AS common
+                    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, CAST(common AS DOUBLE) / least(na, nb) AS containment
+          FROM pairs WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.9
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q73_dedup_clusters" ->
       s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql,

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+import graft.operators.{Sampling, Scrub, TextDedup}
+
+/** Curation operators: PII scrub, containment pairs, epoch mixing, and the
+  * chunking invariants behind q89–q93.
+  */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("redactPii replaces emails, urls and phones; counts match") {
+    val df = Seq(
+      (1L, "mail me at jo.do+x@ex-amp.le.org or visit https://a.b/c_d now"),
+      (2L, "call +1-555-0199 or +44-202-7946 plain text"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = df.select($"id",
+      Scrub.countMatches($"text", Scrub.EmailRe).as("ne"),
+      Scrub.countMatches($"text", Scrub.UrlRe).as("nu"),
+      Scrub.countMatches($"text", Scrub.PhoneRe).as("np"),
+      Scrub.redactPii($"text").as("red")).orderBy("id").collect()
+    assert(out(0) === Row(1L, 1L, 1L, 0L, "mail me at <EMAIL> or visit <URL> now"))
+    assert(out(1) === Row(2L, 0L, 0L, 2L, "call <PHONE> or <PHONE> plain text"))
+    assert(out(2) === Row(3L, 0L, 0L, 0L, "no pii here at all"))
+  }
+
+  test("redaction leaves no residual matches") {
+    val df = Seq("a@b.co sees https://x.y/z and +1-123-4567").toDF("text")
+    val red = df.select(Scrub.redactPii($"text").as("t"))
+    val counts = red.select(
+      Scrub.countMatches($"t", Scrub.EmailRe) +
+        Scrub.countMatches($"t", Scrub.UrlRe) +
+        Scrub.countMatches($"t", Scrub.PhoneRe)).as[Long].head()
+    assert(counts === 0L)
+  }
+
+  test("containmentPairs flags subset docs that Jaccard misses") {
+    // b's shingles ⊂ a's (containment 1.0) but Jaccard = 3/7 < 0.5.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 7 trigram shingles
+      (2L, "w1 w2 w3 w4 w5"), //              3 shingles, all in doc 1
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("shash", TextDedup.shingleHashes("toks", 3))
+    val cont = TextDedup.containmentPairs(docs, "doc_id", "shash", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    val jac = TextDedup.jaccardPairs(docs, "doc_id", "shash", 0.5)
+    assert(jac.count() === 0L)
+  }
+
+  test("epochMix: integer weights repeat exactly, zero drops, fraction is deterministic") {
+    val df = (0L until 400L).map(i => (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else if (i % 4 == 2) "z" else "d"))
+      .toDF("id", "src")
+    val out = Sampling.epochMix(df, $"id", $"src",
+      weights = Map("a" -> 2.0, "b" -> 0.0, "z" -> 0.5), default = 1.0)
+    val bySrc = out.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") === 200L) //                  exactly 2 copies each
+    assert(!bySrc.contains("b")) //                 weight 0 = dropped
+    assert(bySrc("d") === 100L) //                  default 1.0 = identity
+    assert(bySrc("z") > 20L && bySrc("z") < 80L) // ~half kept, hash-decided
+    // determinism: same input → byte-identical sample
+    val again = Sampling.epochMix(df, $"id", $"src",
+      weights = Map("a" -> 2.0, "b" -> 0.0, "z" -> 0.5), default = 1.0)
+    assert(out.exceptAll(again).count() === 0L && again.exceptAll(out).count() === 0L)
+  }
+
+  test("epochMix fractional copies are a subset rule: w=2.5 contains every w=2.0 row") {
+    val df = (0L until 100L).map(i => (i, "a")).toDF("id", "src")
+    val base = Sampling.epochMix(df, $"id", $"src", Map("a" -> 2.0), 1.0)
+    val more = Sampling.epochMix(df, $"id", $"src", Map("a" -> 2.5), 1.0)
+    assert(base.exceptAll(more).count() === 0L)
+    assert(more.count() > base.count())
+  }
+
+  test("chunking reassembles to the original token stream") {
+    val W = 64
+    val docs = SparkFixture.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+    val chunks = docs.select($"doc_id", $"toks",
+        posexplode(transform(
+          sequence(lit(0), floor((size($"toks") - 1) / W).cast("int")),
+          i => concat_ws(" ", slice($"toks", i * W + lit(1), lit(W)))))
+          .as(Seq("chunk_idx", "chunk")))
+    // collect_list order is not guaranteed across a shuffle — sort the
+    // (idx, chunk) structs before joining the text back together.
+    val rejoined = chunks.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct($"chunk_idx", $"chunk"))).as("cs"))
+      .select($"doc_id",
+        concat_ws(" ", transform($"cs", c => c.getField("chunk"))).as("rebuilt"))
+    val diff = docs.select($"doc_id", concat_ws(" ", $"toks").as("orig"))
+      .join(rejoined, "doc_id")
+      .filter($"orig" =!= $"rebuilt")
+    assert(diff.count() === 0L)
+    // every chunk holds at most W tokens, and only the last may hold fewer
+    val bad = chunks
+      .withColumn("n", size(split($"chunk", " ")))
+      .withColumn("nch", ceil(size($"toks") / lit(W.toDouble)))
+      .filter($"n" > W || ($"n" < W && $"chunk_idx" < $"nch" - 1))
+    assert(bad.count() === 0L)
+  }
+}
