@@ -25,6 +25,41 @@ object Analytics {
   /** Mark a dimension table broadcast-able. */
   def dim(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Top-k rows per group via the custom [[graft.plans.TopKPerGroupPlan]]
+    * operator (partial bounded heaps → groups×k-row exchange → final
+    * heaps) instead of the window `row_number <= k` idiom, which sorts the
+    * ENTIRE input behind a full-data exchange. `orderSpec` is (column,
+    * descending?) and must define a total order (tie-break with a unique
+    * id) for deterministic output. Registers the planner strategy on the
+    * session if absent, so plain sessions (driver's Verify/Bench) work
+    * without `withExtensions`. The window-idiom [[topKPerGroup]] below is
+    * the built-in formulation it replaces; both are kept so the plans and
+    * results can be compared (TopKPlanSpec).
+    */
+  def topKPerGroupNative(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graftshim.DatasetShim
+    import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    val analyzed = DatasetShim.analyzed(df)
+    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order = orderSpec.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    DatasetShim.ofRows(spark,
+      TopKPerGroupPlan(groupCols.map(attr), order, k, analyzed))
+  }
+
   /** O5: stable positional slice rows (start, end] in `sortCols` order
     * (reference semantics: DataFrame.slice for a display page).
     *

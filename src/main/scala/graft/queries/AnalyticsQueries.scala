@@ -96,6 +96,20 @@ object AnalyticsQueries {
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "o_orderkey")
     }),
+    // Same top-k-per-group semantics through the CUSTOM Catalyst operator
+    // (TopKPerGroupPlan → partial/final bounded-heap execs): identical
+    // rows to the window idiom, but the exchange carries groups×k rows
+    // instead of the whole orders table. Hash-checked against the same
+    // row_number oracle as q21.
+    "q94_topk_native" -> ((s, dir) => {
+      Analytics.topKPerGroupNative(
+        Tables.orders(s, dir)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3)
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
     // Semi/anti join: per nation, customers with vs without orders.
     // Both branches broadcast the *bucketed key set*? No — at scale the
     // orders side is huge, so semi/anti shuffle on custkey; the nation dim
@@ -204,6 +218,11 @@ object AnalyticsQueries {
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""".replaceAll("\\s+", " "),
     "q21_topk_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+          ORDER BY o_orderpriority, o_orderkey""".replaceAll("\\s+", " "),
+    "q94_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
           QUALIFY row_number() OVER (PARTITION BY o_orderpriority
             ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
