@@ -65,6 +65,27 @@ object Sampling {
         hashBucket(concat(key.cast("string"), lit(":"), col("copy_idx"))) < fracThreshold)
   }
 
+  /** Deterministic dataset split (train/val/test): labels with cumulative
+    * fractions over the same md5 bucket as [[hashSample]]. The LAST label
+    * absorbs the remainder, so fractions must sum to < 1 exclusive of it.
+    * A row's split never changes as the corpus grows, and adding a new
+    * split at the tail never moves existing rows — the properties an
+    * eval-contamination audit depends on.
+    */
+  def assignSplit(key: Column, fractions: Seq[(String, Double)], last: String): Column = {
+    require(fractions.nonEmpty || last.nonEmpty)
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val thresholds = fractions
+      .scanLeft(("", 0L)) { case ((_, cum), (label, f)) =>
+        (label, cum + math.round(f * 10000))
+      }
+      .drop(1)
+    val bucket = hashBucket(key)
+    thresholds.foldRight(lit(last)) { case ((label, cumThreshold), acc) =>
+      when(bucket < cumThreshold, lit(label)).otherwise(acc)
+    }
+  }
+
   /** Per-stratum rates (e.g. language → keep fraction), `default` for
     * strata not listed. One codegen'd CASE over the stratum column.
     */

@@ -97,6 +97,35 @@ object CurationQueries {
           col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // Tokenizer bootstrap: corpus-frequency-weighted adjacent character
+    // pairs — the first BPE merge iteration's candidate table. Pairs are
+    // built inside a codegen'd HOF over each word (no per-character
+    // explode); one map-side-combined count shuffle; top-50 via
+    // TakeOrderedAndProject.
+    "q95_bpe_pairs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    }),
+    // Train/val/test assignment: cumulative md5-bucket thresholds (90/5/5)
+    // — a doc's split never changes as the corpus grows. Reported as the
+    // per-(split, lang) audit table an eval-leakage review reads.
+    "q96_split_assign" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("n_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split", "lang")
+    }),
     // Mix assembly with repeat factors: src0 seen 2.5x per epoch, src3
     // downsampled to a quarter, src7 1.75x, everything else once —
     // deterministic md5(key:copy) fractional membership, integer
@@ -145,6 +174,23 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q95_bpe_pairs" ->
+      raw"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                      FROM documents),
+          p AS (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+                FROM t WHERE len(w) >= 2)
+          SELECT pair, count(*) AS n FROM p GROUP BY pair
+          ORDER BY n DESC, pair LIMIT 50""".replaceAll("\\s+", " "),
+    "q96_split_assign" ->
+      """WITH s AS (SELECT lang, n_chars, doc_id,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+          SELECT split, lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM s GROUP BY split, lang ORDER BY split, lang""".replaceAll("\\s+", " "),
     "q93_epoch_mix" ->
       """WITH w AS (SELECT doc_id, source, lang,
             CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 ELSE 1 END AS nfull,

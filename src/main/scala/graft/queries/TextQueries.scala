@@ -243,6 +243,71 @@ object TextQueries {
           floor(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
         .orderBy("doc_id")
     }),
+    // The shipped filter cascade: min-length → repetition → OOV → corpus-
+    // LM, reported as the attrition funnel (docs and tokens surviving
+    // each stage) that a dataset card publishes. Signal formulas are the
+    // oracle-proven q69/q83/q79 shapes; the funnel itself is one 1-row
+    // aggregation over the doc-level booleans plus a literal 5-row
+    // unpivot — nothing per-doc leaves the executors.
+    "q97_filter_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = Text.tokens(col("text"))
+      val base = docs.select(col("doc_id"), t.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+      val toks = docs.select(col("doc_id"), explode(t).as("tok"))
+      val topc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(20)
+        .select(col("tok"), lit(1).as("__in"))
+      val oov = toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg((sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("oov_rate"))
+      val bi = docs.select(col("doc_id"),
+        explode(Text.wordNgramsFromText(col("text"), 2)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val cBg = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val lm = bi.join(cBg, "bg").join(cW1, "w1")
+        .withColumn("term_fp",
+          floor(-log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term_fp")).as("nll_fp"))
+        .select(col("doc_id"),
+          floor(col("nll_fp").cast("double") / col("n_bigrams")).cast("long")
+            .as("avg_nll_fp"))
+      val sel = base.join(topc, "doc_id").join(oov, "doc_id").join(lm, "doc_id")
+        .select(col("n_tokens").cast("long").as("n_tokens"),
+          (col("n_tokens") >= 24).as("k1"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens") <= 0.65 &&
+            col("top_cnt").cast("double") / col("n_tokens") <= 0.12).as("k2"),
+          (col("oov_rate") <= 0.40).as("k3"),
+          (col("avg_nll_fp") <= 3420000L).as("k4"))
+      val a = sel.agg(
+        count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+        count(when(col("k1"), 1)).as("d1"),
+        sum(when(col("k1"), col("n_tokens"))).as("t1"),
+        count(when(col("k1") && col("k2"), 1)).as("d2"),
+        sum(when(col("k1") && col("k2"), col("n_tokens"))).as("t2"),
+        count(when(col("k1") && col("k2") && col("k3"), 1)).as("d3"),
+        sum(when(col("k1") && col("k2") && col("k3"), col("n_tokens"))).as("t3"),
+        count(when(col("k1") && col("k2") && col("k3") && col("k4"), 1)).as("d4"),
+        sum(when(col("k1") && col("k2") && col("k3") && col("k4"), col("n_tokens"))).as("t4"))
+      a.select(explode(array(
+          struct(lit(0).as("stage_idx"), lit("all").as("stage"),
+            col("d0").as("n_docs"), col("t0").as("n_tokens")),
+          struct(lit(1).as("stage_idx"), lit("min_length").as("stage"),
+            col("d1").as("n_docs"), col("t1").as("n_tokens")),
+          struct(lit(2).as("stage_idx"), lit("repetition").as("stage"),
+            col("d2").as("n_docs"), col("t2").as("n_tokens")),
+          struct(lit(3).as("stage_idx"), lit("oov").as("stage"),
+            col("d3").as("n_docs"), col("t3").as("n_tokens")),
+          struct(lit(4).as("stage_idx"), lit("lm").as("stage"),
+            col("d4").as("n_docs"), col("t4").as("n_tokens")))).as("f"))
+        .select("f.*").orderBy("stage_idx")
+    }),
     // The contamination DECISION applied: the releasable training corpus —
     // train docs sharing >= 2 trigrams with the eval set are dropped via a
     // left-anti join on the (tiny, broadcastable) contaminated-id set.
@@ -469,6 +534,43 @@ object TextQueries {
             CAST(sum(term_fp) AS BIGINT) AS nll_fp,
             CAST(floor(CAST(sum(term_fp) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_fp
           FROM s GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q97_filter_funnel" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          base AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct FROM t),
+          tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          top AS (SELECT doc_id, max(c) AS top_cnt
+                  FROM (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+                  GROUP BY doc_id),
+          v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tc GROUP BY tok
+                                 ORDER BY c DESC, tok ASC LIMIT 20)),
+          oov AS (SELECT tc.doc_id,
+                    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+                  FROM tc LEFT JOIN v ON tc.tok = v.tok GROUP BY tc.doc_id),
+          b AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg FROM t),
+          w AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+          cb AS (SELECT bg, count(*) AS c2 FROM w GROUP BY bg),
+          cu AS (SELECT w1, count(*) AS c1 FROM w GROUP BY w1),
+          lm AS (SELECT w.doc_id,
+                   CAST(floor(CAST(sum(CAST(floor(-ln(CAST(cb.c2 AS DOUBLE) / cu.c1) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                     / count(*)) AS BIGINT) AS avg_nll_fp
+                 FROM w JOIN cb ON w.bg = cb.bg JOIN cu ON w.w1 = cu.w1 GROUP BY w.doc_id),
+          sel AS (SELECT CAST(base.n_tokens AS BIGINT) AS n_tokens,
+                    base.n_tokens >= 24 AS k1,
+                    (CAST(base.n_tokens - base.n_distinct AS DOUBLE) / base.n_tokens <= 0.65
+                      AND CAST(top.top_cnt AS DOUBLE) / base.n_tokens <= 0.12) AS k2,
+                    oov.oov_rate <= 0.40 AS k3,
+                    lm.avg_nll_fp <= 3420000 AS k4
+                  FROM base JOIN top ON base.doc_id = top.doc_id
+                    JOIN oov ON base.doc_id = oov.doc_id
+                    JOIN lm ON base.doc_id = lm.doc_id)
+          SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sel
+          UNION ALL SELECT 1, 'min_length', count(*), CAST(sum(n_tokens) AS BIGINT) FROM sel WHERE k1
+          UNION ALL SELECT 2, 'repetition', count(*), CAST(sum(n_tokens) AS BIGINT) FROM sel WHERE k1 AND k2
+          UNION ALL SELECT 3, 'oov', count(*), CAST(sum(n_tokens) AS BIGINT) FROM sel WHERE k1 AND k2 AND k3
+          UNION ALL SELECT 4, 'lm', count(*), CAST(sum(n_tokens) AS BIGINT) FROM sel WHERE k1 AND k2 AND k3 AND k4
+          ORDER BY stage_idx""".replaceAll("\\s+", " "),
     "q81_decontaminate_apply" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           g AS (SELECT doc_id, unnest(list_distinct(

@@ -77,6 +77,20 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(more.count() > base.count())
   }
 
+  test("assignSplit partitions every row exactly once and is growth-stable") {
+    val small = (0L until 500L).toDF("id")
+      .withColumn("split", Sampling.assignSplit($"id", Seq("train" -> 0.9, "val" -> 0.05), "test"))
+    // total partition: every row gets exactly one label
+    assert(small.filter(!$"split".isin("train", "val", "test")).count() === 0L)
+    val frac = small.filter($"split" === "train").count().toDouble / 500
+    assert(frac > 0.8 && frac < 0.97) // ~90% hash-decided
+    // growth stability: the first 500 ids keep their splits inside a 5000-row corpus
+    val big = (0L until 5000L).toDF("id")
+      .withColumn("split2", Sampling.assignSplit($"id", Seq("train" -> 0.9, "val" -> 0.05), "test"))
+    val moved = small.join(big, "id").filter($"split" =!= $"split2")
+    assert(moved.count() === 0L)
+  }
+
   test("chunking reassembles to the original token stream") {
     val W = 64
     val docs = SparkFixture.spark.read
