@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Runtime registration of every graft SQL function on a live session —
+    * for sessions built without `withExtensions` (the driver's plain
+    * Verify/Bench sessions). Idempotent.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftshim.DatasetShim
+        .registerFunction(spark, ident, info, builder)
+    }
+
   /** The injected function descriptors (also usable directly against a
     * live session's `functionRegistry`).
     */

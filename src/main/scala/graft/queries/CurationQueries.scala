@@ -126,6 +126,18 @@ object CurationQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split", "lang")
     }),
+    // The SQL surface end-to-end: a user who only speaks SQL runs the
+    // library's native codegen'd expressions through the session's
+    // function registry (`graft_simhash60` here) — registered at runtime
+    // for plain sessions, or via withExtensions/spark.sql.extensions.
+    // Bit-parity of the SQL path against the DuckDB reconstruction.
+    "q98_sql_surface" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_sql")
+      s.sql(
+        """SELECT doc_id, graft_simhash60(split(trim(text), '\\s+')) AS simhash
+           FROM graft_docs_sql ORDER BY doc_id""")
+    }),
     // Mix assembly with repeat factors: src0 seen 2.5x per epoch, src3
     // downsampled to a quarter, src7 1.75x, everything else once —
     // deterministic md5(key:copy) fractional membership, integer
@@ -191,6 +203,19 @@ object CurationQueries {
             CAST(sum(n_chars) AS BIGINT) AS n_chars,
             min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM s GROUP BY split, lang ORDER BY split, lang""".replaceAll("\\s+", " "),
+    "q98_sql_surface" ->
+      raw"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                        FROM documents),
+          bs AS (SELECT doc_id,
+                   [list_sum(list_transform(toks,
+                      t -> CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> j) & 1) = 1
+                                THEN 1 ELSE -1 END))
+                    for j in range(0, 60)] AS sums
+                 FROM tok)
+          SELECT doc_id,
+            CAST(list_sum([CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                           for j in range(0, 60)]) AS BIGINT) AS simhash
+          FROM bs ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q93_epoch_mix" ->
       """WITH w AS (SELECT doc_id, source, lang,
             CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 ELSE 1 END AS nfull,

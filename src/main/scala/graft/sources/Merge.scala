@@ -104,6 +104,48 @@ object Merge {
       .parquet(path)
   }
 
+  /** Maintenance for the partitioned sink: every hourly upsert rewrites its
+    * touched partitions as fresh files, so a bucket that keeps receiving
+    * small batches accumulates small files until scans pay per-file open
+    * cost — the classic long-lived-sink failure mode. Compaction rewrites
+    * ONLY buckets holding >= `minFilesToCompact` part-files, coalescing
+    * each to a single file via one hash repartition on the partition
+    * column (all of a bucket's rows land in one task → one file), and
+    * commits with dynamic partition overwrite so untouched buckets' files
+    * are not even opened. Data is byte-for-byte the same rows, just
+    * repacked. Returns the compacted bucket ids.
+    *
+    * File listing is driver-side java.nio (this environment is a local
+    * FS); a cluster deployment swaps in the Hadoop FileSystem listing —
+    * the plan shape (pruned read, dynamic overwrite) is unchanged.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      path: String,
+      minFilesToCompact: Int = 2,
+      partCol: String = "p_bucket"): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    require(Files.exists(root), s"no sink at $path")
+    val prefix = partCol + "="
+    val toCompact = Files.list(root).iterator().asScala
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(prefix))
+      .filter { d =>
+        Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")) >= minFilesToCompact
+      }
+      .map(_.getFileName.toString.stripPrefix(prefix).toInt)
+      .toSeq.sorted
+    if (toCompact.isEmpty) return Nil
+    spark.read.parquet(path)
+      .filter(col(partCol).isin(toCompact: _*)) // directory-pruned read
+      .repartition(col(partCol)) //                one task (= one file) per bucket
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+    toCompact
+  }
+
   /** S8: append-only metrics sink (run history). */
   def appendMetrics(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)

@@ -94,6 +94,41 @@ class MergePipelineSpec extends AnyFunSuite with SparkFixture {
       .select("v").as[String].head() == "X")
   }
 
+  test("compactPartitioned: repacks multi-file buckets, leaves single-file buckets byte-identical") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft_compact").toString + "/sink"
+    // seed, then hammer key 1's bucket with several single-row upserts so
+    // its partition accumulates one file per batch
+    Merge.upsertPartitioned(spark, (1L to 60L).map(i => (i, s"v$i")).toDF("_id", "v"),
+      path, Seq("_id"), numBuckets = 8)
+    for (n <- 1 to 3)
+      Merge.upsertPartitioned(spark, Seq((1L, s"u$n")).toDF("_id", "v"),
+        path, Seq("_id"), numBuckets = 8)
+    def filesPerBucket(): Map[String, Set[(String, Long)]] =
+      Files.list(Paths.get(path)).iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("p_bucket="))
+        .map { d =>
+          d.getFileName.toString -> Files.list(d).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => (f.getFileName.toString, Files.getLastModifiedTime(f).toMillis))
+            .toSet
+        }.toMap
+    val before = filesPerBucket()
+    val multi = before.filter(_._2.size >= 2).keySet
+    assert(multi.nonEmpty) // the hammered bucket really fragmented
+    val data = spark.read.parquet(path).orderBy("_id").collect().toSeq
+    val compacted = Merge.compactPartitioned(spark, path)
+    val after = filesPerBucket()
+    assert(compacted.map(b => s"p_bucket=$b").toSet === multi)
+    assert(multi.forall(b => after(b).size === 1)) //      repacked to one file
+    before.keySet.diff(multi).foreach { b => //            untouched = identical files
+      assert(after(b) === before(b), s"$b was rewritten")
+    }
+    assert(spark.read.parquet(path).orderBy("_id").collect().toSeq === data)
+    assert(Merge.compactPartitioned(spark, path) === Nil) // fixpoint
+  }
+
   test("upsertToPath: creates, merges, idempotent re-run; empty batch no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val path = s"$dir/table"
