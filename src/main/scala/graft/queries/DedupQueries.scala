@@ -153,6 +153,27 @@ object DedupQueries {
         "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("corpus_id", "incoming_id")
     }),
+    // Repeated-passage detection (boilerplate removal's unit of work):
+    // 64-token chunk fingerprints shared across >= 2 docs. Exact copies
+    // share every chunk; the suffix near-copies misalign the 64-token
+    // grid and drop out — exactly the chunk-level-vs-shingle-level
+    // tradeoff this op demonstrates next to q36's shingle ground truth.
+    // One codegen'd HOF projection + one count-distinct shuffle.
+    "q99_repeated_passages" -> ((s, dir) => {
+      val W = 64
+      augmented(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / W).cast("int")),
+            i => md5(concat_ws(" ", slice(col("toks"), i * W + lit(1), lit(W))))))
+            .as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    }),
     // Dedup audit: the cluster-size histogram a dataset card quotes ("N
     // pairs, M triples, ... largest cluster K") — two map-side-combinable
     // aggregations over the CC labels.
@@ -244,6 +265,17 @@ object DedupQueries {
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
           FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q99_repeated_passages" ->
+      raw"""WITH $AugSql,
+          tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug),
+          n AS (SELECT doc_id, toks, ((len(toks) - 1) // 64) + 1 AS nch FROM tok),
+          ch AS (SELECT doc_id,
+                   unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
+                           for i in range(0, nch)]) AS chunk_md5
+                 FROM n)
+          SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY chunk_md5""".replaceAll("\\s+", " "),
     "q90_containment_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),

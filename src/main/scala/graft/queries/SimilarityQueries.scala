@@ -63,6 +63,25 @@ object SimilarityQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", probe(s, dir), "probe_emb", k = 10)
     }),
+    // Hard-negative mining for contrastive training: for each anchor
+    // (every 50th vector), the 3 most-similar vectors with a DIFFERENT
+    // label — the negatives that actually move a contrastive loss.
+    // Anchors broadcast (the tiny side); scoring is map-side; the
+    // per-anchor top-3 runs through the CUSTOM TopKPerGroup operator, so
+    // the post-score exchange carries anchors×3 rows, not anchors×corpus.
+    "q100_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+          col("embedding").as("ae"))
+      val scored = e.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("alabel"))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("ae")))
+        .select("anchor_id", "vec_id", "cosine")
+      graft.operators.Analytics.topKPerGroupNative(
+        scored, Seq("anchor_id"), Seq(("cosine", true), ("vec_id", false)), 3)
+        .orderBy("anchor_id", "vec_id")
+    }),
     // ANN via random-hyperplane LSH (4 bits → 16 buckets): probe's bucket
     // only, then exact cosine top-5 among candidates. The scale path: with
     // a signature-bucketed table layout this reads ~1/16th of the data.
@@ -226,6 +245,16 @@ object SimilarityQueries {
           SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
           FROM embeddings, p WHERE vec_id <> 0
           ORDER BY cosine DESC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q100_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS ae
+                     FROM embeddings WHERE vec_id % 50 = 0),
+          scored AS (SELECT a.anchor_id, e.vec_id,
+                       ${duckCosine("e.embedding", "a.ae")} AS cosine
+                     FROM embeddings e, a WHERE e.label <> a.alabel)
+          SELECT anchor_id, vec_id, cosine FROM scored
+          QUALIFY row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cosine DESC, vec_id ASC) <= 3
+          ORDER BY anchor_id, vec_id""".replaceAll("\\s+", " "),
     "q38_ann_lsh" ->
       s"""WITH sigs AS (SELECT vec_id, embedding, ${duckSig("embedding", 4)} AS sig
                         FROM embeddings),
