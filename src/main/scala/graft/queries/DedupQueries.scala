@@ -188,6 +188,28 @@ object DedupQueries {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
     }),
+    // The release pipeline end-to-end: near-dup clusters → keep canonical
+    // members → quality-filter the survivors (signals rebuilt on the
+    // POST-dedup corpus, the order a real release runs) → deterministic
+    // train/val/test assignment. Output is the release MANIFEST a
+    // training job consumes. Every stage is an operator that is also
+    // oracle-verified standalone (q80, q97, q96) — this query pins the
+    // COMPOSITION.
+    "q101_release_manifest" -> ((s, dir) => {
+      val docs = augmented(s, dir)
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(docs), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
+      graft.operators.QualitySignals.funnelFlags(survivors)
+        .filter(col("k1") && col("k2") && col("k3") && col("k4"))
+        .withColumn("split", graft.operators.Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+        .select("doc_id", "n_tokens", "split")
+        .orderBy("doc_id")
+    }),
     // The dedup DECISION applied: the cleaned corpus — every cluster keeps
     // only its canonical (min-id) member; singletons pass through. The drop
     // set is tiny relative to the corpus, so the anti join broadcasts at
@@ -343,6 +365,51 @@ object DedupQueries {
              sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
              SELECT cluster_size, count(*) AS n_clusters
              FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".replaceAll("\\s+", " ")
+      }) +
+      ("q101_release_manifest" -> {
+        val q73 = oracleSqlBase("q73_dedup_clusters")
+        val labelsTail =
+          """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+             GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+        require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q101")
+        q73.stripSuffix(labelsTail).trim + "," +
+          raw""" labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             surv AS (SELECT a.doc_id, a.text FROM aug a LEFT JOIN labels l ON a.doc_id = l.doc_id
+                      WHERE l.doc_id IS NULL OR l.cluster_id = a.doc_id),
+             t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks2 FROM surv),
+             base2 AS (SELECT doc_id, len(toks2) AS n_tokens,
+                         len(list_distinct(toks2)) AS n_distinct FROM t2),
+             tc2 AS (SELECT doc_id, unnest(toks2) AS tok FROM t2),
+             top2 AS (SELECT doc_id, max(c) AS top_cnt
+                      FROM (SELECT doc_id, tok, count(*) AS c FROM tc2 GROUP BY 1, 2)
+                      GROUP BY doc_id),
+             v2 AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tc2 GROUP BY tok
+                                     ORDER BY c DESC, tok ASC LIMIT 20)),
+             oov2 AS (SELECT tc2.doc_id,
+                        CAST(sum(CASE WHEN v2.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+                      FROM tc2 LEFT JOIN v2 ON tc2.tok = v2.tok GROUP BY tc2.doc_id),
+             b2 AS (SELECT doc_id, unnest([toks2[i] || ' ' || toks2[i+1] for i in range(1, len(toks2))]) AS bg FROM t2),
+             w2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b2),
+             cb2 AS (SELECT bg, count(*) AS c2 FROM w2 GROUP BY bg),
+             cu2 AS (SELECT w1, count(*) AS c1 FROM w2 GROUP BY w1),
+             lm2 AS (SELECT w2.doc_id,
+                       CAST(floor(CAST(sum(CAST(floor(-ln(CAST(cb2.c2 AS DOUBLE) / cu2.c1) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                         / count(*)) AS BIGINT) AS avg_nll_fp
+                     FROM w2 JOIN cb2 ON w2.bg = cb2.bg JOIN cu2 ON w2.w1 = cu2.w1 GROUP BY w2.doc_id),
+             sel2 AS (SELECT base2.doc_id, CAST(base2.n_tokens AS BIGINT) AS n_tokens,
+                        base2.n_tokens >= 24 AS k1,
+                        (CAST(base2.n_tokens - base2.n_distinct AS DOUBLE) / base2.n_tokens <= 0.65
+                          AND CAST(top2.top_cnt AS DOUBLE) / base2.n_tokens <= 0.12) AS k2,
+                        oov2.oov_rate <= 0.40 AS k3,
+                        lm2.avg_nll_fp <= 3420000 AS k4
+                      FROM base2 JOIN top2 ON base2.doc_id = top2.doc_id
+                        JOIN oov2 ON base2.doc_id = oov2.doc_id
+                        JOIN lm2 ON base2.doc_id = lm2.doc_id)
+             SELECT doc_id, n_tokens,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM sel2 WHERE k1 AND k2 AND k3 AND k4 ORDER BY doc_id""".replaceAll("\\s+", " ")
       }) +
       ("q80_dedup_apply" -> {
         val q73 = oracleSqlBase("q73_dedup_clusters")

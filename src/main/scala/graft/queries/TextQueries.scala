@@ -250,41 +250,7 @@ object TextQueries {
     // aggregation over the doc-level booleans plus a literal 5-row
     // unpivot — nothing per-doc leaves the executors.
     "q97_filter_funnel" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val t = Text.tokens(col("text"))
-      val base = docs.select(col("doc_id"), t.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-          size(array_distinct(col("toks"))).as("n_distinct"))
-      val toks = docs.select(col("doc_id"), explode(t).as("tok"))
-      val topc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("tok").asc).limit(20)
-        .select(col("tok"), lit(1).as("__in"))
-      val oov = toks.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg((sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("double") /
-          count(lit(1))).as("oov_rate"))
-      val bi = docs.select(col("doc_id"),
-        explode(Text.wordNgramsFromText(col("text"), 2)).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val cBg = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val lm = bi.join(cBg, "bg").join(cW1, "w1")
-        .withColumn("term_fp",
-          floor(-log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("term_fp")).as("nll_fp"))
-        .select(col("doc_id"),
-          floor(col("nll_fp").cast("double") / col("n_bigrams")).cast("long")
-            .as("avg_nll_fp"))
-      val sel = base.join(topc, "doc_id").join(oov, "doc_id").join(lm, "doc_id")
-        .select(col("n_tokens").cast("long").as("n_tokens"),
-          (col("n_tokens") >= 24).as("k1"),
-          ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens") <= 0.65 &&
-            col("top_cnt").cast("double") / col("n_tokens") <= 0.12).as("k2"),
-          (col("oov_rate") <= 0.40).as("k3"),
-          (col("avg_nll_fp") <= 3420000L).as("k4"))
+      val sel = graft.operators.QualitySignals.funnelFlags(Tables.documents(s, dir))
       val a = sel.agg(
         count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
         count(when(col("k1"), 1)).as("d1"),
