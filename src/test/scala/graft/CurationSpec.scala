@@ -91,6 +91,35 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(moved.count() === 0L)
   }
 
+  test("curation operators are shuffle-free projections (scale shape)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = SparkFixture.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      var n = 0
+      df.queryExecution.executedPlan.foreach {
+        case _: ShuffleExchangeExec => n += 1
+        case p: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p.executedPlan.foreach { case _: ShuffleExchangeExec => n += 1; case _ => }
+        case _ => ()
+      }
+      n
+    }
+    // PII scrub: pure projection over the scan
+    assert(shuffles(docs.select($"doc_id", Scrub.redactPii($"text"))) === 0)
+    // chunking: HOF projection + generate, still no exchange
+    val W = 64
+    assert(shuffles(docs.select($"doc_id",
+      posexplode(transform(
+        sequence(lit(0), floor((size(Text.tokens($"text")) - 1) / W).cast("int")),
+        i => lit(1))))) === 0)
+    // epoch mixing: explode + codegen'd filter, map-side row multiplication
+    assert(shuffles(Sampling.epochMix(
+      docs.select("doc_id", "source"), $"doc_id", $"source",
+      Map("src0" -> 2.5), 1.0)) === 0)
+  }
+
   test("chunking reassembles to the original token stream") {
     val W = 64
     val docs = SparkFixture.spark.read
