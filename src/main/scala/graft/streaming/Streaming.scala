@@ -107,6 +107,45 @@ object Streaming {
       }
   }
 
+  /** Streaming curation scoring: incoming documents scored against
+    * PRECOMPUTED corpus models via a stream-static broadcast join — the
+    * production shape for filtering an ingest stream, where global
+    * signals (vocabulary, thresholds) come from the last batch release
+    * and scoring itself is stateless (append mode, no watermark, no
+    * state store).
+    *
+    * The static side collapses to one broadcast row carrying the vocab
+    * array; per-doc flags are codegen'd HOFs over the token array
+    * (length, dup-token fraction, OOV rate) — nothing global is computed
+    * on the stream. Mirrors [[graft.operators.QualitySignals]]'s k1–k3
+    * definitions.
+    */
+  def curationScoreStream(
+      docs: DataFrame,
+      vocabStatic: DataFrame,
+      vocabCol: String = "tok",
+      minTokens: Int = 24,
+      maxDupFrac: Double = 0.65,
+      maxOovRate: Double = 0.40): DataFrame = {
+    val v = vocabStatic.agg(collect_list(col(vocabCol)).as("__vocab"))
+      .withColumn("__k", lit(1))
+    val toks = graft.functions.Text.tokens(col("text"))
+    docs.withColumn("__k", lit(1))
+      .join(broadcast(v), "__k") //                 stream-static broadcast join
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("dup_frac",
+        (col("n_tokens") - size(array_distinct(col("toks")))).cast("double") /
+          col("n_tokens"))
+      .withColumn("oov_rate",
+        (col("n_tokens") - size(expr("filter(toks, t -> array_contains(__vocab, t))")))
+          .cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens).as("k_len"),
+        (col("dup_frac") <= maxDupFrac).as("k_rep"),
+        (col("oov_rate") <= maxOovRate).as("k_oov"))
+  }
+
   /** §3.1 as a stream: micro-batch → keep-last dedup → idempotent MERGE →
     * metrics append, all inside `foreachBatch` (same operators as the batch
     * pipeline). Exactly-once via checkpoint + idempotent sink.

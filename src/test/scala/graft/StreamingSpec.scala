@@ -70,6 +70,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("curationScoreStream: stateless stream-static scoring against a static vocab") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val vocab = Seq("the", "a", "row", "table").toDF("tok")
+    val out = Streaming.curationScoreStream(
+      mem.toDF().toDF("doc_id", "text"), vocab,
+      minTokens = 4, maxDupFrac = 0.5, maxOovRate = 0.5)
+    val sink = out.writeStream.format("memory").queryName("curation_scores")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "the a row table the a"), //    6 toks, dup 2/6, all in vocab
+      (2L, "x x x x x x"), //              dup 5/6 -> fails k_rep; oov 1.0 -> fails k_oov
+      (3L, "too short")) //                2 toks -> fails k_len
+    sink.processAllAvailable()
+    sink.stop()
+    val rows = spark.table("curation_scores")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 6L, true, true, true),
+      (2L, 6L, true, false, false),
+      (3L, 2L, false, true, false)))
+  }
+
   test("incrementalMergeSink: dedup + idempotent merge + metrics per micro-batch") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
