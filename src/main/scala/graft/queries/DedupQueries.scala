@@ -195,20 +195,25 @@ object DedupQueries {
     // training job consumes. Every stage is an operator that is also
     // oracle-verified standalone (q80, q97, q96) — this query pins the
     // COMPOSITION.
-    "q101_release_manifest" -> ((s, dir) => {
-      val docs = augmented(s, dir)
-      val pairs = TextDedup.minhashLshPairs(
-        withShingles(docs), "doc_id", "shash",
-        k = 8, bandRows = 2, threshold = 0.5)
-      val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
-        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
-      graft.operators.QualitySignals.funnelFlags(survivors)
-        .filter(col("k1") && col("k2") && col("k3") && col("k4"))
-        .withColumn("split", graft.operators.Sampling.assignSplit(
-          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
-        .select("doc_id", "n_tokens", "split")
-        .orderBy("doc_id")
+    "q101_release_manifest" -> ((s, dir) =>
+      releaseManifest(s, dir).orderBy("doc_id")),
+    // The manifest EXPORTED: written through the hash-bucket-partitioned
+    // sink, compacted (the nightly maintenance pass), and read back — the
+    // oracle checks the post-compaction on-disk contents via the
+    // per-split release totals, putting write + compaction + read-back
+    // under the correctness gate the way q67 does for the events sink.
+    "q102_release_export" -> ((s, dir) => {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q102").toString + "/sink"
+      graft.sources.Merge.upsertPartitioned(
+        s, releaseManifest(s, dir), sink, Seq("doc_id"), numBuckets = 8)
+      graft.sources.Merge.compactPartitioned(s, sink)
+      s.read.parquet(sink)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
     }),
     // The dedup DECISION applied: the cleaned corpus — every cluster keeps
     // only its canonical (min-id) member; singletons pass through. The drop
@@ -226,6 +231,24 @@ object DedupQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** q101's frame (unordered): star-CC dedup keeps canonical members,
+    * funnel signals rebuilt on the post-dedup corpus, split assigned.
+    */
+  private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = augmented(s, dir)
+    val pairs = TextDedup.minhashLshPairs(
+      withShingles(docs), "doc_id", "shash",
+      k = 8, bandRows = 2, threshold = 0.5)
+    val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
+    graft.operators.QualitySignals.funnelFlags(survivors)
+      .filter(col("k1") && col("k2") && col("k3") && col("k4"))
+      .withColumn("split", graft.operators.Sampling.assignSplit(
+        col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+      .select("doc_id", "n_tokens", "split")
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q32_dedup_exact" ->
@@ -354,19 +377,20 @@ object DedupQueries {
             WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
             ORDER BY corpus_id, incoming_id""".replaceAll("\\s+", " ")) +
-      ("q88_dedup_stats" -> {
-        val q73 = oracleSqlBase("q73_dedup_clusters")
-        val labelsTail =
-          """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
-             GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
-        require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q88")
-        q73.stripSuffix(labelsTail).trim + "," +
-          """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-             sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
-             SELECT cluster_size, count(*) AS n_clusters
-             FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".replaceAll("\\s+", " ")
+      ("q101_release_manifest" -> q101OracleSql) +
+      ("q102_release_export" -> {
+        val base = q101OracleSql
+        val tail = " ORDER BY doc_id"
+        require(base.endsWith(tail), "q101 oracle tail changed; update q102")
+        s"""SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM (${base.stripSuffix(tail)}) m
+            GROUP BY split ORDER BY split""".replaceAll("\\s+", " ")
       }) +
-      ("q101_release_manifest" -> {
+      ("q88_dedup_stats" -> q88OracleSqlEntry) +
+      ("q80_dedup_apply" -> q80OracleSqlEntry)
+
+  private lazy val q101OracleSql: String = {
         val q73 = oracleSqlBase("q73_dedup_clusters")
         val labelsTail =
           """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
@@ -410,18 +434,32 @@ object DedupQueries {
                     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
                     ELSE 'test' END AS split
              FROM sel2 WHERE k1 AND k2 AND k3 AND k4 ORDER BY doc_id""".replaceAll("\\s+", " ")
-      }) +
-      ("q80_dedup_apply" -> {
-        val q73 = oracleSqlBase("q73_dedup_clusters")
-        val labelsTail =
-          """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
-             GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
-        require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q80")
-        q73.stripSuffix(labelsTail).trim + "," +
-          """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-             SELECT a.doc_id, len(a.text) AS n_chars
-             FROM aug a LEFT JOIN labels l ON a.doc_id = l.doc_id
-             WHERE l.doc_id IS NULL OR l.cluster_id = a.doc_id
-             ORDER BY a.doc_id""".replaceAll("\\s+", " ")
-      })
+  }
+
+  private lazy val q88OracleSqlEntry: String = {
+    val q73 = oracleSqlBase("q73_dedup_clusters")
+    val labelsTail =
+      """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+         GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+    require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q88")
+    q73.stripSuffix(labelsTail).trim + "," +
+      """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".replaceAll("\\s+", " ")
+  }
+
+  private lazy val q80OracleSqlEntry: String = {
+    val q73 = oracleSqlBase("q73_dedup_clusters")
+    val labelsTail =
+      """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+         GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+    require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q80")
+    q73.stripSuffix(labelsTail).trim + "," +
+      """ labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT a.doc_id, len(a.text) AS n_chars
+         FROM aug a LEFT JOIN labels l ON a.doc_id = l.doc_id
+         WHERE l.doc_id IS NULL OR l.cluster_id = a.doc_id
+         ORDER BY a.doc_id""".replaceAll("\\s+", " ")
+  }
 }
