@@ -54,6 +54,22 @@ object ScaleProbe {
       .connectedComponentsStarWithRounds(pairs, "doc_a", "doc_b", maxRounds = 30)
     val nClusters = time("star CC")(labels.select("cluster_id").distinct().count())
     println(s"[scale] clustered docs = ${labels.count()}, clusters = $nClusters, rounds = $rounds")
+    // r4: release-pipeline stages over the same replicated corpus —
+    // dedup-apply, corpus-global funnel signals (vocab + bigram LM
+    // rebuilt on survivors), split assignment.
+    val drop = labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val survivors = big.join(drop, Seq("doc_id"), "left_anti")
+    val nSurv = time("dedup apply")(survivors.count())
+    val flags = graft.operators.QualitySignals.funnelFlags(survivors)
+    val nKept = time("funnel flags")(
+      flags.filter(col("k1") && col("k2") && col("k3") && col("k4")).count())
+    val manifest = graft.operators.QualitySignals.funnelFlags(survivors)
+      .filter(col("k1") && col("k2") && col("k3") && col("k4"))
+      .withColumn("split", graft.operators.Sampling.assignSplit(
+        col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+    val splits = time("manifest + split")(
+      manifest.groupBy("split").count().collect().sortBy(_.getString(0)).toSeq)
+    println(s"[scale] survivors = $nSurv, funnel kept = $nKept, splits = $splits")
     pairs.unpersist()
     spark.stop()
   }
