@@ -232,8 +232,11 @@ object DedupQueries {
     })
   )
 
-  /** q101's frame (unordered): star-CC dedup keeps canonical members,
-    * funnel signals rebuilt on the post-dedup corpus, split assigned.
+  /** q101's frame (unordered) — the complete release: star-CC dedup keeps
+    * canonical members; the held-out eval slice (doc_id % 37 = 0) is
+    * excluded and train docs sharing >= 2 hashed trigrams with it are
+    * decontaminated away (the q81 production config); funnel signals are
+    * rebuilt on the released corpus; splits assigned deterministically.
     */
   private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
     val docs = augmented(s, dir)
@@ -243,7 +246,14 @@ object DedupQueries {
     val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
-    graft.operators.QualitySignals.funnelFlags(survivors)
+    val contaminated = TextDedup.contaminationPairs(
+      survivors.filter(col("doc_id") % 37 =!= 0),
+      survivors.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+      .select(col("train_id").as("doc_id")).distinct()
+    val released = survivors.filter(col("doc_id") % 37 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    graft.operators.QualitySignals.funnelFlags(released)
       .filter(col("k1") && col("k2") && col("k3") && col("k4"))
       .withColumn("split", graft.operators.Sampling.assignSplit(
         col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
@@ -400,7 +410,19 @@ object DedupQueries {
           raw""" labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
              surv AS (SELECT a.doc_id, a.text FROM aug a LEFT JOIN labels l ON a.doc_id = l.doc_id
                       WHERE l.doc_id IS NULL OR l.cluster_id = a.doc_id),
-             t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks2 FROM surv),
+             tp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks FROM surv),
+             g3 AS (SELECT doc_id, unnest(list_distinct(
+                      [tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] for i in range(1, len(tks) - 1)])) AS g
+                    FROM tp),
+             h3 AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g3),
+             tr3 AS (SELECT * FROM h3 WHERE doc_id % 37 <> 0),
+             ev3 AS (SELECT * FROM h3 WHERE doc_id % 37 = 0),
+             bad3 AS (SELECT tr3.doc_id AS train_id
+                      FROM tr3 JOIN ev3 ON tr3.hg = ev3.hg
+                      GROUP BY tr3.doc_id, ev3.doc_id HAVING count(*) >= 2),
+             rel AS (SELECT s.doc_id, s.text FROM surv s WHERE s.doc_id % 37 <> 0
+                     AND s.doc_id NOT IN (SELECT train_id FROM bad3)),
+             t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks2 FROM rel),
              base2 AS (SELECT doc_id, len(toks2) AS n_tokens,
                          len(list_distinct(toks2)) AS n_distinct FROM t2),
              tc2 AS (SELECT doc_id, unnest(toks2) AS tok FROM t2),
