@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Sampling, Scrub}
+import graft.operators.{Curate, Sampling, Scrub}
 import graft.sources.Tables
 
 /** Corpus-curation surface: PII scrubbing, vocabulary coverage, context-
@@ -150,6 +150,60 @@ object CurationQueries {
         default = 1.0)
         .select("doc_id", "copy_idx", "source", "lang")
         .orderBy("doc_id", "copy_idx")
+    }),
+    // Token-budgeted mix assembly: every source capped at a token budget
+    // (src0 squeezed, src5 uncapped, 400 tokens for the rest) by the
+    // integer cross-multiplication membership test — the "N tokens of
+    // web, M of code" primitive. Output is the per-source audit a mix
+    // designer reads: corpus totals never shuffle, only the tiny
+    // per-source totals broadcast.
+    "q103_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Curate.tokenBudget(d, col("doc_id"), col("source"), col("n_tokens"),
+        budgets = Map("src0" -> 200L, "src5" -> 1000000L), default = 400L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_kept"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+    // Deterministic training order: md5-ordered global shuffle into 8
+    // shards; the per-shard digest pins the EXACT order (checksum =
+    // Σ pos·doc_id is order-sensitive) plus the first doc each data
+    // loader would read. The window is the write plan itself — hash
+    // exchange on shard, sort within.
+    "q104_training_order" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Curate.trainingOrder(d, col("doc_id"), nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"),
+          min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+        .orderBy("shard")
+    }),
+    // First-seen trigram novelty: how much of each doc is new relative to
+    // every lower-id doc — the contribution score behind "prune documents
+    // that add nothing". Inverted-index shape; shuffles carry 8-byte gram
+    // hashes only.
+    "q106_ngram_novelty" -> ((s, dir) => {
+      Curate.noveltyScore(
+        Tables.documents(s, dir).withColumn("toks", Text.tokens(col("text"))),
+        "doc_id", "toks", n = 3)
+        .orderBy("doc_id")
+    }),
+    // Quality-prune curve: docs/tokens per quality decile at grid
+    // resolution — "what do we lose cutting the bottom k/10" — computed
+    // without a global sort (one agg to ≤10001 cells, window over cells).
+    "q107_prune_curve" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+      Curate.pruneCurve(
+        d.withColumn("quality", Text.qualityScore(col("text"), col("toks")))
+          .withColumn("n_tokens", size(col("toks")).cast("long")),
+        col("quality"), col("n_tokens"), buckets = 10, grid = 10000)
     })
   )
 
@@ -227,6 +281,68 @@ object CurationQueries {
           SELECT doc_id, copy_idx, source, lang FROM e
           WHERE copy_idx < nfull OR
             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)), 1, 8))::BIGINT % 10000 < thr
-          ORDER BY doc_id, copy_idx""".replaceAll("\\s+", " ")
+          ORDER BY doc_id, copy_idx""".replaceAll("\\s+", " "),
+    "q103_token_budget" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+          t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY source),
+          k AS (SELECT d.* FROM d JOIN t USING (source)
+                WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) * total
+                      < 10000::BIGINT * (CASE source WHEN 'src0' THEN 200 WHEN 'src5' THEN 1000000 ELSE 400 END))
+          SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM k GROUP BY source ORDER BY source""".replaceAll("\\s+", " "),
+    "q104_training_order" ->
+      raw"""WITH d AS (SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+            md5('ord:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+          r AS (SELECT doc_id, n_tokens,
+                  ('0x' || substr(okey, 1, 8))::BIGINT % 8 AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(okey, 1, 8))::BIGINT % 8
+                    ORDER BY okey, doc_id) AS BIGINT) AS pos
+                FROM d)
+          SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+            min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+          FROM r GROUP BY shard ORDER BY shard""".replaceAll("\\s+", " "),
+    "q106_ngram_novelty" ->
+      raw"""WITH tp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                       FROM documents),
+          h AS (SELECT doc_id, unnest(list_distinct(
+                  [((th[i]*8191 + th[i+1]) % 4294967296 * 8191 + th[i+2]) % 4294967296
+                   for i in range(1, greatest(len(th) - 1, 1))])) AS g
+                FROM (SELECT doc_id,
+                        [('0x' || substr(md5(t), 1, 8))::BIGINT for t in toks] AS th
+                      FROM tp)),
+          f AS (SELECT g, min(doc_id) AS first_id FROM h GROUP BY g),
+          agg AS (SELECT h.doc_id, count(*) AS n_grams,
+                    CAST(sum(CASE WHEN f.first_id = h.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                  FROM h JOIN f USING (g) GROUP BY h.doc_id)
+          SELECT doc_id, n_grams, n_novel,
+            CAST(n_novel AS DOUBLE) / n_grams AS novelty
+          FROM agg ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q107_prune_curve" ->
+      raw"""WITH t AS (SELECT text, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+          q AS (SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+                  least(len(text), 400) / 400.0 * 0.5
+                    + (1.0 - CAST(len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                      / len(toks)) * 0.5 AS quality
+                FROM t),
+          c AS (SELECT CAST(floor(quality * 10000) AS BIGINT) AS cell,
+                  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM q GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+          b AS (SELECT cell, n_docs, n_tokens,
+                  CAST(least(CAST(floor(
+                    CAST(sum(n_docs) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) - n_docs AS DOUBLE)
+                    * 10 / total) AS BIGINT) + 1, 10) AS BIGINT) AS bucket
+                FROM c, tot)
+          SELECT bucket, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            min(cell) AS min_cell, max(cell) AS max_cell
+          FROM b GROUP BY bucket ORDER BY bucket""".replaceAll("\\s+", " ")
   )
 }

@@ -188,6 +188,31 @@ object DedupQueries {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
     }),
+    // Canonical selection by QUALITY, not min-id: each near-dup cluster
+    // keeps its highest-quality member (ties → lower id; the exact-copy
+    // clusters exercise the tie-break). The choice runs through the custom
+    // Catalyst top-k-per-group operator (k=1) — the exchange carries one
+    // row per cluster, not every member behind a window sort — composing
+    // the q94 operator tier into the dedup pipeline.
+    "q105_cluster_canonical" -> ((s, dir) => {
+      val docs = augmented(s, dir)
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(docs), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      val labels = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      val quality = docs
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          Text.qualityScore(col("text"), col("toks")).as("quality"))
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      graft.operators.Analytics.topKPerGroupNative(
+          labels.join(quality, "doc_id"),
+          Seq("cluster_id"), Seq(("quality", true), ("doc_id", false)), k = 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"), col("quality"))
+        .join(sizes, "cluster_id")
+        .orderBy("cluster_id")
+    }),
     // The release pipeline end-to-end: near-dup clusters → keep canonical
     // members → quality-filter the survivors (signals rebuilt on the
     // POST-dedup corpus, the order a real release runs) → deterministic
@@ -398,7 +423,35 @@ object DedupQueries {
             GROUP BY split ORDER BY split""".replaceAll("\\s+", " ")
       }) +
       ("q88_dedup_stats" -> q88OracleSqlEntry) +
-      ("q80_dedup_apply" -> q80OracleSqlEntry)
+      ("q80_dedup_apply" -> q80OracleSqlEntry) +
+      ("q105_cluster_canonical" -> q105OracleSql)
+
+  /** q105: the q73 cluster CTE extended with per-member quality (the q28
+    * formula on the augmented corpus) and a QUALIFY top-1 per cluster.
+    */
+  private lazy val q105OracleSql: String = {
+    val q73 = oracleSqlBase("q73_dedup_clusters")
+    val labelsTail =
+      """SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+         GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " ")
+    require(q73.endsWith(labelsTail), "q73 oracle tail changed; update q105")
+    q73.stripSuffix(labelsTail).trim + "," +
+      raw""" labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        qt AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug),
+        qual AS (SELECT doc_id,
+          least(len(text), 400) / 400.0 * 0.5
+            + (1.0 - CAST(len(list_filter(toks,
+                x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+              / len(toks)) * 0.5 AS quality
+          FROM qt),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
+        best AS (SELECT l.cluster_id, l.doc_id AS canonical_id, q.quality
+                 FROM labels l JOIN qual q USING (doc_id)
+                 QUALIFY row_number() OVER (
+                   PARTITION BY l.cluster_id ORDER BY q.quality DESC, l.doc_id) = 1)
+        SELECT b.cluster_id, b.canonical_id, b.quality, sz.cluster_size
+        FROM best b JOIN sz USING (cluster_id) ORDER BY cluster_id""".replaceAll("\\s+", " ")
+  }
 
   private lazy val q101OracleSql: String = {
         val q73 = oracleSqlBase("q73_dedup_clusters")
