@@ -70,6 +70,23 @@ object ScaleProbe {
     val splits = time("manifest + split")(
       manifest.groupBy("split").count().collect().sortBy(_.getString(0)).toSeq)
     println(s"[scale] survivors = $nSurv, funnel kept = $nKept, splits = $splits")
+    // r4 continuation: corpus-assembly ops over the same replicated corpus —
+    // first-seen novelty (inverted-index pair of passes), token-budget mix,
+    // and the training-order window at write-shard granularity.
+    val toks = big.withColumn("toks", graft.functions.Text.tokens(col("text")))
+    val novel = graft.operators.Curate.noveltyScore(toks, "doc_id", "toks", n = 3)
+    val nNovel = time("novelty score")(novel.count())
+    val lowNovel = novel.filter(col("novelty") < 0.5).count()
+    println(s"[scale] novelty rows = $nNovel, low-novelty docs = $lowNovel")
+    val budgeted = graft.operators.Curate.tokenBudget(
+      big.withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))).cast("long")),
+      col("doc_id"), col("doc_id") % 20, col("n_tokens"),
+      budgets = Map.empty, default = 40000L)
+    val nBudget = time("token budget")(budgeted.count())
+    val ordered = graft.operators.Curate.trainingOrder(big, col("doc_id"), nShards = 64)
+    val nOrd = time("training order")(
+      ordered.groupBy("shard").agg(max("pos")).count())
+    println(s"[scale] budget kept = $nBudget, shards = $nOrd")
     pairs.unpersist()
     spark.stop()
   }
