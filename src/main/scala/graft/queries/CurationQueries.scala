@@ -44,6 +44,9 @@ object CurationQueries {
          THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
          ELSE text END AS text FROM d2)"""
 
+  /** URL-host extractor shared by q108 and its oracle (RE2∩Java subset). */
+  private val DomainRe = "https://([a-z0-9.-]+)/"
+
   val queries: Map[String, Q] = Map(
     // PII scrub before release: per-doc detection counts plus the md5 of
     // the redacted text itself — the redaction OUTPUT is hash-verified
@@ -194,6 +197,23 @@ object CurationQueries {
         "doc_id", "toks", n = 3)
         .orderBy("doc_id")
     }),
+    // Per-DOMAIN token caps (the "no single site dominates the corpus"
+    // rule): domain extracted from the decorated corpus's URLs (RE2∩Java
+    // regex, '' → "(none)"), then the same integer-cross-multiplication
+    // budget as q103 with the extracted domain as the stratum. Docs
+    // without a URL pool into one heavily-downsampled stratum.
+    "q108_domain_cap" -> ((s, dir) => {
+      val domain = regexp_extract(col("text"), DomainRe, 1)
+      val d = decorated(s, dir)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+        .withColumn("domain", when(domain === "", "(none)").otherwise(domain))
+      Curate.tokenBudget(d, col("doc_id"), col("domain"), col("n_tokens"),
+        budgets = Map.empty, default = 300L)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_kept"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("domain")
+    }),
     // Quality-prune curve: docs/tokens per quality decile at grid
     // resolution — "what do we lose cutting the bottom k/10" — computed
     // without a global sort (one agg to ≤10001 cells, window over cells).
@@ -322,6 +342,20 @@ object CurationQueries {
           SELECT doc_id, n_grams, n_novel,
             CAST(n_novel AS DOUBLE) / n_grams AS novelty
           FROM agg ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q108_domain_cap" ->
+      raw"""WITH $DecSql,
+          d AS (SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                  CASE WHEN regexp_extract(text, '$DomainRe', 1) = '' THEN '(none)'
+                       ELSE regexp_extract(text, '$DomainRe', 1) END AS domain
+                FROM dec),
+          t AS (SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY domain),
+          k AS (SELECT d.* FROM d JOIN t USING (domain)
+                WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) * total
+                      < 10000::BIGINT * 300)
+          SELECT domain, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM k GROUP BY domain ORDER BY domain""".replaceAll("\\s+", " "),
     "q107_prune_curve" ->
       raw"""WITH t AS (SELECT text, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),

@@ -271,11 +271,19 @@ object DedupQueries {
     val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
+    // The contamination decision set is tiny (dozens of ids) but its
+    // lineage holds the full gram join; downstream funnel signals
+    // reference the released corpus ~7× — without truncation each pass
+    // re-runs decontamination (measured: q101 5.4 s → 12 s when the stage
+    // landed). localCheckpoint materializes the DECISION once (rule 10's
+    // device); at 100 TB this is the dedup-decisions table a release
+    // pipeline writes between stages anyway (q102 does exactly that).
     val contaminated = TextDedup.contaminationPairs(
       survivors.filter(col("doc_id") % 37 =!= 0),
       survivors.filter(col("doc_id") % 37 === 0),
       "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
       .select(col("train_id").as("doc_id")).distinct()
+      .localCheckpoint(true)
     val released = survivors.filter(col("doc_id") % 37 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     graft.operators.QualitySignals.funnelFlags(released)

@@ -119,6 +119,27 @@ object TextQueries {
         "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
         .orderBy("train_id", "test_id")
     }),
+    // The audit REPORT side of decontamination: one row per eval doc —
+    // how many train docs hit it, the worst overlap, total shared grams —
+    // with clean docs present at zero (an eval-integrity review needs to
+    // see the zeros, not just the hits). Rollup of the q75 pair frame;
+    // the eval slice is tiny, so the completing left join broadcasts.
+    "q109_contamination_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.TextDedup.contaminationPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+      val perEval = pairs.groupBy("test_id")
+        .agg(count(lit(1)).as("n_train_hits"),
+          max("n_shared").as("max_shared"),
+          sum("n_shared").as("total_shared"))
+      docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("test_id"))
+        .join(perEval, Seq("test_id"), "left")
+        .na.fill(0L, Seq("n_train_hits", "max_shared", "total_shared"))
+        .orderBy("test_id")
+    }),
     // Gopher/C4-style repetition quality filters: duplicate-token fraction
     // and most-common-token dominance, plus the keep decision. The top-token
     // count is a real two-level aggregation (doc×token → doc), both with
@@ -437,6 +458,26 @@ object TextQueries {
           FROM train JOIN test ON train.hg = test.hg
           GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY train_id, test_id""".replaceAll("\\s+", " "),
+    "q109_contamination_report" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM t),
+          h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g),
+          train AS (SELECT * FROM h WHERE doc_id % 37 <> 0),
+          test AS (SELECT * FROM h WHERE doc_id % 37 = 0),
+          p AS (SELECT train.doc_id AS train_id, test.doc_id AS test_id, count(*) AS n_shared
+                FROM train JOIN test ON train.hg = test.hg
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+          r AS (SELECT test_id, count(*) AS n_train_hits,
+                  max(n_shared) AS max_shared,
+                  CAST(sum(n_shared) AS BIGINT) AS total_shared
+                FROM p GROUP BY test_id),
+          e AS (SELECT doc_id AS test_id FROM documents WHERE doc_id % 37 = 0)
+          SELECT e.test_id, coalesce(n_train_hits, 0) AS n_train_hits,
+            coalesce(max_shared, 0) AS max_shared,
+            coalesce(total_shared, 0) AS total_shared
+          FROM e LEFT JOIN r USING (test_id) ORDER BY test_id""".replaceAll("\\s+", " "),
     "q69_quality_filters" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           base AS (SELECT doc_id, len(toks) AS n_tokens,
