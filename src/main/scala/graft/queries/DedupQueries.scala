@@ -110,6 +110,19 @@ object DedupQueries {
         withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
+    // The PRODUCTION configuration of exact Jaccard: shingles appearing in
+    // more than maxShingleDf docs are dropped from the universe before
+    // indexing, bounding the join's worst term at df² (the dial that makes
+    // ground-truth verification affordable at 100 TB). q36 verifies the
+    // uncapped semantics; this puts the capped semantics themselves —
+    // per-doc set sizes recomputed over survivors included — under the
+    // hash gate.
+    "q110_jaccard_capped" -> ((s, dir) => {
+      TextDedup.jaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        threshold = 0.5, maxShingleDf = 8L)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Asymmetric containment — |A∩B| / min(|A|,|B|): catches a doc whose
     // shingles are a near-subset of another's (truncated re-posts, quoted
     // wrappers) that Jaccard dilutes away. The augmented corpus's suffix
@@ -349,6 +362,21 @@ object DedupQueries {
           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
                       count(*) AS common
                     FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+          FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q110_jaccard_capped" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
+          keepsh AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 8),
+          kept AS (SELECT inv0.doc_id, inv0.s FROM inv0 JOIN keepsh USING (s)),
+          sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      sa.n AS na, sb.n AS nb, count(*) AS common
+                    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                    JOIN sized sa ON sa.doc_id = a.doc_id
+                    JOIN sized sb ON sb.doc_id = b.doc_id
                     GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
           FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5

@@ -27,6 +27,21 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) === Row(3L, 0L, 0L, 0L, "no pii here at all"))
   }
 
+  test("q101: contamination decision is a truncated (LogicalRDD) leaf") {
+    // funnelFlags references the released corpus ~7×; if the contamination
+    // decision frame's lineage is not checkpoint-truncated, every reference
+    // re-runs the gram join (measured q101 5.4 → 12 s when the stage first
+    // landed). The eager localCheckpoint shows up as a single-column
+    // LogicalRDD [doc_id#N] leaf — the two-column labels checkpoint from
+    // star CC does not match this pattern.
+    val df = SparkEntry.queries("q101_release_manifest")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("LogicalRDD \\[doc_id#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"contamination decision frame must be eagerly checkpointed; leaves: " +
+        "LogicalRDD[^\\n]*".r.findAllIn(plan).mkString(" | "))
+  }
+
   test("redaction leaves no residual matches") {
     val df = Seq("a@b.co sees https://x.y/z and +1-123-4567").toDF("text")
     val red = df.select(Scrub.redactPii($"text").as("t"))
