@@ -161,6 +161,39 @@ object SimilarityQueries {
         "vec_id", "embedding", "sig", threshold = 0.999)
         .orderBy("vec_a", "vec_b")
     }),
+    // q54's documented 100×-scale shape MATERIALIZED: the IVF index written
+    // as a centroid-partitioned parquet layout, the probe reading ONLY its
+    // nProbe=4 nearest partitions (directory-level pruning — the scan never
+    // opens the other 12 buckets; asserted in ExtendedOpsSpec). The 4
+    // probe-bucket ids are a bounded 4-row collect (a scalar probe, like
+    // the max-id probes). Same semantics as q54 → same oracle, with the
+    // physical round-trip in between.
+    "q111_ann_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft_q111").toString + "/ivf"
+      Similarity.ivfAssign(
+          emb.select("vec_id", "embedding"), "vec_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(layout)
+      val probeBuckets = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", Similarity.l2sq(col("embedding"), col("centroid_emb")))
+        .orderBy(col("__dist").asc, col("centroid_id").asc)
+        .limit(4)
+        .select("centroid_id").collect().map(_.getLong(0)).toSeq
+      val probeEmb = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      s.read.parquet(layout)
+        .filter(col("centroid_id").isin(probeBuckets: _*))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probeEmb))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
     // IVF-style ANN: 16 coarse centroids (deterministically the first 16
     // vectors — a stand-in for k-means training), every vector assigned to
     // its nearest centroid, probe searches its 4 nearest centroid buckets,
@@ -239,7 +272,7 @@ object SimilarityQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q37_cosine_topk" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
@@ -377,4 +410,10 @@ object SimilarityQueries {
                  GROUP BY 1, 2)
           SELECT cid, dim, c_fp, n FROM s2 ORDER BY cid, dim""".replaceAll("\\s+", " ")
   )
+
+  /** q111 = q54's semantics with a physical (centroid-partitioned layout)
+    * round trip in between; the oracle is therefore identical.
+    */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q111_ann_bucketed" -> oracleSqlBase("q54_ann_ivf"))
 }

@@ -353,6 +353,23 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       .select("centroid_id").as[Long].head() == 0L)
   }
 
+  test("centroid-partitioned ANN layout: probe opens only the probed buckets (q111)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_layout").toString + "/ivf"
+    spark.range(160)
+      .select(col("id").as("vec_id"), (col("id") % 16).as("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(dir)
+    val probed = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(1L, 3L, 5L, 7L))
+    val scans = probed.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a file scan")
+    assert(scans.head.selectedPartitions.partitionCount === 4,
+      "directory-level pruning must restrict the scan to the probe buckets")
+    assert(probed.count() === 40)
+  }
+
   test("minhashLshPairsIncremental: finds cross-side dups, broadcasts the batch side") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
