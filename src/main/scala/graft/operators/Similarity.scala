@@ -265,4 +265,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a coarse quantizer, compare vectors only
+    * WITHIN their cluster, and drop every vector that has a close
+    * (cosine >= threshold) lower-id neighbor in the same cluster. Returns
+    * the full decision table (id, centroid_id, keep) — the drop list is
+    * `keep = false`.
+    *
+    * Scale shape: assignment is [[ivfAssign]]'s broadcast-fold (zero
+    * data-side shuffle), and candidate generation is a self-join on
+    * `centroid_id` — one hash exchange per side keyed by cluster, so the
+    * quadratic term is bounded by the largest cluster, not the corpus
+    * (k ~ sqrt(N) clusters at 100 TB keeps per-cluster work ~N). The
+    * decision policy ("has a close lower-id neighbor") needs no
+    * connected-components pass — one semi-join-shaped aggregation after
+    * the pair filter — at the cost of also dropping chain members whose
+    * lower-id witness was itself dropped (the standard SemDeDup policy;
+    * exact transitive grouping is [[graft.operators.TextDedup.connectedComponentsStar]]).
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(
+      df.select(col(idCol), col(embCol)), idCol, embCol, centroids)
+      .select(col(idCol), col(embCol), col("centroid_id"))
+    // Materialization barrier: the centroid assignment is computed once
+    // below the exchange instead of being re-inlined into both join sides.
+    val mat = assigned.repartition(col("centroid_id"))
+    val a = mat.select(col(idCol).as("__ida"), col(embCol).as("__ea"), col("centroid_id"))
+    val b = mat.select(col(idCol).as("__idb"), col(embCol).as("__eb"), col("centroid_id"))
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(cosine(col("__ea"), col("__eb")) >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(drops.withColumn("__dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"), col("__dropped").isNull.as("keep"))
+  }
 }

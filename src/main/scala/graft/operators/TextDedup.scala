@@ -588,4 +588,60 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Decontamination for an eval set TOO BIG TO BROADCAST — the other end
+    * of [[contaminationPairs]]'s scale spectrum. Semantics are identical
+    * (hashed-gram config), but the join is a shuffle join, and the train
+    * side is pre-filtered MAP-SIDE by a Bloom filter built over the eval
+    * grams (Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
+    * — the runtime-row-level-filter machinery, applied explicitly). The
+    * bloom binary is megabytes where the gram index is gigabytes, so at
+    * 100 TB it broadcasts when the index can't, and the shuffle carries
+    * only train grams that (probably) hit the eval set — false positives
+    * are dropped by the exact equi-join, so results are bit-identical to
+    * the unfiltered join (same oracle as q75).
+    *
+    * The bloom build is one tiny agg job at plan-build time — the same
+    * two-phase shape Spark's AQE runtime filters use, made explicit.
+    */
+  def contaminationPairsBloom(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2,
+      expectedTestGrams: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(
+          graft.functions.Text.wordNgramsFromText(col(textCol), n))).as("__gs"))
+        .select(col(as),
+          expr("cast(conv(substring(md5(__gs), 1, 15), 16, 10) as bigint)").as("__g"))
+    val testGrams = grams(test, "test_id")
+    // Phase 1: the bloom over eval gram hashes (8 bits/item ≈ 2% fpp).
+    val bloomAgg = ColumnShim.column(
+      new BloomFilterAggregate(
+        ColumnShim.expression(xxhash64(col("__g"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedTestGrams),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedTestGrams * 8),
+        0, 0).toAggregateExpression())
+    val bloomBytes = testGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    // Phase 2: map-side prune of the train side, then the exact shuffle
+    // join (shuffle_hash: the eval index is modeled as above the broadcast
+    // threshold — the configuration this operator exists for).
+    val mightContain = ColumnShim.column(
+      BloomFilterMightContain(
+        ColumnShim.expression(lit(bloomBytes)),
+        ColumnShim.expression(xxhash64(col("__g")))))
+    grams(train, "train_id")
+      .filter(mightContain)
+      .join(testGrams.hint("shuffle_hash"), "__g")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -255,6 +255,59 @@ object SimilarityQueries {
       Similarity.kmeansFp(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
     }),
+    // SemDeDup (semantic dedup): coarse-quantize the corpus (q54's first-16
+    // centroids), compare only WITHIN clusters, drop vectors with a close
+    // lower-id neighbor. The augmented corpus (exact ×2 copies) provides
+    // real semantic duplicates; the decision table itself is hash-verified.
+    // Scale: assignment shuffles nothing, the pair join is bounded by the
+    // largest cluster — see [[graft.operators.Similarity.semDedup]].
+    "q112_semdedup" -> ((s, dir) => {
+      val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      Similarity.semDedup(
+        augmented(s, dir), "vec_id", "embedding", cents, threshold = 0.999)
+        .orderBy("vec_id")
+    }),
+    // ANN self-audit: recall of the IVF probe (nProbe=4 of 16) against the
+    // exact brute-force top-10, per probe vector (every 29th id). Both
+    // sides run through the custom TopKPerGroup operator; the output is
+    // integer-exact (set-intersection counts), so index quality itself sits
+    // under the oracle — the eval loop a production ANN store ships with.
+    "q114_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val probes = Tables.embeddings(s, dir).filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      // probe → its 4 nearest centroids (both frames broadcast-small)
+      val pb = graft.operators.Analytics.topKPerGroupNative(
+        probes.crossJoin(broadcast(cents))
+          .withColumn("d", Similarity.l2sq(col("probe_emb"), col("centroid_emb")))
+          .select("probe_id", "probe_emb", "centroid_id", "d"),
+        Seq("probe_id"), Seq(("d", false), ("centroid_id", false)), 4)
+        .drop("d")
+      val exactTop = graft.operators.Analytics.topKPerGroupNative(
+        e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val annTop = graft.operators.Analytics.topKPerGroupNative(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+          .join(broadcast(pb), Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val nExact = exactTop.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      val nAnn = annTop.groupBy("probe_id").agg(count(lit(1)).as("n_ann"))
+      val nHits = exactTop.select("probe_id", "vec_id")
+        .join(annTop.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      nExact.join(nAnn, Seq("probe_id"), "left")
+        .join(nHits, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_ann", "n_hits"))
+        .orderBy("probe_id")
+    }),
     // Per-label centroids in long form (k-means E-step shape): explode dims
     // → mean per (label, dim). Floats are dyadic, so decimal-cast rounding
     // can hit exact ties that HALF_UP (Spark) and half-even (DuckDB) break
@@ -377,6 +430,55 @@ object SimilarityQueries {
           count(*) AS n
           FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)
           GROUP BY label, i ORDER BY label, dim""".replaceAll("\\s+", " "),
+    "q112_semdedup" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH $AugSql,
+          cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT v.vec_id, v.embedding AS embedding, cent.cid, v.embedding AS e, cent.c
+              FROM aug v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          drops AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+                    ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.999)
+          SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
+          FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+          ORDER BY a.vec_id""".replaceAll("\\s+", " ")
+    },
+    "q114_ann_recall" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 29 = 0),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT v.vec_id, v.embedding AS embedding, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          pb AS (SELECT probe_id, cid FROM (
+              SELECT p.probe_id, cent.cid, p.pe AS e, cent.c FROM p, cent)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY $dl2 ASC, cid ASC) <= 4),
+          exact AS (SELECT probe_id, vec_id FROM (
+              SELECT p.probe_id, v.vec_id, ${duckCosine("v.embedding", "p.pe")} AS cosine
+              FROM embeddings v, p WHERE v.vec_id <> p.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          ann AS (SELECT probe_id, vec_id FROM (
+              SELECT pb.probe_id, a.vec_id, ${duckCosine("a.embedding", "p.pe")} AS cosine
+              FROM assigned a JOIN pb ON a.cid = pb.cid JOIN p ON p.probe_id = pb.probe_id
+              WHERE a.vec_id <> pb.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1),
+          na AS (SELECT probe_id, count(*) AS n_ann FROM ann GROUP BY 1),
+          nh AS (SELECT e.probe_id, count(*) AS n_hits FROM exact e JOIN ann a
+                 ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id GROUP BY 1)
+          SELECT ne.probe_id, ne.n_exact,
+            coalesce(na.n_ann, 0) AS n_ann, coalesce(nh.n_hits, 0) AS n_hits
+          FROM ne LEFT JOIN na ON ne.probe_id = na.probe_id
+          LEFT JOIN nh ON ne.probe_id = nh.probe_id
+          ORDER BY ne.probe_id""".replaceAll("\\s+", " ")
+    },
     "q71_kmeans_fp" ->
       s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v

@@ -119,6 +119,20 @@ object TextQueries {
         "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
         .orderBy("train_id", "test_id")
     }),
+    // The eval-set-too-big-to-broadcast configuration: identical semantics
+    // to q75, but the join is a shuffle join and the train side is pruned
+    // MAP-SIDE by a Bloom filter over the eval grams (Spark's own
+    // BloomFilterAggregate/BloomFilterMightContain, applied explicitly) —
+    // the shuffle carries only probable hits, false positives die in the
+    // exact equi-join, so the oracle is q75's verbatim.
+    "q113_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextDedup.contaminationPairsBloom(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, expectedTestGrams = 100000L)
+        .orderBy("train_id", "test_id")
+    }),
     // The audit REPORT side of decontamination: one row per eval doc —
     // how many train docs hit it, the worst overlap, total shared grams —
     // with clean docs present at zero (an eval-integrity review needs to
@@ -372,7 +386,7 @@ object TextQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q27_token_stats" ->
       """SELECT doc_id,
           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -635,4 +649,10 @@ object TextQueries {
             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
           FROM k GROUP BY source, lang ORDER BY source, lang""".replaceAll("\\s+", " ")
   )
+
+  /** q113 = q75's semantics exactly (the bloom is a pre-filter whose false
+    * positives the exact join removes), so its oracle is q75's verbatim.
+    */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q113_decontaminate_bloom" -> oracleSqlBase("q75_decontaminate_hashed"))
 }
