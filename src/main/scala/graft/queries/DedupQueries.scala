@@ -74,6 +74,27 @@ object DedupQueries {
         .select("doc_id", "canonical_id")
         .orderBy("doc_id")
     }),
+    // Split-hygiene audit: exact-content duplicate groups whose members
+    // land in DIFFERENT train/val/test splits — leakage an id-keyed split
+    // cannot see (copies carry new ids, so the md5(id) assignment scatters
+    // them across splits). One row per (content group, split); groups
+    // entirely inside one split are silent. Composes q32's normalization,
+    // q96's split assignment, and one groupBy + same-key window (the
+    // window reuses the groupBy's hash partitioning on the prefix key).
+    "q116_split_leakage" -> ((s, dir) => {
+      val withSplit = augmented(s, dir)
+        .withColumn("text", Text.normalize(col("text")))
+        .withColumn("split", graft.operators.Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+      val grouped = withSplit
+        .select(md5(col("text")).as("content_hash"), col("split"), col("doc_id"))
+        .groupBy("content_hash", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+      grouped.withColumn("__ns", count(lit(1)).over(w))
+        .filter(col("__ns") > 1).drop("__ns")
+        .orderBy("content_hash", "split")
+    }),
     // MinHash signature materialization (k=8) — the per-doc scale-out stage
     // of LSH dedup, observable on its own.
     "q33_minhash_signature" -> ((s, dir) => {
@@ -315,6 +336,21 @@ object DedupQueries {
           c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM norm)
           SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q116_split_leakage" ->
+      raw"""WITH $AugSql,
+          norm AS (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS text
+            FROM aug),
+          s AS (SELECT doc_id, md5(text) AS content_hash,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                 ELSE 'test' END AS split
+            FROM norm),
+          g AS (SELECT content_hash, split, count(*) AS n_docs, min(doc_id) AS min_doc
+                FROM s GROUP BY 1, 2)
+          SELECT content_hash, split, n_docs, min_doc
+          FROM (SELECT *, count(*) OVER (PARTITION BY content_hash) AS ns FROM g)
+          WHERE ns > 1 ORDER BY content_hash, split""".replaceAll("\\s+", " "),
     "q33_minhash_signature" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql
           SELECT doc_id, array_to_string($SigSql, '|') AS signature

@@ -255,6 +255,43 @@ object SimilarityQueries {
       Similarity.kmeansFp(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
     }),
+    // Quantized-index audit: top-10 by cosine over the int8-quantized
+    // vectors (q65's symmetric floor quantization) vs the float ground
+    // truth. Integer products are exact in double, so the quantized
+    // ranking — and therefore the recall counts — are engine-identical.
+    // The at-scale rationale: an int8 index is 4x smaller and this query
+    // IS the check that the compression didn't cost recall.
+    "q115_quantized_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      // let-bind scale (q65's trick) so each row is O(dim), not O(dim^2)
+      val qvExpr = element_at(transform(array(maxabs / 127.0), sc =>
+        transform(col("embedding"), v => floor(v.cast("double") / sc).cast("float"))), 1)
+      val quant = e.select(col("vec_id"), qvExpr.as("qv"))
+      val probesF = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val probesQ = quant.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv"))
+      val exactTop = graft.operators.Analytics.topKPerGroupNative(
+        e.crossJoin(broadcast(probesF)).filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val quantTop = graft.operators.Analytics.topKPerGroupNative(
+        quant.crossJoin(broadcast(probesQ)).filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("qv"), col("probe_qv")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val nExact = exactTop.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      val nQuant = quantTop.groupBy("probe_id").agg(count(lit(1)).as("n_quant"))
+      val nHits = exactTop.select("probe_id", "vec_id")
+        .join(quantTop.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      nExact.join(nQuant, Seq("probe_id"), "left")
+        .join(nHits, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_quant", "n_hits"))
+        .orderBy("probe_id")
+    }),
     // SemDeDup (semantic dedup): coarse-quantize the corpus (q54's first-16
     // centroids), compare only WITHIN clusters, drop vectors with a close
     // lower-id neighbor. The augmented corpus (exact ×2 copies) provides
@@ -446,6 +483,30 @@ object SimilarityQueries {
           SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
           ORDER BY a.vec_id""".replaceAll("\\s+", " ")
+    },
+    "q115_quantized_recall" -> {
+      val duckQv =
+        s"[CAST(floor(CAST(embedding[i] AS DOUBLE) / (list_max([abs(CAST(v AS DOUBLE)) for v in embedding]) / 127.0)) AS DOUBLE) for i in range(1, ${Dim + 1})]"
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 29 = 0),
+          q AS (SELECT vec_id, $duckQv AS qv FROM embeddings),
+          qp AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 29 = 0),
+          exact AS (SELECT probe_id, vec_id FROM (
+              SELECT p.probe_id, v.vec_id, ${duckCosine("v.embedding", "p.pe")} AS cosine
+              FROM embeddings v, p WHERE v.vec_id <> p.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          quant AS (SELECT probe_id, vec_id FROM (
+              SELECT qp.probe_id, q.vec_id, ${duckCosine("q.qv", "qp.pq")} AS cosine
+              FROM q, qp WHERE q.vec_id <> qp.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1),
+          nq AS (SELECT probe_id, count(*) AS n_quant FROM quant GROUP BY 1),
+          nh AS (SELECT e.probe_id, count(*) AS n_hits FROM exact e JOIN quant a
+                 ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id GROUP BY 1)
+          SELECT ne.probe_id, ne.n_exact,
+            coalesce(nq.n_quant, 0) AS n_quant, coalesce(nh.n_hits, 0) AS n_hits
+          FROM ne LEFT JOIN nq ON ne.probe_id = nq.probe_id
+          LEFT JOIN nh ON ne.probe_id = nh.probe_id
+          ORDER BY ne.probe_id""".replaceAll("\\s+", " ")
     },
     "q114_ann_recall" -> {
       val dl2 =

@@ -111,6 +111,31 @@ class SemanticOpsSpec extends AnyFunSuite with SparkFixture {
 
   // --- q114 ann recall audit ---------------------------------------------
 
+  test("q115 quantized recall: int8 ranking stays close to float truth") {
+    val rows = SparkEntry.queries("q115_quantized_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L && r.getLong(2) === 10L,
+        "both rankings are full at corpus >> k")
+      assert(r.getLong(3) <= 10L)
+    }
+    val total = rows.map(_.getLong(3)).sum
+    // int8 symmetric quantization perturbs cosines ~1e-2 — most of the
+    // top-10 must survive (deterministic data, deterministic bound)
+    assert(total >= rows.length * 5L, s"quantized recall collapsed: $total")
+  }
+
+  test("q116 split leakage: every reported group genuinely spans splits") {
+    val rows = SparkEntry.queries("q116_split_leakage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "the augmented corpus must exhibit leakage")
+    rows.groupBy(_._1).foreach { case (h, g) =>
+      assert(g.map(_._2).distinct.length >= 2, s"group $h does not span splits")
+    }
+    assert(rows.map(_._2).distinct.forall(Set("train", "val", "test")))
+  }
+
   test("q114 recall audit: hits bounded by both sides, overlap nonzero") {
     val rows = SparkEntry.queries("q114_ann_recall")(spark, "/root/testdata/sf0.001")
       .collect()
