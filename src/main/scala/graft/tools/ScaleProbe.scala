@@ -87,7 +87,36 @@ object ScaleProbe {
     val nOrd = time("training order")(
       ordered.groupBy("shard").agg(max("pos")).count())
     println(s"[scale] budget kept = $nBudget, shards = $nOrd")
-    pairs.unpersist()
+    // Stage hygiene before the timed semantic ops: drop the dedup
+    // pipeline's persisted frames and let ContextCleaner reap dead
+    // broadcasts — without this, semDedup 16x measured 78 s in-sweep vs
+    // 10 s clean-session (the BENCH_r02 contamination disease, here in
+    // the probe itself).
+    pairs.unpersist(blocking = true)
+    spark.catalog.clearCache()
+    System.gc()
+    // r4 continuation 2: the semantic ops — SemDeDup over replicated
+    // embeddings (replicas are exact semantic dups, so within-cluster
+    // candidate volume grows mult^2 per vector — the worst case the
+    // cluster-bounded join must absorb) and bloom-prefiltered
+    // decontamination of the replicated corpus against a FIXED eval slice
+    // (the realistic shape: the corpus grows, the eval set doesn't).
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embBig = (0 until mult).map(r =>
+      embBase.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val cents = embBase.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+    val sd = graft.operators.Similarity.semDedup(
+      embBig, "vec_id", "embedding", cents, threshold = 0.999)
+    val nDrop = time("semantic dedup")(sd.filter(!col("keep")).count())
+    println(s"[scale] semdedup dropped = $nDrop")
+    val contam = graft.operators.TextDedup.contaminationPairsBloom(
+      big, base.filter(col("doc_id") % 37 === 0), "doc_id", "text",
+      n = 3, minShared = 2, expectedTestGrams = 1000000L)
+    val nContam = time("bloom decontaminate")(contam.count())
+    println(s"[scale] contaminated pairs = $nContam")
     spark.stop()
   }
 }
