@@ -183,4 +183,42 @@ object Streaming {
           metricsPath)
       }
       .start()
+
+  /** Streaming ingest dedup: each micro-batch of documents is checked for
+    * near-dups against a STATIC corpus band index via the batch operator
+    * ([[graft.operators.TextDedup.minhashLshPairsIncremental]]) inside
+    * `foreachBatch` — one code path for batch backfill and live ingest,
+    * the q84 semantics as a stream. The batch side broadcasts (a trigger's
+    * worth of docs is small by construction); the corpus side never
+    * shuffles, and at 100 TB it is written bucketed by band value so each
+    * trigger's probe prunes to colliding buckets. Hits append to
+    * `hitsPath` tagged with the batch id; exactly-once from checkpointed
+    * offsets + append-only sink keyed by (batch_id, pair).
+    */
+  def ingestDedupStream(
+      docs: DataFrame, //                     streaming (doc_id, text)
+      corpusHashed: DataFrame, //             static (doc_id, shash)
+      hitsPath: String,
+      checkpointDir: String,
+      k: Int = 8,
+      bandRows: Int = 2,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashed = batch
+          .withColumn("toks", graft.functions.Text.tokens(col("text")))
+          .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
+          .select("doc_id", "shash")
+        graft.operators.TextDedup
+          .minhashLshPairsIncremental(
+            corpusHashed, hashed, "doc_id", "shash", k, bandRows, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(hitsPath)
+        ()
+      }
+      .start()
 }

@@ -94,6 +94,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       (3L, 2L, false, true, false)))
   }
 
+  test("ingestDedupStream: micro-batched ingest equals the batch operator") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def text(i: Long) = (i until i + 12).map(j => s"w$j").mkString(" ")
+    val corpus = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
+    def hashed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
+      .select("doc_id", "shash")
+    val corpusHashed = hashed(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // batch 0: an exact copy of corpus doc 2 + a novel doc
+    mem.addData((100L, text(2)), (101L, "totally different content entirely novel here"))
+    Streaming.ingestDedupStream(stream, corpusHashed,
+      s"$dir/hits", s"$dir/ckpt").awaitTermination()
+    // batch 1 (checkpoint continues): an exact copy of corpus doc 5
+    mem.addData((102L, text(5)))
+    Streaming.ingestDedupStream(stream, corpusHashed,
+      s"$dir/hits", s"$dir/ckpt").awaitTermination()
+    val hits = spark.read.parquet(s"$dir/hits")
+    val got = hits.select("corpus_id", "incoming_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // one code path: the stream's accumulated hits equal the batch operator
+    // run over the union of all micro-batches
+    val allIncoming = Seq((100L, text(2)),
+      (101L, "totally different content entirely novel here"), (102L, text(5)))
+      .toDF("doc_id", "text")
+    val want = graft.operators.TextDedup.minhashLshPairsIncremental(
+        corpusHashed, hashed(allIncoming), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // the exact copies certainly collide (J = 1.0 in every band)
+    assert(got.contains((2L, 100L, 1.0)) && got.contains((5L, 102L, 1.0)))
+    assert(!got.exists(_._2 == 101L), "novel doc must not hit")
+    // batch ids advanced across restarts of the checkpointed stream
+    val ids = hits.select("batch_id").distinct().as[Long].collect().toSet
+    assert(ids.size === 2)
+  }
+
   test("incrementalMergeSink: dedup + idempotent merge + metrics per micro-batch") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
