@@ -78,6 +78,31 @@ object Curate {
       .drop("__okey")
   }
 
+  /** Curriculum training order: documents stream in phases (an integral
+    * `phase` column — e.g. quality bands, best first), deterministically
+    * md5-shuffled WITHIN a phase, sharded for parallel writes. Within each
+    * shard positions run phase 0 first, then phase 1, ... so a loader
+    * reading shards sequentially sees the curriculum.
+    *
+    * Scale shape: identical to [[trainingOrder]] — one hash exchange on
+    * `shard` + sort-within, which IS the shard-write plan; the phase must
+    * be computable without a global pass (fixed-width bands of an exact
+    * integer score, never ntile/percent_rank, so ordering is reproducible
+    * in any engine and stable as the corpus grows).
+    */
+  def curriculumOrder(df: DataFrame, key: Column, phase: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val okey = md5(concat(lit("cur:"), key.cast("string")))
+    df.withColumn("phase", phase.cast("long"))
+      .withColumn("__okey", okey)
+      .withColumn("shard",
+        conv(substring(col("__okey"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("phase"), col("__okey"), key)).cast("long"))
+      .drop("__okey")
+  }
+
   /** First-seen n-gram novelty per document: the fraction of a doc's
     * distinct n-gram hashes whose corpus-wide first occurrence (minimum id)
     * is this doc. Low novelty = the doc restates earlier content — the

@@ -187,6 +187,25 @@ object CurationQueries {
           min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
         .orderBy("shard")
     }),
+    // Curriculum order: documents phased by repetition quality (4 fixed-
+    // width duplicate-token-fraction bands, cleanest first — computed with
+    // INTEGER division so band edges are engine-exact), md5-shuffled
+    // within a phase, sharded. The per-(shard, phase) min/max positions
+    // prove phase contiguity inside every shard; the checksum pins the
+    // exact order. Same window-is-the-shard-write plan as q104.
+    "q117_curriculum_order" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("__n", size(col("__toks")).cast("long"))
+        .withColumn("__nd", size(array_distinct(col("__toks"))).cast("long"))
+      val phase = least(expr("(4 * (__n - __nd)) div __n"), lit(3L))
+      Curate.curriculumOrder(d, col("doc_id"), phase, nShards = 8)
+        .groupBy("shard", "phase")
+        .agg(count(lit(1)).as("n_docs"),
+          min("pos").as("min_pos"), max("pos").as("max_pos"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"))
+        .orderBy("shard", "phase")
+    }),
     // First-seen trigram novelty: how much of each doc is new relative to
     // every lower-id doc — the contribution score behind "prune documents
     // that add nothing". Inverted-index shape; shuffles carry 8-byte gram
@@ -326,6 +345,24 @@ object CurationQueries {
             CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
             min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
           FROM r GROUP BY shard ORDER BY shard""".replaceAll("\\s+", " "),
+    "q117_curriculum_order" ->
+      raw"""WITH t AS (SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n,
+            len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS nd
+            FROM documents),
+          d AS (SELECT doc_id,
+            least((4 * (n - nd)) // n, 3) AS phase,
+            md5('cur:' || CAST(doc_id AS VARCHAR)) AS okey FROM t),
+          r AS (SELECT doc_id, phase,
+                  ('0x' || substr(okey, 1, 8))::BIGINT % 8 AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(okey, 1, 8))::BIGINT % 8
+                    ORDER BY phase, okey, doc_id) AS BIGINT) AS pos
+                FROM d)
+          SELECT shard, CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+            min(pos) AS min_pos, max(pos) AS max_pos,
+            CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+          FROM r GROUP BY shard, phase ORDER BY shard, phase""".replaceAll("\\s+", " "),
     "q106_ngram_novelty" ->
       raw"""WITH tp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                        FROM documents),
