@@ -97,20 +97,7 @@ object TextDedup {
     val sig = df
       .filter(size(col(shinglesCol)) > 0)
       .withColumn("__sig", minhashSignature(hashesCol, k))
-    // Repartition barrier: without it CollapseProject inlines the signature
-    // expression into every band and both sides of the self-join (≈10×
-    // recompute of the md5 pass). With it the signature is computed once
-    // below the exchange — which is also the scale-correct shape (shuffle
-    // tiny signatures, not text).
-    val sigMat = sig.select(col(idCol), col("__sig")).repartition(col(idCol))
-    val bands = sigMat.select(
-      col(idCol), posexplode(lshBands(col("__sig"), k, bandRows)).as(Seq("__b", "__bv")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__bv") === col("b.__bv") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    val cand = minhashLshCandidates(df, idCol, hashesCol, k, bandRows)
     val sa = sig.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sha"))
     val sb = sig.select(col(idCol).as("doc_b"), col(shinglesCol).as("__shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -120,6 +107,36 @@ object TextDedup {
           (size(col("__sha")) + size(col("__shb")) - col("__common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The raw LSH candidate pairs — every (doc_a < doc_b) sharing at least
+    * one signature band, BEFORE exact-Jaccard verification. Exposed so the
+    * banding configuration itself can be audited (q118: candidates vs
+    * ground truth → precision/recall of the (k, bandRows) choice).
+    */
+  def minhashLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      k: Int,
+      bandRows: Int): DataFrame = {
+    val sig = df
+      .filter(size(col(hashesCol)) > 0)
+      .withColumn("__sig", minhashSignature(hashesCol, k))
+    // Repartition barrier: without it CollapseProject inlines the signature
+    // expression into every band and both sides of the self-join (≈10×
+    // recompute of the md5 pass). With it the signature is computed once
+    // below the exchange — which is also the scale-correct shape (shuffle
+    // tiny signatures, not text).
+    val sigMat = sig.select(col(idCol), col("__sig")).repartition(col(idCol))
+    val bands = sigMat.select(
+      col(idCol), posexplode(lshBands(col("__sig"), k, bandRows)).as(Seq("__b", "__bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__bv") === col("b.__bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
   }
 
   /** Incremental near-duplicate check: candidate pairs between INCOMING

@@ -144,6 +144,23 @@ object DedupQueries {
         threshold = 0.5, maxShingleDf = 8L)
         .orderBy("doc_a", "doc_b")
     }),
+    // LSH configuration self-audit: the (k=8, bandRows=2) banding measured
+    // against exact ground truth on the SAME shingle-hash universe —
+    // raw candidate volume, true near-dup pairs (Jaccard >= 0.5), and
+    // their intersection. recall = n_hits/n_truth, precision =
+    // n_hits/n_candidates, both integer-exact under the oracle; the audit
+    // a production dedup runs on a sample before committing band params.
+    "q118_lsh_audit" -> ((s, dir) => {
+      val withSh = withShingles(augmented(s, dir))
+      val cand = TextDedup.minhashLshCandidates(withSh, "doc_id", "shash",
+        k = 8, bandRows = 2)
+      val truth = TextDedup.jaccardPairs(withSh, "doc_id", "shash", threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    }),
     // Asymmetric containment — |A∩B| / min(|A|,|B|): catches a doc whose
     // shingles are a near-subset of another's (truncated re-posts, quoted
     // wrappers) that Jaccard dilutes away. The augmented corpus's suffix
@@ -355,6 +372,21 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql
           SELECT doc_id, array_to_string($SigSql, '|') AS signature
           FROM hashed ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q118_lsh_audit" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5),
+          hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+          SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                 (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM hits) AS n_hits""".replaceAll("\\s+", " "),
     "q34_minhash_lsh_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh

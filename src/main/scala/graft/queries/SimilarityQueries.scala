@@ -255,6 +255,27 @@ object SimilarityQueries {
       Similarity.kmeansFp(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
     }),
+    // Embedding-space diversity card: per-centroid occupancy and distance
+    // spread to the assigned centroid — which regions of embedding space
+    // are over-represented (the signal behind cluster-balanced sampling).
+    // Distances floor-quantize per row (1e6 grid) BEFORE the integer
+    // aggregation, so the card itself hash-matches the oracle; assignment
+    // is the zero-shuffle broadcast fold, the card one map-side-combined
+    // aggregation over 16 groups.
+    "q119_corpus_diversity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .join(broadcast(cents), Seq("centroid_id"))
+        .withColumn("dfp",
+          floor(Similarity.l2sq(col("embedding"), col("centroid_emb")) * 1e6).cast("long"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          floor(sum("dfp").cast("double") / count(lit(1))).cast("long").as("mean_dist_fp"),
+          min("dfp").as("min_dist_fp"), max("dfp").as("max_dist_fp"))
+        .orderBy("centroid_id")
+    }),
     // Quantized-index audit: top-10 by cosine over the int8-quantized
     // vectors (q65's symmetric floor quantization) vs the float ground
     // truth. Integer products are exact in double, so the quantized
@@ -483,6 +504,25 @@ object SimilarityQueries {
           SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
           ORDER BY a.vec_id""".replaceAll("\\s+", " ")
+    },
+    "q119_corpus_diversity" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      val dl2ac =
+        s"list_sum([(CAST(a.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE)) * (CAST(a.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT v.vec_id, v.embedding AS embedding, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          d AS (SELECT a.vec_id, a.cid,
+                  CAST(floor($dl2ac * 1000000.0) AS BIGINT) AS dfp
+                FROM assigned a JOIN cent ON a.cid = cent.cid)
+          SELECT cid AS centroid_id, count(*) AS n_vecs,
+            CAST(floor(CAST(sum(dfp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_dist_fp,
+            min(dfp) AS min_dist_fp, max(dfp) AS max_dist_fp
+          FROM d GROUP BY cid ORDER BY cid""".replaceAll("\\s+", " ")
     },
     "q115_quantized_recall" -> {
       val duckQv =
