@@ -62,4 +62,32 @@ object Resample {
   def resampleThenFilter(
       df: DataFrame, dtCol: String, every: String, start: String, end: String): DataFrame =
     filterByDate(downsample(df, dtCol, every), dtCol, start, end)
+
+  /** Densify a bucketed frame: the complete left-closed bucket axis from
+    * the frame's min to max bucket, empty buckets present with NULL
+    * aggregates (callers zero-fill counts as their semantics demand) —
+    * dashboards and window models need the time axis dense, and a missing
+    * bucket is informative (an outage), not skippable.
+    *
+    * Scale shape: the axis is `range-width / bucket-width` rows built from
+    * a 1-row bounds aggregate — thousands of rows for years of data — so
+    * the completion join broadcasts the axis; the bucketed frame is
+    * already aggregated (tiny relative to raw input).
+    */
+  def gapFill(buckets: DataFrame, dtCol: String, every: String): DataFrame = {
+    val step = every match {
+      case "30m" => "interval 30 minutes"
+      case "1h"  => "interval 1 hour"
+      case "1d"  => "interval 1 day"
+      case "1mo" => "interval 1 month"
+      case "1y"  => "interval 1 year"
+      case other => throw new IllegalArgumentException(s"unsupported interval: $other")
+    }
+    val axis = buckets
+      .agg(min(col(dtCol)).as("__lo"), max(col(dtCol)).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), expr(step))).as(dtCol))
+    // left-outer build side must be the right: the bucketed frame (already
+    // aggregated, tiny) broadcasts; the axis streams
+    axis.join(broadcast(buckets), Seq(dtCol), "left").orderBy(col(dtCol))
+  }
 }

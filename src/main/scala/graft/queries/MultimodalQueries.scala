@@ -50,6 +50,28 @@ object MultimodalQueries {
           max(col("sample_rate")).as("max_rate"))
         .orderBy("kind")
     }),
+    // Payload-level exact media dedup: digest the OPAQUE bytes (md5 over
+    // the binary column — never decoded), group, and report duplicate
+    // groups with their canonical id and how many declared modalities the
+    // identical payload appears under (re-ingested bytes relabeled as a
+    // different kind — a real ingest pathology). Copies planted at
+    // media_id+200000 (kind recomputed from the new id, so groups span
+    // kinds). One uniform 16-byte-digest shuffle; content never moves.
+    "q121_media_dedup" -> ((s, dir) => {
+      val m = media(s, dir).toDF().select("media_id", "kind", "content")
+      val kinds = array(lit("image"), lit("audio"), lit("video"))
+      val aug = m.unionByName(
+        m.filter(col("media_id") % 13 === 0).select(
+          (col("media_id") + 200000).as("media_id"),
+          element_at(kinds, ((col("media_id") + 200000) % 3).cast("int") + 1).as("kind"),
+          col("content")))
+      aug.groupBy(md5(col("content")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min("media_id").as("canonical_id"),
+          countDistinct("kind").as("n_kinds"))
+        .filter(col("n_copies") > 1)
+        .orderBy("digest")
+    }),
     // Frame sampling stub: every other 64-byte window of each video
     // payload becomes a "frame" row (media_id, frame_idx, frame_bytes).
     "q43_frame_sample" -> ((s, dir) => {
@@ -79,6 +101,19 @@ object MultimodalQueries {
                 / CAST(997 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)
               for d in range(0, 8)], ',') AS embedding
           FROM b ORDER BY media_id""".replaceAll("\\s+", " "),
+    "q121_media_dedup" ->
+      """WITH m AS (
+            SELECT doc_id AS media_id,
+              ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 200000,
+              ['image','audio','video'][CAST((doc_id + 200000) % 3 AS INT) + 1], text
+            FROM documents WHERE doc_id % 13 = 0)
+          SELECT md5(text) AS digest, count(*) AS n_copies,
+            min(media_id) AS canonical_id, count(DISTINCT kind) AS n_kinds
+          FROM m GROUP BY 1 HAVING count(*) > 1
+          ORDER BY digest""".replaceAll("\\s+", " "),
     "q42_media_meta" ->
       """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
           count(*) AS n,

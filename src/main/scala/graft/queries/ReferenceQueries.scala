@@ -111,6 +111,20 @@ object ReferenceQueries {
           count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+    // Gap-filled resample: q11's buckets densified to the complete 30m
+    // axis — empty buckets PRESENT (n=0, NULL mean, filled=true); a
+    // missing bucket is an outage signal, not a skippable row. The axis
+    // builds from a 1-row bounds agg; the completion join broadcasts.
+    "q120_resample_gapfill" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .groupBy(Resample.bucketStart(col("ts"), "30m").cast("timestamp_ntz").as("bucket"))
+        .agg(Exact.davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      Resample.gapFill(b, "bucket", "30m")
+        .na.fill(0L, Seq("n"))
+        .withColumn("filled", col("n") === 0L)
+        .select("bucket", "avg_value", "n", "filled")
+        .orderBy("bucket")
+    }),
     // P11: inclusive-inclusive date-range filter.
     "q12_filter_range" -> ((s, dir) => {
       Resample.filterByDate(Tables.events(s, dir), "ts",
@@ -203,6 +217,16 @@ object ReferenceQueries {
       "WITH d1 AS (SELECT event_id, ts, user_id, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) SELECT event_id, ts, user_id, event_type, value FROM d1 QUALIFY row_number() OVER (PARTITION BY ts ORDER BY user_id DESC, event_id DESC) = 1 ORDER BY event_id",
     "q11_resample_30m" ->
       "SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value, CAST(sum(CAST(event_id AS DECIMAL(30,10))) AS DOUBLE) / count(event_id) AS avg_event_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q120_resample_gapfill" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value,
+            count(*) AS n FROM events GROUP BY 1),
+          r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                              (SELECT max(bucket) FROM b),
+                                              INTERVAL '30 minutes')) AS bucket)
+          SELECT r.bucket, b.avg_value, coalesce(b.n, 0) AS n, b.n IS NULL AS filled
+          FROM r LEFT JOIN b ON r.bucket = b.bucket
+          ORDER BY r.bucket""".replaceAll("\\s+", " "),
     "q12_filter_range" ->
       "SELECT event_id, ts, value FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
     "q13_resample_then_filter" ->

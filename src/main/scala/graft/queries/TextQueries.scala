@@ -133,6 +133,29 @@ object TextQueries {
         "doc_id", "text", n = 3, minShared = 2, expectedTestGrams = 100000L)
         .orderBy("train_id", "test_id")
     }),
+    // WHO leaks: the q75 pair frame rolled up to a (train source × eval
+    // source) matrix — pairs, distinct offending train docs, distinct eval
+    // docs hit, total shared grams. The audit that points at a supplier
+    // rather than a document; q109 is the per-doc drilldown.
+    "q122_contamination_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.TextDedup.contaminationPairs(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+      pairs
+        .join(docs.select(col("doc_id").as("train_id"),
+          col("source").as("train_source")), "train_id")
+        .join(broadcast(docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("test_id"),
+            col("source").as("eval_source"))), "test_id")
+        .groupBy("train_source", "eval_source")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("train_id").as("n_train_docs"),
+          countDistinct("test_id").as("n_eval_docs"),
+          sum("n_shared").as("total_shared"))
+        .orderBy("train_source", "eval_source")
+    }),
     // The audit REPORT side of decontamination: one row per eval doc —
     // how many train docs hit it, the worst overlap, total shared grams —
     // with clean docs present at zero (an eval-integrity review needs to
@@ -472,6 +495,25 @@ object TextQueries {
           FROM train JOIN test ON train.hg = test.hg
           GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY train_id, test_id""".replaceAll("\\s+", " "),
+    "q122_contamination_matrix" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM t),
+          h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g),
+          train AS (SELECT * FROM h WHERE doc_id % 37 <> 0),
+          test AS (SELECT * FROM h WHERE doc_id % 37 = 0),
+          p AS (SELECT train.doc_id AS train_id, test.doc_id AS test_id, count(*) AS n_shared
+                FROM train JOIN test ON train.hg = test.hg
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT dtr.source AS train_source, dte.source AS eval_source,
+            count(*) AS n_pairs,
+            count(DISTINCT p.train_id) AS n_train_docs,
+            count(DISTINCT p.test_id) AS n_eval_docs,
+            CAST(sum(p.n_shared) AS BIGINT) AS total_shared
+          FROM p JOIN documents dtr ON p.train_id = dtr.doc_id
+                 JOIN documents dte ON p.test_id = dte.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " "),
     "q109_contamination_report" ->
       raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
           g AS (SELECT doc_id, unnest(list_distinct(
