@@ -186,10 +186,59 @@ object AnalyticsQueries {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+    }),
+    // Daily-bucket anomaly flags: |x − μ| > 2σ over the bucket means,
+    // decided ENTIRELY in integer arithmetic — means floor-quantized to a
+    // 1e4 grid, then (n·x − S)² > 4(nQ − S²) (the z-test cross-multiplied
+    // so no division or sqrt exists to differ between engines). The
+    // 30-row stats frame broadcasts back; one pass over buckets.
+    "q123_bucket_anomaly" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .groupBy(graft.operators.Resample.bucketStart(col("ts"), "1d")
+          .cast("timestamp_ntz").as("bucket"))
+        .agg(Exact.davg(col("value")).as("avg_value"))
+      val x = b.withColumn("xfp", floor(col("avg_value") * 1e4).cast("long"))
+      val stats = x.agg(count(lit(1)).as("n"), sum("xfp").as("s"),
+        sum(col("xfp") * col("xfp")).as("q"))
+      val dev = col("n") * col("xfp") - col("s")
+      x.crossJoin(broadcast(stats))
+        .withColumn("is_anomaly",
+          dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .select("bucket", "avg_value", "is_anomaly")
+        .orderBy("bucket")
+    }),
+    // Cohort retention matrix: users bucketed by first-seen day, distinct
+    // active users per (cohort, day offset) — integer-exact. First-seen is
+    // one map-side-combined min; the join back shards on user_id.
+    "q124_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q123_bucket_anomaly" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value
+            FROM events GROUP BY 1),
+          x AS (SELECT bucket, avg_value,
+            CAST(floor(avg_value * 10000.0) AS BIGINT) AS xfp FROM b),
+          st AS (SELECT count(*) AS n, sum(xfp) AS s, sum(xfp * xfp) AS q FROM x)
+          SELECT bucket, avg_value,
+            (n * xfp - s) * (n * xfp - s) > 4 * (n * q - s * s) AS is_anomaly
+          FROM x, st ORDER BY bucket""".replaceAll("\\s+", " "),
+    "q124_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+          SELECT f.cohort_day, date_diff('day', f.cohort_day, e.d) AS day_offset,
+            count(DISTINCT e.user_id) AS n_users
+          FROM e JOIN f ON e.user_id = f.user_id
+          GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " "),
     "q17_star_join_revenue" ->
       s"""SELECT r_name, count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
           FROM orders JOIN customer ON o_custkey = c_custkey
