@@ -125,6 +125,20 @@ object ReferenceQueries {
         .select("bucket", "avg_value", "n", "filled")
         .orderBy("bucket")
     }),
+    // Hopping (sliding) window aggregation: 1-hour windows every 30
+    // minutes — each event contributes to exactly two overlapping
+    // windows. Spark's native `window(ts, '1 hour', '30 minutes')`
+    // multiplies rows map-side (no pre-explode shuffle); the oracle
+    // reconstructs the same two candidate starts per event arithmetically.
+    // The batch twin of the streaming hop (tumblingMeans' generalization).
+    "q125_hopping_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(Exact.davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("avg_value"), col("n"))
+        .orderBy("win_start")
+    }),
     // P11: inclusive-inclusive date-range filter.
     "q12_filter_range" -> ((s, dir) => {
       Resample.filterByDate(Tables.events(s, dir), "ts",
@@ -217,6 +231,16 @@ object ReferenceQueries {
       "WITH d1 AS (SELECT event_id, ts, user_id, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) SELECT event_id, ts, user_id, event_type, value FROM d1 QUALIFY row_number() OVER (PARTITION BY ts ORDER BY user_id DESC, event_id DESC) = 1 ORDER BY event_id",
     "q11_resample_30m" ->
       "SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value, CAST(sum(CAST(event_id AS DECIMAL(30,10))) AS DOUBLE) / count(event_id) AS avg_event_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q125_hopping_window" ->
+      """WITH w AS (SELECT value,
+            unnest([time_bucket(INTERVAL '30 minutes', ts),
+                    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+              AS win_start
+          FROM events)
+          SELECT win_start,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value,
+            count(*) AS n
+          FROM w GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     "q120_resample_gapfill" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket,
             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value,
