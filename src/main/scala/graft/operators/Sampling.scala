@@ -28,6 +28,19 @@ object Sampling {
     df.filter(hashBucket(key) < math.round(rate * 10000).toInt)
   }
 
+  /** Soft (quality-weighted) sampling: each row's keep probability is its
+    * own `weightFp` — an INTEGER in [0, 10000] computed row-side (e.g. a
+    * quality score on the 10⁴ grid), compared against the md5 bucket of
+    * `salt:key`. Deterministic and growth-stable exactly like
+    * [[hashSample]]; the salt decorrelates the draw from other hash-based
+    * decisions on the same key (split assignment, uniform sampling), so a
+    * doc's sampling fate is independent of its split. Pure codegen'd
+    * filter — pushes below joins, no shuffle, no RNG state.
+    */
+  def weightedHashSample(
+      df: DataFrame, key: Column, weightFp: Column, salt: String = "wq"): DataFrame =
+    df.filter(hashBucket(concat(lit(s"$salt:"), key.cast("string"))) < weightFp)
+
   /** Repeat-factor data mixing — the upsampling side of mix assembly:
     * weight w per stratum means every row appears floor(w) times plus one
     * extra copy kept with probability frac(w). The fractional keep is

@@ -187,6 +187,22 @@ object CurationQueries {
           min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
         .orderBy("shard")
     }),
+    // Soft quality sampling: keep probability = the doc's own quality
+    // score (distinct-token fraction on the 10^4 integer grid, integer
+    // division so the threshold is engine-exact), decided by a salted md5
+    // bucket — deterministic, growth-stable, independent of the split
+    // draw. The FineWeb-style "sample by quality instead of hard filter";
+    // membership itself is hash-verified.
+    "q126_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("__n", size(col("__toks")).cast("long"))
+        .withColumn("__nd", size(array_distinct(col("__toks"))).cast("long"))
+        .withColumn("qfp", expr("(10000 * __nd) div __n"))
+      Sampling.weightedHashSample(d, col("doc_id"), col("qfp"))
+        .select("doc_id", "qfp")
+        .orderBy("doc_id")
+    }),
     // Curriculum order: documents phased by repetition quality (4 fixed-
     // width duplicate-token-fraction bands, cleanest first — computed with
     // INTEGER division so band edges are engine-exact), md5-shuffled
@@ -345,6 +361,15 @@ object CurationQueries {
             CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
             min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
           FROM r GROUP BY shard ORDER BY shard""".replaceAll("\\s+", " "),
+    "q126_weighted_sample" ->
+      raw"""WITH t AS (SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n,
+            len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS nd
+            FROM documents),
+          q AS (SELECT doc_id, (10000 * nd) // n AS qfp FROM t)
+          SELECT doc_id, qfp FROM q
+          WHERE ('0x' || substr(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < qfp
+          ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q117_curriculum_order" ->
       raw"""WITH t AS (SELECT doc_id,
             len(regexp_split_to_array(trim(text), '\s+')) AS n,

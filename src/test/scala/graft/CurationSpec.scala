@@ -92,6 +92,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(more.count() > base.count())
   }
 
+  test("weightedHashSample: rate tracks the per-row weight; edges exact") {
+    val d = (0L until 4000L).toDF("id")
+    def kept(w: Int) = Sampling.weightedHashSample(
+      d.withColumn("w", lit(w.toLong)), $"id", $"w").count().toDouble / 4000
+    assert(kept(0) === 0.0, "weight 0 keeps nothing")
+    assert(kept(10000) === 1.0, "weight 10000 keeps everything")
+    assert(math.abs(kept(2500) - 0.25) < 0.03 && math.abs(kept(7500) - 0.75) < 0.03)
+    // monotone per row: raising the weight never evicts a kept row
+    val lo = Sampling.weightedHashSample(
+      d.withColumn("w", lit(3000L)), $"id", $"w").select("id").as[Long].collect().toSet
+    val hi = Sampling.weightedHashSample(
+      d.withColumn("w", lit(8000L)), $"id", $"w").select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // salted draw is independent of the split draw: fates decorrelated
+    val both = d
+      .withColumn("split", Sampling.assignSplit($"id", Seq("train" -> 0.5), "rest"))
+      .withColumn("w", lit(5000L))
+    val keptBySplit = Sampling.weightedHashSample(both, $"id", $"w")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    keptBySplit.values.foreach(n =>
+      assert(math.abs(n.toDouble / 1000 - 1.0) < 0.2, s"correlated draws: $keptBySplit"))
+  }
+
   test("assignSplit partitions every row exactly once and is growth-stable") {
     val small = (0L until 500L).toDF("id")
       .withColumn("split", Sampling.assignSplit($"id", Seq("train" -> 0.9, "val" -> 0.05), "test"))
