@@ -51,24 +51,29 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (a bare
       // count() would let Catalyst prune most of the query away).
+      var leakedTotal = 0
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Per-REP hygiene: a query whose execution localCheckpoints its
+        // decision frames (q101/q102's release pipeline, the CC loops)
+        // leaves them persisted; across 3 reps they accumulate and rep 3
+        // measures heap pressure, not the plan. Each rep is a fresh plan +
+        // one action, so nothing intended survives a rep boundary.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        leakedTotal += leaked.size
+        leaked.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        t
       }
       val gc0 = gcMillis()
       val reps = Seq(once(), once(), once()) // rep 1 = codegen+classload; median
       val median = reps.sorted.apply(1)
-      // Post-query hygiene: reap leaked persists / plan-cache entries so the
-      // NEXT query starts clean, and log the leak as a diagnostic.
-      val leaked = spark.sparkContext.getPersistentRDDs
-      if (leaked.nonEmpty) {
+      if (leakedTotal > 0)
         System.err.println(
-          f"[bench-diag] $name: reaping ${leaked.size} leaked persisted RDD(s)")
-        leaked.values.foreach(_.unpersist(blocking = false))
-      }
-      spark.catalog.clearCache()
+          f"[bench-diag] $name: reaped $leakedTotal leaked persisted RDD(s) across reps")
       System.gc() // lets ContextCleaner drop dead broadcasts between queries
       System.err.println(
         f"[bench-diag] $name: reps=${reps.map(r => f"$r%.2f").mkString("/")} median=$median%.2f gc=${gcMillis() - gc0}ms")

@@ -25,6 +25,9 @@ object BenchOne {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[bench1] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same per-rep hygiene as Bench: reap what the execution left persisted
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
