@@ -356,10 +356,27 @@ object TextDedup {
       df: DataFrame,
       idCol: String,
       shinglesCol: String,
-      threshold: Double): DataFrame = {
-    val inv = df.filter(size(col(shinglesCol)) > 0)
-      .select(col(idCol), size(col(shinglesCol)).as("__n"),
-        explode(col(shinglesCol)).as("__s"))
+      threshold: Double,
+      maxShingleDf: Long = 0L): DataFrame = {
+    // maxShingleDf > 0: the same candidate-volume dial as [[jaccardPairs]],
+    // and for containment it additionally fixes a SEMANTIC failure mode —
+    // a short boilerplate-heavy doc reads as "contained" in everything
+    // that shares the boilerplate; with stop-shingles dropped from the
+    // universe (set sizes recomputed over survivors), containment means
+    // containment of distinctive content.
+    val inv =
+      if (maxShingleDf <= 0L) {
+        df.filter(size(col(shinglesCol)) > 0)
+          .select(col(idCol), size(col(shinglesCol)).as("__n"),
+            explode(col(shinglesCol)).as("__s"))
+      } else {
+        val exploded = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
+        val kept = exploded.join(
+          exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxShingleDf).select("__s"),
+          "__s")
+        kept.join(kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
+      }
     inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(

@@ -161,6 +161,18 @@ object DedupQueries {
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
     }),
+    // The PRODUCTION configuration of containment (the q110 pattern): the
+    // df-capped universe bounds the join's worst term AND fixes the
+    // semantic failure where a short boilerplate-heavy doc reads as
+    // "contained" in everything sharing the boilerplate — capped,
+    // containment means containment of distinctive content. Set sizes
+    // recomputed over survivors; the capped semantics hash-verified.
+    "q127_containment_capped" -> ((s, dir) => {
+      TextDedup.containmentPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        threshold = 0.9, maxShingleDf = 8L)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Asymmetric containment — |A∩B| / min(|A|,|B|): catches a doc whose
     // shingles are a near-subset of another's (truncated re-posts, quoted
     // wrappers) that Jaccard dilutes away. The augmented corpus's suffix
@@ -460,6 +472,21 @@ object DedupQueries {
           SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
           FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
           ORDER BY chunk_md5""".replaceAll("\\s+", " "),
+    "q127_containment_capped" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
+          keepsh AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 8),
+          kept AS (SELECT inv0.doc_id, inv0.s FROM inv0 JOIN keepsh USING (s)),
+          sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      sa.n AS na, sb.n AS nb, count(*) AS common
+                    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                    JOIN sized sa ON sa.doc_id = a.doc_id
+                    JOIN sized sb ON sb.doc_id = b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, CAST(common AS DOUBLE) / least(na, nb) AS containment
+          FROM pairs WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.9
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q90_containment_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),
