@@ -207,6 +207,24 @@ object AnalyticsQueries {
         .select("bucket", "avg_value", "is_anomaly")
         .orderBy("bucket")
     }),
+    // Growth curve: daily active users, new users, and CUMULATIVE unique
+    // users — the running distinct computed as a running sum of first-seen
+    // flags (a windowed count-distinct does not exist; first-seen does).
+    // The single-partition window runs over day-cardinality rows POST-
+    // aggregation (~30 here, bounded at any scale), never raw events.
+    "q128_user_growth" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val newPerDay = ev.groupBy("user_id").agg(min("d").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_new"))
+      val activePerDay = ev.groupBy("d").agg(countDistinct("user_id").as("n_active"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      activePerDay.join(newPerDay, Seq("d"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .select("d", "n_active", "n_new", "cum_users")
+        .orderBy("d")
+    }),
     // Cohort retention matrix: users bucketed by first-seen day, distinct
     // active users per (cohort, day offset) — integer-exact. First-seen is
     // one map-side-combined min; the join back shards on user_id.
@@ -232,6 +250,15 @@ object AnalyticsQueries {
           SELECT bucket, avg_value,
             (n * xfp - s) * (n * xfp - s) > 4 * (n * q - s * s) AS is_anomaly
           FROM x, st ORDER BY bucket""".replaceAll("\\s+", " "),
+    "q128_user_growth" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          f AS (SELECT user_id, min(d) AS fd FROM e GROUP BY 1),
+          n AS (SELECT fd AS d, count(*) AS n_new FROM f GROUP BY 1),
+          a AS (SELECT d, count(DISTINCT user_id) AS n_active FROM e GROUP BY 1)
+          SELECT a.d, a.n_active, coalesce(n.n_new, 0) AS n_new,
+            CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+          FROM a LEFT JOIN n ON a.d = n.d ORDER BY a.d""".replaceAll("\\s+", " "),
     "q124_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
           f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
