@@ -48,7 +48,21 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "graft_simhash60"),
-      (children: Seq[Expression]) => SimHash60Expr(children(0))))
+      (children: Seq[Expression]) => SimHash60Expr(children(0))),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(n: Int, _) => WordNgrams(children(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_ngrams n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_min_shingle"),
+      new ExpressionInfo(classOf[MinShingleFingerprint].getName, "graft_min_shingle"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(k: Int, _) => MinShingleFingerprint(children(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_min_shingle k must be an integer literal, got $other")
+      }))
 
   /** Native cosine similarity of two array<float> columns. */
   def cosineNative(a: Column, b: Column): Column =
@@ -62,4 +76,12 @@ object GraftExtensions {
   /** Native 60-bit SimHash of an array<string> token column. */
   def simhash60Native(tokens: Column): Column =
     ColumnShim.column(SimHash60Expr(ColumnShim.expression(tokens)))
+
+  /** Native word n-grams of a text column. */
+  def wordNgramsNative(text: Column, n: Int): Column =
+    ColumnShim.column(WordNgrams(ColumnShim.expression(text), n))
+
+  /** Native min-shingle fingerprint of a text column. */
+  def minShingleNative(text: Column, k: Int): Column =
+    ColumnShim.column(MinShingleFingerprint(ColumnShim.expression(text), k))
 }

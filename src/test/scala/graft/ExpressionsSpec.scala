@@ -148,4 +148,20 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     val mh = spark.sql("SELECT graft_minhash(array(17L, 42L), 4)").collect()(0).getSeq[Long](0)
     assert(mh.length == 4)
   }
+
+  test("the whole native-expression surface is SQL-callable") {
+    GraftExtensions.registerAll(spark)
+    // every registered function parses, resolves, and agrees with its
+    // DataFrame twin on a concrete value
+    val ngrams = spark.sql(
+      "SELECT graft_word_ngrams('a b c d', 3)").collect()(0).getSeq[String](0)
+    assert(ngrams == Seq("a b c", "b c d"))
+    val ms = spark.sql("SELECT graft_min_shingle('a b c d e', 2)").collect()(0)
+    val msDsl = Seq("a b c d e").toDF("t")
+      .select(graft.expressions.GraftExtensions.minShingleNative(col("t"), 2)).collect()(0)
+    assert(ms == msDsl)
+    val sh = spark.sql(
+      "SELECT graft_simhash60(array('x', 'y'))").collect()(0).getLong(0)
+    assert(sh != 0L)
+  }
 }

@@ -151,6 +151,30 @@ class TransformSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getTimestamp(0) == ts("2023-02-01 00:00:00"))
   }
 
+  test("gapFill densifies fixed-width buckets; empty buckets carry NULLs") {
+    val df = Seq(
+      (ts("2023-01-01 10:00:00"), 1.0),
+      (ts("2023-01-01 12:00:00"), 3.0)).toDF("DATETIME", "WIND") // 11:00 missing
+    val out = Resample.gapFill(
+      Resample.downsample(df, "DATETIME", "1h"), "DATETIME", "1h").collect()
+    assert(out.map(_.getTimestamp(0)) sameElements
+      Array(ts("2023-01-01 10:00:00"), ts("2023-01-01 11:00:00"), ts("2023-01-01 12:00:00")))
+    assert(out(1).isNullAt(out(1).fieldIndex("WIND")), "missing bucket surfaces as NULL")
+    assert(out(0).getDouble(out(0).fieldIndex("WIND")) == 1.0)
+  }
+
+  test("gapFill handles calendar (month) steps across year boundaries") {
+    val df = Seq(
+      (ts("2023-11-03 00:00:00"), 1.0),
+      (ts("2024-02-20 00:00:00"), 4.0)).toDF("DATETIME", "WIND") // Dec, Jan missing
+    val out = Resample.gapFill(
+      Resample.downsample(df, "DATETIME", "1mo"), "DATETIME", "1mo").collect()
+    assert(out.map(_.getTimestamp(0)) sameElements Array(
+      ts("2023-11-01 00:00:00"), ts("2023-12-01 00:00:00"),
+      ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")))
+    assert(out(1).isNullAt(out(1).fieldIndex("WIND")) && out(2).isNullAt(out(2).fieldIndex("WIND")))
+  }
+
   // -- unpivot ---------------------------------------------------------------
 
   test("unpivot produces rows × valueCols long format") {
