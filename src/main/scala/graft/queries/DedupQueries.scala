@@ -216,6 +216,59 @@ object DedupQueries {
         "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("corpus_id", "incoming_id")
     }),
+    // The hourly loop at 100 TB in one artifact: a NEW batch processed
+    // against the RELEASED corpus without reprocessing it — near-dup vs
+    // the corpus band index (batch side broadcast, corpus never
+    // shuffles), exact dedup WITHIN the batch, hashed-gram
+    // decontamination vs the corpus's eval slice, OOV quality vs the
+    // CORPUS vocabulary (broadcast-small model — the stream-static
+    // shape), growth-stable split assignment for the accepted docs. One
+    // decision row per incoming doc: the audit table an ingest run
+    // commits. Composes q84 + q32 + q75 + q83 + q96 incrementally.
+    "q129_incremental_release" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val nearDup = TextDedup.minhashLshPairsIncremental(
+          withShingles(corpus), withShingles(incoming),
+          "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
+        .select(col("incoming_id").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val exactDup = TextDedup.exactCanonical(
+          incoming.withColumn("__t", Text.normalize(col("text"))), "doc_id", "__t")
+        .filter(col("is_dup")).select("doc_id").withColumn("exact_dup", lit(true))
+      val contaminated = TextDedup.contaminationPairs(
+          incoming, corpus.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      val corpusTok = corpus.select(explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = corpusTok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(20)
+        .select(col("tok"), lit(1).as("__in"))
+      val oov = incoming
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      incoming.select("doc_id")
+        .join(nearDup, Seq("doc_id"), "left")
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(oov, Seq("doc_id"))
+        .na.fill(false, Seq("near_dup", "exact_dup", "contaminated"))
+        .withColumn("k_len", col("n_tokens") >= 40L)
+        // oov_rate <= 0.4, integer cross-multiplied (determinism rule 13)
+        .withColumn("k_oov", col("n_oov") * 10L <= col("n_tokens") * 4L)
+        .withColumn("keep", !col("near_dup") && !col("exact_dup") &&
+          !col("contaminated") && col("k_len") && col("k_oov"))
+        .withColumn("split", when(col("keep"), graft.operators.Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test")))
+        .select("doc_id", "near_dup", "exact_dup", "contaminated",
+          "n_tokens", "k_len", "k_oov", "keep", "split")
+        .orderBy("doc_id")
+    }),
     // Repeated-passage detection (boilerplate removal's unit of work):
     // 64-token chunk fingerprints shared across >= 2 docs. Exact copies
     // share every chunk; the suffix near-copies misalign the 64-token
@@ -384,6 +437,77 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql
           SELECT doc_id, array_to_string($SigSql, '|') AS signature
           FROM hashed ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q129_incremental_release" ->
+      raw"""WITH sh AS (SELECT doc_id, toks,
+            list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+          hashed AS (SELECT doc_id,
+            list_distinct([((th[i]*8191 + th[i+1]) % 4294967296 * 8191 + th[i+2]) % 4294967296
+                           for i in range(1, greatest(len(th) - 1, 1))]) AS hs
+            FROM (SELECT doc_id, [('0x' || substr(md5(t), 1, 8))::BIGINT for t in toks] AS th
+                  FROM sh)),
+          sig AS (SELECT doc_id, hs,
+            [list_min([(h * (2*i + 1) + i * 2654435761) % 4294967296 for h in hs])
+             for i in range(0, 8)] AS mh
+            FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS incoming_id
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                   WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+          nd AS (SELECT DISTINCT incoming_id AS doc_id
+                 FROM cand JOIN sig sa ON sa.doc_id = corpus_id
+                 JOIN sig sb ON sb.doc_id = incoming_id
+                 WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          norm AS (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id % 5 = 0),
+          ed AS (SELECT doc_id FROM (
+                   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(t)) AS can FROM norm)
+                 WHERE doc_id <> can),
+          tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+                FROM tt),
+          h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg FROM g),
+          cp AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS ns
+                 FROM h tr JOIN h te ON tr.hg = te.hg
+                 WHERE tr.doc_id % 5 = 0 AND te.doc_id % 5 <> 0 AND te.doc_id % 37 = 0
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+          ct AS (SELECT DISTINCT train_id AS doc_id FROM cp),
+          tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents),
+          v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok
+                                 WHERE doc_id % 5 <> 0 GROUP BY tok
+                                 ORDER BY c DESC, tok ASC LIMIT 20)),
+          ov AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                 FROM tok t LEFT JOIN v ON t.tok = v.tok
+                 WHERE t.doc_id % 5 = 0 GROUP BY 1)
+          SELECT i.doc_id,
+            nd.doc_id IS NOT NULL AS near_dup,
+            ed.doc_id IS NOT NULL AS exact_dup,
+            ct.doc_id IS NOT NULL AS contaminated,
+            ov.n_tokens,
+            ov.n_tokens >= 40 AS k_len,
+            ov.n_oov * 10 <= ov.n_tokens * 4 AS k_oov,
+            (nd.doc_id IS NULL AND ed.doc_id IS NULL AND ct.doc_id IS NULL
+             AND ov.n_tokens >= 40 AND ov.n_oov * 10 <= ov.n_tokens * 4) AS keep,
+            CASE WHEN (nd.doc_id IS NULL AND ed.doc_id IS NULL AND ct.doc_id IS NULL
+                       AND ov.n_tokens >= 40 AND ov.n_oov * 10 <= ov.n_tokens * 4)
+              THEN CASE
+                WHEN ('0x' || substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                ELSE 'test' END
+            END AS split
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
+          LEFT JOIN nd ON i.doc_id = nd.doc_id
+          LEFT JOIN ed ON i.doc_id = ed.doc_id
+          LEFT JOIN ct ON i.doc_id = ct.doc_id
+          JOIN ov ON i.doc_id = ov.doc_id
+          ORDER BY i.doc_id""".replaceAll("\\s+", " "),
     "q118_lsh_audit" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh FROM hashed WHERE len(hs) > 0),
