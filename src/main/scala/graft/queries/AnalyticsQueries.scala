@@ -225,6 +225,32 @@ object AnalyticsQueries {
         .select("d", "n_active", "n_new", "cum_users")
         .orderBy("d")
     }),
+    // Strict-order funnel conversion with a 24-hour window per stage:
+    // first 'view' -> 'click' within a day -> 'purchase' within a day
+    // of that click; each stage anchors on the previous stage's
+    // FIRST qualifying time (the product-analytics funnel — order- and
+    // deadline-sensitive, not mere co-occurrence). Three map-side-
+    // combined min aggs + user_id-sharded joins; timestamp arithmetic
+    // and comparisons are exact at microsecond precision in both
+    // engines.
+    "q130_event_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    }),
     // Cohort retention matrix: users bucketed by first-seen day, distinct
     // active users per (cohort, day offset) — integer-exact. First-seen is
     // one map-side-combined min; the join back shards on user_id.
@@ -259,6 +285,18 @@ object AnalyticsQueries {
             CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.d
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
           FROM a LEFT JOIN n ON a.d = n.d ORDER BY a.d""".replaceAll("\\s+", " "),
+    "q130_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+                JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOURS GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+                JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOURS GROUP BY 1)
+          SELECT (SELECT count(*) FROM v) AS n_view,
+                 (SELECT count(*) FROM c) AS n_view_click,
+                 (SELECT count(*) FROM p) AS n_full_funnel""".replaceAll("\\s+", " "),
     "q124_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
           f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
