@@ -252,10 +252,13 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // the three flag frames are DECISION sets (ids that hit) — orders
+      // of magnitude smaller than the batch, so they broadcast; only the
+      // per-doc oov frame is batch-sized and joins batch-to-batch
       incoming.select("doc_id")
-        .join(nearDup, Seq("doc_id"), "left")
-        .join(exactDup, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
+        .join(broadcast(nearDup), Seq("doc_id"), "left")
+        .join(broadcast(exactDup), Seq("doc_id"), "left")
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
         .join(oov, Seq("doc_id"))
         .na.fill(false, Seq("near_dup", "exact_dup", "contaminated"))
         .withColumn("k_len", col("n_tokens") >= 40L)
