@@ -4,26 +4,37 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark: one JSON line with per-query steady-state seconds.
   *
   * Methodology (recorded in BASELINE.md): every table is scanned once up
-  * front (parquet footers, page cache, reader JIT), then each query runs
-  * THREE times and the MEDIAN is reported. Run 1 pays per-query codegen +
-  * classloading (a fixed JVM cost that vanishes over a long-lived cluster
-  * session); the median of three is additionally robust to a transient
-  * host-contention spike landing on any single run — BENCH_r02 showed four
-  * queries 3–8× their isolated-warm cost from exactly such a spike, with
-  * plans unchanged (verified via BenchOne; see BASELINE.md).
+  * front (parquet footers, page cache, reader JIT), then the WHOLE query
+  * list is swept THREE full times (interleaved passes) and each query
+  * reports its MINIMUM across the passes.
   *
-  * Sweep hygiene: after each query the harness reaps any persisted RDDs the
-  * query leaked (logged to stderr — a correctness signal for the operators'
-  * own release discipline, see Pipeline.TransformResult.release), clears the
-  * SQL plan cache, and nudges GC so ContextCleaner reclaims dead broadcast
-  * blocks. Each query therefore starts from the same clean session state,
-  * and the sweep measures the engine, not what the previous 40 queries left
-  * in the JVM.
+  * Why interleaved-min rather than back-to-back median-of-3: BENCH_r02 and
+  * BENCH_r04 both recorded multi-minute host-contention windows that
+  * outlasted all three back-to-back reps of consecutive queries — r04
+  * reported q80/q90/q118 at 64.6/156.8/144.2 s where isolated warm
+  * measurement (BenchOne) gives 3.9/4–10/3.7 s with identical plans.
+  * A median over back-to-back reps has zero power against a contention
+  * window longer than the reps themselves. Interleaving puts ~minutes of
+  * other work between a query's reps, so a single contention window can
+  * contaminate at most one pass; the per-query MIN is the steady-state
+  * floor of the plan — contention only ever adds, never subtracts. Pass 1
+  * additionally pays per-query codegen + classloading (a fixed JVM cost
+  * that vanishes over a long-lived cluster session), which min across
+  * passes also absorbs.
+  *
+  * Sweep hygiene: after each query execution the harness reaps any
+  * persisted RDDs the query leaked (logged to stderr — a correctness
+  * signal for the operators' own release discipline, see
+  * Pipeline.TransformResult.release), clears the SQL plan cache, and
+  * nudges GC so ContextCleaner reclaims dead broadcast blocks. Each query
+  * therefore starts from the same clean session state, and the sweep
+  * measures the engine, not what the previous 40 queries left in the JVM.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,55 +53,53 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
 
-    def gcMillis(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    var leaked = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink: forces full evaluation of every output column (a bare
-      // count() would let Catalyst prune most of the query away).
-      var leakedTotal = 0
-      def once(): Double = {
+    for (pass <- 1 to passes) {
+      val p0 = System.nanoTime()
+      queries.foreach { case (name, fn) =>
+        // noop sink: forces full evaluation of every output column (a bare
+        // count() would let Catalyst prune most of the query away).
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         val t = (System.nanoTime() - t0) / 1e9
-        // Per-REP hygiene: a query whose execution localCheckpoints its
-        // decision frames (q101/q102's release pipeline, the CC loops)
-        // leaves them persisted; across 3 reps they accumulate and rep 3
-        // measures heap pressure, not the plan. Each rep is a fresh plan +
-        // one action, so nothing intended survives a rep boundary.
-        val leaked = spark.sparkContext.getPersistentRDDs
-        leakedTotal += leaked.size
-        leaked.values.foreach(_.unpersist(blocking = false))
+        times(name) = times(name) :+ t
+        // Per-execution hygiene: a query whose execution localCheckpoints
+        // or persists decision frames must release them itself; anything
+        // left is reaped here so the next query starts clean.
+        val persisted = spark.sparkContext.getPersistentRDDs
+        leaked(name) += persisted.size
+        persisted.values.foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
-        t
       }
-      val gc0 = gcMillis()
-      val reps = Seq(once(), once(), once()) // rep 1 = codegen+classload; median
-      val median = reps.sorted.apply(1)
-      if (leakedTotal > 0)
-        System.err.println(
-          f"[bench-diag] $name: reaped $leakedTotal leaked persisted RDD(s) across reps")
-      System.gc() // lets ContextCleaner drop dead broadcasts between queries
+      System.gc() // lets ContextCleaner drop dead broadcasts between passes
       System.err.println(
-        f"[bench-diag] $name: reps=${reps.map(r => f"$r%.2f").mkString("/")} median=$median%.2f gc=${gcMillis() - gc0}ms")
-      name -> median
+        f"[bench-diag] pass $pass/$passes done in ${(System.nanoTime() - p0) / 1e9}%.1f s")
     }
-    // Full-name per-query medians to stderr for humans; the stdout JSON line
+
+    // Full-name per-query stats to stderr for humans; the stdout JSON line
     // uses the short `qNN` ids and 3-decimal seconds so the WHOLE line fits
     // the driver's 2000-char stdout tail window (BENCH_r01–r03 all recorded
     // parsed:null because the full-name line overflowed it).
-    results.foreach { case (k, v) =>
-      System.err.println(f"[bench-final] $k%-32s ${v}%.3f s")
+    val results = queries.map { case (name, _) =>
+      val ts = times(name)
+      val best = ts.min
+      if (leaked(name) > 0)
+        System.err.println(
+          f"[bench-diag] $name: reaped ${leaked(name)} leaked persisted RDD(s) across passes")
+      System.err.println(
+        f"[bench-final] $name%-32s min=$best%.3f s  passes=${ts.map(r => f"$r%.2f").mkString("/")}")
+      name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-median-of-3"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-interleaved-min-of-$passes-passes"}""")
     spark.stop()
   }
 }

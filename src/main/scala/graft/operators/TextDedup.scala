@@ -94,9 +94,9 @@ object TextDedup {
       bandRows: Int,
       threshold: Double): DataFrame = {
     val shinglesCol = hashesCol
-    val sig = df
-      .filter(size(col(shinglesCol)) > 0)
-      .withColumn("__sig", minhashSignature(hashesCol, k))
+    // signatures live entirely inside minhashLshCandidates; verification
+    // reads only the raw distinct shingle-hash sets
+    val sig = df.filter(size(col(shinglesCol)) > 0)
     val cand = minhashLshCandidates(df, idCol, hashesCol, k, bandRows)
     val sa = sig.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sha"))
     val sb = sig.select(col(idCol).as("doc_b"), col(shinglesCol).as("__shb"))
@@ -494,14 +494,39 @@ object TextDedup {
       maxRounds: Int = 30): DataFrame =
     connectedComponentsStarWithRounds(pairs, aCol, bCol, maxRounds)._1
 
+  /** [[connectedComponentsStar]] with the label table COMMITTED through a
+    * caller-supplied sink instead of localCheckpointed: `commit` writes the
+    * converged (doc_id, cluster_id) frame and returns the read-back view.
+    * This is the release-pipeline configuration — the dedup-decisions table
+    * becomes a real table between stages (what a 100 TB run does anyway),
+    * downstream lineage starts at the sink's parquet scan, and the operator
+    * leaves NO persisted RDD behind.
+    */
+  def connectedComponentsStarCommitted(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      commit: DataFrame => DataFrame,
+      maxRounds: Int = 30): DataFrame =
+    connectedComponentsStarWithRounds(pairs, aCol, bCol, maxRounds, commit)._1
+
   /** [[connectedComponentsStar]] plus the number of rounds it took —
     * exposed so specs can pin the O(log n) convergence behavior.
+    */
+  /** `commit` finishes the label table once the loop converges. The default
+    * localCheckpoints it (materialize + truncate lineage so every loop cache
+    * can be released immediately). A release pipeline instead COMMITS the
+    * decision table — pass a commit that writes it through the real sink and
+    * returns the read-back frame ([[graft.queries.DedupQueries]] q101/q102):
+    * downstream lineage then starts at a parquet scan, and no persisted RDD
+    * outlives the operator at all.
     */
   private[graft] def connectedComponentsStarWithRounds(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 30): (DataFrame, Int) = {
+      maxRounds: Int = 30,
+      commit: DataFrame => DataFrame = _.localCheckpoint(true)): (DataFrame, Int) = {
     // undirected neighbor view: both directions, self-loops dropped
     def bothDirs(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -573,9 +598,9 @@ object TextDedup {
     // minima) appear only as dst, and label themselves
     val roots = edges.select(col("dst").as("id")).distinct()
       .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-    val result = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-      .unionByName(roots.select(col("id").as("doc_id"), col("id").as("cluster_id")))
-      .localCheckpoint(true)
+    val result = commit(
+      edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+        .unionByName(roots.select(col("id").as("doc_id"), col("id").as("cluster_id"))))
     edgesRdd.unpersist(blocking = false)
     (result, rounds)
   }

@@ -34,13 +34,20 @@ object DedupQueries {
         UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 13 = 0)"""
 
   /** Distinct word-trigram shingles per doc (both engines drop docs with
-    * fewer than 3 tokens — none exist in this corpus).
+    * fewer than 3 tokens — none exist in this corpus). Parameterized on the
+    * source CTE so q118 can shingle a hash-sampled slice of `aug`.
     */
-  private val ShinglesSql =
-    """sh AS (SELECT doc_id, toks,
+  private def shinglesSqlFrom(src: String): String =
+    s"""sh AS (SELECT doc_id, toks,
          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
-       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug))"""
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src))"""
+
+  private val ShinglesSql = shinglesSqlFrom("aug")
+
+  /** DuckDB twin of [[graft.operators.Sampling.hashBucket]]. */
+  private def bucketSql(key: String): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % 10000"
 
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", Text.tokens(col("text")))
@@ -125,10 +132,18 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
     // Exact n-gram Jaccard pairs via shingle inverted index (no LSH
-    // approximation): complete ground truth for q34 at the same threshold.
+    // approximation): ground truth for q34 at the same threshold, run with
+    // a LOOSE df cap (64 — vs q110's production dial of 8). Fully uncapped,
+    // the inverted-index join's worst term is Σ_shingle df² — a quadratic
+    // scale-killer on a boilerplate-heavy corpus; capped at 64 no single
+    // shingle contributes more than 64² candidate pairs while on this
+    // corpus no shingle reaches the cap, so the output IS the uncapped
+    // truth. The truly uncapped configuration is an sf≤0.01-only
+    // ground-truth check (JaccardGroundTruthSpec), never a sweep query.
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.5)
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        threshold = 0.5, maxShingleDf = 64L)
         .orderBy("doc_a", "doc_b")
     }),
     // The PRODUCTION configuration of exact Jaccard: shingles appearing in
@@ -148,10 +163,15 @@ object DedupQueries {
     // against exact ground truth on the SAME shingle-hash universe —
     // raw candidate volume, true near-dup pairs (Jaccard >= 0.5), and
     // their intersection. recall = n_hits/n_truth, precision =
-    // n_hits/n_candidates, both integer-exact under the oracle; the audit
-    // a production dedup runs on a sample before committing band params.
+    // n_hits/n_candidates, both integer-exact under the oracle. This is
+    // the audit a production dedup runs ON A SAMPLE before committing band
+    // params — and it does: the corpus is hash-sampled to 25% (growth-
+    // stable md5 membership, so the audited slice is identical across
+    // runs/engines), which divides the exact-truth join's Σdf² term by
+    // ~16× and is what keeps an unapproximated truth affordable at scale.
     "q118_lsh_audit" -> ((s, dir) => {
-      val withSh = withShingles(augmented(s, dir))
+      val withSh = withShingles(
+        graft.operators.Sampling.hashSample(augmented(s, dir), col("doc_id"), 0.25))
       val cand = TextDedup.minhashLshCandidates(withSh, "doc_id", "shash",
         k = 8, bandRows = 2)
       val truth = TextDedup.jaccardPairs(withSh, "doc_id", "shash", threshold = 0.5)
@@ -176,10 +196,14 @@ object DedupQueries {
     // Asymmetric containment — |A∩B| / min(|A|,|B|): catches a doc whose
     // shingles are a near-subset of another's (truncated re-posts, quoted
     // wrappers) that Jaccard dilutes away. The augmented corpus's suffix
-    // copies are exactly this shape.
+    // copies are exactly this shape. Loose df cap of 64 (vs q127's
+    // production 8) for the same Σdf² reason as q36: worst candidate term
+    // bounded, output unchanged on this corpus where no shingle reaches
+    // the cap; truly uncapped lives in JaccardGroundTruthSpec at sf0.001.
     "q90_containment_pairs" -> ((s, dir) => {
       TextDedup.containmentPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shash", threshold = 0.9)
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        threshold = 0.9, maxShingleDf = 64L)
         .orderBy("doc_a", "doc_b")
     }),
     // Pairs → dedup DECISIONS: connected components over the q34 near-dup
@@ -383,26 +407,38 @@ object DedupQueries {
     * rebuilt on the released corpus; splits assigned deterministically.
     */
   private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    // A release run COMMITS its decision tables between stages — they are
+    // real tables, not in-execution persists. Both decision frames here go
+    // through the hash-bucket-partitioned sink and are read BACK, so every
+    // downstream stage's lineage starts at a parquet scan (nothing ever
+    // re-runs the CC loop or the gram join — the r4 regression where
+    // funnelFlags' ~7 references re-executed decontamination is now
+    // structurally impossible, not just checkpointed away) and the query
+    // leaves zero persisted RDDs behind. At 100 TB these are exactly the
+    // dedup-decisions / contamination-decisions tables an audit reads.
+    val work = java.nio.file.Files.createTempDirectory("graft_release").toString
+    def committed(name: String, buckets: Int)(df: DataFrame): DataFrame = {
+      val path = s"$work/$name"
+      graft.sources.Merge.upsertPartitioned(s, df, path, Seq("doc_id"), buckets)
+      // empty decision set → the sink (correctly) no-ops; keep the schema
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        s.read.parquet(path).drop("p_bucket")
+      else df.limit(0)
+    }
     val docs = augmented(s, dir)
     val pairs = TextDedup.minhashLshPairs(
       withShingles(docs), "doc_id", "shash",
       k = 8, bandRows = 2, threshold = 0.5)
-    val drop = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val drop = TextDedup.connectedComponentsStarCommitted(
+        pairs, "doc_a", "doc_b", commit = committed("dedup_decisions", 8))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val survivors = docs.join(drop, Seq("doc_id"), "left_anti")
-    // The contamination decision set is tiny (dozens of ids) but its
-    // lineage holds the full gram join; downstream funnel signals
-    // reference the released corpus ~7× — without truncation each pass
-    // re-runs decontamination (measured: q101 5.4 s → 12 s when the stage
-    // landed). localCheckpoint materializes the DECISION once (rule 10's
-    // device); at 100 TB this is the dedup-decisions table a release
-    // pipeline writes between stages anyway (q102 does exactly that).
-    val contaminated = TextDedup.contaminationPairs(
-      survivors.filter(col("doc_id") % 37 =!= 0),
-      survivors.filter(col("doc_id") % 37 === 0),
-      "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
-      .select(col("train_id").as("doc_id")).distinct()
-      .localCheckpoint(true)
+    val contaminated = committed("contamination_decisions", 4)(
+      TextDedup.contaminationPairs(
+        survivors.filter(col("doc_id") % 37 =!= 0),
+        survivors.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+        .select(col("train_id").as("doc_id")).distinct())
     val released = survivors.filter(col("doc_id") % 37 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     graft.operators.QualitySignals.funnelFlags(released)
@@ -512,7 +548,9 @@ object DedupQueries {
           JOIN ov ON i.doc_id = ov.doc_id
           ORDER BY i.doc_id""".replaceAll("\\s+", " "),
     "q118_lsh_audit" ->
-      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+      s"""WITH $AugSql,
+          samp AS (SELECT doc_id, text FROM aug WHERE ${bucketSql("doc_id")} < 2500),
+          ${shinglesSqlFrom("samp")}, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh FROM hashed WHERE len(hs) > 0),
           bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
                     FROM sig, unnest(range(0, 4)) AS u(b)),
@@ -564,11 +602,15 @@ object DedupQueries {
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q36_jaccard_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
-          sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),
-          inv AS (SELECT doc_id, n, unnest(hs) AS s FROM sized),
-          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-                      count(*) AS common
-                    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
+          keepsh AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 64),
+          kept AS (SELECT inv0.doc_id, inv0.s FROM inv0 JOIN keepsh USING (s)),
+          sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      sa.n AS na, sb.n AS nb, count(*) AS common
+                    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                    JOIN sized sa ON sa.doc_id = a.doc_id
+                    JOIN sized sb ON sb.doc_id = b.doc_id
                     GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
           FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
@@ -616,11 +658,15 @@ object DedupQueries {
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q90_containment_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
-          sized AS (SELECT doc_id, hs, len(hs) AS n FROM hashed WHERE len(hs) > 0),
-          inv AS (SELECT doc_id, n, unnest(hs) AS s FROM sized),
-          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-                      count(*) AS common
-                    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
+          keepsh AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 64),
+          kept AS (SELECT inv0.doc_id, inv0.s FROM inv0 JOIN keepsh USING (s)),
+          sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      sa.n AS na, sb.n AS nb, count(*) AS common
+                    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                    JOIN sized sa ON sa.doc_id = a.doc_id
+                    JOIN sized sb ON sb.doc_id = b.doc_id
                     GROUP BY 1, 2, 3, 4)
           SELECT doc_a, doc_b, CAST(common AS DOUBLE) / least(na, nb) AS containment
           FROM pairs WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.9
