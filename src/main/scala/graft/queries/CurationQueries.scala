@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Curate, Sampling, Scrub}
+import graft.operators.{Bpe, Curate, Sampling, Scrub}
 import graft.sources.Tables
 
 /** Corpus-curation surface: PII scrubbing, vocabulary coverage, context-
@@ -116,6 +116,19 @@ object CurationQueries {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(50)
     }),
+    // Iterated BPE: q95 stops at the FIRST merge candidate table; this
+    // runs the actual loop — pick the top pair, merge it everywhere
+    // (greedy left-to-right, the real BPE application step), recount on
+    // the merged symbol sequences, three rounds deep. Output is the
+    // learned merge list (round, pair, count-at-selection) — the artifact
+    // a tokenizer trainer commits. Rounds 2 and 3 count pairs over
+    // MERGED sequences, so the oracle must replay the identical
+    // merge+recount chain (CTE per round) — the loop semantics
+    // themselves are what's hash-verified. See [[graft.operators.Bpe]]
+    // for the sentinel-string encoding that makes each merge one
+    // codegen'd replace in both engines.
+    "q131_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(Tables.documents(s, dir).select("text"), "text", rounds = 3)),
     // Train/val/test assignment: cumulative md5-bucket thresholds (90/5/5)
     // — a doc's split never changes as the corpus grows. Reported as the
     // per-(split, lang) audit table an eval-leakage review reads.
@@ -295,6 +308,49 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q131_bpe_merges" ->
+      raw"""WITH words AS (SELECT w, count(*) AS wn
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents) GROUP BY w),
+          e0 AS (SELECT wn,
+                   array_to_string([chr(31) || w[i] || chr(31)
+                                    for i in range(1, len(w) + 1)], '') AS enc
+                 FROM words),
+          s1 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e0),
+          p1 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s1)
+                 GROUP BY 1, 2),
+          t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+          e1 AS (SELECT wn, replace(enc,
+                   chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
+                   chr(31) || t1.a || t1.b || chr(31)) AS enc
+                 FROM e0 CROSS JOIN t1),
+          s2 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e1),
+          p2 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s2)
+                 GROUP BY 1, 2),
+          t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+          e2 AS (SELECT wn, replace(enc,
+                   chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
+                   chr(31) || t2.a || t2.b || chr(31)) AS enc
+                 FROM e1 CROSS JOIN t2),
+          s3 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e2),
+          p3 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s3)
+                 GROUP BY 1, 2),
+          t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, a AS pair_a, b AS pair_b,
+                   a || b AS merged, n FROM t1
+            UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, n FROM t2
+            UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, n FROM t3)
+          ORDER BY round""".replaceAll("\\s+", " "),
     "q95_bpe_pairs" ->
       raw"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
                       FROM documents),

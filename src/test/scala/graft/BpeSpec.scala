@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** Pins the BPE merge-application semantics that the q131 oracle replays:
+  * greedy left-to-right non-overlapping merges, symbol-boundary safety of
+  * the sentinel encoding, and frequency-weighted argmax with lexicographic
+  * tie-break.
+  */
+class BpeSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def docs(texts: String*) = texts.toDF("text")
+
+  test("learnMerges picks the weighted top pair and merges greedily") {
+    // "abab abab ax" ×1: pairs ab:4(per word 2×2... ) — spell it out:
+    // words: "abab" wn=2, "ax" wn=1
+    // round 1 pairs: (a,b)=2·2=4, (b,a)=2·1=2, (a,x)=1 → merge "ab"
+    val out = Bpe.learnMerges(docs("abab abab ax"), "text", rounds = 2).collect()
+    assert(out(0).getString(1) == "a" && out(0).getString(2) == "b")
+    assert(out(0).getString(3) == "ab" && out(0).getLong(4) == 4L)
+    // round 2: "abab" is now [ab, ab] → (ab,ab)=2; "ax" → [a, x] → (a,x)=1
+    assert(out(1).getString(3) == "abab" && out(1).getLong(4) == 2L)
+  }
+
+  test("merge of a repeated symbol is left-to-right non-overlapping") {
+    // "aaaa": round-1 top pair is (a,a) with count 3 (three adjacencies);
+    // applying it greedily gives [aa, aa], NOT [aa, a, a]-with-overlap —
+    // so round 2's top pair is (aa, aa)
+    val out = Bpe.learnMerges(docs("aaaa"), "text", rounds = 2).collect()
+    assert(out(0).getString(3) == "aa" && out(0).getLong(4) == 3L)
+    assert(out(1).getString(1) == "aa" && out(1).getString(2) == "aa" &&
+      out(1).getLong(4) == 1L)
+    // odd length: "aaaaa" → [aa, aa, a]; (aa,aa)=1 ties (aa,a)=1 and the
+    // lexicographic tie-break on b picks "a" < "aa" → winner (aa, a)
+    val odd = Bpe.learnMerges(docs("aaaaa"), "text", rounds = 2).collect()
+    assert(odd(1).getString(1) == "aa" && odd(1).getString(2) == "a")
+  }
+
+  test("merged symbols never match across their boundary") {
+    // after merging (a,b) in "xab cab", the sequences are [x, ab] and
+    // [c, ab]; a later pair (b, c) must never match inside/across the
+    // merged "ab" symbol. Round 2 top must be (x, ab) or (c, ab) — both
+    // count 1 — never anything involving a bare "b".
+    val out = Bpe.learnMerges(docs("ab ab xab cab"), "text", rounds = 2).collect()
+    assert(out(0).getString(3) == "ab")
+    val (a2, b2) = (out(1).getString(1), out(1).getString(2))
+    assert(Set("x", "c").contains(a2) && b2 == "ab", s"got ($a2, $b2)")
+  }
+
+  test("pairCounts ignores single-symbol words") {
+    val words = Bpe.wordTable(docs("a a a bc"), "text")
+    val pairs = Bpe.pairCounts(words).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getString(0) == "b" && pairs(0).getString(1) == "c" &&
+      pairs(0).getLong(2) == 1L)
+  }
+}
