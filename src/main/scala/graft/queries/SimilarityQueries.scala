@@ -194,6 +194,48 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
+    // IVF index MAINTENANCE — the hourly append path of the incremental
+    // loop: the index layout is first committed from the base corpus
+    // (vec_id % 5 != 0), then the incoming batch (vec_id % 5 == 0) is
+    // assigned with the SAME frozen quantizer and UPSERTED into the
+    // centroid-partitioned layout (Merge.upsertPartitionedBy — merge reads
+    // and rewrites only the batch's touched centroid partitions), and the
+    // probe reads only its nProbe=4 partitions of the merged index
+    // (pruning + append idempotency asserted in IvfMaintenanceSpec).
+    // The two-step build commits exactly the rows of q54's one-shot
+    // assignment, so the top-5 is q54's — same oracle, with real index
+    // maintenance in between.
+    "q132_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft_q132").toString + "/ivf"
+      val base = emb.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+      val batch = emb.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+      graft.sources.Merge.upsertPartitionedBy(s,
+        Similarity.ivfAssign(base, "vec_id", "embedding", centroids),
+        layout, Seq("vec_id"), "centroid_id")
+      graft.sources.Merge.upsertPartitionedBy(s,
+        Similarity.ivfAssign(batch, "vec_id", "embedding", centroids),
+        layout, Seq("vec_id"), "centroid_id")
+      val probeBuckets = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", Similarity.l2sq(col("embedding"), col("centroid_emb")))
+        .orderBy(col("__dist").asc, col("centroid_id").asc)
+        .limit(4)
+        .select("centroid_id").collect().map(_.getLong(0)).toSeq
+      val probeEmb = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      s.read.parquet(layout)
+        .filter(col("centroid_id").isin(probeBuckets: _*))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probeEmb))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
     // IVF-style ANN: 16 coarse centroids (deterministically the first 16
     // vectors — a stand-in for k-means training), every vector assigned to
     // its nearest centroid, probe searches its 4 nearest centroid buckets,
@@ -615,8 +657,12 @@ object SimilarityQueries {
   )
 
   /** q111 = q54's semantics with a physical (centroid-partitioned layout)
-    * round trip in between; the oracle is therefore identical.
+    * round trip in between, and q132 = the same layout built in two
+    * committed steps (base index + frozen-quantizer batch append); the
+    * oracle is therefore identical for all three.
     */
   val oracleSql: Map[String, String] =
-    oracleSqlBase + ("q111_ann_bucketed" -> oracleSqlBase("q54_ann_ivf"))
+    oracleSqlBase +
+      ("q111_ann_bucketed" -> oracleSqlBase("q54_ann_ivf")) +
+      ("q132_ivf_append" -> oracleSqlBase("q54_ann_ivf"))
 }

@@ -104,6 +104,42 @@ object Merge {
       .parquet(path)
   }
 
+  /** [[upsertPartitioned]] with a DOMAIN partition column that already
+    * exists on the incoming frame — e.g. an IVF index's centroid
+    * assignment, where the layout must be partitioned by the quantizer's
+    * output so a probe can prune to its nProbe buckets
+    * ([[graft.queries.SimilarityQueries]] q111/q132).
+    *
+    * Contract: `partCol` must be a DETERMINISTIC function of the merge
+    * keys for the life of the sink (for IVF: the quantizer is frozen and a
+    * vector's embedding never changes), for the same reason
+    * [[upsertPartitioned]] derives its bucket from the keys — if a key's
+    * rows could migrate partitions between batches, the pruned anti-join
+    * would miss the old copy and silently duplicate the key. Same
+    * touched-partitions-only merge plan: read prunes to incoming partCol
+    * values, write commits via dynamic partition overwrite, untouched
+    * buckets' files are never opened.
+    */
+  def upsertPartitionedBy(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partCol: String): Unit = {
+    if (incoming.isEmpty) return // reference: empty batch is a no-op
+    if (!Files.exists(Paths.get(path))) {
+      incoming.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val touched = incoming.select(partCol).distinct().collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
+    upsert(existing, incoming, keys)
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
+      .parquet(path)
+  }
+
   /** Maintenance for the partitioned sink: every hourly upsert rewrites its
     * touched partitions as fresh files, so a bucket that keeps receiving
     * small batches accumulates small files until scans pay per-file open
