@@ -39,7 +39,14 @@ object Sampling {
     */
   def weightedHashSample(
       df: DataFrame, key: Column, weightFp: Column, salt: String = "wq"): DataFrame =
-    df.filter(hashBucket(concat(lit(s"$salt:"), key.cast("string"))) < weightFp)
+    // Guard the weight into its contract range instead of trusting it:
+    // un-clamped, a weight above 10000 silently keeps everything and a
+    // negative one silently drops everything — both config errors that
+    // would otherwise be invisible. A NULL weight means "no score" and
+    // drops the row, made explicit here via coalesce(0) rather than left
+    // to three-valued NULL-comparison semantics.
+    df.filter(hashBucket(concat(lit(s"$salt:"), key.cast("string")))
+      < least(greatest(coalesce(weightFp, lit(0)), lit(0)), lit(10000)))
 
   /** Repeat-factor data mixing — the upsampling side of mix assembly:
     * weight w per stratum means every row appears floor(w) times plus one

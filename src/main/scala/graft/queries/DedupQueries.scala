@@ -86,8 +86,14 @@ object DedupQueries {
     // cannot see (copies carry new ids, so the md5(id) assignment scatters
     // them across splits). One row per (content group, split); groups
     // entirely inside one split are silent. Composes q32's normalization,
-    // q96's split assignment, and one groupBy + same-key window (the
-    // window reuses the groupBy's hash partitioning on the prefix key).
+    // q96's split assignment, and one groupBy + same-key window. The
+    // explicit repartition on content_hash alone is what makes them share
+    // ONE exchange: HashPartitioning(content_hash) satisfies both the
+    // aggregate's ClusteredDistribution(content_hash, split) — a subset
+    // partitioning co-locates every group — and the window's
+    // ClusteredDistribution(content_hash); grouping by (content_hash,
+    // split) directly would hash-partition on the PAIR, which the window
+    // cannot reuse, inserting a second exchange.
     "q116_split_leakage" -> ((s, dir) => {
       val withSplit = augmented(s, dir)
         .withColumn("text", Text.normalize(col("text")))
@@ -95,6 +101,7 @@ object DedupQueries {
           col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
       val grouped = withSplit
         .select(md5(col("text")).as("content_hash"), col("split"), col("doc_id"))
+        .repartition(col("content_hash"))
         .groupBy("content_hash", "split")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")

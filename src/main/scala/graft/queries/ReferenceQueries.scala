@@ -50,11 +50,14 @@ object ReferenceQueries {
         .limit(1)
         .select("event_id", "ts", "event_type")
     }),
-    // S10/A3: literal-rows quality summary from counts.
+    // S10/A3: literal-rows quality summary from counts — ONE aggregation
+    // pass (count + count_if in the same job) instead of the reference's
+    // scan-per-metric.
     "q05_quality_summary" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val total = ev.count()
-      val clean = ev.filter(col("event_type") =!= "error").count()
+      val r = Tables.events(s, dir).agg(
+        count(lit(1)).as("total"),
+        count_if(col("event_type") =!= "error").as("clean")).head()
+      val (total, clean) = (r.getLong(0), r.getLong(1))
       Quality.qualitySummary(s, total, clean, Seq("error_events" -> (total - clean)))
         .orderBy("Check")
     }),

@@ -192,8 +192,16 @@ object Streaming {
     * worth of docs is small by construction); the corpus side never
     * shuffles, and at 100 TB it is written bucketed by band value so each
     * trigger's probe prunes to colliding buckets. Hits append to
-    * `hitsPath` tagged with the batch id; exactly-once from checkpointed
-    * offsets + append-only sink keyed by (batch_id, pair).
+    * `hitsPath` tagged with the batch id.
+    *
+    * Delivery: AT-LEAST-ONCE, not exactly-once — checkpointed offsets stop
+    * a committed batch from reprocessing, but a failure AFTER a partial
+    * parquet append leaves those files behind and the retry re-appends the
+    * same rows. Readers must therefore dedup on
+    * (batch_id, corpus_id, incoming_id) — cheap, since every emitted row
+    * carries all three — or the sink swapped for an idempotent
+    * overwrite-by-batch_id-partition commit the way [[incrementalMergeSink]]
+    * commits per batch.
     */
   def ingestDedupStream(
       docs: DataFrame, //                     streaming (doc_id, text)

@@ -27,19 +27,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) === Row(3L, 0L, 0L, 0L, "no pii here at all"))
   }
 
-  test("q101: contamination decision is a truncated (LogicalRDD) leaf") {
-    // funnelFlags references the released corpus ~7×; if the contamination
-    // decision frame's lineage is not checkpoint-truncated, every reference
-    // re-runs the gram join (measured q101 5.4 → 12 s when the stage first
-    // landed). The eager localCheckpoint shows up as a single-column
-    // LogicalRDD [doc_id#N] leaf — the two-column labels checkpoint from
-    // star CC does not match this pattern.
+  test("q101: decision tables are committed sink scans, not persisted frames") {
+    // funnelFlags references the released corpus ~7×; if the decision
+    // frames' lineage were not truncated, every reference would re-run the
+    // CC loop / gram join (measured q101 5.4 → 12 s when the stage first
+    // landed). A release run COMMITS its decisions between stages, so both
+    // frames now come back from the partitioned sink: the plan's leaves
+    // must include the dedup_decisions and contamination_decisions parquet
+    // relations, no LogicalRDD checkpoint leaves remain, and after
+    // building the plan the query holds NO persisted RDDs.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val df = SparkEntry.queries("q101_release_manifest")(
       spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.optimizedPlan.toString
-    assert("LogicalRDD \\[doc_id#\\d+L?\\]".r.findFirstIn(plan).isDefined,
-      s"contamination decision frame must be eagerly checkpointed; leaves: " +
-        "LogicalRDD[^\\n]*".r.findAllIn(plan).mkString(" | "))
+    val plan = df.queryExecution.optimizedPlan
+    val scanPaths = plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+    assert(scanPaths.exists(_.contains("dedup_decisions")),
+      s"dedup (CC label) decisions must be read back from the committed sink; scans: $scanPaths")
+    assert(scanPaths.exists(_.contains("contamination_decisions")),
+      s"contamination decisions must be read back from the committed sink; scans: $scanPaths")
+    assert(!plan.toString.contains("LogicalRDD"),
+      "no checkpoint leaf should remain in the release pipeline plan")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release pipeline must not leave persisted RDDs behind")
   }
 
   test("redaction leaves no residual matches") {
