@@ -317,20 +317,7 @@ object TextDedup {
       shinglesCol: String,
       threshold: Double,
       maxShingleDf: Long = 0L): DataFrame = {
-    val inv =
-      if (maxShingleDf <= 0L) {
-        df.filter(size(col(shinglesCol)) > 0)
-          .select(col(idCol), size(col(shinglesCol)).as("__n"),
-            explode(col(shinglesCol)).as("__s"))
-      } else {
-        // shingles are distinct per doc, so count(*) per shingle == doc freq
-        val exploded = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
-        val kept = exploded.join(
-          exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= maxShingleDf).select("__s"),
-          "__s")
-        kept.join(kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
-      }
+    val inv = invertedIndex(df, idCol, shinglesCol, maxShingleDf)
     inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(
@@ -342,6 +329,44 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** (id, __n, __s) inverted shingle index shared by [[jaccardPairs]] /
+    * [[containmentPairs]], ending in a repartition barrier on the shingle.
+    *
+    * The barrier is load-bearing, same rule as the MinHash signature
+    * barrier above: the shingle expression (tokens → per-token md5 → fold)
+    * is the expensive term, and this frame is consumed from MULTIPLE plan
+    * branches — both sides of the pair self-join, and in the capped
+    * variant also the df aggregation and the per-doc size recount.
+    * Without the barrier each branch re-runs the whole text pipeline
+    * (measured on the 8× probe corpus: the capped index build alone took
+    * 141 s for a 35k-row result — all of it md5 recompute); with it every
+    * branch reuses ONE exchange's shuffle files (ReuseExchange — identical
+    * canonical subtrees), and the shuffle carries (id, hash) longs, never
+    * text. The self-join is also already clustered on __s, so no further
+    * exchange precedes it.
+    */
+  private def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: String,
+      maxShingleDf: Long): DataFrame =
+    if (maxShingleDf <= 0L) {
+      df.filter(size(col(shinglesCol)) > 0)
+        .select(col(idCol), size(col(shinglesCol)).as("__n"),
+          explode(col(shinglesCol)).as("__s"))
+        .repartition(col("__s"))
+    } else {
+      // shingles are distinct per doc, so count(*) per shingle == doc freq
+      val exploded = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
+        .repartition(col("__s"))
+      val kept = exploded.join(
+        exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDf).select("__s"),
+        "__s")
+      kept.join(kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
+        .repartition(col("__s"))
+    }
 
   /** Containment pairs — the asymmetric companion to [[jaccardPairs]]:
     * containment = |A∩B| / min(|A|, |B|), which detects a document whose
@@ -364,19 +389,7 @@ object TextDedup {
     // that shares the boilerplate; with stop-shingles dropped from the
     // universe (set sizes recomputed over survivors), containment means
     // containment of distinctive content.
-    val inv =
-      if (maxShingleDf <= 0L) {
-        df.filter(size(col(shinglesCol)) > 0)
-          .select(col(idCol), size(col(shinglesCol)).as("__n"),
-            explode(col(shinglesCol)).as("__s"))
-      } else {
-        val exploded = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
-        val kept = exploded.join(
-          exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= maxShingleDf).select("__s"),
-          "__s")
-        kept.join(kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
-      }
+    val inv = invertedIndex(df, idCol, shinglesCol, maxShingleDf)
     inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(

@@ -117,6 +117,56 @@ object ScaleProbe {
       n = 3, minShared = 2, expectedTestGrams = 1000000L)
     val nContam = time("bloom decontaminate")(contam.count())
     println(s"[scale] contaminated pairs = $nContam")
+    // r5: the funnel families. Inter-stage reaping first (same hygiene as
+    // above) so the agg chains measure themselves, not the decontamination
+    // family's leftovers.
+    spark.catalog.clearCache()
+    System.gc()
+    // q97's shape: funnelFlags (token/repetition/oov signals — the vocab
+    // and bigram model are corpus-global aggregates rebuilt on `big`)
+    // followed by the single-pass 10-aggregate funnel rollup.
+    val fl = graft.operators.QualitySignals.funnelFlags(big)
+    val funnelRow = time("funnel agg chain (q97 shape)")(fl.agg(
+      count(lit(1)).as("d0"),
+      count(when(col("k1"), 1)).as("d1"),
+      count(when(col("k1") && col("k2"), 1)).as("d2"),
+      count(when(col("k1") && col("k2") && col("k3"), 1)).as("d3"),
+      count(when(col("k1") && col("k2") && col("k3") && col("k4"), 1)).as("d4")).head())
+    println(s"[scale] funnel stages = $funnelRow")
+    // q130's shape: the order- and deadline-sensitive event funnel —
+    // three stage-aggregations chained by user_id joins. Events replicated
+    // with SHIFTED user ids, so funnels never cross replicas and the true
+    // funnel volume grows exactly mult×; per-user event cardinality (the
+    // join fan-in) stays constant — the property the chain must track.
+    val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts"))
+    val evBig = (0 until mult).map(r =>
+      evBase.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
+        col("event_type"), col("ts")))
+      .reduce(_ unionByName _)
+    val v = evBig.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = evBig.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + 86400L * 1000000000L)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = evBig.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + 86400L * 1000000000L)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val funnel = time("event funnel (q130 shape)")(
+      v.agg(count(lit(1))).crossJoin(c.agg(count(lit(1))))
+        .crossJoin(p.agg(count(lit(1)))).head())
+    println(s"[scale] event funnel = $funnel")
+    // r5: the capped containment family (q127's production dial), LAST and
+    // reap-isolated — the replicated corpus is the dial's adversarial
+    // worst case (every replica-set shingle sits at df = mult, i.e.
+    // exactly AT an 8× cap), so this stage is expected to be the probe's
+    // heaviest and must not contaminate any other family's numbers.
+    spark.catalog.clearCache()
+    System.gc()
+    val contCapped = graft.operators.TextDedup.containmentPairs(
+      hashed, "doc_id", "shash", threshold = 0.9, maxShingleDf = 8L)
+    val nCont = time("containment capped(df<=8)")(contCapped.count())
+    println(s"[scale] capped containment pairs = $nCont")
     spark.stop()
   }
 }
