@@ -39,6 +39,19 @@ object ScaleProbe {
       r
     }
 
+    // Rule 14, applied BETWEEN EVERY FAMILY: unpersist everything
+    // (including the CC labels' localCheckpoint once its family is done),
+    // clear the plan cache, nudge GC. Measured consequence of skipping it:
+    // the assembly family after the release family read novelty 173.6 s /
+    // token budget 95.1 s / training order 80.0 s at 8× — 30–130× their
+    // clean-session costs (2.9/0.8/0.6 s) — because they were timing the
+    // previous families' debris, at ~5/32 cores busy (GC thrash).
+    def reap(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val hashed = big
       .withColumn("toks", graft.functions.Text.tokens(col("text")))
       .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
@@ -57,8 +70,16 @@ object ScaleProbe {
     // r4: release-pipeline stages over the same replicated corpus —
     // dedup-apply, corpus-global funnel signals (vocab + bigram LM
     // rebuilt on survivors), split assignment.
-    val drop = labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val survivors = big.join(drop, Seq("doc_id"), "left_anti")
+    // The drop DECISION is materialized once, exactly as q101's release
+    // pipeline commits it (there: through the partitioned sink; here: a
+    // checkpoint suffices for a probe). Without this, funnelFlags' ~7
+    // survivor references each re-derive the drop set, and once the set
+    // outgrows the broadcast threshold (76k ids at 16×) every reference
+    // re-shuffles the full-text corpus for its anti join — measured
+    // 67 s at 16× vs 3.8 s at 8×, a cliff the committed shape removes.
+    val drop = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id").localCheckpoint(true)
+    val survivors = big.join(broadcast(drop), Seq("doc_id"), "left_anti")
     val nSurv = time("dedup apply")(survivors.count())
     val flags = graft.operators.QualitySignals.funnelFlags(survivors)
     val nKept = time("funnel flags")(
@@ -70,6 +91,7 @@ object ScaleProbe {
     val splits = time("manifest + split")(
       manifest.groupBy("split").count().collect().sortBy(_.getString(0)).toSeq)
     println(s"[scale] survivors = $nSurv, funnel kept = $nKept, splits = $splits")
+    reap() // dedup+release families done: labels checkpoint + pairs released
     // r4 continuation: corpus-assembly ops over the same replicated corpus —
     // first-seen novelty (inverted-index pair of passes), token-budget mix,
     // and the training-order window at write-shard granularity.
@@ -87,14 +109,9 @@ object ScaleProbe {
     val nOrd = time("training order")(
       ordered.groupBy("shard").agg(max("pos")).count())
     println(s"[scale] budget kept = $nBudget, shards = $nOrd")
-    // Stage hygiene before the timed semantic ops: drop the dedup
-    // pipeline's persisted frames and let ContextCleaner reap dead
-    // broadcasts — without this, semDedup 16x measured 78 s in-sweep vs
-    // 10 s clean-session (the BENCH_r02 contamination disease, here in
-    // the probe itself).
-    pairs.unpersist(blocking = true)
-    spark.catalog.clearCache()
-    System.gc()
+    // Stage hygiene before the timed semantic ops (r4's original lesson:
+    // semDedup 16x measured 78 s in-sweep vs 10 s clean-session).
+    reap()
     // r4 continuation 2: the semantic ops — SemDeDup over replicated
     // embeddings (replicas are exact semantic dups, so within-cluster
     // candidate volume grows mult^2 per vector — the worst case the
@@ -120,8 +137,7 @@ object ScaleProbe {
     // r5: the funnel families. Inter-stage reaping first (same hygiene as
     // above) so the agg chains measure themselves, not the decontamination
     // family's leftovers.
-    spark.catalog.clearCache()
-    System.gc()
+    reap()
     // q97's shape: funnelFlags (token/repetition/oov signals — the vocab
     // and bigram model are corpus-global aggregates rebuilt on `big`)
     // followed by the single-pass 10-aggregate funnel rollup.
@@ -161,8 +177,7 @@ object ScaleProbe {
     // worst case (every replica-set shingle sits at df = mult, i.e.
     // exactly AT an 8× cap), so this stage is expected to be the probe's
     // heaviest and must not contaminate any other family's numbers.
-    spark.catalog.clearCache()
-    System.gc()
+    reap()
     val contCapped = graft.operators.TextDedup.containmentPairs(
       hashed, "doc_id", "shash", threshold = 0.9, maxShingleDf = 8L)
     val nCont = time("containment capped(df<=8)")(contCapped.count())

@@ -37,6 +37,10 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     // relations, no LogicalRDD checkpoint leaves remain, and after
     // building the plan the query holds NO persisted RDDs.
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // other suites share this session and may legitimately hold persisted
+    // frames — assert q101 adds none of its OWN, not that the session is
+    // globally clean
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("q101_release_manifest")(
       spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.optimizedPlan
@@ -52,8 +56,9 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       s"contamination decisions must be read back from the committed sink; scans: $scanPaths")
     assert(!plan.toString.contains("LogicalRDD"),
       "no checkpoint leaf should remain in the release pipeline plan")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "release pipeline must not leave persisted RDDs behind")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(added.isEmpty,
+      s"release pipeline must not leave persisted RDDs behind; added ids: $added")
   }
 
   test("redaction leaves no residual matches") {
