@@ -70,6 +70,38 @@ object Bpe {
     words.withColumn("enc",
       replace(col("enc"), lit(D + a + D + D + b + D), lit(D + a + b + D)))
 
+  /** ENCODE with a learned merge list — the tokenizer-apply step: every
+    * doc's words are split to characters and the merges are replayed IN
+    * LEARNED ORDER (BPE application order is part of the tokenizer
+    * contract), then symbols are counted per doc. Output:
+    * (id, n_words, n_symbols) — the before/after compression a tokenizer
+    * change is evaluated by (chars-per-token ratios, token-count budgets).
+    *
+    * Scale shape: pure codegen'd projection per row (explode words, one
+    * string `replace` per merge — merges ride as literals, the frozen
+    * artifact of [[learnMerges]]) followed by ONE map-side-combined
+    * groupBy on the doc id. No joins, no corpus-global state.
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .withColumn("enc", array_join(
+        transform(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          x => concat(lit(D), x, lit(D))), ""))
+    val encoded = merges.foldLeft(enc0) { case (df, (a, b)) =>
+      df.withColumn("enc",
+        replace(col("enc"), lit(D + a + D + D + b + D), lit(D + a + b + D)))
+    }
+    encoded
+      .withColumn("__n", size(split(expr("substring(enc, 2, length(enc) - 2)"), D + D)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_symbols"))
+  }
+
   /** Learn `rounds` merges; one output row per round:
     * (round, pair_a, pair_b, merged, n) with n the weighted pair count
     * that made it the argmax at selection time (ties → lexicographic

@@ -47,6 +47,51 @@ object CurationQueries {
   /** URL-host extractor shared by q108 and its oracle (RE2∩Java subset). */
   private val DomainRe = "https://([a-z0-9.-]+)/"
 
+  /** The q131 BPE learn chain (3 merge rounds) as DuckDB CTEs ending in
+    * the per-round decisions t1/t2/t3 — shared by q131's merge-list oracle
+    * and q133's encode oracle, which replays the same learned merges over
+    * the per-doc word stream. Mirrors [[graft.operators.Bpe]]: chr(31)
+    * sentinel wrapping, greedy left-to-right `replace`, (n DESC, a, b)
+    * tie-break.
+    */
+  private val BpeChainSql =
+    raw"""words AS (SELECT w, count(*) AS wn
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents) GROUP BY w),
+          e0 AS (SELECT wn,
+                   array_to_string([chr(31) || w[i] || chr(31)
+                                    for i in range(1, len(w) + 1)], '') AS enc
+                 FROM words),
+          s1 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e0),
+          p1 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s1)
+                 GROUP BY 1, 2),
+          t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+          e1 AS (SELECT wn, replace(enc,
+                   chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
+                   chr(31) || t1.a || t1.b || chr(31)) AS enc
+                 FROM e0 CROSS JOIN t1),
+          s2 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e1),
+          p2 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s2)
+                 GROUP BY 1, 2),
+          t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+          e2 AS (SELECT wn, replace(enc,
+                   chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
+                   chr(31) || t2.a || t2.b || chr(31)) AS enc
+                 FROM e1 CROSS JOIN t2),
+          s3 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e2),
+          p3 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                          for i in range(1, len(s))]) AS p FROM s3)
+                 GROUP BY 1, 2),
+          t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)"""
+
   val queries: Map[String, Q] = Map(
     // PII scrub before release: per-doc detection counts plus the md5 of
     // the redacted text itself — the redaction OUTPUT is hash-verified
@@ -129,6 +174,22 @@ object CurationQueries {
     // codegen'd replace in both engines.
     "q131_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(Tables.documents(s, dir).select("text"), "text", rounds = 3)),
+    // The tokenizer APPLIED: encode every doc with q131's learned merge
+    // list (replayed in learned order — application order is part of the
+    // tokenizer contract) and report per-doc word/symbol counts — the
+    // compression table a tokenizer change is evaluated by. The learn
+    // step runs inside the query (its three 1-row decisions are the
+    // frozen artifact the encode inlines as literals); the oracle replays
+    // the identical chain and re-encodes in SQL, so learn AND apply are
+    // both under the hash gate.
+    "q133_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
+        .orderBy("round")
+        .select("pair_a", "pair_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Bpe.encode(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
     // Train/val/test assignment: cumulative md5-bucket thresholds (90/5/5)
     // — a doc's split never changes as the corpus grows. Reported as the
     // per-(split, lang) audit table an eval-leakage review reads.
@@ -308,43 +369,32 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q133_bpe_encode" ->
+      s"""WITH $BpeChainSql,
+          dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                 FROM documents),
+          de0 AS (SELECT doc_id,
+                    array_to_string([chr(31) || w[i] || chr(31)
+                                     for i in range(1, len(w) + 1)], '') AS enc
+                  FROM dw),
+          de1 AS (SELECT doc_id, replace(enc,
+                    chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
+                    chr(31) || t1.a || t1.b || chr(31)) AS enc
+                  FROM de0 CROSS JOIN t1),
+          de2 AS (SELECT doc_id, replace(enc,
+                    chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
+                    chr(31) || t2.a || t2.b || chr(31)) AS enc
+                  FROM de1 CROSS JOIN t2),
+          de3 AS (SELECT doc_id, replace(enc,
+                    chr(31) || t3.a || chr(31) || chr(31) || t3.b || chr(31),
+                    chr(31) || t3.a || t3.b || chr(31)) AS enc
+                  FROM de2 CROSS JOIN t3)
+          SELECT doc_id, count(*) AS n_words,
+            CAST(sum(len(string_split(substr(enc, 2, length(enc) - 2),
+                                      chr(31) || chr(31)))) AS BIGINT) AS n_symbols
+          FROM de3 GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q131_bpe_merges" ->
-      raw"""WITH words AS (SELECT w, count(*) AS wn
-            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-                  FROM documents) GROUP BY w),
-          e0 AS (SELECT wn,
-                   array_to_string([chr(31) || w[i] || chr(31)
-                                    for i in range(1, len(w) + 1)], '') AS enc
-                 FROM words),
-          s1 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
-                                         chr(31) || chr(31)) AS s FROM e0),
-          p1 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
-                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
-                                          for i in range(1, len(s))]) AS p FROM s1)
-                 GROUP BY 1, 2),
-          t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
-          e1 AS (SELECT wn, replace(enc,
-                   chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
-                   chr(31) || t1.a || t1.b || chr(31)) AS enc
-                 FROM e0 CROSS JOIN t1),
-          s2 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
-                                         chr(31) || chr(31)) AS s FROM e1),
-          p2 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
-                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
-                                          for i in range(1, len(s))]) AS p FROM s2)
-                 GROUP BY 1, 2),
-          t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
-          e2 AS (SELECT wn, replace(enc,
-                   chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
-                   chr(31) || t2.a || t2.b || chr(31)) AS enc
-                 FROM e1 CROSS JOIN t2),
-          s3 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
-                                         chr(31) || chr(31)) AS s FROM e2),
-          p3 AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
-                 FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
-                                          for i in range(1, len(s))]) AS p FROM s3)
-                 GROUP BY 1, 2),
-          t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+      s"""WITH $BpeChainSql
           SELECT * FROM (
             SELECT CAST(1 AS BIGINT) AS round, a AS pair_a, b AS pair_b,
                    a || b AS merged, n FROM t1

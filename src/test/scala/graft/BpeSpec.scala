@@ -50,6 +50,19 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(Set("x", "c").contains(a2) && b2 == "ab", s"got ($a2, $b2)")
   }
 
+  test("encode applies merges in learned order and counts symbols per doc") {
+    // merges [(a,b), (ab,c)]: "abc" → [ab, c] → [abc] = 1 symbol;
+    // "ab" → [ab] = 1; "ba c" → [b,a] + [c] = 3 symbols over 2 words.
+    // Order matters: applying (ab,c) before (a,b) would find no "ab"
+    // symbol and leave "abc" at 2 symbols — the test pins the order.
+    val docs = Seq((1L, "abc ab"), (2L, "ba c")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L) // abc→1, ab→1
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 3L) // b,a + c
+  }
+
   test("pairCounts ignores single-symbol words") {
     val words = Bpe.wordTable(docs("a a a bc"), "text")
     val pairs = Bpe.pairCounts(words).collect()
