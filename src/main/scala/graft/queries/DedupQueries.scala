@@ -378,10 +378,14 @@ object DedupQueries {
     // per-split release totals, putting write + compaction + read-back
     // under the correctness gate the way q67 does for the events sink.
     "q102_release_export" -> ((s, dir) => {
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_q102").toString + "/sink"
+      val work = java.nio.file.Files.createTempDirectory("graft_q102").toString
+      val sink = work + "/sink"
+      // stage the manifest once, then merge the staged table — same
+      // land-then-merge shape (and single-execution rationale) as
+      // releaseManifest's decision tables
+      releaseManifest(s, dir).write.mode("overwrite").parquet(work + "/staged")
       graft.sources.Merge.upsertPartitioned(
-        s, releaseManifest(s, dir), sink, Seq("doc_id"), numBuckets = 8)
+        s, s.read.parquet(work + "/staged"), sink, Seq("doc_id"), numBuckets = 8)
       graft.sources.Merge.compactPartitioned(s, sink)
       s.read.parquet(sink)
         .groupBy("split")
@@ -426,11 +430,22 @@ object DedupQueries {
     val work = java.nio.file.Files.createTempDirectory("graft_release").toString
     def committed(name: String, buckets: Int)(df: DataFrame): DataFrame = {
       val path = s"$work/$name"
-      graft.sources.Merge.upsertPartitioned(s, df, path, Seq("doc_id"), buckets)
+      // Land the batch as a STAGED table first (one execution of the
+      // decision plan), then merge the staged table into the sink.
+      // Without staging, upsertPartitioned's empty-batch no-op probe
+      // (isEmpty) executes the full decision plan once and the write
+      // executes it again — for the contamination set that is the whole
+      // gram join twice (measured ~2-4 s extra per q101 run at sf0.1).
+      // This is also the production shape: an hourly batch lands, then
+      // merges.
+      val stage = s"$work/${name}_staged"
+      df.write.mode("overwrite").parquet(stage)
+      val staged = s.read.parquet(stage)
+      graft.sources.Merge.upsertPartitioned(s, staged, path, Seq("doc_id"), buckets)
       // empty decision set → the sink (correctly) no-ops; keep the schema
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
         s.read.parquet(path).drop("p_bucket")
-      else df.limit(0)
+      else staged.limit(0)
     }
     val docs = augmented(s, dir)
     val pairs = TextDedup.minhashLshPairs(
