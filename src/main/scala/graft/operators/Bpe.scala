@@ -70,6 +70,37 @@ object Bpe {
     words.withColumn("enc",
       replace(col("enc"), lit(D + a + D + D + b + D), lit(D + a + b + D)))
 
+  /** The merge-vs-compression curve — the "when to stop merging" table a
+    * tokenizer-size decision reads: corpus-total symbol counts before any
+    * merge (round 0) and after each successive learned merge. Each round
+    * adds two bounded actions over the cached distinct-word table (the
+    * argmax pair + one sum aggregate); the corpus is touched once.
+    * Output: (round, merged, n_symbols) with merged = "" for round 0.
+    */
+  def compressionCurve(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val s = docs.sparkSession
+    val base = wordTable(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def total(words: DataFrame): Long = words.agg(
+      sum(col("wn") *
+        size(split(expr("substring(enc, 2, length(enc) - 2)"), D + D))))
+      .head().getLong(0)
+    var words: DataFrame = base
+    val rows = Seq.newBuilder[(Long, String, Long)]
+    rows += ((0L, "", total(base)))
+    for (r <- 1 to rounds) {
+      val top: Row = pairCounts(words)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).head()
+      words = applyMerge(words, top.getString(0), top.getString(1))
+      rows += ((r.toLong, top.getString(0) + top.getString(1), total(words)))
+    }
+    base.unpersist(blocking = false)
+    import s.implicits._
+    rows.result().toDF("round", "merged", "n_symbols").orderBy("round")
+  }
+
   /** ENCODE with a learned merge list — the tokenizer-apply step: every
     * doc's words are split to characters and the merges are replayed IN
     * LEARNED ORDER (BPE application order is part of the tokenizer

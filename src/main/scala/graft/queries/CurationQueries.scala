@@ -182,6 +182,13 @@ object CurationQueries {
     // frozen artifact the encode inlines as literals); the oracle replays
     // the identical chain and re-encodes in SQL, so learn AND apply are
     // both under the hash gate.
+    // The merge-vs-compression curve: corpus-total symbol counts at round
+    // 0 (characters) and after each of the three learned merges — the
+    // table a vocabulary-size decision reads (marginal compression per
+    // added merge). Shares the q131/q133 chain; each point is an exact
+    // integer under the oracle.
+    "q134_bpe_curve" -> ((s, dir) =>
+      Bpe.compressionCurve(Tables.documents(s, dir).select("text"), "text", rounds = 3)),
     "q133_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
@@ -369,6 +376,24 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q134_bpe_curve" ->
+      s"""WITH $BpeChainSql,
+          e3 AS (SELECT wn, replace(enc,
+                   chr(31) || t3.a || chr(31) || chr(31) || t3.b || chr(31),
+                   chr(31) || t3.a || t3.b || chr(31)) AS enc
+                 FROM e2 CROSS JOIN t3),
+          s4 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e3)
+          SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS round, '' AS merged,
+                   (SELECT CAST(sum(wn * len(s)) AS BIGINT) FROM s1) AS n_symbols
+            UNION ALL SELECT CAST(1 AS BIGINT), (SELECT a || b FROM t1),
+                   (SELECT CAST(sum(wn * len(s)) AS BIGINT) FROM s2)
+            UNION ALL SELECT CAST(2 AS BIGINT), (SELECT a || b FROM t2),
+                   (SELECT CAST(sum(wn * len(s)) AS BIGINT) FROM s3)
+            UNION ALL SELECT CAST(3 AS BIGINT), (SELECT a || b FROM t3),
+                   (SELECT CAST(sum(wn * len(s)) AS BIGINT) FROM s4))
+          ORDER BY round""".replaceAll("\\s+", " "),
     "q133_bpe_encode" ->
       s"""WITH $BpeChainSql,
           dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
