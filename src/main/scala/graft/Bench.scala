@@ -99,7 +99,23 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-interleaved-min-of-$passes-passes"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-interleaved-min-of-$passes-passes"}"""
+
+    // The driver parses the JSON line out of a 2000-char tail window over the
+    // MERGED sbt output. In r5 the ~130 [bench-final] stderr lines above were
+    // interleaved AFTER the stdout JSON in that merge and evicted it
+    // (BENCH_r05 parsed:null, as in every prior round). Guarantee the line is
+    // last: flush all diagnostics, silence Spark's shutdown logging, stop the
+    // session, give sbt's log pump a beat to drain the stderr backlog, then
+    // emit the JSON to BOTH streams as the final output of the process.
+    System.err.flush(); System.out.flush()
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.flush(); System.out.flush()
+    Thread.sleep(2000)
+    println(jsonLine)
+    System.err.println(jsonLine)
+    System.out.flush(); System.err.flush()
   }
 }

@@ -39,14 +39,30 @@ object Sampling {
     */
   def weightedHashSample(
       df: DataFrame, key: Column, weightFp: Column, salt: String = "wq"): DataFrame =
-    // Guard the weight into its contract range instead of trusting it:
-    // un-clamped, a weight above 10000 silently keeps everything and a
-    // negative one silently drops everything — both config errors that
-    // would otherwise be invisible. A NULL weight means "no score" and
-    // drops the row, made explicit here via coalesce(0) rather than left
-    // to three-valued NULL-comparison semantics.
+    // The clamp DOCUMENTS the contract range, it does not change behavior:
+    // the bucket is always in [0, 10000), so a weight above 10000 keeps
+    // everything and a negative weight drops everything, clamped or not.
+    // Out-of-range weights are config errors a caller should surface with
+    // [[auditWeightRange]] (a row-level require can't run driver-side).
+    // A NULL weight means "no score" and drops the row, made explicit here
+    // via coalesce(0) rather than left to three-valued NULL-comparison
+    // semantics.
     df.filter(hashBucket(concat(lit(s"$salt:"), key.cast("string")))
       < least(greatest(coalesce(weightFp, lit(0)), lit(0)), lit(10000)))
+
+  /** Companion audit for [[weightedHashSample]]: counts of NULL / negative /
+    * above-grid weights (each silently drop-all or keep-all in the sample
+    * itself). A pipeline runs this 1-row check beside the sample and fails
+    * or alerts when a count is nonzero — surfacing the config errors the
+    * sample's pure-filter shape cannot (one map-side-combined aggregate,
+    * no shuffle of the data).
+    */
+  def auditWeightRange(df: DataFrame, weightFp: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count_if(weightFp.isNull).as("n_null_weight"),
+      count_if(weightFp < 0).as("n_negative_weight"),
+      count_if(weightFp > 10000).as("n_above_grid"))
 
   /** Repeat-factor data mixing — the upsampling side of mix assembly:
     * weight w per stratum means every row appears floor(w) times plus one

@@ -525,8 +525,8 @@ object TextDedup {
 
   /** [[connectedComponentsStar]] plus the number of rounds it took —
     * exposed so specs can pin the O(log n) convergence behavior.
-    */
-  /** `commit` finishes the label table once the loop converges. The default
+    *
+    * `commit` finishes the label table once the loop converges. The default
     * localCheckpoints it (materialize + truncate lineage so every loop cache
     * can be released immediately). A release pipeline instead COMMITS the
     * decision table — pass a commit that writes it through the real sink and

@@ -74,34 +74,41 @@ object Merge {
       keys: Seq[String],
       numBuckets: Int = 64,
       partCol: String = "p_bucket"): Unit = {
-    if (incoming.isEmpty) return // reference: empty batch is a no-op
+    // Stage the incoming plan ONCE: the merge needs three actions over it
+    // (empty probe, touched-partition collect, the write), and an expensive
+    // incoming plan — a dedup join, a gram decontamination — must not be
+    // re-executed per action. Released before returning.
     val withP = incoming.withColumn(
       partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
-    // The bucket count is part of the sink's on-disk contract: rows land in
-    // pmod(hash, N), so merging with a different N would let a key's rows
-    // migrate partitions — the pruned anti-join would miss the conflict and
-    // silently duplicate keys. Record N beside the data (underscore-prefixed
-    // → invisible to parquet directory reads) and refuse a mismatched merge.
-    val marker = Paths.get(path, "_graft_buckets")
-    if (!Files.exists(Paths.get(path))) {
-      withP.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
-      Files.writeString(marker, numBuckets.toString)
-      return
-    }
-    if (Files.exists(marker)) {
-      val recorded = Files.readString(marker).trim.toInt
-      require(recorded == numBuckets,
-        s"sink at $path is bucketed with $recorded buckets; upsert called with " +
-          s"$numBuckets — keys would migrate partitions and the merge would " +
-          "silently duplicate them. Rewrite the sink to change bucketing.")
-    } else Files.writeString(marker, numBuckets.toString) // pre-marker sink: adopt
-    val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
-    upsert(existing, withP, keys)
-      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
-      .parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (withP.isEmpty) return // reference: empty batch is a no-op
+      // The bucket count is part of the sink's on-disk contract: rows land in
+      // pmod(hash, N), so merging with a different N would let a key's rows
+      // migrate partitions — the pruned anti-join would miss the conflict and
+      // silently duplicate keys. Record N beside the data (underscore-prefixed
+      // → invisible to parquet directory reads) and refuse a mismatched merge.
+      val marker = Paths.get(path, "_graft_buckets")
+      if (!Files.exists(Paths.get(path))) {
+        withP.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+        Files.writeString(marker, numBuckets.toString)
+        return
+      }
+      if (Files.exists(marker)) {
+        val recorded = Files.readString(marker).trim.toInt
+        require(recorded == numBuckets,
+          s"sink at $path is bucketed with $recorded buckets; upsert called with " +
+            s"$numBuckets — keys would migrate partitions and the merge would " +
+            "silently duplicate them. Rewrite the sink to change bucketing.")
+      } else Files.writeString(marker, numBuckets.toString) // pre-marker sink: adopt
+      val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
+      upsert(existing, withP, keys)
+        .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
+        .parquet(path)
+    } finally withP.unpersist(blocking = false)
   }
 
   /** [[upsertPartitioned]] with a DOMAIN partition column that already
@@ -126,18 +133,36 @@ object Merge {
       path: String,
       keys: Seq[String],
       partCol: String): Unit = {
-    if (incoming.isEmpty) return // reference: empty batch is a no-op
-    if (!Files.exists(Paths.get(path))) {
-      incoming.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
-      return
-    }
-    val touched = incoming.select(partCol).distinct().collect().map(_.get(0)).toSeq
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
-    upsert(existing, incoming, keys)
-      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
-      .parquet(path)
+    // Stage once — three actions (empty probe, touched collect, write) must
+    // not re-execute an expensive incoming plan (e.g. an IVF assignment).
+    val staged = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (staged.isEmpty) return // reference: empty batch is a no-op
+      if (!Files.exists(Paths.get(path))) {
+        require(staged.filter(col(partCol).isNull).isEmpty,
+          s"NULL $partCol in initial write to $path — null rows land in the " +
+            "hive default partition, which later pruned merges (isin over " +
+            "touched values) can never match, so their keys would silently " +
+            "duplicate. The partition column must be non-null by contract.")
+        staged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+        return
+      }
+      val touched = staged.select(partCol).distinct().collect().map(_.get(0)).toSeq
+      // A NULL partition value would land in __HIVE_DEFAULT_PARTITION__ while
+      // the pruned read's isin(touched) never matches null — an existing row
+      // under the null partition would dodge the anti-join and its key would
+      // duplicate. Refuse rather than merge wrong; the distinct collect above
+      // already surfaces the null, so the guard costs no extra pass.
+      require(!touched.contains(null),
+        s"NULL $partCol in incoming batch for $path — the partition column " +
+          "must be a non-null deterministic function of the merge keys.")
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
+      upsert(existing, staged, keys)
+        .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic") // replace ONLY written partitions
+        .parquet(path)
+    } finally staged.unpersist(blocking = false)
   }
 
   /** Maintenance for the partitioned sink: every hourly upsert rewrites its

@@ -37,7 +37,7 @@ object Probe {
       .withColumn("toks", graft.functions.Text.tokens(col("text")))
       .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
       .select("doc_id", "shash")
-        time("full capped containment")(graft.operators.TextDedup.containmentPairs(
+    time("full capped containment")(graft.operators.TextDedup.containmentPairs(
       hashed, "doc_id", "shash", threshold = 0.9, maxShingleDf = 8L).count())
     spark.stop()
   }
