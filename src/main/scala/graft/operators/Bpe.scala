@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -89,12 +89,20 @@ object Bpe {
     var words: DataFrame = base
     val rows = Seq.newBuilder[(Long, String, Long)]
     rows += ((0L, "", total(base)))
-    for (r <- 1 to rounds) {
-      val top: Row = pairCounts(words)
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // headOption: a tiny corpus can run out of mergeable pairs (every word
+      // reduced to one symbol) before `rounds` — the curve then just ends.
+      pairCounts(words)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).head()
-      words = applyMerge(words, top.getString(0), top.getString(1))
-      rows += ((r.toLong, top.getString(0) + top.getString(1), total(words)))
+        .limit(1).collect().headOption match {
+        case Some(top) =>
+          words = applyMerge(words, top.getString(0), top.getString(1))
+          rows += ((r.toLong, top.getString(0) + top.getString(1), total(words)))
+        case None => exhausted = true
+      }
+      r += 1
     }
     base.unpersist(blocking = false)
     import s.implicits._
@@ -150,17 +158,119 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var words = base
     val decisions = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val top: Row = pairCounts(words)
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // headOption: return the merges learned so far when the corpus runs
+      // out of mergeable pairs before `rounds` (tiny corpora).
+      pairCounts(words)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).head()
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      decisions += ((r.toLong, a, b, a + b, n))
-      if (r < rounds) words = applyMerge(words, a, b)
+        .limit(1).collect().headOption match {
+        case Some(top) =>
+          val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          decisions += ((r.toLong, a, b, a + b, n))
+          if (r < rounds) words = applyMerge(words, a, b)
+        case None => exhausted = true
+      }
+      r += 1
     }
     base.unpersist(blocking = false)
     import s.implicits._
     decisions.result().toDF("round", "pair_a", "pair_b", "merged", "n")
       .orderBy("round")
+  }
+
+  /** BATCHED merge learning — the shape that takes BPE from toy rounds to a
+    * production vocabulary (10⁴–10⁵ merges) without 10⁴–10⁵ driver round
+    * trips: each round learns up to `batchSize` merges from ONE pass.
+    *
+    * Selection rule (deterministic, engine-neutral): rank the round's pair
+    * counts by (n DESC, a, b), keep the top `candidateCap`, and accept a
+    * candidate iff NO higher-ranked candidate shares a symbol with it (the
+    * dominance filter); the first `batchSize` accepted become the round's
+    * merges. Any two accepted pairs therefore have disjoint symbol sets, so
+    * in the sentinel encoding their patterns can never overlap in a word —
+    * one pattern's two symbol slots would have to share a slot with the
+    * other's — and the round's replaces commute: applying them as one
+    * chained codegen'd projection is exact simultaneous batch merging, and
+    * the same chain is expressible as nested `replace` calls in the oracle
+    * (q135). Checking against all higher-ranked candidates (not just
+    * accepted ones) is what keeps the rule non-recursive and SQL-checkable;
+    * it is slightly conservative — a pair conflicting only with an already-
+    * rejected candidate waits for the next round — and rank 1 is always
+    * accepted, so every round makes progress.
+    *
+    * Cost shape: one pair-count pass + ONE bounded `candidateCap`-row
+    * collect per round — `batchSize`× fewer driver round trips than
+    * [[learnMerges]] — and the replace chain on top of the cached word
+    * table is truncated by an eager localCheckpoint every
+    * `checkpointEvery` rounds (the previous checkpoint is released as soon
+    * as the next one materializes), so plan depth, driver memory, and
+    * per-round cost are all O(1) in the round number (measured flat in
+    * ScaleProbe). Rounds stop early when no mergeable pair remains.
+    *
+    * Output: (round, j, pair_a, pair_b, merged, n) — j the merge's position
+    * within its round's batch, n its count at selection time.
+    */
+  def learnMergesBatched(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      batchSize: Int,
+      candidateCap: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1 && batchSize >= 1 && candidateCap >= batchSize)
+    require(checkpointEvery >= 1)
+    val s = docs.sparkSession
+    val base = wordTable(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var words = base
+    var lastCheckpoint: Option[DataFrame] = None
+    val decisions = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val candidates = pairCounts(words)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(candidateCap)
+        .collect()
+      if (candidates.isEmpty) exhausted = true
+      else {
+        // Dominance filter over the bounded candidate window, then first
+        // `batchSize` accepted. Driver-side over ≤ candidateCap rows.
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var nAccepted = 0
+        for (i <- candidates.indices if nAccepted < batchSize) {
+          val (a, b) = (candidates(i).getString(0), candidates(i).getString(1))
+          val clash = candidates.take(i).exists { h =>
+            val (ha, hb) = (h.getString(0), h.getString(1))
+            ha == a || ha == b || hb == a || hb == b
+          }
+          if (!clash) {
+            accepted += ((a, b, candidates(i).getLong(2)))
+            nAccepted += 1
+          }
+        }
+        val batch = accepted.result()
+        batch.zipWithIndex.foreach { case ((a, b, n), j) =>
+          decisions += ((r.toLong, (j + 1).toLong, a, b, a + b, n))
+        }
+        if (r < rounds) {
+          words = batch.foldLeft(words) { case (w, (a, b, _)) => applyMerge(w, a, b) }
+          if (r % checkpointEvery == 0) {
+            val cp = words.localCheckpoint(true) // eager: blocks own their data
+            lastCheckpoint.foreach(_.unpersist(blocking = false))
+            lastCheckpoint = Some(cp)
+            words = cp
+          }
+        }
+      }
+      r += 1
+    }
+    lastCheckpoint.foreach(_.unpersist(blocking = false))
+    base.unpersist(blocking = false)
+    import s.implicits._
+    decisions.result().toDF("round", "j", "pair_a", "pair_b", "merged", "n")
+      .orderBy("round", "j")
   }
 }

@@ -92,6 +92,39 @@ object CurationQueries {
                  GROUP BY 1, 2),
           t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)"""
 
+  /** q135's batched-BPE oracle chain: per round, rank pair counts
+    * (n DESC, a, b) → top-12 candidate window → dominance filter (accept iff
+    * no higher-RANKED candidate shares a symbol — NOT EXISTS, non-recursive
+    * by construction, see [[graft.operators.Bpe.learnMergesBatched]]) →
+    * first 4 accepted applied as nested conditional replaces (a missing
+    * j-th merge degrades to a never-matching chr(30) pattern).
+    */
+  private def bpeBatchRoundSql(i: Int, m: Int, cap: Int): String =
+    s"""s$i AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                        chr(31) || chr(31)) AS s FROM e${i - 1}),
+        p$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(wn) AS BIGINT) AS n
+                FROM (SELECT wn, unnest([{'a': s[i], 'b': s[i+1]}
+                                         for i in range(1, len(s))]) AS p FROM s$i)
+                GROUP BY 1, 2),
+        r$i AS (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rk
+                FROM p$i QUALIFY rk <= $cap),
+        acc$i AS (SELECT a, b, n, rk FROM r$i t WHERE NOT EXISTS (
+                  SELECT 1 FROM r$i h WHERE h.rk < t.rk
+                    AND (h.a = t.a OR h.a = t.b OR h.b = t.a OR h.b = t.b))),
+        sel$i AS (SELECT a, b, n, CAST(row_number() OVER (ORDER BY rk) AS BIGINT) AS j
+                  FROM acc$i QUALIFY j <= $m)"""
+
+  /** Nested conditional replaces applying round `i`'s batch (j = 1..m). */
+  private def bpeBatchApplySql(i: Int, m: Int): String = {
+    val enc = (1 to m).foldLeft("enc") { (src, j) =>
+      s"""replace($src,
+            coalesce((SELECT chr(31)||a||chr(31)||chr(31)||b||chr(31)
+                      FROM sel$i WHERE j=$j), chr(30)),
+            coalesce((SELECT chr(31)||a||b||chr(31) FROM sel$i WHERE j=$j), ''))"""
+    }
+    s"e$i AS (SELECT wn, $enc AS enc FROM e${i - 1})"
+  }
+
   val queries: Map[String, Q] = Map(
     // PII scrub before release: per-doc detection counts plus the md5 of
     // the redacted text itself — the redaction OUTPUT is hash-verified
@@ -189,6 +222,17 @@ object CurationQueries {
     // integer under the oracle.
     "q134_bpe_curve" -> ((s, dir) =>
       Bpe.compressionCurve(Tables.documents(s, dir).select("text"), "text", rounds = 3)),
+    // BATCHED BPE learning — the production-scale loop shape: one pass per
+    // round learns up to 4 merges (top-12 candidates, dominance-filtered to
+    // a mutually-symbol-disjoint set whose replaces provably commute), so a
+    // 10k-merge tokenizer costs 10k/batchSize driver round trips instead of
+    // 10k. Two rounds under the hash gate — the oracle reproduces the rank →
+    // dominance-filter → batch-apply chain per round (NOT EXISTS over
+    // higher-ranked candidates + nested conditional replaces); ScaleProbe
+    // carries the flat-per-round-cost evidence at depth.
+    "q135_bpe_batched" -> ((s, dir) =>
+      Bpe.learnMergesBatched(Tables.documents(s, dir).select("text"), "text",
+        rounds = 2, batchSize = 4, candidateCap = 12)),
     "q133_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
@@ -426,6 +470,22 @@ object CurationQueries {
             UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, n FROM t2
             UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, n FROM t3)
           ORDER BY round""".replaceAll("\\s+", " "),
+    "q135_bpe_batched" ->
+      raw"""WITH words AS (SELECT w, count(*) AS wn
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents) GROUP BY w),
+          e0 AS (SELECT wn,
+                   array_to_string([chr(31) || w[i] || chr(31)
+                                    for i in range(1, len(w) + 1)], '') AS enc
+                 FROM words),
+          ${bpeBatchRoundSql(1, 4, 12)},
+          ${bpeBatchApplySql(1, 4)},
+          ${bpeBatchRoundSql(2, 4, 12)}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, j, a AS pair_a, b AS pair_b,
+                   a || b AS merged, n FROM sel1
+            UNION ALL SELECT CAST(2 AS BIGINT), j, a, b, a || b, n FROM sel2)
+          ORDER BY round, j""".replaceAll("\\s+", " "),
     "q95_bpe_pairs" ->
       raw"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
                       FROM documents),
