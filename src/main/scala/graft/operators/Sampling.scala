@@ -28,6 +28,28 @@ object Sampling {
     df.filter(hashBucket(key) < math.round(rate * 10000).toInt)
   }
 
+  /** [[hashSample]] with the rate DERIVED from a fixed ABSOLUTE row target:
+    * threshold = min(10000, 10000·target/n) on the 10⁻⁴ grid (pure integer
+    * arithmetic — one driver-side 1-row count, bounded by contract), then
+    * the same md5-bucket membership filter.
+    *
+    * Why absolute, not fractional: a fixed-FRACTION sample keeps any
+    * quadratic downstream term (e.g. an exact-truth pair join's Σdf²)
+    * growing as p²·N² under corpus growth; a fixed-size sample pins the
+    * audited slice — and therefore the audit's cost — CONSTANT as the
+    * corpus scales 8×/16×/32×. The derived threshold is reproducible in
+    * any engine (same count, same integer division), keeping the sampled
+    * slice identical cross-engine; within one corpus the sample stays
+    * deterministic and growth-stable in the keys it retains (a kept doc
+    * only ever leaves because the corpus grew and the rate tightened).
+    */
+  def hashSampleTarget(df: DataFrame, key: Column, targetRows: Long): DataFrame = {
+    require(targetRows > 0)
+    val n = df.count()
+    val threshold = math.min(10000L, 10000L * targetRows / math.max(n, 1L))
+    df.filter(hashBucket(key) < lit(threshold))
+  }
+
   /** Soft (quality-weighted) sampling: each row's keep probability is its
     * own `weightFp` — an INTEGER in [0, 10000] computed row-side (e.g. a
     * quality score on the 10⁴ grid), compared against the md5 bucket of

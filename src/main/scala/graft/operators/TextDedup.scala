@@ -310,15 +310,25 @@ object TextDedup {
     * non-ubiquitous shingles": a pair similar ONLY through stop-shingles
     * drops out, which is normally the point (boilerplate should not make
     * documents near-duplicates).
+    *
+    * `assertCapIsNoop = true` declares the caller's intent that the cap is
+    * a pure COST bound, not a semantic change — i.e. no shingle in this
+    * corpus actually reaches the cap and the capped output IS uncapped
+    * ground truth. The premise is then enforced INSIDE the plan (a 1-row
+    * max-df aggregate riding the index's reused exchange, checked by
+    * `assert_true`), so the query fails loudly at EVERY scale factor it
+    * runs at — suite, verify, bench — instead of silently diverging from
+    * true uncapped truth while an identically-capped oracle still passes.
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       shinglesCol: String,
       threshold: Double,
-      maxShingleDf: Long = 0L): DataFrame = {
+      maxShingleDf: Long = 0L,
+      assertCapIsNoop: Boolean = false): DataFrame = {
     val inv = invertedIndex(df, idCol, shinglesCol, maxShingleDf)
-    inv.as("a").join(inv.as("b"),
+    val pairs = inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(
         col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -328,7 +338,40 @@ object TextDedup {
         col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    withCapNoopAssertion(pairs, df, idCol, shinglesCol, maxShingleDf, assertCapIsNoop)
   }
+
+  /** Attach the cap-is-noop premise check to a pair result: a 1-row max-df
+    * aggregate over the SAME exploded-shingle subtree the inverted index
+    * repartitions (so ReuseExchange serves it from the index's shuffle
+    * files — the text pipeline is not re-run), broadcast-crossed into the
+    * result and enforced with `assert_true` inside the filter condition
+    * (an unused projected column could be pruned; a filter cannot). The
+    * filter itself passes every row — its only effect is that the plan
+    * CANNOT produce output at any scale where the premise is false.
+    */
+  private def withCapNoopAssertion(
+      out: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: String,
+      maxShingleDf: Long,
+      enabled: Boolean): DataFrame =
+    if (!enabled || maxShingleDf <= 0L) out
+    else {
+      val maxDf = df.select(col(idCol), explode(col(shinglesCol)).as("__s"))
+        .repartition(col("__s")) // identical subtree to the index → ReuseExchange
+        .groupBy("__s").agg(count(lit(1)).as("__df"))
+        .agg(max(col("__df")).as("__maxdf"))
+      out.crossJoin(broadcast(maxDf))
+        .filter(coalesce(
+          assert_true(col("__maxdf") <= maxShingleDf,
+            concat(lit(s"df cap $maxShingleDf declared a no-op but corpus max shingle df is "),
+              col("__maxdf"),
+              lit(" — capped output would silently diverge from uncapped ground truth"))),
+          lit(true)))
+        .drop("__maxdf")
+    }
 
   /** (id, __n, __s) inverted shingle index shared by [[jaccardPairs]] /
     * [[containmentPairs]], ending in a repartition barrier on the shingle.
@@ -382,15 +425,18 @@ object TextDedup {
       idCol: String,
       shinglesCol: String,
       threshold: Double,
-      maxShingleDf: Long = 0L): DataFrame = {
+      maxShingleDf: Long = 0L,
+      assertCapIsNoop: Boolean = false): DataFrame = {
     // maxShingleDf > 0: the same candidate-volume dial as [[jaccardPairs]],
     // and for containment it additionally fixes a SEMANTIC failure mode —
     // a short boilerplate-heavy doc reads as "contained" in everything
     // that shares the boilerplate; with stop-shingles dropped from the
     // universe (set sizes recomputed over survivors), containment means
-    // containment of distinctive content.
+    // containment of distinctive content. assertCapIsNoop: see
+    // [[jaccardPairs]] — plan-enforced premise that the cap changes cost,
+    // not output.
     val inv = invertedIndex(df, idCol, shinglesCol, maxShingleDf)
-    inv.as("a").join(inv.as("b"),
+    val pairs = inv.as("a").join(inv.as("b"),
         col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(
         col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -400,6 +446,7 @@ object TextDedup {
         col("__common").cast("double") / least(col("__na"), col("__nb")))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
+    withCapNoopAssertion(pairs, df, idCol, shinglesCol, maxShingleDf, assertCapIsNoop)
   }
 
   /** Connected components over near-duplicate pairs — the step that turns

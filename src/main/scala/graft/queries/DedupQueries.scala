@@ -145,12 +145,17 @@ object DedupQueries {
     // scale-killer on a boilerplate-heavy corpus; capped at 64 no single
     // shingle contributes more than 64² candidate pairs while on this
     // corpus no shingle reaches the cap, so the output IS the uncapped
-    // truth. The truly uncapped configuration is an sf≤0.01-only
-    // ground-truth check (JaccardGroundTruthSpec), never a sweep query.
+    // truth — a premise now ENFORCED IN THE PLAN at every scale factor the
+    // query runs (assertCapIsNoop: a 1-row max-df aggregate on the index's
+    // reused exchange fails the query via assert_true if any shingle ever
+    // reaches the cap, instead of silently diverging while the
+    // identically-capped oracle still matches). The truly uncapped
+    // configuration is an sf≤0.01-only ground-truth check
+    // (JaccardGroundTruthSpec), never a sweep query.
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
-        threshold = 0.5, maxShingleDf = 64L)
+        threshold = 0.5, maxShingleDf = 64L, assertCapIsNoop = true)
         .orderBy("doc_a", "doc_b")
     }),
     // The PRODUCTION configuration of exact Jaccard: shingles appearing in
@@ -172,13 +177,16 @@ object DedupQueries {
     // their intersection. recall = n_hits/n_truth, precision =
     // n_hits/n_candidates, both integer-exact under the oracle. This is
     // the audit a production dedup runs ON A SAMPLE before committing band
-    // params — and it does: the corpus is hash-sampled to 25% (growth-
-    // stable md5 membership, so the audited slice is identical across
-    // runs/engines), which divides the exact-truth join's Σdf² term by
-    // ~16× and is what keeps an unapproximated truth affordable at scale.
+    // params — and it does: the corpus is hash-sampled to a FIXED ABSOLUTE
+    // target of 400 docs (rate = 10000·400/n on the 10⁻⁴ grid, one bounded
+    // 1-row count; deterministic md5 membership so the audited slice is
+    // identical across runs/engines). A fixed-size sample pins the
+    // exact-truth join's Σdf² term CONSTANT under corpus growth — a fixed
+    // FRACTION would keep it quadratic (p²·N²) — so the audit costs the
+    // same at 32× as at 1× (measured in ScaleProbe).
     "q118_lsh_audit" -> ((s, dir) => {
       val withSh = withShingles(
-        graft.operators.Sampling.hashSample(augmented(s, dir), col("doc_id"), 0.25))
+        graft.operators.Sampling.hashSampleTarget(augmented(s, dir), col("doc_id"), 400L))
       val cand = TextDedup.minhashLshCandidates(withSh, "doc_id", "shash",
         k = 8, bandRows = 2)
       val truth = TextDedup.jaccardPairs(withSh, "doc_id", "shash", threshold = 0.5)
@@ -206,11 +214,13 @@ object DedupQueries {
     // copies are exactly this shape. Loose df cap of 64 (vs q127's
     // production 8) for the same Σdf² reason as q36: worst candidate term
     // bounded, output unchanged on this corpus where no shingle reaches
-    // the cap; truly uncapped lives in JaccardGroundTruthSpec at sf0.001.
+    // the cap — enforced in the plan at every scale factor via
+    // assertCapIsNoop (see q36); truly uncapped lives in
+    // JaccardGroundTruthSpec at sf0.001.
     "q90_containment_pairs" -> ((s, dir) => {
       TextDedup.containmentPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
-        threshold = 0.9, maxShingleDf = 64L)
+        threshold = 0.9, maxShingleDf = 64L, assertCapIsNoop = true)
         .orderBy("doc_a", "doc_b")
     }),
     // Pairs → dedup DECISIONS: connected components over the q34 near-dup
@@ -571,7 +581,9 @@ object DedupQueries {
           ORDER BY i.doc_id""".replaceAll("\\s+", " "),
     "q118_lsh_audit" ->
       s"""WITH $AugSql,
-          samp AS (SELECT doc_id, text FROM aug WHERE ${bucketSql("doc_id")} < 2500),
+          samp AS (SELECT doc_id, text FROM aug
+                   WHERE ${bucketSql("doc_id")} <
+                     least(10000, 4000000 // (SELECT count(*) FROM aug))),
           ${shinglesSqlFrom("samp")}, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh FROM hashed WHERE len(hs) > 0),
           bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv

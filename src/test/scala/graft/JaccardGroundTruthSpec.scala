@@ -67,6 +67,37 @@ class JaccardGroundTruthSpec extends AnyFunSuite with SparkFixture {
     assert(uncapped.nonEmpty)
   }
 
+  test("assertCapIsNoop passes when the premise holds and changes nothing") {
+    val sh = shingled
+    val plain = TextDedup.jaccardPairs(sh, "doc_id", "shash",
+        threshold = 0.5, maxShingleDf = 64L)
+      .orderBy("doc_a", "doc_b").collect()
+    val asserted = TextDedup.jaccardPairs(sh, "doc_id", "shash",
+        threshold = 0.5, maxShingleDf = 64L, assertCapIsNoop = true)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(asserted.toSeq == plain.toSeq)
+    assert(asserted.nonEmpty)
+  }
+
+  test("assertCapIsNoop fails loudly when a shingle exceeds the cap") {
+    // Ten docs sharing one boilerplate trigram: its df is 10, so a cap of 2
+    // genuinely changes the output — the plan must refuse to produce one.
+    import spark.implicits._
+    val docs = (0 until 10)
+      .map(i => (i.toLong, s"common boiler plate unique$i tail$i words$i here$i"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("shash", TextDedup.shingleHashes("toks", 3))
+    val ex = intercept[Exception] {
+      TextDedup.jaccardPairs(docs, "doc_id", "shash",
+        threshold = 0.1, maxShingleDf = 2L, assertCapIsNoop = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("declared a no-op")),
+      s"expected the cap-premise assertion to fire, got: $ex")
+  }
+
   test("production cap (8) retains every exact-copy pair") {
     // Identical docs have identical shingle sets; filtering the shingle
     // UNIVERSE keeps them identical, so their Jaccard stays exactly 1.0
