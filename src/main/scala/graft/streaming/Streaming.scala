@@ -191,17 +191,20 @@ object Streaming {
     * the q84 semantics as a stream. The batch side broadcasts (a trigger's
     * worth of docs is small by construction); the corpus side never
     * shuffles, and at 100 TB it is written bucketed by band value so each
-    * trigger's probe prunes to colliding buckets. Hits append to
-    * `hitsPath` tagged with the batch id.
+    * trigger's probe prunes to colliding buckets. Hits land in
+    * `hitsPath/batch_id=<id>/`.
     *
-    * Delivery: AT-LEAST-ONCE, not exactly-once — checkpointed offsets stop
-    * a committed batch from reprocessing, but a failure AFTER a partial
-    * parquet append leaves those files behind and the retry re-appends the
-    * same rows. Readers must therefore dedup on
-    * (batch_id, corpus_id, incoming_id) — cheap, since every emitted row
-    * carries all three — or the sink swapped for an idempotent
-    * overwrite-by-batch_id-partition commit the way [[incrementalMergeSink]]
-    * commits per batch.
+    * Delivery: EXACTLY-ONCE — each micro-batch commits by dynamic
+    * partition overwrite of ITS OWN `batch_id` partition. Structured
+    * Streaming replays a failed batch under the same batch id, so a crash
+    * after a partial write is healed by the retry REPLACING the partition
+    * wholesale (leftover files from the dead attempt included) instead of
+    * appending beside them; checkpointed offsets stop committed batches
+    * from reprocessing at all. Same per-batch commit discipline as
+    * [[incrementalMergeSink]]; untouched batch partitions are never
+    * opened. Spec-pinned: StreamingSpec plants a partial write from a
+    * simulated dead attempt and re-runs the batch — no duplicate
+    * (batch_id, pair) rows survive.
     */
   def ingestDedupStream(
       docs: DataFrame, //                     streaming (doc_id, text)
@@ -225,7 +228,10 @@ object Streaming {
           .minhashLshPairsIncremental(
             corpusHashed, hashed, "doc_id", "shash", k, bandRows, threshold)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(hitsPath)
+          .write.partitionBy("batch_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic") // replace ONLY this batch's partition
+          .parquet(hitsPath)
         ()
       }
       .start()

@@ -135,6 +135,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids.size === 2)
   }
 
+  test("ingestDedupStream: batch replay after a mid-append crash leaves no duplicates") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_crash").toString
+    def text(i: Long) = (i until i + 12).map(j => s"w$j").mkString(" ")
+    val corpus = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
+    def hashed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
+      .select("doc_id", "shash")
+    // Simulate an attempt of batch 0 that died mid-append: its partition
+    // directory already holds a file with one row the retry will also emit
+    // and one bogus row only the dead attempt produced. At-least-once
+    // append would keep both beside the retry's output; the exactly-once
+    // dynamic-overwrite commit must REPLACE the partition wholesale.
+    Seq((2L, 100L, 1.0), (9L, 999L, 0.9))
+      .toDF("corpus_id", "incoming_id", "jaccard")
+      .write.parquet(s"$dir/hits/batch_id=0")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    mem.addData((100L, text(2)), (101L, "totally different content entirely novel here"))
+    Streaming.ingestDedupStream(stream, hashed(corpus),
+      s"$dir/hits", s"$dir/ckpt").awaitTermination()
+    val rows = spark.read.parquet(s"$dir/hits")
+      .select("batch_id", "corpus_id", "incoming_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.distinct.size === rows.size, s"duplicate hit rows after replay: $rows")
+    assert(rows.count(r => r._2 == 2L && r._3 == 100L) === 1,
+      "replayed hit must appear exactly once")
+    assert(!rows.exists(_._3 == 999L),
+      "the dead attempt's partial output must be replaced, not merged")
+  }
+
   test("incrementalMergeSink: dedup + idempotent merge + metrics per micro-batch") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
