@@ -204,6 +204,130 @@ object Similarity {
     result
   }
 
+  /** Occupancy audit of a centroid-partitioned IVF layout — the signal an
+    * index-maintenance loop watches: under drift, appends pile into a few
+    * centroids, their partitions fatten, and probe pruning degrades toward
+    * a scan. One map-side-combined count per partition.
+    */
+  def ivfOccupancy(layout: DataFrame): DataFrame =
+    layout.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+
+  /** Selective re-split of the HOTTEST centroid partition of an IVF layout
+    * (max occupancy, ties → min centroid id) — the maintenance pass that
+    * repairs probe pruning after drift skews the frozen quantizer of
+    * [[graft.sources.Merge.upsertPartitionedBy]]-maintained indexes:
+    *
+    *  1. occupancy (one count aggregate) → hottest cid, a bounded 1-row
+    *     decision;
+    *  2. ONLY that partition's vectors are read back (directory pruning)
+    *     and re-clustered with one fixed-point Lloyd round, k = 2, seeded
+    *     by the two lowest vec_ids — the same scale-1e7 int64 arithmetic
+    *     as [[kmeansFp]], so the split is bit-reproducible in any engine;
+    *  3. members are committed under fresh centroid ids (max existing + 1,
+    *     + 2) via dynamic partition overwrite — only the NEW partitions are
+    *     written and only the hot directory is retired; every other
+    *     partition's files are never opened (byte-identity spec-asserted);
+    *  4. the returned quantizer (centroid_id, c_fp) carries the surviving
+    *     old centroids (embedding × 1e7, floored) plus the two Lloyd means
+    *     — all further probes rank buckets by exact int64 distance on it.
+    *
+    * At 100 TB this touches occupancy counts + one partition's vectors +
+    * two partition writes, never the index body. Run repeatedly (hottest
+    * first) until occupancy is acceptable.
+    */
+  def ivfRebalanceHottest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: DataFrame, // (centroid_id, centroid_emb) — the frozen quantizer
+      scale: Double = 1e7): DataFrame = {
+    val layout = spark.read.parquet(path)
+    // partition-column type is directory-inferred (int) — normalize to long
+    val hotRow = ivfOccupancy(layout)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("n"))
+      .orderBy(col("n").desc, col("centroid_id").asc)
+      .limit(1).collect()
+    require(hotRow.nonEmpty, s"empty IVF layout at $path")
+    val hot = hotRow(0).getLong(0)
+    val maxCid = centroids.agg(max(col("centroid_id").cast("long"))).head().getLong(0)
+
+    // 2. the hot partition's vectors, quantized (directory-pruned read)
+    val members = spark.read.parquet(path)
+      .filter(col("centroid_id") === hot)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => floor(x.cast("double") * scale).cast("long"))
+          .as("__v"))
+    // seeds: two lowest ids (deterministic stand-in for k-means‖, exactly
+    // [[kmeansFp]]'s init rule applied within the cluster)
+    val seeds = members
+      .select(col("vec_id").cast("long").as("sid"), col("__v").as("__c"))
+      .orderBy("sid").limit(2)
+    def assignTo(cents: DataFrame): DataFrame = {
+      val centsArr = cents.agg(
+        sort_array(collect_list(struct(col("sid"), col("__c")))).as("__cents"))
+      val scored = transform(col("__cents"), ct =>
+        struct(
+          aggregate(zip_with(col("__v"), ct.getField("__c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          ct.getField("sid").as("sid")))
+      val best = aggregate(scored,
+        struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("sid")),
+        (acc, x) => when(x < acc, x).otherwise(acc)).getField("sid")
+      members.crossJoin(broadcast(centsArr))
+        .select(col("vec_id"), col("embedding"), col("__v"), best.as("sid"))
+    }
+    // one Lloyd round: assign to seeds, recompute means (floor(sum/n) per
+    // dim — exact int64), then the FINAL assignment against those means.
+    // The means are MATERIALIZED as a local-backed frame (≤ k rows × dim,
+    // bounded by contract — kmeansFp's truncate device): the hot partition
+    // they derive from is retired below, so nothing returned to the caller
+    // may keep a lazy plan over its files.
+    val meansPlan = assignTo(seeds)
+      .select(col("sid"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("sid"), col("__p"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("sid"),
+        struct(col("__p"),
+          floor(col("__s").cast("double") / col("__n")).cast("long").as("v")).as("__pv"))
+      .groupBy("sid")
+      .agg(transform(array_sort(collect_list(col("__pv"))), s => s.getField("v")).as("__c"))
+    val means = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(meansPlan.collect().toSeq.asJava, meansPlan.schema)
+    }
+    val finalAssign = assignTo(means)
+
+    // 3. fresh ids: surviving sub-clusters ranked by seed id → maxCid+1, +2
+    val sidToCid = means.select("sid").collect().map(_.getLong(0)).sorted
+      .zipWithIndex.map { case (sid, i) => (sid, maxCid + 1 + i) }.toMap
+    val cidMapping = typedLit(sidToCid)
+    val reassigned = finalAssign
+      .select(col("vec_id"), col("embedding"),
+        element_at(cidMapping, col("sid")).as("centroid_id"))
+    reassigned.write.partitionBy("centroid_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // only the NEW partitions
+      .parquet(path)
+    // retire the hot directory (driver-side file op, like compactPartitioned)
+    val hotDir = java.nio.file.Paths.get(path, s"centroid_id=$hot")
+    if (java.nio.file.Files.exists(hotDir)) {
+      java.nio.file.Files.walk(hotDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    // the session-level FileStatusCache still lists the retired files;
+    // invalidate so post-rebalance reads list the real layout
+    spark.catalog.refreshByPath(path)
+
+    // 4. updated quantizer in fixed point
+    centroids.filter(col("centroid_id").cast("long") =!= hot)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        transform(col("centroid_emb"), x => floor(x.cast("double") * scale).cast("long"))
+          .as("c_fp"))
+      .unionByName(means.select(
+        element_at(cidMapping, col("sid")).cast("long").as("centroid_id"),
+        col("__c").as("c_fp")))
+  }
+
   /** Brute-force top-k by cosine against a 1-row probe DataFrame
     * (columns: `probeCol` the vector). Probe is broadcast; result is k rows.
     */

@@ -236,6 +236,71 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
+    // IVF index RE-BALANCE — the maintenance pass q132's frozen-quantizer
+    // append eventually needs: under drift the hottest centroid partition
+    // fattens and probe pruning degrades toward a scan. The layout is
+    // built and committed, the max-occupancy partition's vectors (ONLY —
+    // directory-pruned read) are re-clustered with one fixed-point Lloyd
+    // round (k=2, seeded by the two lowest ids, scale-1e7 int64 — the
+    // kmeansFp discipline, so the split is bit-reproducible in SQL), the
+    // members are committed under fresh centroid ids via dynamic partition
+    // overwrite and the hot directory retired; untouched partitions'
+    // byte-identity is spec-asserted (IvfMaintenanceSpec). Output is the
+    // q114-shaped recall audit against the rebalanced layout and the
+    // updated (fixed-point) quantizer — the number a maintenance loop
+    // gates promotion on. The oracle replays the whole chain: occupancy →
+    // argmax → seeded Lloyd split → reassignment → fp bucket ranking →
+    // per-probe recall.
+    "q136_ivf_rebalance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft_q136").toString + "/ivf"
+      Similarity.ivfAssign(
+          emb.select("vec_id", "embedding"), "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(layout)
+      val quantFp = Similarity.ivfRebalanceHottest(s, layout, cents)
+      val fpOf = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => floor(x.cast("double") * 1e7).cast("long"))
+      val intDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      val probes = emb.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          fpOf(col("embedding")).as("probe_fp"))
+      val pb = graft.operators.Analytics.topKPerGroupNative(
+        probes.crossJoin(broadcast(quantFp))
+          .withColumn("d", intDist(col("probe_fp"), col("c_fp")))
+          .select("probe_id", "probe_emb", "centroid_id", "d"),
+        Seq("probe_id"), Seq(("d", false), ("centroid_id", false)), 4)
+        .drop("d")
+      val exactTop = graft.operators.Analytics.topKPerGroupNative(
+        emb.select("vec_id", "embedding")
+          .crossJoin(broadcast(probes.select("probe_id", "probe_emb")))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val annTop = graft.operators.Analytics.topKPerGroupNative(
+        s.read.parquet(layout)
+          .select(col("vec_id"), col("embedding"),
+            col("centroid_id").cast("long").as("centroid_id"))
+          .join(broadcast(pb), Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("probe_emb")))
+          .select("probe_id", "vec_id", "cosine"),
+        Seq("probe_id"), Seq(("cosine", true), ("vec_id", false)), 10)
+      val nExact = exactTop.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      val nAnn = annTop.groupBy("probe_id").agg(count(lit(1)).as("n_ann"))
+      val nHits = exactTop.select("probe_id", "vec_id")
+        .join(annTop.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      nExact.join(nAnn, Seq("probe_id"), "left")
+        .join(nHits, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_ann", "n_hits"))
+        .orderBy("probe_id")
+    }),
     // IVF-style ANN: 16 coarse centroids (deterministically the first 16
     // vectors — a stand-in for k-means training), every vector assigned to
     // its nearest centroid, probe searches its 4 nearest centroid buckets,
@@ -610,6 +675,72 @@ object SimilarityQueries {
           ann AS (SELECT probe_id, vec_id FROM (
               SELECT pb.probe_id, a.vec_id, ${duckCosine("a.embedding", "p.pe")} AS cosine
               FROM assigned a JOIN pb ON a.cid = pb.cid JOIN p ON p.probe_id = pb.probe_id
+              WHERE a.vec_id <> pb.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1),
+          na AS (SELECT probe_id, count(*) AS n_ann FROM ann GROUP BY 1),
+          nh AS (SELECT e.probe_id, count(*) AS n_hits FROM exact e JOIN ann a
+                 ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id GROUP BY 1)
+          SELECT ne.probe_id, ne.n_exact,
+            coalesce(na.n_ann, 0) AS n_ann, coalesce(nh.n_hits, 0) AS n_hits
+          FROM ne LEFT JOIN na ON ne.probe_id = na.probe_id
+          LEFT JOIN nh ON ne.probe_id = nh.probe_id
+          ORDER BY ne.probe_id""".replaceAll("\\s+", " ")
+    },
+    "q136_ivf_rebalance" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      def fpv(x: String) =
+        s"[CAST(floor(CAST($x[i] AS DOUBLE) * 10000000.0) AS BIGINT) for i in range(1, ${Dim + 1})]"
+      def intDist(a: String, b: String) =
+        s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${Dim + 1})])"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT v.vec_id, v.embedding AS embedding, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          occ AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid),
+          hot AS (SELECT cid FROM occ ORDER BY n DESC, cid LIMIT 1),
+          memfp AS (SELECT a.vec_id, a.embedding, ${fpv("a.embedding")} AS v
+                    FROM assigned a JOIN hot ON a.cid = hot.cid),
+          c0 AS (SELECT vec_id AS sid, v AS c FROM memfp ORDER BY vec_id LIMIT 2),
+          d1 AS (SELECT m.vec_id, s.sid, ${intDist("m.v", "s.c")} AS d
+                 FROM memfp m CROSS JOIN c0 s),
+          a1 AS (SELECT vec_id, sid FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) = 1),
+          s1 AS (SELECT a1.sid, u.i AS dim,
+                   CAST(floor(CAST(CAST(sum(m.v[u.i]) AS BIGINT) AS DOUBLE)
+                     / count(*)) AS BIGINT) AS cfp
+                 FROM a1 JOIN memfp m ON a1.vec_id = m.vec_id
+                 CROSS JOIN unnest(range(1, ${Dim + 1})) AS u(i) GROUP BY 1, 2),
+          c1 AS (SELECT sid, list(cfp ORDER BY dim) AS c FROM s1 GROUP BY sid),
+          d2 AS (SELECT m.vec_id, c.sid, ${intDist("m.v", "c.c")} AS d
+                 FROM memfp m CROSS JOIN c1 c),
+          a2 AS (SELECT vec_id, sid FROM d2
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) = 1),
+          ncid AS (SELECT sid, 15 + row_number() OVER (ORDER BY sid) AS cid FROM c1),
+          newassigned AS (
+            SELECT a.vec_id, a.embedding, a.cid FROM assigned a
+            WHERE a.cid NOT IN (SELECT cid FROM hot)
+            UNION ALL
+            SELECT m.vec_id, m.embedding, n.cid FROM a2
+            JOIN memfp m ON a2.vec_id = m.vec_id JOIN ncid n ON a2.sid = n.sid),
+          quant AS (
+            SELECT cid, ${fpv("c")} AS cfp FROM cent WHERE cid NOT IN (SELECT cid FROM hot)
+            UNION ALL SELECT n.cid, c1.c FROM c1 JOIN ncid n ON c1.sid = n.sid),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe, ${fpv("embedding")} AS pfp
+                FROM embeddings WHERE vec_id % 29 = 0),
+          pb AS (SELECT probe_id, cid FROM (
+                   SELECT p.probe_id, q.cid, ${intDist("p.pfp", "q.cfp")} AS d FROM p, quant q)
+                 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cid) <= 4),
+          exact AS (SELECT probe_id, vec_id FROM (
+              SELECT p.probe_id, v.vec_id, ${duckCosine("v.embedding", "p.pe")} AS cosine
+              FROM embeddings v, p WHERE v.vec_id <> p.probe_id)
+            QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
+          ann AS (SELECT probe_id, vec_id FROM (
+              SELECT pb.probe_id, a.vec_id, ${duckCosine("a.embedding", "p.pe")} AS cosine
+              FROM newassigned a JOIN pb ON a.cid = pb.cid JOIN p ON p.probe_id = pb.probe_id
               WHERE a.vec_id <> pb.probe_id)
             QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) <= 10),
           ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY 1),
