@@ -182,6 +182,81 @@ object ScaleProbe {
       hashed, "doc_id", "shash", threshold = 0.9, maxShingleDf = 8L)
     val nCont = time("containment capped(df<=8)")(contCapped.count())
     println(s"[scale] capped containment pairs = $nCont")
+    // r6: the fixed-TARGET sampled LSH audit (q118's new shape). The
+    // sample is pinned at 400 docs regardless of corpus size, so the
+    // exact-truth join's Σdf² term — and the whole audit — must cost the
+    // SAME at 8×/16×/32× (the fixed-fraction variant it replaced grew
+    // quadratically). The timed block includes the 1-row corpus count the
+    // rate is derived from (one scan — the only corpus-sized term, linear).
+    reap()
+    val auditN = time("fixed-target LSH audit (400 docs)") {
+      val samp = graft.operators.Sampling.hashSampleTarget(big, col("doc_id"), 400L)
+        .withColumn("toks", graft.functions.Text.tokens(col("text")))
+        .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
+        .select("doc_id", "shash")
+      val cand = graft.operators.TextDedup.minhashLshCandidates(
+        samp, "doc_id", "shash", k = 8, bandRows = 2)
+      val truth = graft.operators.TextDedup.jaccardPairs(
+        samp, "doc_id", "shash", threshold = 0.5)
+      cand.count() + truth.count()
+    }
+    println(s"[scale] audit candidate+truth rows = $auditN")
+    // r6: BPE batched learning — the per-round cost must be FLAT in the
+    // round number (the rolling localCheckpoint truncates the replace
+    // chain; only round 1 pays the corpus-sized wordTable build). 12
+    // rounds should cost ~3× 4 rounds, never more.
+    reap()
+    val bpe4 = time("bpe batched 4 rounds (m=8)")(graft.operators.Bpe
+      .learnMergesBatched(big.select("text"), "text",
+        rounds = 4, batchSize = 8, candidateCap = 32, checkpointEvery = 4).count())
+    reap()
+    val bpe12 = time("bpe batched 12 rounds (m=8)")(graft.operators.Bpe
+      .learnMergesBatched(big.select("text"), "text",
+        rounds = 12, batchSize = 8, candidateCap = 32, checkpointEvery = 4).count())
+    println(s"[scale] bpe merges learned = $bpe4 / $bpe12")
+    // r6: multimodal family — payload-bearing media table at mult×. The
+    // metadata rollup must NOT scale with payload bytes (column pruning:
+    // the binary column is never read — q42's shape), while decode+feature
+    // extraction is the linear, shuffle-free mapPartitions pass.
+    reap()
+    locally {
+      import spark.implicits._
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(spark,
+        big.withColumn("n_chars", length(col("text")).cast("long")))
+      val mediaPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_media").toString + "/media"
+      time("media table write")(
+        media.write.mode("overwrite").parquet(mediaPath))
+      val tbl = spark.read.parquet(mediaPath)
+      val nKinds = time("media metadata agg (payload never read)")(
+        tbl.groupBy("kind").agg(count(lit(1)).as("n"), sum("duration_ms").as("dur"))
+          .collect().length)
+      val nFeat = time("media decode + features")(
+        graft.multimodal.Multimodal.extractFeatures(
+          tbl.as[graft.multimodal.Multimodal.MediaRow]).count())
+      println(s"[scale] media kinds = $nKinds, features = $nFeat")
+    }
+    // r6: sink compaction — rewrite cost must track the FRAGMENTED buckets
+    // only, not the sink size. Base sink: one file per bucket (repartition
+    // on the partition column); one un-repartitioned merge then fans small
+    // files into exactly nFrag buckets. Compacting 16 fragmented buckets
+    // should cost ~4× compacting 4, on the same-size sink.
+    reap()
+    for (nFrag <- Seq(4, 16)) {
+      val sink = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_compact$nFrag").toString + "/sink"
+      val baseT = big.withColumn("p_bucket", (col("doc_id") % 64).cast("int"))
+        .repartition(col("p_bucket"))
+      graft.sources.Merge.upsertPartitionedBy(
+        spark, baseT, sink, Seq("doc_id"), "p_bucket")
+      val batch = big.filter(col("doc_id") % 64 < nFrag)
+        .withColumn("p_bucket", (col("doc_id") % 64).cast("int"))
+      graft.sources.Merge.upsertPartitionedBy(
+        spark, batch, sink, Seq("doc_id"), "p_bucket") // fans files into nFrag buckets
+      val compacted = time(s"compact $nFrag fragmented buckets (of 64)")(
+        graft.sources.Merge.compactPartitioned(spark, sink, 2, "p_bucket"))
+      println(s"[scale] compacted buckets = ${compacted.size} (expected $nFrag)")
+    }
     spark.stop()
   }
 }
