@@ -141,6 +141,39 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_symbols"))
   }
 
+  /** [[encode]] via the DISTINCT-word table — the 10⁴-merge scale path.
+    * [[encode]] replays the replace chain over every corpus WORD OCCURRENCE
+    * (fine for a handful of merges; at 10⁴ merges it is 10⁴ string passes
+    * over 100 TB). Here the chain runs ONCE over the distinct-word
+    * vocabulary — orders of magnitude smaller, the same table learning
+    * already builds — producing each word's symbol count, and the corpus
+    * then just equi-joins its exploded words against that table and
+    * aggregates. Byte-identical output to [[encode]] by construction (same
+    * chain, same words), so the two formulations share one oracle; the
+    * corpus-sized work drops from merges×scan to explode + one shuffle
+    * join on the word (or a broadcast, when the vocab fits).
+    */
+  def encodeViaVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab0 = docs
+      .select(explode(Text.tokens(col(textCol))).as("w")).distinct()
+      .withColumn("enc", array_join(
+        transform(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          x => concat(lit(D), x, lit(D))), ""))
+    val vocab = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.withColumn("enc",
+        replace(col("enc"), lit(D + a + D + D + b + D), lit(D + a + b + D)))
+    }.select(col("w"),
+      size(split(expr("substring(enc, 2, length(enc) - 2)"), D + D)).as("__n"))
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_symbols"))
+  }
+
   /** Learn `rounds` merges; one output row per round:
     * (round, pair_a, pair_b, merged, n) with n the weighted pair count
     * that made it the argmax at selection time (ties → lexicographic

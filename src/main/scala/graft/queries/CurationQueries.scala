@@ -241,6 +241,21 @@ object CurationQueries {
         .map(r => (r.getString(0), r.getString(1))).toSeq
       Bpe.encode(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
+    // q133's encode at the 10⁴-merge scale shape: the replace chain runs
+    // ONCE over the distinct-word vocabulary (the table learning already
+    // builds) and the corpus equi-joins its exploded words against it —
+    // corpus-sized work drops from merges×scan to explode + one join.
+    // Byte-identical to q133 by construction (same chain, same words), so
+    // it runs under q133's oracle — the hash gate itself proves the two
+    // formulations equal.
+    "q137_bpe_encode_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
+        .orderBy("round")
+        .select("pair_a", "pair_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Bpe.encodeViaVocab(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
     // Train/val/test assignment: cumulative md5-bucket thresholds (90/5/5)
     // — a doc's split never changes as the corpus grows. Reported as the
     // per-(split, lang) audit table an eval-leakage review reads.
@@ -387,7 +402,14 @@ object CurationQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** q137 = q133's semantics computed via the distinct-vocab join —
+    * byte-identical output by construction, so both formulations run under
+    * ONE oracle and the hash gate itself proves them equal.
+    */
+  lazy val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q137_bpe_encode_vocab" -> oracleSqlBase("q133_bpe_encode"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q89_pii_scrub" ->
       raw"""WITH $DecSql
           SELECT doc_id,

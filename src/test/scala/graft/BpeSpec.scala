@@ -63,6 +63,27 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 3L) // b,a + c
   }
 
+  test("encodeViaVocab equals encode (vocab-join formulation, repeated words)") {
+    // repeated words across docs exercise the join fan-out; the learned-
+    // order dependency pins that the vocab side replays the same chain
+    val docs = Seq((1L, "abc ab abc"), (2L, "ba c ab"), (3L, "abc")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val direct = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val viaVocab = Bpe.encodeViaVocab(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaVocab == direct)
+  }
+
+  test("learnMerges returns early when no mergeable pair remains") {
+    // every word is a single character: zero adjacent pairs from round 1
+    assert(Bpe.learnMerges(docs("a b c a"), "text", rounds = 3).count() == 0L)
+    // one merge exhausts the corpus; rounds 2-3 must not throw
+    val one = Bpe.learnMerges(docs("ab ab"), "text", rounds = 3).collect()
+    assert(one.length == 1 && one(0).getString(3) == "ab")
+    assert(Bpe.compressionCurve(docs("ab ab"), "text", rounds = 3).count() == 2L)
+  }
+
   test("pairCounts ignores single-symbol words") {
     val words = Bpe.wordTable(docs("a a a bc"), "text")
     val pairs = Bpe.pairCounts(words).collect()
