@@ -147,8 +147,14 @@ object Streaming {
   }
 
   /** §3.1 as a stream: micro-batch → keep-last dedup → idempotent MERGE →
-    * metrics append, all inside `foreachBatch` (same operators as the batch
-    * pipeline). Exactly-once via checkpoint + idempotent sink.
+    * metrics commit, all inside `foreachBatch` (same operators as the batch
+    * pipeline). Exactly-once END TO END: the data sink converges because
+    * the MERGE is per-key idempotent, and the metrics table commits by
+    * dynamic overwrite of the batch's own `batch_id` partition — a
+    * replayed batch REPLACES its metrics row instead of appending a
+    * duplicate beside it (the [[ingestDedupStream]] commit discipline;
+    * a bare append here would double-count rows_upserted on every crash
+    * retry).
     */
   def incrementalMergeSink(
       events: DataFrame,
@@ -177,10 +183,12 @@ object Streaming {
         else
           graft.sources.Merge.upsertToPath(spark, deduped, sinkPath, Seq(keyCol))
         val n = deduped.count()
-        graft.sources.Merge.appendMetrics(
-          Seq((batchId, n, new java.sql.Timestamp(System.currentTimeMillis())))
-            .toDF("batch_id", "rows_upserted", "committed_at"),
-          metricsPath)
+        Seq((batchId, n, new java.sql.Timestamp(System.currentTimeMillis())))
+          .toDF("batch_id", "rows_upserted", "committed_at")
+          .write.partitionBy("batch_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic") // replace ONLY this batch's row
+          .parquet(metricsPath)
       }
       .start()
 

@@ -192,6 +192,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(metrics.agg(sum("rows_upserted")).head().getLong(0) == 4L)
   }
 
+  test("incrementalMergeSink: metrics commit is exactly-once under batch replay") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_metrics").toString
+    // a dead attempt of batch 0 left a bogus metrics row behind
+    Seq((999L, ts("2024-01-01 00:00:00")))
+      .toDF("rows_upserted", "committed_at")
+      .write.parquet(s"$dir/metrics/batch_id=0")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("_id", "DATETIME", "value")
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:00:00"), 2.0))
+    Streaming.incrementalMergeSink(df, "_id", "DATETIME",
+      s"$dir/sink", s"$dir/metrics", s"$dir/ckpt").awaitTermination()
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    assert(metrics.count() === 1, "replay must replace the partial metrics row")
+    assert(metrics.select("rows_upserted").as[Long].head() === 2L,
+      "the dead attempt's bogus count must not survive")
+  }
+
   test("incrementalMergeSink with sinkBuckets writes the partition-pruned sink") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_part").toString
