@@ -212,6 +212,18 @@ object Similarity {
   def ivfOccupancy(layout: DataFrame): DataFrame =
     layout.groupBy("centroid_id").agg(count(lit(1)).as("n"))
 
+  /** The quantizer in fixed point: (centroid_id, c_fp) with c_fp =
+    * floor(centroid_emb × scale) per dim — the representation
+    * [[ivfRebalanceHottest]] consumes AND produces, so maintenance passes
+    * compose: convert the float quantizer once, then every further pass
+    * feeds on the previous pass's output. All bucket ranking against a
+    * fp quantizer is exact int64 arithmetic (engine-reproducible).
+    */
+  def quantizerFp(centroids: DataFrame, scale: Double = 1e7): DataFrame =
+    centroids.select(col("centroid_id").cast("long").as("centroid_id"),
+      transform(col("centroid_emb"), x => floor(x.cast("double") * scale).cast("long"))
+        .as("c_fp"))
+
   /** Selective re-split of the HOTTEST centroid partition of an IVF layout
     * (max occupancy, ties → min centroid id) — the maintenance pass that
     * repairs probe pruning after drift skews the frozen quantizer of
@@ -227,18 +239,19 @@ object Similarity {
     *     + 2) via dynamic partition overwrite — only the NEW partitions are
     *     written and only the hot directory is retired; every other
     *     partition's files are never opened (byte-identity spec-asserted);
-    *  4. the returned quantizer (centroid_id, c_fp) carries the surviving
-    *     old centroids (embedding × 1e7, floored) plus the two Lloyd means
-    *     — all further probes rank buckets by exact int64 distance on it.
+    *  4. the returned quantizer (centroid_id, c_fp — the [[quantizerFp]]
+    *     representation, which this operator also CONSUMES, so passes
+    *     compose) carries the surviving old centroids plus the two Lloyd
+    *     means — all further probes rank buckets by exact int64 distance.
     *
     * At 100 TB this touches occupancy counts + one partition's vectors +
     * two partition writes, never the index body. Run repeatedly (hottest
-    * first) until occupancy is acceptable.
+    * first — [[ivfRebalanceUntil]]) until occupancy is acceptable.
     */
   def ivfRebalanceHottest(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      centroids: DataFrame, // (centroid_id, centroid_emb) — the frozen quantizer
+      quantizer: DataFrame, // (centroid_id, c_fp) — see [[quantizerFp]]
       scale: Double = 1e7): DataFrame = {
     val layout = spark.read.parquet(path)
     // partition-column type is directory-inferred (int) — normalize to long
@@ -248,7 +261,7 @@ object Similarity {
       .limit(1).collect()
     require(hotRow.nonEmpty, s"empty IVF layout at $path")
     val hot = hotRow(0).getLong(0)
-    val maxCid = centroids.agg(max(col("centroid_id").cast("long"))).head().getLong(0)
+    val maxCid = quantizer.agg(max(col("centroid_id").cast("long"))).head().getLong(0)
 
     // 2. the hot partition's vectors, quantized (directory-pruned read)
     val members = spark.read.parquet(path)
@@ -318,14 +331,47 @@ object Similarity {
     // invalidate so post-rebalance reads list the real layout
     spark.catalog.refreshByPath(path)
 
-    // 4. updated quantizer in fixed point
-    centroids.filter(col("centroid_id").cast("long") =!= hot)
-      .select(col("centroid_id").cast("long").as("centroid_id"),
-        transform(col("centroid_emb"), x => floor(x.cast("double") * scale).cast("long"))
-          .as("c_fp"))
+    // 4. updated quantizer: surviving old centroids + the two Lloyd means
+    // — same fp representation in as out, so passes compose
+    quantizer.filter(col("centroid_id").cast("long") =!= hot)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("c_fp"))
       .unionByName(means.select(
         element_at(cidMapping, col("sid")).cast("long").as("centroid_id"),
         col("__c").as("c_fp")))
+  }
+
+  /** Hottest-first maintenance loop: split the max-occupancy partition
+    * until none exceeds `maxOccupancy` (or `maxPasses` splits ran). Each
+    * pass is one bounded decision + one partition's rewrite; the quantizer
+    * threads through in its fixed-point representation. Returns the final
+    * quantizer. Monotone convergence: every split strictly lowers the hot
+    * partition's count (k=2 split of n rows leaves parts < n unless the
+    * Lloyd round degenerates to one cluster, which the loop detects via
+    * the occupancy re-read — a pass that cannot improve stops the loop).
+    */
+  def ivfRebalanceUntil(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      quantizer: DataFrame,
+      maxOccupancy: Long,
+      maxPasses: Int = 8): DataFrame = {
+    require(maxOccupancy >= 2 && maxPasses >= 1)
+    var q = quantizer
+    var passes = 0
+    var done = false
+    while (!done && passes < maxPasses) {
+      val occ = ivfOccupancy(spark.read.parquet(path))
+        .agg(max(col("n"))).head().getLong(0)
+      if (occ <= maxOccupancy) done = true
+      else {
+        q = ivfRebalanceHottest(spark, path, q)
+        val occAfter = ivfOccupancy(spark.read.parquet(path))
+          .agg(max(col("n"))).head().getLong(0)
+        if (occAfter >= occ) done = true // degenerate split: stop, don't spin
+        passes += 1
+      }
+    }
+    q
   }
 
   /** Brute-force top-k by cosine against a 1-row probe DataFrame

@@ -260,7 +260,8 @@ object SimilarityQueries {
       Similarity.ivfAssign(
           emb.select("vec_id", "embedding"), "vec_id", "embedding", cents)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(layout)
-      val quantFp = Similarity.ivfRebalanceHottest(s, layout, cents)
+      val quantFp = Similarity.ivfRebalanceHottest(
+        s, layout, Similarity.quantizerFp(cents))
       val fpOf = (c: org.apache.spark.sql.Column) =>
         transform(c, x => floor(x.cast("double") * 1e7).cast("long"))
       val intDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>

@@ -147,7 +147,7 @@ class IvfMaintenanceSpec extends AnyFunSuite with SparkFixture {
     val bUntouchedBefore = partDirs(sink)("centroid_id=1")
     Thread.sleep(5) // mtime resolution guard
     val quantFp = Similarity.ivfRebalanceHottest(spark, sink,
-      cents.select(col("centroid_id"), col("centroid_emb")))
+      Similarity.quantizerFp(cents))
       .select(col("centroid_id"), col("c_fp"))
       .as[(Long, Seq[Long])].collect().toSeq
     // only the hot partition was retired; the split wrote fresh ids 2 and 3
@@ -164,6 +164,38 @@ class IvfMaintenanceSpec extends AnyFunSuite with SparkFixture {
     val recallRebalanced = recall(quantFp, probes)
     assert(recallRebalanced >= recallPreDrift,
       s"post-rebalance recall $recallRebalanced below pre-drift $recallPreDrift")
+  }
+
+  test("ivfRebalanceUntil converges occupancy below the bound over passes") {
+    import graft.operators.Similarity
+    def v(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    // 24 vectors fanned across 0°–46°, one far cluster at 90° — everything
+    // near 0° lands in centroid 0, so its partition starts at 24 and needs
+    // MULTIPLE hottest-first splits to get under the bound.
+    val fan = (0 until 24).map(i => (i.toLong, v(i * 2.0)))
+    val far = Seq((100L, v(90)), (101L, v(92)), (102L, v(94)))
+    val cents = Seq((0L, v(10)), (1L, v(91))).toDF("centroid_id", "centroid_emb")
+    val sink = newSink()
+    Merge.upsertPartitionedBy(spark,
+      Similarity.ivfAssign((fan ++ far).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents),
+      sink, Seq("vec_id"), "centroid_id")
+    assert(Similarity.ivfOccupancy(spark.read.parquet(sink))
+      .agg(max("n")).head().getLong(0) === 24L)
+    val q = Similarity.ivfRebalanceUntil(spark, sink,
+      Similarity.quantizerFp(cents), maxOccupancy = 8L)
+    val occ = Similarity.ivfOccupancy(spark.read.parquet(sink))
+      .select(col("centroid_id").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(occ.values.max <= 8L, s"occupancy not converged: $occ")
+    // every row survived every split (splits move rows, never drop them)
+    assert(occ.values.sum === 27L)
+    // the quantizer tracks the layout: one fp centroid per live partition
+    val qc = q.select("centroid_id").as[Long].collect().toSet
+    assert(qc === occ.keySet, s"quantizer $qc out of sync with layout ${occ.keySet}")
   }
 
   test("probe prunes to its nProbe partitions after an append") {
