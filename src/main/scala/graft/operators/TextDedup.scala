@@ -411,6 +411,67 @@ object TextDedup {
         .repartition(col("__s"))
     }
 
+  /** Content-defined chunking (Rabin-style rolling-hash boundaries) — the
+    * SHIFT-ROBUST document fingerprinting that fixed-window chunking
+    * (q92/q99) cannot provide: inserting a prefix moves every 64-token
+    * window boundary, so a shifted near-copy shares NO fixed-window
+    * fingerprints, while CDC boundaries are decided by the LOCAL token
+    * content (trigram rolling hash ≡ 0 mod `divisor`) and re-align one
+    * chunk after any insertion — the interior fingerprints survive.
+    *
+    * Mechanics: positional trigram hashes (the [[shingleHashes]] fold
+    * WITHOUT the set-dedup), a boundary before token t iff the trigram
+    * ending at t−1 hashes ≡ 0 (mean chunk length ≈ `divisor` tokens),
+    * chunk index = running boundary count (one per-doc window — the
+    * doc-sharded shard-write shape), chunk fingerprint = md5 of the
+    * space-joined tokens. Everything is md5 + int64 modular arithmetic —
+    * engine-reproducible, so the whole chunking sits under the oracle.
+    *
+    * Scale shape: two doc-sharded exchanges (the window and the chunk
+    * aggregation); token text crosses the wire once, no corpus-global
+    * state. Downstream exact-dedup on `chunk_md5` is the q32 hash-groupBy.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk_md5).
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 2)
+    val tokenHashes =
+      "transform(__toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    val combine = (1 to 3)
+      .map(j => s"element_at(hs, i + $j)")
+      .reduce((acc, h) => s"(($acc * 8191 + $h) % cast(4294967296 as bigint))")
+    val positional = expr(
+      s"""element_at(transform(array($tokenHashes), hs ->
+            if(size(hs) >= 3,
+               transform(sequence(0, size(hs) - 3), i -> $combine),
+               array())), 1)""")
+    val perTok = df
+      .select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("__toks"))
+      .withColumn("__sh", positional)
+      .select(col(idCol), col("__sh"), posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      // boundary BEFORE token t (1-based t = __p + 1) iff the trigram
+      // ending at t−1 (1-based trigram index t−3) hashes ≡ 0 mod divisor
+      .withColumn("__flag",
+        when(col("__p") >= 3 &&
+          element_at(col("__sh"), col("__p") - lit(2)) % divisor === 0, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTok
+      .withColumn("chunk_idx", sum(col("__flag")).over(w))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+            s => s.getField("__tok")), " ")).as("chunk_md5"))
+  }
+
   /** Containment pairs — the asymmetric companion to [[jaccardPairs]]:
     * containment = |A∩B| / min(|A|, |B|), which detects a document whose
     * shingle set is (nearly) a SUBSET of another's — quotes, boilerplate

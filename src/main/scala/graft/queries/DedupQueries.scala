@@ -184,6 +184,16 @@ object DedupQueries {
     // exact-truth join's Σdf² term CONSTANT under corpus growth — a fixed
     // FRACTION would keep it quadratic (p²·N²) — so the audit costs the
     // same at 32× as at 1× (measured in ScaleProbe).
+    // Content-defined chunking: rolling-hash (trigram ≡ 0 mod 16) chunk
+    // boundaries + md5 chunk fingerprints — the SHIFT-ROBUST complement to
+    // q99's fixed-window passages (a prefix insertion moves every fixed
+    // window but re-aligns CDC chunks after one boundary; CdcSpec pins
+    // that property). Boundaries, indices, and fingerprints are all
+    // md5/int64 modular arithmetic, so the entire chunking is under the
+    // hash gate.
+    "q138_cdc_chunks" -> ((s, dir) =>
+      TextDedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text", divisor = 16)
+        .orderBy("doc_id", "chunk_idx")),
     "q118_lsh_audit" -> ((s, dir) => {
       val withSh = withShingles(
         graft.operators.Sampling.hashSampleTarget(augmented(s, dir), col("doc_id"), 400L))
@@ -579,6 +589,29 @@ object DedupQueries {
           LEFT JOIN ct ON i.doc_id = ct.doc_id
           JOIN ov ON i.doc_id = ov.doc_id
           ORDER BY i.doc_id""".replaceAll("\\s+", " "),
+    "q138_cdc_chunks" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+          th AS (SELECT doc_id, toks,
+                   [('0x' || substr(md5(tok), 1, 8))::BIGINT for tok in toks] AS th
+                 FROM t),
+          sh AS (SELECT doc_id, toks,
+                   [((th[i]*8191 + th[i+1]) % 4294967296 * 8191 + th[i+2]) % 4294967296
+                    for i in range(1, greatest(len(th) - 1, 1))] AS sh
+                 FROM th),
+          e AS (SELECT doc_id, sh, u.pos AS pos, toks[u.pos] AS tok
+                FROM sh, unnest(range(1, len(toks) + 1)) AS u(pos)),
+          f AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos >= 4 AND sh[pos-3] % 16 = 0 THEN 1 ELSE 0 END AS flag
+                FROM e),
+          c AS (SELECT doc_id, pos, tok,
+                  CAST(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                    AS chunk_idx
+                FROM f)
+          SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+          FROM c GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
     "q118_lsh_audit" ->
       s"""WITH $AugSql,
           samp AS (SELECT doc_id, text FROM aug
