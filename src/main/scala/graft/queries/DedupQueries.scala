@@ -194,6 +194,26 @@ object DedupQueries {
     "q138_cdc_chunks" -> ((s, dir) =>
       TextDedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text", divisor = 16)
         .orderBy("doc_id", "chunk_idx")),
+    // CDC chunking APPLIED as dedup: doc pairs ranked by shared chunk
+    // fingerprints over the augmented corpus — whose +100000 near-copies
+    // (first 14 chars dropped) are EXACTLY the shifted-copy case CDC
+    // exists for: the prefix edit moves every fixed window, but chunk
+    // boundaries re-align and the interior fingerprints match. Candidate
+    // generation is an equi-join on chunk_md5 (never all-pairs; a
+    // ubiquitous boilerplate chunk behaves like a capped-df shingle and
+    // the same dial applies at scale), aggregated to (pair, n_shared).
+    "q139_cdc_pairs" -> ((s, dir) => {
+      val chunks = TextDedup.cdcChunks(augmented(s, dir), "doc_id", "text", divisor = 16)
+        .select(col("doc_id"), col("chunk_md5"))
+        .repartition(col("chunk_md5")) // computed once below the self-join exchange
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_md5") === col("b.chunk_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q118_lsh_audit" -> ((s, dir) => {
       val withSh = withShingles(
         graft.operators.Sampling.hashSampleTarget(augmented(s, dir), col("doc_id"), 400L))
@@ -589,6 +609,32 @@ object DedupQueries {
           LEFT JOIN ct ON i.doc_id = ct.doc_id
           JOIN ov ON i.doc_id = ov.doc_id
           ORDER BY i.doc_id""".replaceAll("\\s+", " "),
+    "q139_cdc_pairs" ->
+      raw"""WITH $AugSql,
+          t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM aug),
+          th AS (SELECT doc_id, toks,
+                   [('0x' || substr(md5(tok), 1, 8))::BIGINT for tok in toks] AS th
+                 FROM t),
+          sh AS (SELECT doc_id, toks,
+                   [((th[i]*8191 + th[i+1]) % 4294967296 * 8191 + th[i+2]) % 4294967296
+                    for i in range(1, greatest(len(th) - 1, 1))] AS sh
+                 FROM th),
+          e AS (SELECT doc_id, sh, u.pos AS pos, toks[u.pos] AS tok
+                FROM sh, unnest(range(1, len(toks) + 1)) AS u(pos)),
+          f AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos >= 4 AND sh[pos-3] % 16 = 0 THEN 1 ELSE 0 END AS flag
+                FROM e),
+          c AS (SELECT doc_id, pos, tok,
+                  CAST(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                    AS chunk_idx
+                FROM f),
+          ch AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+                 FROM c GROUP BY doc_id, chunk_idx)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM ch a JOIN ch b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q138_cdc_chunks" ->
       raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
