@@ -134,6 +134,34 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(n.toDouble / 1000 - 1.0) < 0.2, s"correlated draws: $keptBySplit"))
   }
 
+  test("hashSampleTarget pins the sample size as the corpus grows") {
+    def sample(n: Long) = Sampling.hashSampleTarget(
+      (0L until n).toDF("id"), $"id", targetRows = 400L)
+    val small = sample(1000L).count()
+    val big = sample(16000L).count()
+    assert(math.abs(small - 400L) <= 60L, s"small-corpus sample $small far from target")
+    assert(math.abs(big - 400L) <= 60L, s"big-corpus sample $big far from target")
+    // corpus below the target: keep everything (threshold saturates at 10⁴)
+    assert(sample(300L).count() === 300L)
+    // the kept set is always a hashSample slice: membership is the same
+    // md5 bucket, only the derived threshold moves
+    val derived = sample(16000L).select("id").as[Long].collect().toSet
+    val explicit = Sampling.hashSample((0L until 16000L).toDF("id"), $"id", 0.025)
+      .select("id").as[Long].collect().toSet
+    assert(derived === explicit, "derived rate must equal the 10⁻⁴-grid explicit rate")
+  }
+
+  test("auditWeightRange surfaces out-of-contract weights the sample itself hides") {
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 5000L), (2L, null), (3L, -20L), (4L, 10001L), (5L, 10000L))
+      .toDF("id", "w")
+    val audit = Sampling.auditWeightRange(rows, $"w").collect()(0)
+    assert(audit.getLong(0) === 5L) //  n_rows
+    assert(audit.getLong(1) === 1L) //  null
+    assert(audit.getLong(2) === 1L) //  negative
+    assert(audit.getLong(3) === 1L) //  above grid (10000 itself is in contract)
+  }
+
   test("assignSplit partitions every row exactly once and is growth-stable") {
     val small = (0L until 500L).toDF("id")
       .withColumn("split", Sampling.assignSplit($"id", Seq("train" -> 0.9, "val" -> 0.05), "test"))
