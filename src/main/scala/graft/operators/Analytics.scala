@@ -202,7 +202,7 @@ object Analytics {
     leftSide.unionByName(rightSide)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         asofCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 

@@ -809,7 +809,7 @@ object TextDedup {
         org.apache.spark.sql.catalyst.expressions.Literal(expectedTestGrams),
         org.apache.spark.sql.catalyst.expressions.Literal(expectedTestGrams * 8),
         0, 0).toAggregateExpression())
-    val bloomBytes = testGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bloomBytes = testGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     // Phase 2: map-side prune of the train side, then the exact shuffle
     // join (shuffle_hash: the eval index is modeled as above the broadcast
     // threshold — the configuration this operator exists for).
