@@ -62,6 +62,13 @@ object GraftExtensions {
         case Literal(k: Int, _) => MinShingleFingerprint(children(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_min_shingle k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes32].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(n: Int, _) => ShingleHashes32(children(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes n must be an integer literal, got $other")
       }))
 
   /** Native cosine similarity of two array<float> columns. */
@@ -84,4 +91,8 @@ object GraftExtensions {
   /** Native min-shingle fingerprint of a text column. */
   def minShingleNative(text: Column, k: Int): Column =
     ColumnShim.column(MinShingleFingerprint(ColumnShim.expression(text), k))
+
+  /** Native distinct n-gram shingle hashes of an array<string> column. */
+  def shingleHashesNative(tokens: Column, n: Int): Column =
+    ColumnShim.column(ShingleHashes32(ColumnShim.expression(tokens), n))
 }

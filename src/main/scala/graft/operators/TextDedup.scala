@@ -33,8 +33,18 @@ object TextDedup {
     * token hashes. One md5 per token (not per shingle — an n-fold saving,
     * since every token appears in n shingles); the combination is exact
     * int64 arithmetic reproducible in any SQL engine.
+    *
+    * Implemented as the native codegen'd
+    * [[graft.expressions.ShingleHashes32]] (one tight md5+fold loop per
+    * row, inside WholeStageCodegen); [[shingleHashesHof]] is the
+    * equivalent SQL-function formulation, bit-parity spec-pinned in
+    * ExpressionsSpec.
     */
-  def shingleHashes(toksColName: String, n: Int): Column = {
+  def shingleHashes(toksColName: String, n: Int): Column =
+    graft.expressions.GraftExtensions.shingleHashesNative(col(toksColName), n)
+
+  /** Higher-order-function formulation (kept for cross-checking). */
+  def shingleHashesHof(toksColName: String, n: Int): Column = {
     val tokenHashes =
       s"transform($toksColName, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     // combine h[i+1..i+n]: fold left with multiplier 8191 (fits int64:

@@ -85,6 +85,22 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     out.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native shingle hashes equal the HOF formulation on the real corpus") {
+    // corpus-driven parity: every doc of the sf0.001 documents table plus
+    // the edge shapes (short docs, repeated tokens exercising the
+    // first-occurrence dedup order, blank text where split yields [""])
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(Seq("a b", "a", "", "x x x x x", "a b a b a b").toDF("text"))
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+    val out = corpus.select(
+      TextDedup.shingleHashes("toks", 3).as("native"),
+      TextDedup.shingleHashesHof("toks", 3).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("simhashAgg matches simhash60 incl. zero-token and null-token docs") {
     val df = Seq(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
