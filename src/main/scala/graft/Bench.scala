@@ -95,27 +95,35 @@ object Bench {
         f"[bench-final] $name%-32s min=$best%.3f s  passes=${ts.map(r => f"$r%.2f").mkString("/")}")
       name -> best
     }
+    // The driver parses the JSON line out of a 2000-char tail window over the
+    // MERGED sbt output, so the line must satisfy TWO constraints at once:
+    //  (a) it must be the LAST output (r5: sbt's log pump flushed the queued
+    //      [bench-final] stderr backlog after the stdout line, evicting it);
+    //  (b) the WHOLE line plus sbt's trailing "[success] Total time" row must
+    //      fit inside 2000 chars (r1–r4: the line WAS last but ~2100+ chars,
+    //      so its "{"metric"" head fell outside the window and never parsed).
+    // Hence: short ids (qNN), centi-second precision, sf basename, no
+    // methodology field (BASELINE.md records it), and the line printed to
+    // stdout twice after stderr is fully drained — if anything sneaks between
+    // the copies, the second still lands last; a front-truncated first copy
+    // cannot shadow it because it no longer contains the "{"metric"" anchor.
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm-interleaved-min-of-$passes-passes"}"""
-
-    // The driver parses the JSON line out of a 2000-char tail window over the
-    // MERGED sbt output. In r5 the ~130 [bench-final] stderr lines above were
-    // interleaved AFTER the stdout JSON in that merge and evicted it
-    // (BENCH_r05 parsed:null, as in every prior round). Guarantee the line is
-    // last: flush all diagnostics, silence Spark's shutdown logging, stop the
-    // session, give sbt's log pump a beat to drain the stderr backlog, then
-    // emit the JSON to BOTH streams as the final output of the process.
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    System.err.println(s"[bench-diag] json line length: ${jsonLine.length} chars (tail window 2000)")
     System.err.flush(); System.out.flush()
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     System.err.flush(); System.out.flush()
-    Thread.sleep(2000)
+    Thread.sleep(2500) // let sbt's log pump drain the stderr backlog first
     println(jsonLine)
-    System.err.println(jsonLine)
-    System.out.flush(); System.err.flush()
+    System.out.flush()
+    Thread.sleep(500)
+    println(jsonLine)
+    System.out.flush()
   }
 }
