@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the canonical
+  * billion-scale ANN compression: split each d-dim vector into `m`
+  * subspaces of d/m dims, learn a small codebook (k codewords) per
+  * subspace with Lloyd iterations, and store each vector as `m` small
+  * codes. A query is answered by Asymmetric Distance Computation (ADC):
+  * one k×m lookup table of exact subspace distances from the query to
+  * every codeword, then each database vector's distance is the sum of m
+  * table lookups — the scan never touches the original vectors.
+  *
+  * Scale shape (100 TB of embeddings): the corpus side of the ADC scan
+  * carries ONLY (id, sub, code) — m·log2(k) bits per vector instead of
+  * 4·d bytes (for d=64, m=4, k=8: 12 bits vs 256 bytes, ~170×) — and the
+  * lookup table is k×m rows broadcast to every task, so the scan is one
+  * map-side broadcast-hash join + a map-side-combined sum per id: no
+  * shuffle of anything proportional to the corpus but the final top-k
+  * (TakeOrderedAndProject). Codebook training touches the full corpus
+  * once per Lloyd round with the [[Similarity.kmeansFp]] broadcast-fold
+  * assignment (zero data-side shuffle; the update's shuffle carries
+  * m·k·(d/m) accumulators). Composes with the IVF layout
+  * ([[Similarity.ivfAssign]] + `upsertPartitionedBy`): IVF prunes which
+  * partitions to scan, PQ makes the scan itself ~200× lighter — IVF-PQ.
+  *
+  * Determinism (the oracle gate): everything runs in the
+  * [[Similarity.kmeansFp]] fixed-point discipline — embeddings quantize
+  * to scale-1e7 int64 once (exact in double), subspace distances are pure
+  * int64 sums of squared diffs, centroid updates are floor(sum/count) via
+  * one IEEE division of exact integers, and ADC distances are exact int64
+  * sums — so training, encoding, and the ADC scan all hash-match a SQL
+  * replay bit-for-bit.
+  */
+object Pq {
+
+  /** Exact int64 squared L2 between two bigint-array columns. */
+  def l2sqFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Fixed-point sub-vector table: one row per (id, subspace) with the
+    * subspace's d/m coordinates as int64 `v`. `dim` must be divisible by
+    * `m`. The explode multiplies row count by m but each row shrinks by
+    * the same factor — total bytes unchanged, and the explode is
+    * map-side (no shuffle).
+    */
+  def subVectorsFp(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dim: Int,
+      scale: Double = 1e7): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    val fp = transform(col(embCol), x => floor(x.cast("double") * scale).cast("long"))
+    df.select(col(idCol), fp.as("__v"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.cast("int").as("sub"),
+            slice(col("__v"), s * d + 1, lit(d)).as("v")))).as("__sv"))
+      .select(col(idCol), col("__sv.sub").as("sub"), col("__sv.v").as("v"))
+  }
+
+  /** Per-subspace fixed-point Lloyd training — [[Similarity.kmeansFp]]
+    * with `sub` as an extra grouping key so all m codebooks train in ONE
+    * pass over the data per round (not m separate jobs). Init: subspace
+    * s's codewords are the sub-vectors of the first k ids (deterministic
+    * stand-in for k-means++). Assignment is the broadcast-fold argmin
+    * restricted to the row's own subspace (the full m·k codebook is one
+    * broadcast row); the update shuffles only m·k·(d/m) = k·d
+    * accumulators. Codewords that empty out drop (oracle-identical).
+    *
+    * Lineage control mirrors [[Similarity.kmeansFp]]: `iters <= 2` stays
+    * one lazy plan (the oracle-gated configuration); beyond that the
+    * fixed-point frame persists once and each round's m·k·(d/m) codebook
+    * rows rebuild from a driver-side collect (exact int64 values, so the
+    * rebuild is bit-identical to the lazy plan).
+    *
+    * Output: long-form codebooks (sub, cid, dim, c_fp, n) with `dim`
+    * 1-based within the subspace.
+    */
+  def trainCodebooks(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dimTotal: Int,
+      k: Int,
+      iters: Int,
+      scale: Double = 1e7): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val truncate = iters > 2
+    val svPlan = subVectorsFp(df, idCol, embCol, m, dimTotal, scale)
+    val sv = if (truncate)
+      svPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else svPlan
+    var cents = sv.filter(col(idCol) < k)
+      .select(col("sub"), col(idCol).cast("long").as("cid"), col("v").as("c"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = assignCodes(sv, cents, idCol)
+      val sums = assigned
+        .select(col("sub"), col("code").as("cid"), posexplode(col("v")).as(Seq("__p", "__x")))
+        .groupBy(col("sub"), col("cid"), (col("__p") + 1).as("dim"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("dim"),
+          floor(col("__s").cast("double") / col("n")).cast("long").as("c_fp"), col("n"))
+      out = if (truncate) {
+        import scala.jdk.CollectionConverters._
+        df.sparkSession.createDataFrame(sums.collect().toSeq.asJava, sums.schema)
+      } else sums
+      cents = out.groupBy("sub", "cid").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c_fp")))),
+          s => s.getField("c_fp")).as("c"))
+    }
+    val result = out.orderBy("sub", "cid", "dim")
+    if (truncate) sv.unpersist(blocking = false)
+    result
+  }
+
+  /** Nearest-codeword assignment for a sub-vector table against list-form
+    * codebooks (sub, cid, c) — the broadcast-fold shape: the whole m·k
+    * codebook collapses to one broadcast row; each row filters to its own
+    * subspace's codewords and argmin-folds (d, cid) lexicographically
+    * (min distance, ties → min codeword id). Zero shuffle of the data
+    * side. Output: input columns + `code`.
+    */
+  private def assignCodes(sv: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val centsArr = cents.agg(
+      sort_array(collect_list(struct(col("sub").as("sub"), col("cid"), col("c"))))
+        .as("__cb"))
+    val mine = filter(col("__cb"), cw => cw.getField("sub") === col("sub"))
+    val scored = transform(mine, cw =>
+      struct(l2sqFp(col("v"), cw.getField("c")).as("d"), cw.getField("cid").as("cid")))
+    val best = aggregate(scored,
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+      (acc, x) => when(x < acc, x).otherwise(acc)).getField("cid")
+    sv.crossJoin(broadcast(centsArr))
+      .withColumn("code", best)
+      .drop("__cb")
+  }
+
+  /** Collect the codebook (m·k·(d/m) rows — broadcast-small by contract,
+    * same as [[Similarity.kmeansFp]]'s truncate path) and rebuild it as a
+    * local-backed frame, so queries that consume it twice (encode + ADC
+    * lookup table) pay the training pass over the corpus ONCE instead of
+    * inlining it into both consumers. Values are exact int64 / floor-
+    * division results, so the rebuild is bit-identical to the lazy plan.
+    */
+  def localized(codebooks: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    codebooks.sparkSession.createDataFrame(
+      codebooks.collect().toSeq.asJava, codebooks.schema)
+  }
+
+  /** List-form codebooks (sub, cid, c: array<bigint>) from the long form
+    * [[trainCodebooks]] emits — the representation [[encode]] and
+    * [[adcTopK]] consume.
+    */
+  def codebooksList(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("sub", "cid").agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("c_fp")))),
+        s => s.getField("c_fp")).as("c"))
+
+  /** PQ-encode the corpus: (id, sub, code) — each vector's nearest
+    * codeword per subspace. The long form IS the production layout for
+    * the ADC join; [[encodePacked]] gives the storage-friendly one-row-
+    * per-vector shape.
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      codebooks: DataFrame, // long form (sub, cid, dim, c_fp, n)
+      m: Int,
+      dimTotal: Int,
+      scale: Double = 1e7): DataFrame =
+    assignCodes(
+      subVectorsFp(df, idCol, embCol, m, dimTotal, scale),
+      codebooksList(codebooks), idCol)
+      .select(col(idCol), col("sub"), col("code"))
+
+  /** Packed codes: (id, codes: array<bigint>) ordered by subspace — the
+    * m·log2(k)-bit storage row. Exactly [[encode]] regrouped.
+    */
+  def encodePacked(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol)).agg(
+      transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Asymmetric Distance Computation top-k: exact int64 distance from the
+    * probe to every CODEWORD (the k×m lookup table, built from the probe's
+    * fixed-point sub-vectors — m·k rows, broadcast), then every corpus
+    * vector's ADC distance is the sum of its m looked-up entries. The
+    * corpus side carries only codes; the join is broadcast-hash on
+    * (sub, code) and the per-id sum is map-side combined, so nothing
+    * corpus-sized shuffles except the final top-k.
+    *
+    * `probe`: a one-row (sub, v) fixed-point sub-vector frame (e.g.
+    * [[subVectorsFp]] filtered to the probe id).
+    */
+  def adcTopK(
+      codes: DataFrame, // (id, sub, code)
+      idCol: String,
+      codebooks: DataFrame, // long form
+      probeSv: DataFrame, // (sub, v) — m rows
+      kTop: Int): DataFrame = {
+    val lut = codebooksList(codebooks)
+      .join(probeSv.select(col("sub").as("__ps"), col("v").as("__pv")),
+        col("sub") === col("__ps"))
+      .select(col("sub"), col("cid"), l2sqFp(col("c"), col("__pv")).as("d"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("d")).as("adc_d"))
+      .orderBy(col("adc_d").asc, col(idCol).asc)
+      .limit(kTop)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search queries over `embeddings` (vec_id, embedding:
@@ -488,10 +488,119 @@ object SimilarityQueries {
             / count(lit(1))).as("centroid"),
           count(lit(1)).as("n"))
         .orderBy("label", "dim")
+    }),
+    // Product quantization (Jégou et al. 2011) — the billion-scale vector
+    // compression IVF composes with. m=4 subspaces × k=8 codewords, one
+    // fixed-point Lloyd round (kmeansFp discipline, so iterative training
+    // is hash-matched in SQL). Long-form codebooks (sub, cid, dim, c_fp, n).
+    "q140_pq_codebooks" -> ((s, dir) => {
+      Pq.trainCodebooks(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 4, dimTotal = Dim, k = 8, iters = 1)
+    }),
+    // PQ-encode the corpus + Asymmetric Distance Computation top-10 for the
+    // vec_id-0 probe: the scan side carries ONLY (id, sub, code); distances
+    // are m lookups in a broadcast k×m table — exact int64, so the whole
+    // compressed-domain retrieval chain sits under the oracle. The trained
+    // codebook is collected once (k·d rows) and feeds both consumers.
+    "q141_pq_adc_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 4, Dim, 8, 1))
+      val codes = Pq.encode(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, 4, Dim)
+      val probeSv = Pq.subVectorsFp(e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 4, Dim).select("sub", "v")
+      Pq.adcTopK(codes, "vec_id", cb, probeSv, 10)
+    }),
+    // Recall@10 audit of the ADC scan against the exact fixed-point top-10
+    // (q114's integer-exact audit shape): how much retrieval quality the
+    // ~170× compression costs, itself oracle-gated.
+    "q142_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 4, Dim, 8, 1))
+      val codes = Pq.encode(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, 4, Dim)
+      val probeSv = Pq.subVectorsFp(e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 4, Dim).select("sub", "v")
+      val adcTop = Pq.adcTopK(codes, "vec_id", cb, probeSv, 10).select("vec_id")
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      val corpus = e.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("__v"))
+      val probe = e.filter(col("vec_id") === 0).select(fpv.as("__pv"))
+      val exactTop = corpus.crossJoin(broadcast(probe))
+        .withColumn("d", Pq.l2sqFp(col("__v"), col("__pv")))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10).select("vec_id")
+      val hits = exactTop.join(adcTop, "vec_id")
+      exactTop.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(adcTop.agg(count(lit(1)).as("n_adc")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
     })
   )
 
+  /** Shared CTE chain for the PQ family (q140–q142): fixed-point vectors →
+    * sub-vectors (m=4 × 16 dims) → seed codewords (first 8 ids) → one Lloyd
+    * round → trained codebooks, long and list form. Mirrors q71's replay of
+    * [[Similarity.kmeansFp]] with `sub` as an extra grouping key.
+    */
+  private val PqSql =
+    s"""fp AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+          FROM embeddings),
+        sv AS (SELECT vec_id, CAST(u.sub AS INT) AS sub,
+                 list_slice(fp.v, u.sub * 16 + 1, u.sub * 16 + 16) AS v
+               FROM fp CROSS JOIN unnest(range(0, 4)) AS u(sub)),
+        c0 AS (SELECT sub, vec_id AS cid, v AS c FROM sv WHERE vec_id < 8),
+        d1 AS (SELECT f.vec_id, f.sub, c.cid,
+                 list_sum(list_transform(range(1, 17),
+                   i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+               FROM sv f JOIN c0 c ON f.sub = c.sub),
+        a1 AS (SELECT vec_id, sub, cid FROM d1
+               QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        cb AS (SELECT a1.sub, a1.cid, u.i AS dim,
+                 CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+                   / count(*)) AS BIGINT) AS c_fp,
+                 count(*) AS n
+               FROM a1 JOIN sv f ON a1.vec_id = f.vec_id AND a1.sub = f.sub
+               CROSS JOIN unnest(range(1, 17)) AS u(i)
+               GROUP BY 1, 2, 3),
+        cbl AS (SELECT sub, cid, list(c_fp ORDER BY dim) AS c FROM cb GROUP BY 1, 2)"""
+
+  /** Encode + ADC CTEs on top of [[PqSql]]: nearest codeword per (vector,
+    * subspace), probe lookup table, compressed-domain distances.
+    */
+  private val PqAdcSql =
+    s"""de AS (SELECT f.vec_id, f.sub, c.cid,
+                 list_sum(list_transform(range(1, 17),
+                   i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+               FROM sv f JOIN cbl c ON f.sub = c.sub WHERE f.vec_id <> 0),
+        enc AS (SELECT vec_id, sub, cid AS code FROM de
+                QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        psv AS (SELECT sub, v FROM sv WHERE vec_id = 0),
+        lut AS (SELECT c.sub, c.cid,
+                  CAST(list_sum(list_transform(range(1, 17),
+                    i -> (c.c[i] - p.v[i]) * (c.c[i] - p.v[i]))) AS BIGINT) AS d
+                FROM cbl c JOIN psv p ON c.sub = p.sub),
+        adc AS (SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+                FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.cid
+                GROUP BY 1)"""
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q140_pq_codebooks" ->
+      s"""WITH $PqSql
+          SELECT sub, cid, dim, c_fp, n FROM cb
+          ORDER BY sub, cid, dim""".replaceAll("\\s+", " "),
+    "q141_pq_adc_topk" ->
+      s"""WITH $PqSql, $PqAdcSql
+          SELECT vec_id, adc_d FROM adc
+          ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q142_pq_recall" ->
+      s"""WITH $PqSql, $PqAdcSql,
+          adct AS (SELECT vec_id FROM adc ORDER BY adc_d ASC, vec_id ASC LIMIT 10),
+          pfull AS (SELECT v FROM fp WHERE vec_id = 0),
+          ex AS (SELECT f.vec_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (f.v[i] - p.v[i]) * (f.v[i] - p.v[i]))) AS d
+                 FROM fp f CROSS JOIN pfull p WHERE f.vec_id <> 0),
+          ext AS (SELECT vec_id FROM ex ORDER BY d ASC, vec_id ASC LIMIT 10)
+          SELECT (SELECT count(*) FROM ext) AS n_exact,
+                 (SELECT count(*) FROM adct) AS n_adc,
+                 (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS n_hits""".replaceAll("\\s+", " "),
     "q37_cosine_topk" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine

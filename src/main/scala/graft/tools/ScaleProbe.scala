@@ -257,6 +257,28 @@ object ScaleProbe {
         graft.sources.Merge.compactPartitioned(spark, sink, 2, "p_bucket"))
       println(s"[scale] compacted buckets = ${compacted.size} (expected $nFrag)")
     }
+    // r6b: product quantization — training and encoding must be linear in
+    // the corpus (one broadcast-fold assignment pass per Lloyd round, zero
+    // data-side shuffle), and the ADC scan's corpus side carries only
+    // (id, sub, code) against a broadcast k×m lookup table, so scan cost
+    // is linear with no corpus-sized exchange.
+    reap()
+    locally {
+      val cb = time("pq train (m=4, k=8, 1 round)")(
+        graft.operators.Pq.localized(graft.operators.Pq.trainCodebooks(
+          embBig, "vec_id", "embedding", m = 4, dimTotal = 64, k = 8, iters = 1)))
+      val codes = graft.operators.Pq.encode(
+        embBig, "vec_id", "embedding", cb, 4, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCodes = time("pq encode")(codes.count())
+      val probeSv = graft.operators.Pq.subVectorsFp(
+        embBase.filter(col("vec_id") === 0), "vec_id", "embedding", 4, 64)
+        .select("sub", "v")
+      val top = time("pq adc scan (top-10)")(
+        graft.operators.Pq.adcTopK(codes, "vec_id", cb, probeSv, 10).collect())
+      println(s"[scale] pq codes = $nCodes, top1 adc_d = ${top.head.getAs[Long]("adc_d")}")
+      codes.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pq
+
+/** Product quantization (q140–q142): codebook training, encoding, and the
+  * ADC scan. Pins the contract points the oracle can't see: the packed
+  * layout equals the long form, ADC distance is EXACT when every vector
+  * sits on a codeword (so compression error — not the scan — is the only
+  * approximation), the >2-iteration truncate path is bit-identical to the
+  * lazy plan, and the broadcast-fold assignment ties break toward the
+  * lowest codeword id.
+  */
+class PqSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val M = 2
+  private val D = 8 // 2 subspaces × 4 dims
+
+  /** Vectors built from per-subspace prototypes: vector i's subspace s
+    * coordinates are prototype (i + s) % 4 — every sub-vector is one of 4
+    * distinct codewords, so k=4 training converges immediately and PQ is
+    * lossless on this corpus.
+    */
+  private def protoVec(i: Int): Seq[Float] =
+    (0 until M).flatMap { s =>
+      val p = (i + s) % 4
+      Seq.fill(D / M)(p.toFloat)
+    }
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, protoVec(i))).toDF("vec_id", "embedding")
+
+  test("codebooks: m×k codewords, each with d/m dims and positive counts") {
+    val cb = Pq.trainCodebooks(corpus(16), "vec_id", "embedding",
+      m = M, dimTotal = D, k = 4, iters = 1).collect()
+    // 2 subspaces × 4 codewords × 4 dims
+    assert(cb.length == M * 4 * (D / M))
+    assert(cb.forall(_.getAs[Long]("n") > 0))
+    val subs = cb.map(_.getAs[Int]("sub")).toSet
+    assert(subs == Set(0, 1))
+  }
+
+  test("lossless corpus: every vector's reconstruction is exact, ADC == exact distance") {
+    val df = corpus(16)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, iters = 2))
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, M, D)
+    // every vector has exactly m codes
+    val perId = codes.groupBy("vec_id").count().collect()
+    assert(perId.length == 16 && perId.forall(_.getAs[Long]("count") == M))
+    // ADC top-1 for probe = vector 5 must be distance 0 at vector 5's
+    // codes' positions: vectors with the same (i % 4) share all prototypes
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 5),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val top = Pq.adcTopK(codes, "vec_id", cb, probeSv, 4).collect()
+    val zeroIds = top.filter(_.getAs[Long]("adc_d") == 0L).map(_.getLong(0)).toSet
+    assert(zeroIds == Set(1L, 5L, 9L, 13L)) // i ≡ 5 ≡ 1 (mod 4)
+  }
+
+  test("packed codes equal the long form") {
+    val df = corpus(12)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, M, D)
+    val packed = Pq.encodePacked(codes, "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val long = codes.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Int]("sub")).map(_.getAs[Long]("code")).toSeq }
+    assert(packed == long)
+  }
+
+  test("truncate path (iters=3) is bit-identical to one more lazy round") {
+    // On the lossless corpus training is at a fixed point after round 1,
+    // so rounds 2 and 3 must reproduce the same codebook exactly —
+    // including through the collect-and-rebuild lineage truncation.
+    val df = corpus(16)
+    def cbRows(iters: Int) =
+      Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, iters)
+        .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid"),
+          r.getAs[Int]("dim"), r.getAs[Long]("c_fp"), r.getAs[Long]("n"))).toSet
+    assert(cbRows(2) == cbRows(3))
+  }
+
+  test("assignment ties break toward the lowest codeword id") {
+    // Two identical seed vectors → two identical codewords; every
+    // assignment must pick cid 0, so codeword 1 empties out and drops.
+    val df = Seq(
+      (0L, Seq.fill(D)(1.0f)), (1L, Seq.fill(D)(1.0f)), (2L, Seq.fill(D)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebooks(df, "vec_id", "embedding", M, D, k = 2, iters = 1)
+    val cids = cb.select("cid").distinct().as[Long].collect().toSet
+    assert(cids == Set(0L))
+  }
+
+  test("adc scan plan: lookup table is broadcast, no corpus-side exchange before the sum") {
+    val df = corpus(64)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, M, D)
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val plan = Pq.adcTopK(codes, "vec_id", cb, probeSv, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
