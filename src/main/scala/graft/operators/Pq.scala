@@ -91,10 +91,21 @@ object Pq {
       dimTotal: Int,
       k: Int,
       iters: Int,
-      scale: Double = 1e7): DataFrame = {
+      scale: Double = 1e7): DataFrame =
+    trainCodebooksSv(subVectorsFp(df, idCol, embCol, m, dimTotal, scale), idCol, k, iters)
+
+  /** Training entry point on a prepared (id, sub, v) sub-vector table —
+    * what [[trainCodebooks]] calls after [[subVectorsFp]], and what
+    * residual PQ ([[residualSubVectors]]) feeds directly.
+    */
+  def trainCodebooksSv(
+      svPlan: DataFrame,
+      idCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
     require(iters >= 1 && k >= 1)
     val truncate = iters > 2
-    val svPlan = subVectorsFp(df, idCol, embCol, m, dimTotal, scale)
+    val df = svPlan
     val sv = if (truncate)
       svPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else svPlan
@@ -102,7 +113,7 @@ object Pq {
       .select(col("sub"), col(idCol).cast("long").as("cid"), col("v").as("c"))
     var out: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = assignCodes(sv, cents, idCol)
+      val assigned = assignCodes(sv, cents)
       val sums = assigned
         .select(col("sub"), col("code").as("cid"), posexplode(col("v")).as(Seq("__p", "__x")))
         .groupBy(col("sub"), col("cid"), (col("__p") + 1).as("dim"))
@@ -129,7 +140,7 @@ object Pq {
     * (min distance, ties → min codeword id). Zero shuffle of the data
     * side. Output: input columns + `code`.
     */
-  private def assignCodes(sv: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+  private def assignCodes(sv: DataFrame, cents: DataFrame): DataFrame = {
     val centsArr = cents.agg(
       sort_array(collect_list(struct(col("sub").as("sub"), col("cid"), col("c"))))
         .as("__cb"))
@@ -181,7 +192,7 @@ object Pq {
       scale: Double = 1e7): DataFrame =
     assignCodes(
       subVectorsFp(df, idCol, embCol, m, dimTotal, scale),
-      codebooksList(codebooks), idCol)
+      codebooksList(codebooks))
       .select(col(idCol), col("sub"), col("code"))
 
   /** Packed codes: (id, codes: array<bigint>) ordered by subspace — the
@@ -191,6 +202,84 @@ object Pq {
     codes.groupBy(col(idCol)).agg(
       transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
+
+  /** Encode a prepared sub-vector table (extra columns — e.g. `ccid` for
+    * residual codes — pass through): input columns minus `v`, plus `code`.
+    */
+  def encodeSv(sv: DataFrame, codebooks: DataFrame): DataFrame =
+    assignCodes(sv, codebooksList(codebooks)).drop("v")
+
+  /** Coarse assignment in the fixed-point domain: each vector's nearest
+    * centroid by exact int64 L2 (ties → min centroid id), the same
+    * broadcast-fold shape as [[Similarity.ivfAssign]] — zero data-side
+    * shuffle. `fp`: (id, v: array<bigint>); `cents`: (ccid, c). Output:
+    * fp's columns + `ccid`.
+    */
+  def coarseAssignFp(fp: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(
+      sort_array(collect_list(struct(col("ccid"), col("c")))).as("__cc"))
+    val scored = transform(col("__cc"), ct =>
+      struct(l2sqFp(col("v"), ct.getField("c")).as("d"), ct.getField("ccid").as("ccid")))
+    val best = aggregate(scored,
+      struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("ccid")),
+      (acc, x) => when(x < acc, x).otherwise(acc)).getField("ccid")
+    fp.crossJoin(broadcast(centsArr))
+      .withColumn("ccid", best)
+      .drop("__cc")
+  }
+
+  /** Residual sub-vector table for IVFADC (Jégou et al. 2011 §IV): each
+    * assigned vector's residual v − c(v) (exact int64), split into m
+    * subspaces — the frame residual codebooks train on and residual
+    * encoding consumes. `assigned`: (id, v, ccid) from [[coarseAssignFp]];
+    * `cents`: (ccid, c). Output: (id, ccid, sub, v).
+    */
+  def residualSubVectors(
+      assigned: DataFrame,
+      idCol: String,
+      cents: DataFrame,
+      m: Int,
+      dimTotal: Int): DataFrame = {
+    require(m >= 1 && dimTotal % m == 0)
+    val d = dimTotal / m
+    assigned.join(broadcast(cents), "ccid")
+      .select(col(idCol), col("ccid"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("__r"))
+      .select(col(idCol), col("ccid"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.cast("int").as("sub"),
+            slice(col("__r"), s * d + 1, lit(d)).as("v")))).as("__sv"))
+      .select(col(idCol), col("ccid"), col("__sv.sub").as("sub"), col("__sv.v").as("v"))
+  }
+
+  /** IVFADC scan: residual-encoded codes against PER-BUCKET lookup tables.
+    * Distance dist(q, v) ≈ Σ_sub LUT_{bucket(v)}(sub, code) where bucket
+    * c's table is built from the probe's residual q − c — so the LUT is
+    * nProbe·k·m rows (still broadcast-small) and the corpus side still
+    * carries only (id, ccid, sub, code). `probeResiduals`: (ccid, sub, v)
+    * — the probe's residual sub-vectors w.r.t. each probed centroid
+    * (pruning happens here: only probed buckets appear, and the inner
+    * join drops every other partition's codes).
+    */
+  def adcTopKResidual(
+      codes: DataFrame, // (id, ccid, sub, code)
+      idCol: String,
+      codebooks: DataFrame, // long form (sub, cid, dim, c_fp, n)
+      probeResiduals: DataFrame,
+      kTop: Int): DataFrame = {
+    val lut = codebooksList(codebooks)
+      .join(probeResiduals.select(col("ccid").as("__pc"),
+        col("sub").as("__ps"), col("v").as("__pv")),
+        col("sub") === col("__ps"))
+      .select(col("__pc").as("ccid"), col("sub"), col("cid"),
+        l2sqFp(col("c"), col("__pv")).as("d"))
+    codes.join(broadcast(lut), Seq("ccid", "sub"))
+      .filter(col("code") === col("cid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("d")).as("adc_d"))
+      .orderBy(col("adc_d").asc, col(idCol).asc)
+      .limit(kTop)
+  }
 
   /** Asymmetric Distance Computation top-k: exact int64 distance from the
     * probe to every CODEWORD (the k×m lookup table, built from the probe's

@@ -530,6 +530,61 @@ object SimilarityQueries {
       exactTop.agg(count(lit(1)).as("n_exact"))
         .crossJoin(adcTop.agg(count(lit(1)).as("n_adc")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    }),
+    // IVF-PQ — the production billion-scale index: q54's coarse quantizer
+    // prunes the scan to the probe's 4 nearest centroid partitions, and
+    // within them distances come from the PQ compressed domain (q141's
+    // broadcast-LUT ADC). At cluster scale the codes live partitioned by
+    // centroid_id (the q132 layout), so a probe reads nProbe directories
+    // of ~12-bit rows — partition pruning × ~170× compression multiply.
+    "q143_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val assigned = Similarity.ivfAssign(
+        e.select("vec_id", "embedding"), "vec_id", "embedding", centroids)
+      val probeBuckets = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", Similarity.l2sq(col("embedding"), col("centroid_emb")))
+        .orderBy(col("__dist").asc, col("centroid_id").asc)
+        .limit(4)
+        .select(col("centroid_id").as("probe_bucket"))
+      val pruned = assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeBuckets), col("centroid_id") === col("probe_bucket"))
+        .select("vec_id", "embedding")
+      val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 4, Dim, 8, 1))
+      val codes = Pq.encode(pruned, "vec_id", "embedding", cb, 4, Dim)
+      val probeSv = Pq.subVectorsFp(e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 4, Dim).select("sub", "v")
+      Pq.adcTopK(codes, "vec_id", cb, probeSv, 10)
+    }),
+    // IVFADC with RESIDUAL encoding (Jégou et al. 2011 §IV — the exact
+    // production formulation): codes quantize v − c(v), not v, so one
+    // codebook serves every partition with centroid-relative precision;
+    // the probe builds one k×m lookup table PER probed bucket from its
+    // own residual q − c. Everything — coarse assign, residuals, training,
+    // encoding, per-bucket LUTs, the scan — is exact int64, one oracle.
+    "q144_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      val fp = e.select(col("vec_id"), fpv.as("v"))
+      val cents = fp.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("ccid"), col("v").as("c"))
+      val assigned = Pq.coarseAssignFp(fp, "vec_id", cents)
+      val rsv = Pq.residualSubVectors(assigned, "vec_id", cents, 4, Dim)
+      val cb = Pq.localized(Pq.trainCodebooksSv(
+        rsv.select(col("vec_id"), col("sub"), col("v")), "vec_id", k = 8, iters = 1))
+      val codes = Pq.encodeSv(rsv.filter(col("vec_id") =!= 0), cb)
+        .select("vec_id", "ccid", "sub", "code")
+      val probeFp = fp.filter(col("vec_id") === 0)
+      val pb = probeFp.crossJoin(broadcast(cents))
+        .withColumn("__d", Pq.l2sqFp(col("v"), col("c")))
+        .orderBy(col("__d").asc, col("ccid").asc).limit(4)
+        .select("ccid")
+      val pr = Pq.residualSubVectors(
+        pb.crossJoin(broadcast(probeFp)), "vec_id", cents, 4, Dim)
+        .select("ccid", "sub", "v")
+      Pq.adcTopKResidual(codes, "vec_id", cb, pr, 10)
     })
   )
 
@@ -588,6 +643,95 @@ object SimilarityQueries {
     "q141_pq_adc_topk" ->
       s"""WITH $PqSql, $PqAdcSql
           SELECT vec_id, adc_d FROM adc
+          ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q143_ivfpq_topk" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH $PqSql,
+          cent AS (SELECT vec_id AS ccid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, ccid FROM (
+              SELECT v.vec_id, cent.ccid, v.embedding AS e, cent.c FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, ccid ASC) = 1),
+          pb AS (SELECT cent.ccid AS probe_bucket FROM embeddings v, cent
+                 WHERE v.vec_id = 0
+                 ORDER BY list_sum([(CAST(v.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE))
+                                    * (CAST(v.embedding[i] AS DOUBLE) - CAST(cent.c[i] AS DOUBLE))
+                                    for i in range(1, ${Dim + 1})]) ASC, cent.ccid ASC
+                 LIMIT 4),
+          pruned AS (SELECT a.vec_id FROM assigned a JOIN pb ON a.ccid = pb.probe_bucket
+                     WHERE a.vec_id <> 0),
+          de AS (SELECT f.vec_id, f.sub, c.cid,
+                   list_sum(list_transform(range(1, 17),
+                     i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+                 FROM sv f JOIN cbl c ON f.sub = c.sub
+                 JOIN pruned p ON f.vec_id = p.vec_id),
+          enc AS (SELECT vec_id, sub, cid AS code FROM de
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+          psv AS (SELECT sub, v FROM sv WHERE vec_id = 0),
+          lut AS (SELECT c.sub, c.cid,
+                    CAST(list_sum(list_transform(range(1, 17),
+                      i -> (c.c[i] - p.v[i]) * (c.c[i] - p.v[i]))) AS BIGINT) AS d
+                  FROM cbl c JOIN psv p ON c.sub = p.sub),
+          adc AS (SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+                  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.cid
+                  GROUP BY 1)
+          SELECT vec_id, adc_d FROM adc
+          ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " ")
+    },
+    "q144_ivfpq_residual" ->
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          cent AS (SELECT CAST(vec_id AS BIGINT) AS ccid, v AS c
+                   FROM fp WHERE vec_id < 16),
+          asg AS (SELECT vec_id, v, ccid FROM (
+              SELECT f.vec_id, f.v, c.ccid,
+                list_sum(list_transform(range(1, ${Dim + 1}),
+                  i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+              FROM fp f CROSS JOIN cent c)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) = 1),
+          rsv AS (SELECT a.vec_id, a.ccid, CAST(u.sub AS INT) AS sub,
+                    [a.v[i] - c.c[i] for i in range(u.sub * 16 + 1, u.sub * 16 + 17)] AS v
+                  FROM asg a JOIN cent c ON a.ccid = c.ccid
+                  CROSS JOIN unnest(range(0, 4)) AS u(sub)),
+          c0r AS (SELECT sub, vec_id AS cid, v AS c FROM rsv WHERE vec_id < 8),
+          d1r AS (SELECT f.vec_id, f.sub, c.cid,
+                    list_sum(list_transform(range(1, 17),
+                      i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+                  FROM rsv f JOIN c0r c ON f.sub = c.sub),
+          a1r AS (SELECT vec_id, sub, cid FROM d1r
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+          cbr AS (SELECT a1r.sub, a1r.cid, u.i AS dim,
+                    CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS c_fp
+                  FROM a1r JOIN rsv f ON a1r.vec_id = f.vec_id AND a1r.sub = f.sub
+                  CROSS JOIN unnest(range(1, 17)) AS u(i)
+                  GROUP BY 1, 2, 3),
+          cblr AS (SELECT sub, cid, list(c_fp ORDER BY dim) AS c FROM cbr GROUP BY 1, 2),
+          der AS (SELECT f.vec_id, f.ccid, f.sub, c.cid,
+                    list_sum(list_transform(range(1, 17),
+                      i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+                  FROM rsv f JOIN cblr c ON f.sub = c.sub WHERE f.vec_id <> 0),
+          encr AS (SELECT vec_id, ccid, sub, cid AS code FROM der
+                   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+          pb AS (SELECT c.ccid, c.c FROM fp p CROSS JOIN cent c WHERE p.vec_id = 0
+                 ORDER BY list_sum(list_transform(range(1, ${Dim + 1}),
+                   i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) ASC, c.ccid ASC
+                 LIMIT 4),
+          pr AS (SELECT pb.ccid, CAST(u.sub AS INT) AS sub,
+                   [p.v[i] - pb.c[i] for i in range(u.sub * 16 + 1, u.sub * 16 + 17)] AS v
+                 FROM fp p CROSS JOIN pb CROSS JOIN unnest(range(0, 4)) AS u(sub)
+                 WHERE p.vec_id = 0),
+          lutr AS (SELECT pr.ccid, c.sub, c.cid,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> (c.c[i] - pr.v[i]) * (c.c[i] - pr.v[i]))) AS BIGINT) AS d
+                   FROM cblr c JOIN pr ON c.sub = pr.sub),
+          adcr AS (SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+                   FROM encr e JOIN lutr l
+                     ON e.ccid = l.ccid AND e.sub = l.sub AND e.code = l.cid
+                   GROUP BY 1)
+          SELECT vec_id, adc_d FROM adcr
           ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
     "q142_pq_recall" ->
       s"""WITH $PqSql, $PqAdcSql,

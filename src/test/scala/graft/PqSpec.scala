@@ -92,6 +92,75 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(cids == Set(0L))
   }
 
+  private def fpOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long")).as("v"))
+
+  test("residuals: a vector sitting on its centroid has an all-zero residual") {
+    val df = corpus(8)
+    val fp = fpOf(df)
+    val cents = fp.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long").as("ccid"), col("v").as("c"))
+    val rsv = Pq.residualSubVectors(
+      Pq.coarseAssignFp(fp, "vec_id", cents), "vec_id", cents, M, D)
+    // vectors 0 and 1 are the centroids themselves → zero residuals
+    val zeros = rsv.filter(col("vec_id") < 2)
+      .select(explode(col("v")).as("x")).filter(col("x") =!= 0L).count()
+    assert(zeros == 0L)
+  }
+
+  test("residual ADC with a single origin centroid equals plain ADC") {
+    // One centroid at the origin → every residual IS the vector, so the
+    // residual pipeline must reproduce plain PQ bit-for-bit.
+    val df = corpus(16)
+    val fp = fpOf(df)
+    val origin = Seq(Tuple2(0L, Seq.fill(D)(0L))).toDF("ccid", "c")
+    val assigned = Pq.coarseAssignFp(fp, "vec_id", origin)
+    val rsv = Pq.residualSubVectors(assigned, "vec_id", origin, M, D)
+    val cbR = Pq.localized(Pq.trainCodebooksSv(
+      rsv.select(col("vec_id"), col("sub"), col("v")), "vec_id", 4, 1))
+    val cbP = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    assert(cbR.collect().map(_.toString).sorted
+      .sameElements(cbP.collect().map(_.toString).sorted))
+    val codesR = Pq.encodeSv(rsv.filter(col("vec_id") =!= 5), cbR)
+      .select("vec_id", "ccid", "sub", "code")
+    val prR = Pq.residualSubVectors(
+      origin.select("ccid").crossJoin(fp.filter(col("vec_id") === 5)),
+      "vec_id", origin, M, D).select("ccid", "sub", "v")
+    val topR = Pq.adcTopKResidual(codesR, "vec_id", cbR, prR, 5).collect()
+    val codesP = Pq.encode(df.filter(col("vec_id") =!= 5), "vec_id", "embedding", cbP, M, D)
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 5),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val topP = Pq.adcTopK(codesP, "vec_id", cbP, probeSv, 5).collect()
+    assert(topR.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      topP.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("residual ADC prunes: vectors in non-probed buckets never surface") {
+    val df = corpus(16)
+    val fp = fpOf(df)
+    val cents = fp.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("long").as("ccid"), col("v").as("c"))
+    val assigned = Pq.coarseAssignFp(fp, "vec_id", cents)
+    val rsv = Pq.residualSubVectors(assigned, "vec_id", cents, M, D)
+    val cb = Pq.localized(Pq.trainCodebooksSv(
+      rsv.select(col("vec_id"), col("sub"), col("v")), "vec_id", 4, 1))
+    val codes = Pq.encodeSv(rsv.filter(col("vec_id") =!= 0), cb)
+      .select("vec_id", "ccid", "sub", "code")
+    // probe = vector 0, probed buckets = its own bucket ONLY (nProbe=1)
+    val pb = Pq.coarseAssignFp(fp.filter(col("vec_id") === 0), "vec_id", cents)
+      .select("ccid")
+    val pr = Pq.residualSubVectors(
+      pb.crossJoin(fp.filter(col("vec_id") === 0)), "vec_id", cents, M, D)
+      .select("ccid", "sub", "v")
+    val got = Pq.adcTopKResidual(codes, "vec_id", cb, pr, 100)
+      .select("vec_id").as[Long].collect().toSet
+    val inBucket = assigned.join(pb.withColumnRenamed("ccid", "pc"),
+      col("ccid") === col("pc")).filter(col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == inBucket && got.nonEmpty)
+  }
+
   test("adc scan plan: lookup table is broadcast, no corpus-side exchange before the sum") {
     val df = corpus(64)
     val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
