@@ -78,6 +78,50 @@ object Curate {
       .drop("__okey")
   }
 
+  /** Sequence-packing manifest (GPT-style concat-and-chunk): lay the
+    * corpus out in [[trainingOrder]]'s deterministic order, concatenate
+    * token streams shard after shard, and cut fixed `seqLen`-token
+    * training sequences — each document's manifest row records its global
+    * token offset and which sequences it lands in (`first_seq`…`last_seq`,
+    * crossing boundaries when it straddles a cut). The step between
+    * curation and the trainer's fixed-shape batches.
+    *
+    * Scale shape: a global running total WITHOUT a global window. The
+    * within-shard prefix sum runs under the same hash-exchange-on-shard +
+    * sort plan as the shard write itself; cross-shard offsets come from a
+    * #shards-row aggregate whose own cumsum window is bounded by the shard
+    * count (at 100 TB: ~50k rows) and joins back broadcast. A naive
+    * `Window.orderBy` cumsum would move the corpus to ONE task — the
+    * single-partition cliff this shape exists to avoid.
+    *
+    * Adds: `doc_start` (global token offset), `first_seq`, `last_seq`,
+    * `n_seqs` (sequences this doc contributes to).
+    */
+  def packingManifest(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      nShards: Int,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val ordered = trainingOrder(df.withColumn("__tok", tokens.cast("long")), key, nShards)
+    val wIn = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrefix = ordered.withColumn("__cum", sum(col("__tok")).over(wIn))
+    val wOff = Window.orderBy("shard") // #shards rows only — bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy("shard").agg(sum("__tok").as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select("shard", "__off")
+    withPrefix.join(broadcast(offsets), "shard")
+      .withColumn("doc_start", col("__off") + col("__cum") - col("__tok"))
+      .withColumn("first_seq", floor(col("doc_start") / seqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("doc_start") + greatest(col("__tok"), lit(1L)) - 1) / seqLen).cast("long"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .drop("__tok", "__cum", "__off")
+  }
+
   /** Curriculum training order: documents stream in phases (an integral
     * `phase` column — e.g. quality bands, best first), deterministically
     * md5-shuffled WITHIN a phase, sharded for parallel writes. Within each

@@ -281,6 +281,33 @@ object Pq {
       .limit(kTop)
   }
 
+  /** Multi-probe ADC: one top-k per probe — the batch-evaluation shape a
+    * recall audit or a query workload uses. The lookup table gains a
+    * `probe_id` key (probes·k·m rows, still broadcast-small), self-matches
+    * drop, and per-probe top-k runs through the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator, so the shuffle carries
+    * probes·k rows. `probesSv`: (probe_id, sub, v) from [[subVectorsFp]].
+    */
+  def adcTopKPerProbe(
+      codes: DataFrame, // (id, sub, code)
+      idCol: String,
+      codebooks: DataFrame, // long form
+      probesSv: DataFrame, // (probe_id, sub, v)
+      kTop: Int): DataFrame = {
+    val lut = codebooksList(codebooks)
+      .join(probesSv.select(col("probe_id"),
+        col("sub").as("__ps"), col("v").as("__pv")),
+        col("sub") === col("__ps"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        l2sqFp(col("c"), col("__pv")).as("d"))
+    val summed = codes.join(broadcast(lut), Seq("sub"))
+      .filter(col("code") === col("cid") && col(idCol) =!= col("probe_id"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(sum(col("d")).as("adc_d"))
+    Analytics.topKPerGroupNative(summed,
+      Seq("probe_id"), Seq(("adc_d", false), (idCol, false)), kTop)
+  }
+
   /** Asymmetric Distance Computation top-k: exact int64 distance from the
     * probe to every CODEWORD (the k×m lookup table, built from the probe's
     * fixed-point sub-vectors — m·k rows, broadcast), then every corpus

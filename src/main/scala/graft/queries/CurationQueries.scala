@@ -399,6 +399,22 @@ object CurationQueries {
         d.withColumn("quality", Text.qualityScore(col("text"), col("toks")))
           .withColumn("n_tokens", size(col("toks")).cast("long")),
         col("quality"), col("n_tokens"), buckets = 10, grid = 10000)
+    }),
+    // Sequence packing (GPT-style concat-and-chunk): the full per-doc
+    // manifest — global token offset in q104's deterministic order, and
+    // the fixed 512-token training sequences each doc lands in. The
+    // global running total is computed WITHOUT a global window (within-
+    // shard prefix + broadcast #shards-row offsets), the single-partition
+    // cliff a naive cumsum would hit.
+    "q146_sequence_packing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Curate.packingManifest(d, col("doc_id"), col("n_tokens"),
+        nShards = 8, seqLen = 512L)
+        .select("doc_id", "shard", "pos", "n_tokens",
+          "doc_start", "first_seq", "last_seq", "n_seqs")
+        .orderBy("shard", "pos")
     })
   )
 
@@ -652,6 +668,34 @@ object CurationQueries {
           SELECT bucket, CAST(sum(n_docs) AS BIGINT) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
             min(cell) AS min_cell, max(cell) AS max_cell
-          FROM b GROUP BY bucket ORDER BY bucket""".replaceAll("\\s+", " ")
+          FROM b GROUP BY bucket ORDER BY bucket""".replaceAll("\\s+", " "),
+    "q146_sequence_packing" ->
+      raw"""WITH d AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            md5('ord:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+          r AS (SELECT doc_id, n_tokens,
+                  ('0x' || substr(okey, 1, 8))::BIGINT % 8 AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(okey, 1, 8))::BIGINT % 8
+                    ORDER BY okey, doc_id) AS BIGINT) AS pos
+                FROM d),
+          p AS (SELECT doc_id, shard, pos, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM r),
+          o AS (SELECT shard, COALESCE(CAST(sum(t) OVER (ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS soff
+                FROM (SELECT shard, sum(n_tokens) AS t FROM r GROUP BY shard)),
+          m AS (SELECT p.doc_id, p.shard, p.pos, p.n_tokens,
+                  o.soff + p.cum - p.n_tokens AS doc_start
+                FROM p JOIN o ON p.shard = o.shard)
+          SELECT doc_id, shard, pos, n_tokens, doc_start,
+            CAST(floor(CAST(doc_start AS DOUBLE) / 512.0) AS BIGINT) AS first_seq,
+            CAST(floor(CAST(doc_start + greatest(n_tokens, 1) - 1 AS DOUBLE) / 512.0)
+              AS BIGINT) AS last_seq,
+            CAST(floor(CAST(doc_start + greatest(n_tokens, 1) - 1 AS DOUBLE) / 512.0)
+              AS BIGINT)
+              - CAST(floor(CAST(doc_start AS DOUBLE) / 512.0) AS BIGINT) + 1 AS n_seqs
+          FROM m ORDER BY shard, pos""".replaceAll("\\s+", " ")
   )
 }

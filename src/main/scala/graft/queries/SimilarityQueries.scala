@@ -585,6 +585,44 @@ object SimilarityQueries {
         pb.crossJoin(broadcast(probeFp)), "vec_id", cents, 4, Dim)
         .select("ccid", "sub", "v")
       Pq.adcTopKResidual(codes, "vec_id", cb, pr, 10)
+    }),
+    // The PQ dial, measured over the q114 probe set (vec_id % 29 = 0, 18
+    // probes — single-probe recall is noise): recall@10 at 6 / 12 / 32 /
+    // 80-bit codes side by side. The code-budget/recall tradeoff a
+    // production index tunes, monotone in the budget and itself under the
+    // hash gate. Multi-probe ADC = probes·k·m-row broadcast LUT + the
+    // bounded-heap TopKPerGroup per probe.
+    "q145_pq_recall_dial" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      val fp = e.select(col("vec_id"), fpv.as("v"))
+      val probes = fp.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val ext = graft.operators.Analytics.topKPerGroupNative(
+        fp.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("d", Pq.l2sqFp(col("v"), col("pv")))
+          .select("probe_id", "vec_id", "d"),
+        Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
+        .select("probe_id", "vec_id")
+      def audit(m: Int, k: Int, cfg: String): DataFrame = {
+        val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", m, Dim, k, 1))
+        val codes = Pq.encode(e, "vec_id", "embedding", cb, m, Dim)
+        val probesSv = Pq.subVectorsFp(
+          e.filter(col("vec_id") % 29 === 0).select(col("vec_id").as("probe_id"), col("embedding")),
+          "probe_id", "embedding", m, Dim)
+        val adct = Pq.adcTopKPerProbe(codes, "vec_id", cb, probesSv, 10)
+          .select("probe_id", "vec_id")
+        val hits = ext.join(adct, Seq("probe_id", "vec_id"))
+        ext.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(adct.agg(count(lit(1)).as("n_adc")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(lit(cfg).as("cfg"), col("n_exact"), col("n_adc"), col("n_hits"))
+      }
+      audit(2, 8, "a_m2_k8_6bit")
+        .unionByName(audit(4, 8, "b_m4_k8_12bit"))
+        .unionByName(audit(8, 16, "c_m8_k16_32bit"))
+        .unionByName(audit(16, 32, "d_m16_k32_80bit"))
+        .orderBy("cfg")
     })
   )
 
@@ -635,7 +673,87 @@ object SimilarityQueries {
                 FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.cid
                 GROUP BY 1)"""
 
+  /** One PQ config's full CTE chain (train → encode → per-probe LUT →
+    * per-probe ADC top-10 over the q114 probe set), all names prefixed `p`
+    * so several configs coexist in one statement (q145's side-by-side
+    * dial). Assumes an `fp` CTE is in scope.
+    */
+  private def pqCfgSql(m: Int, k: Int, p: String): String = {
+    val sd = Dim / m
+    s"""${p}sv AS (SELECT vec_id, CAST(u.sub AS INT) AS sub,
+            list_slice(fp.v, u.sub * $sd + 1, u.sub * $sd + $sd) AS v
+          FROM fp CROSS JOIN unnest(range(0, $m)) AS u(sub)),
+        ${p}c0 AS (SELECT sub, vec_id AS cid, v AS c FROM ${p}sv WHERE vec_id < $k),
+        ${p}d1 AS (SELECT f.vec_id, f.sub, c.cid,
+            list_sum(list_transform(range(1, ${sd + 1}),
+              i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+          FROM ${p}sv f JOIN ${p}c0 c ON f.sub = c.sub),
+        ${p}a1 AS (SELECT vec_id, sub, cid FROM ${p}d1
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        ${p}cb AS (SELECT a1.sub, a1.cid, u.i AS dim,
+            CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+              / count(*)) AS BIGINT) AS c_fp
+          FROM ${p}a1 a1 JOIN ${p}sv f ON a1.vec_id = f.vec_id AND a1.sub = f.sub
+          CROSS JOIN unnest(range(1, ${sd + 1})) AS u(i)
+          GROUP BY 1, 2, 3),
+        ${p}cbl AS (SELECT sub, cid, list(c_fp ORDER BY dim) AS c FROM ${p}cb GROUP BY 1, 2),
+        ${p}de AS (SELECT f.vec_id, f.sub, c.cid,
+            list_sum(list_transform(range(1, ${sd + 1}),
+              i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+          FROM ${p}sv f JOIN ${p}cbl c ON f.sub = c.sub),
+        ${p}enc AS (SELECT vec_id, sub, cid AS code FROM ${p}de
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        ${p}psv AS (SELECT vec_id AS probe_id, sub, v FROM ${p}sv WHERE vec_id % 29 = 0),
+        ${p}lut AS (SELECT p2.probe_id, c.sub, c.cid,
+            CAST(list_sum(list_transform(range(1, ${sd + 1}),
+              i -> (c.c[i] - p2.v[i]) * (c.c[i] - p2.v[i]))) AS BIGINT) AS d
+          FROM ${p}cbl c JOIN ${p}psv p2 ON c.sub = p2.sub),
+        ${p}adc AS (SELECT l.probe_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+          FROM ${p}enc e JOIN ${p}lut l ON e.sub = l.sub AND e.code = l.cid
+          WHERE e.vec_id <> l.probe_id
+          GROUP BY 1, 2),
+        ${p}adct AS (SELECT probe_id, vec_id FROM ${p}adc
+          QUALIFY row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_d ASC, vec_id ASC) <= 10)"""
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q145_pq_recall_dial" ->
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          ${pqCfgSql(2, 8, "a_")},
+          ${pqCfgSql(4, 8, "b_")},
+          ${pqCfgSql(8, 16, "c_")},
+          ${pqCfgSql(16, 32, "d_")},
+          prq AS (SELECT vec_id AS probe_id, v FROM fp WHERE vec_id % 29 = 0),
+          ex AS (SELECT p.probe_id, f.vec_id,
+                   list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (f.v[i] - p.v[i]) * (f.v[i] - p.v[i]))) AS d
+                 FROM fp f CROSS JOIN prq p WHERE f.vec_id <> p.probe_id),
+          ext AS (SELECT probe_id, vec_id FROM ex
+                  QUALIFY row_number() OVER (PARTITION BY probe_id
+                    ORDER BY d ASC, vec_id ASC) <= 10)
+          SELECT 'a_m2_k8_6bit' AS cfg,
+                 (SELECT count(*) FROM ext) AS n_exact,
+                 (SELECT count(*) FROM a_adct) AS n_adc,
+                 (SELECT count(*) FROM ext JOIN a_adct USING (probe_id, vec_id)) AS n_hits
+          UNION ALL
+          SELECT 'b_m4_k8_12bit',
+                 (SELECT count(*) FROM ext),
+                 (SELECT count(*) FROM b_adct),
+                 (SELECT count(*) FROM ext JOIN b_adct USING (probe_id, vec_id))
+          UNION ALL
+          SELECT 'c_m8_k16_32bit',
+                 (SELECT count(*) FROM ext),
+                 (SELECT count(*) FROM c_adct),
+                 (SELECT count(*) FROM ext JOIN c_adct USING (probe_id, vec_id))
+          UNION ALL
+          SELECT 'd_m16_k32_80bit',
+                 (SELECT count(*) FROM ext),
+                 (SELECT count(*) FROM d_adct),
+                 (SELECT count(*) FROM ext JOIN d_adct USING (probe_id, vec_id))
+          ORDER BY cfg""".replaceAll("\\s+", " "),
     "q140_pq_codebooks" ->
       s"""WITH $PqSql
           SELECT sub, cid, dim, c_fp, n FROM cb

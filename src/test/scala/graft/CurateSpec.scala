@@ -169,4 +169,29 @@ class CurateSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getAs[Long]("n_docs") === 100L)
     assert(out.head.getAs[Long]("min_cell") === 5000L)
   }
+
+  test("packingManifest: offsets are contiguous, cover the corpus, and straddle cuts") {
+    val docs = (1L to 200L).map(i => (i, 10L + (i % 37) * 3L)).toDF("doc_id", "n_tokens")
+    val m = Curate.packingManifest(
+      docs, col("doc_id"), col("n_tokens"), nShards = 4, seqLen = 64L).collect()
+    // global layout: sorted by doc_start, each doc begins where the
+    // previous ended — no gaps, no overlaps, starting at zero
+    val sorted = m.sortBy(_.getAs[Long]("doc_start"))
+    assert(sorted.head.getAs[Long]("doc_start") == 0L)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("doc_start") + a.getAs[Long]("n_tokens") ==
+        b.getAs[Long]("doc_start"))
+    }
+    val total = m.map(_.getAs[Long]("n_tokens")).sum
+    val last = sorted.last
+    assert(last.getAs[Long]("doc_start") + last.getAs[Long]("n_tokens") == total)
+    // sequence spans: n_seqs matches the boundary arithmetic; docs longer
+    // than a sequence straddle at least two
+    m.foreach { r =>
+      val start = r.getAs[Long]("doc_start"); val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("first_seq") == start / 64)
+      assert(r.getAs[Long]("last_seq") == (start + n - 1) / 64)
+      if (n > 64) assert(r.getAs[Long]("n_seqs") >= 2)
+    }
+  }
 }

@@ -161,6 +161,26 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(got == inBucket && got.nonEmpty)
   }
 
+  test("multi-probe ADC agrees with per-probe single ADC") {
+    val df = corpus(16)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, M, D)
+    val probesSv = Pq.subVectorsFp(
+      df.filter(col("vec_id").isin(3L, 7L))
+        .select(col("vec_id").as("probe_id"), col("embedding")),
+      "probe_id", "embedding", M, D)
+    val multi = Pq.adcTopKPerProbe(codes, "vec_id", cb, probesSv, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d")))
+      .toSet
+    val single = Seq(3L, 7L).flatMap { p =>
+      val psv = Pq.subVectorsFp(df.filter(col("vec_id") === p),
+        "vec_id", "embedding", M, D).select("sub", "v")
+      Pq.adcTopK(codes.filter(col("vec_id") =!= p), "vec_id", cb, psv, 5).collect()
+        .map(r => (p, r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d")))
+    }.toSet
+    assert(multi == single)
+  }
+
   test("adc scan plan: lookup table is broadcast, no corpus-side exchange before the sum") {
     val df = corpus(64)
     val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
