@@ -154,8 +154,14 @@ object ScaleProbe {
     // with SHIFTED user ids, so funnels never cross replicas and the true
     // funnel volume grows exactly mult×; per-user event cardinality (the
     // join fan-in) stays constant — the property the chain must track.
-    val evBase = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts"))
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts → µs-since-epoch long under either testdata layout (ns-as-long
+    // for the TIMESTAMP(NANOS) rounds, native timestamp for MICROS).
+    val tsUs = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts") / 1000L).cast("long")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    val evBase = evRaw.select(col("user_id"), col("event_type"), tsUs.as("ts"))
     val evBig = (0 until mult).map(r =>
       evBase.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
         col("event_type"), col("ts")))
@@ -163,10 +169,10 @@ object ScaleProbe {
     val v = evBig.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val c = evBig.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + 86400L * 1000000000L)
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + 86400L * 1000000L)
       .groupBy("user_id").agg(min("ts").as("t_click"))
     val p = evBig.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + 86400L * 1000000000L)
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + 86400L * 1000000L)
       .groupBy("user_id").agg(min("ts").as("t_purchase"))
     val funnel = time("event funnel (q130 shape)")(
       v.agg(count(lit(1))).crossJoin(c.agg(count(lit(1))))
