@@ -336,4 +336,44 @@ object Pq {
       .orderBy(col("adc_d").asc, col(idCol).asc)
       .limit(kTop)
   }
+
+  /** ADC shortlist + exact re-rank (Jégou, Tavenard, Douze, Amsaleg 2011,
+    * "Searching in one billion vectors: re-rank with source coding",
+    * ICASSP — the standard final stage of a production IVFADC index): the
+    * compressed-domain [[adcTopK]] scan produces a top-R shortlist, then
+    * EXACT fixed-point distances are computed for those R vectors only
+    * and the exact top-k of the shortlist is returned.
+    *
+    * Scale shape: the expensive full-precision pass is O(R), not O(N) —
+    * the shortlist is R ids (broadcast), so pruning the full-vector table
+    * down to R rows is a broadcast hash join evaluated INSIDE the corpus
+    * scan, and the re-rank's sort is over R rows on one task. The corpus
+    * is never scanned at full precision; only the codes are. Recall@k
+    * equals the shortlist's recall@R capped at k — re-ranking fixes the
+    * ADC ordering error within the shortlist at ~zero cost.
+    *
+    * `corpusFp` / `probeFp`: (id, v) / (v) fixed-point full vectors —
+    * scale-1e7 int64, so exact_d is an exact int64 and the whole chain
+    * (train → encode → ADC shortlist → exact re-rank) sits under one
+    * DuckDB oracle.
+    */
+  def adcRerank(
+      codes: DataFrame, // (id, sub, code)
+      idCol: String,
+      codebooks: DataFrame, // long form
+      probeSv: DataFrame, // (sub, v) — m rows
+      corpusFp: DataFrame, // (id, v: array<bigint>)
+      probeFp: DataFrame, // one row (v: array<bigint>)
+      shortlistR: Int,
+      kTop: Int): DataFrame = {
+    require(shortlistR >= kTop, s"shortlist R=$shortlistR must cover kTop=$kTop")
+    val shortlist = adcTopK(codes, idCol, codebooks, probeSv, shortlistR)
+      .select(idCol)
+    corpusFp.join(broadcast(shortlist), idCol)
+      .crossJoin(broadcast(probeFp.select(col("v").as("__pv"))))
+      .withColumn("exact_d", l2sqFp(col("v"), col("__pv")))
+      .select(col(idCol), col("exact_d"))
+      .orderBy(col("exact_d").asc, col(idCol).asc)
+      .limit(kTop)
+  }
 }

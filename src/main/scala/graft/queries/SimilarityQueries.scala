@@ -623,6 +623,25 @@ object SimilarityQueries {
         .unionByName(audit(8, 16, "c_m8_k16_32bit"))
         .unionByName(audit(16, 32, "d_m16_k32_80bit"))
         .orderBy("cfg")
+    }),
+    // IVFADC+R (Jégou et al. 2011 ICASSP): the q141 compressed-domain scan
+    // keeps a top-32 shortlist, then EXACT int64 distances are computed for
+    // those 32 vectors only (broadcast semi-join prunes the full-vector
+    // read to R rows) and the exact top-10 of the shortlist returns. The
+    // full-precision pass is O(R) not O(N) — at billion scale the corpus
+    // is only ever touched through its ~12-bit codes; recall@10 rises to
+    // the shortlist's recall@32 (vs q142's raw-ADC 4/10).
+    "q147_pq_adc_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 4, Dim, 8, 1))
+      val codes = Pq.encode(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, 4, Dim)
+      val probeSv = Pq.subVectorsFp(e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 4, Dim).select("sub", "v")
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      Pq.adcRerank(codes, "vec_id", cb, probeSv,
+        corpusFp = e.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("v")),
+        probeFp = e.filter(col("vec_id") === 0).select(fpv.as("v")),
+        shortlistR = 32, kTop = 10)
     })
   )
 
@@ -762,6 +781,16 @@ object SimilarityQueries {
       s"""WITH $PqSql, $PqAdcSql
           SELECT vec_id, adc_d FROM adc
           ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q147_pq_adc_rerank" ->
+      s"""WITH $PqSql, $PqAdcSql,
+          sl AS (SELECT vec_id FROM adc ORDER BY adc_d ASC, vec_id ASC LIMIT 32),
+          pfull AS (SELECT v FROM fp WHERE vec_id = 0),
+          rr AS (SELECT f.vec_id,
+                   CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (f.v[i] - p.v[i]) * (f.v[i] - p.v[i]))) AS BIGINT) AS exact_d
+                 FROM fp f JOIN sl USING (vec_id) CROSS JOIN pfull p)
+          SELECT vec_id, exact_d FROM rr
+          ORDER BY exact_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
     "q143_ivfpq_topk" -> {
       val dl2 =
         s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"

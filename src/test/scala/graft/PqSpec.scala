@@ -181,6 +181,64 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(multi == single)
   }
 
+  test("rerank with a full shortlist equals the exact brute-force top-k") {
+    // perturb the prototypes so PQ is lossy (ADC ordering can err) — with
+    // R covering the whole corpus the re-rank must still return the exact
+    // top-k, whatever the ADC scan thought.
+    val df = corpus(32).select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + (col("vec_id") % 7).cast("float") * lit(0.001f) * (i + 1))
+        .as("embedding"))
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, M, D)
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+    val corpusFp = df.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("v"))
+    val probeFp = df.filter(col("vec_id") === 0).select(fpv.as("v"))
+    val got = Pq.adcRerank(codes, "vec_id", cb, probeSv, corpusFp, probeFp,
+      shortlistR = 31, kTop = 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("exact_d"))).toSeq
+    val want = corpusFp.crossJoin(broadcast(probeFp.select(col("v").as("__pv"))))
+      .withColumn("exact_d", Pq.l2sqFp(col("v"), col("__pv")))
+      .orderBy(col("exact_d").asc, col("vec_id").asc).limit(5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("exact_d"))).toSeq
+    assert(got == want)
+  }
+
+  test("rerank reorders the ADC shortlist by exact distance, same id set") {
+    val df = corpus(32)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, M, D)
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+    val corpusFp = df.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("v"))
+    val probeFp = df.filter(col("vec_id") === 0).select(fpv.as("v"))
+    val shortlist = Pq.adcTopK(codes, "vec_id", cb, probeSv, 8)
+      .select("vec_id").as[Long].collect().toSet
+    val rr = Pq.adcRerank(codes, "vec_id", cb, probeSv, corpusFp, probeFp,
+      shortlistR = 8, kTop = 8).collect()
+    assert(rr.map(_.getAs[Long]("vec_id")).toSet == shortlist)
+    val ds = rr.map(r => (r.getAs[Long]("exact_d"), r.getAs[Long]("vec_id"))).toSeq
+    assert(ds == ds.sorted, "re-rank output must be ordered by exact distance")
+  }
+
+  test("rerank plan: the shortlist prunes the full-vector side via a broadcast join") {
+    val df = corpus(32)
+    val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
+    val codes = Pq.encode(df.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, M, D)
+    val probeSv = Pq.subVectorsFp(df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", M, D).select("sub", "v")
+    val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+    val plan = Pq.adcRerank(codes, "vec_id", cb, probeSv,
+      df.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("v")),
+      df.filter(col("vec_id") === 0).select(fpv.as("v")),
+      shortlistR = 8, kTop = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast shortlist join in:\n$plan")
+  }
+
   test("adc scan plan: lookup table is broadcast, no corpus-side exchange before the sum") {
     val df = corpus(64)
     val cb = Pq.localized(Pq.trainCodebooks(df, "vec_id", "embedding", M, D, 4, 1))
