@@ -63,4 +63,53 @@ object QualitySignals {
         (col("oov_rate") <= maxOovRate).as("k3"),
         (col("avg_nll_fp") <= maxAvgNllFp).as("k4"))
   }
+
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1 — the two n-gram rules
+    * [[funnelFlags]]'s unigram-level k2 doesn't cover): per doc,
+    *
+    *  - `top2_chars`: characters covered by the MOST FREQUENT word 2-gram
+    *    (count × gram chars, space included) — Gopher's "fraction of
+    *    characters in the most common n-gram" family;
+    *  - `dup5_chars`: characters in DUPLICATED word 5-grams
+    *    (Σ count × gram chars over grams with count ≥ 2) — the
+    *    "fraction of characters in duplicate n-grams" family;
+    *  - `keep`: both fractions under their percent thresholds, decided by
+    *    integer cross-multiplication (chars·100 ≤ text_chars·pct) — no
+    *    float division anywhere, so the decision hashes bit-identically
+    *    cross-engine.
+    *
+    * Scale shape: n-gram expansion is the native single-pass
+    * [[Text.wordNgramsFromText]] expression (no token-array
+    * materialization), both count aggregations are map-side combined and
+    * shuffle on (doc_id, gram) — doc-local keys, no hot key — the top-1 is
+    * the bounded-heap [[Analytics.topKPerGroupNative]] (doc_id×1 rows on
+    * the wire), and the signals join back on doc_id. Nothing is ever
+    * resident per doc beyond its own grams.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      top2Pct: Int = 20,
+      dup5Pct: Int = 50): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("text_chars"))
+    val t2 = Analytics.topKPerGroupNative(
+      base.select(col("doc_id"), explode(Text.wordNgramsFromText(col("text"), 2)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt")),
+      Seq("doc_id"), Seq(("cnt", true), ("gram", false)), 1)
+      .select(col("doc_id"), (col("cnt") * length(col("gram"))).cast("long").as("top2_chars"))
+    val d5 = base
+      .select(col("doc_id"), explode(Text.wordNgramsFromText(col("text"), 5)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("dup5_chars"))
+    base.join(t2, Seq("doc_id"), "left").join(d5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("keep",
+        col("top2_chars") * 100 <= col("text_chars") * top2Pct &&
+          col("dup5_chars") * 100 <= col("text_chars") * dup5Pct)
+  }
 }

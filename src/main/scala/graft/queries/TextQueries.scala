@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import graft.operators.QualitySignals
 import graft.sources.Tables
 
 /** Text-analysis queries over `documents` (builder contract: token counting,
@@ -198,6 +199,23 @@ object TextQueries {
         .withColumn("keep",
           col("n_tokens") >= 40 && col("dup_frac") <= 0.65 && col("top_frac") <= 0.12)
         .orderBy("doc_id")
+    }),
+    // Gopher's n-gram repetition rules (Rae et al. 2021 Table A1 — the
+    // 2-gram/5-gram char-fraction pair q69's unigram signals don't see):
+    // most-common-2gram char coverage + duplicated-5gram char coverage,
+    // keep decided by integer cross-multiplication. Every 13th doc is
+    // augmented with its own first-10-word passage twice — planted
+    // WITHIN-doc repetition (the raw synthetic corpus has zero duplicate
+    // 5-grams, so the dup rule would otherwise never fire and the oracle
+    // would be vacuous).
+    "q148_repetition_filters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rep = concat_ws(" ", slice(Text.tokens(col("text")), 1, 10))
+      val aug = d.withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "), rep, lit(" "), rep))
+          .otherwise(col("text")))
+      QualitySignals.repetitionSignals(aug).orderBy("doc_id")
     }),
     // Token-entropy quality signal: H = -Σ (c/n)·ln(c/n) over the doc's
     // token distribution (low entropy = repetitive/template text). Each
@@ -410,6 +428,37 @@ object TextQueries {
   )
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q148_repetition_filters" ->
+      raw"""WITH d0 AS (SELECT doc_id, text,
+              regexp_split_to_array(trim(text), '\s+') AS ws0 FROM documents),
+          d1 AS (SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0
+                THEN text || ' ' || array_to_string(ws0[1:10], ' ')
+                          || ' ' || array_to_string(ws0[1:10], ' ')
+                ELSE text END AS text FROM d0),
+          d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars,
+              regexp_split_to_array(trim(text), '\s+') AS ws FROM d1),
+          g2 AS (SELECT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+            FROM d),
+          c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+          t2 AS (SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+            FROM c2
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY cnt DESC, gram ASC) = 1),
+          g5 AS (SELECT doc_id,
+              unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]) AS gram
+            FROM d),
+          c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+          d5 AS (SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS dup5_chars
+            FROM c5 WHERE cnt >= 2 GROUP BY 1)
+          SELECT d.doc_id, d.text_chars,
+            coalesce(t2.top2_chars, 0) AS top2_chars,
+            coalesce(d5.dup5_chars, 0) AS dup5_chars,
+            (coalesce(t2.top2_chars, 0) * 100 <= d.text_chars * 20
+             AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
+          FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+          ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q27_token_stats" ->
       """SELECT doc_id,
           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

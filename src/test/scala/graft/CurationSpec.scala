@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Text
-import graft.operators.{Sampling, Scrub, TextDedup}
+import graft.operators.{QualitySignals, Sampling, Scrub, TextDedup}
 
 /** Curation operators: PII scrub, containment pairs, epoch mixing, and the
   * chunking invariants behind q89–q93.
@@ -203,6 +203,35 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(Sampling.epochMix(
       docs.select("doc_id", "source"), $"doc_id", $"source",
       Map("src0" -> 2.5), 1.0)) === 0)
+  }
+
+  test("repetitionSignals: planted repetition flips keep; clean text passes") {
+    // doc 1: 25 distinct words — top 2-gram appears once, no dup 5-grams.
+    // doc 2: the same 5-word phrase ×6 — every gram duplicated, fails both.
+    // doc 3: one word — no grams at all, zero signals, trivially kept.
+    val clean = (1 to 25).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(6)("alpha beta gamma delta eps").mkString(" ")
+    val df = Seq((1L, clean), (2L, loop), (3L, "solo")).toDF("doc_id", "text")
+    val out = QualitySignals.repetitionSignals(df).orderBy("doc_id").collect()
+    val clean2 = out(0)
+    assert(clean2.getAs[Boolean]("keep"))
+    assert(clean2.getAs[Long]("dup5_chars") === 0L)
+    val loopy = out(1)
+    assert(!loopy.getAs[Boolean]("keep"))
+    // "alpha beta" ×6 at 10 chars = 60 > 20% of the 161-char text
+    assert(loopy.getAs[Long]("top2_chars") === 60L)
+    assert(loopy.getAs[Long]("dup5_chars") > loopy.getAs[Long]("text_chars"))
+    val solo = out(2)
+    assert(solo.getAs[Boolean]("keep") &&
+      solo.getAs[Long]("top2_chars") === 0L && solo.getAs[Long]("dup5_chars") === 0L)
+  }
+
+  test("repetitionSignals top-2gram tie-break is deterministic (count desc, gram asc)") {
+    // two 2-grams both ×2: "b c" and "c b" — winner must be "b c" (asc)
+    val df = Seq((1L, "b c b c b")).toDF("doc_id", "text")
+    val out = QualitySignals.repetitionSignals(df).collect().head
+    // "b c" ×2 → 2 × 3 chars = 6
+    assert(out.getAs[Long]("top2_chars") === 6L)
   }
 
   test("chunking reassembles to the original token stream") {
