@@ -256,6 +256,23 @@ object CurationQueries {
         .map(r => (r.getString(0), r.getString(1))).toSeq
       Bpe.encodeViaVocab(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
+    // Tokenizer fertility by source — the standard tokenizer-eval metric
+    // (symbols emitted per word; SentencePiece/BPE papers report it per
+    // language/domain to spot under-served segments). Reuses the learned
+    // q131 merge chain and the distinct-vocab encode path with `source` as
+    // the aggregation key — one vocab-sized replace chain, one corpus
+    // explode+join, a 20-row rollup. Fertility is one IEEE division of two
+    // exact int64s, so it hash-matches cross-engine.
+    "q149_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
+        .orderBy("round")
+        .select("pair_a", "pair_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Bpe.encodeViaVocab(docs, "source", "text", merges)
+        .withColumn("fertility", col("n_symbols").cast("double") / col("n_words"))
+        .orderBy("source")
+    }),
     // Train/val/test assignment: cumulative md5-bucket thresholds (90/5/5)
     // — a doc's split never changes as the corpus grows. Reported as the
     // per-(split, lang) audit table an eval-leakage review reads.
@@ -500,6 +517,33 @@ object CurationQueries {
             CAST(sum(len(string_split(substr(enc, 2, length(enc) - 2),
                                       chr(31) || chr(31)))) AS BIGINT) AS n_symbols
           FROM de3 GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q149_tokenizer_fertility" ->
+      s"""WITH $BpeChainSql,
+          dw AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                 FROM documents),
+          de0 AS (SELECT source,
+                    array_to_string([chr(31) || w[i] || chr(31)
+                                     for i in range(1, len(w) + 1)], '') AS enc
+                  FROM dw),
+          de1 AS (SELECT source, replace(enc,
+                    chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
+                    chr(31) || t1.a || t1.b || chr(31)) AS enc
+                  FROM de0 CROSS JOIN t1),
+          de2 AS (SELECT source, replace(enc,
+                    chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
+                    chr(31) || t2.a || t2.b || chr(31)) AS enc
+                  FROM de1 CROSS JOIN t2),
+          de3 AS (SELECT source, replace(enc,
+                    chr(31) || t3.a || chr(31) || chr(31) || t3.b || chr(31),
+                    chr(31) || t3.a || t3.b || chr(31)) AS enc
+                  FROM de2 CROSS JOIN t3),
+          agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                    CAST(sum(len(string_split(substr(enc, 2, length(enc) - 2),
+                                              chr(31) || chr(31)))) AS BIGINT) AS n_symbols
+                  FROM de3 GROUP BY source)
+          SELECT source, n_words, n_symbols,
+            CAST(n_symbols AS DOUBLE) / n_words AS fertility
+          FROM agg ORDER BY source""".replaceAll("\\s+", " "),
     "q131_bpe_merges" ->
       s"""WITH $BpeChainSql
           SELECT * FROM (
