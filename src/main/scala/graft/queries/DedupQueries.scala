@@ -126,6 +126,27 @@ object DedupQueries {
         k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
+    // Candidate verification by edit distance — the cheap-candidates →
+    // expensive-verify production pattern: LSH banding proposes pairs from
+    // signatures alone, then the O(L²) levenshtein DP runs ONLY on the
+    // candidate pairs (never corpus²), with a normalized near-dup decision
+    // by integer cross-multiplication (100·lev ≤ 30·max_len — edit
+    // distance within 30% of the longer text). The text join happens after
+    // candidate pruning, so full text crosses the wire only for pairs.
+    "q150_editdist_verify" -> ((s, dir) => {
+      val aug = augmented(s, dir)
+      val cand = TextDedup.minhashLshCandidates(
+        withShingles(aug), "doc_id", "shash", k = 8, bandRows = 2)
+      cand
+        .join(aug.select(col("doc_id").as("doc_a"), col("text").as("__ta")), "doc_a")
+        .join(aug.select(col("doc_id").as("doc_b"), col("text").as("__tb")), "doc_b")
+        .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+        .withColumn("max_len",
+          greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+        .withColumn("near_dup", col("lev") * 100 <= col("max_len") * 30)
+        .select("doc_a", "doc_b", "lev", "max_len", "near_dup")
+        .orderBy("doc_a", "doc_b")
+    }),
     // SimHash near-dup pairs: 60-bit fingerprint, 6-bit bands, hamming <= 6.
     // The fingerprint is the native codegen'd expression (one md5+counter
     // loop per row); simhashPairs' repartition barrier materializes it once
@@ -677,6 +698,23 @@ object DedupQueries {
           SELECT (SELECT count(*) FROM cand) AS n_candidates,
                  (SELECT count(*) FROM truth) AS n_truth,
                  (SELECT count(*) FROM hits) AS n_hits""".replaceAll("\\s+", " "),
+    "q150_editdist_verify" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          SELECT c.doc_a, c.doc_b,
+            CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+            CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len,
+            (CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 100
+             <= CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) * 30) AS near_dup
+          FROM cand c
+          JOIN aug ta ON c.doc_a = ta.doc_id
+          JOIN aug tb ON c.doc_b = tb.doc_id
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q34_minhash_lsh_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh
