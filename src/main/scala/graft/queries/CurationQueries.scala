@@ -432,6 +432,29 @@ object CurationQueries {
         .select("doc_id", "shard", "pos", "n_tokens",
           "doc_start", "first_seq", "last_seq", "n_seqs")
         .orderBy("shard", "pos")
+    }),
+    // Packing-efficiency audit — the numbers that justify q146's packing:
+    // sequences and padding waste under concat-and-chunk (waste = only the
+    // final sequence's slack) vs the naive doc-aligned loader (every doc
+    // padded to its own seqLen multiple), plus how many docs straddle a
+    // sequence boundary (the price packing pays — those docs train with a
+    // mid-document attention break). One manifest pass, one 1-row
+    // aggregate; all integer floor-div arithmetic.
+    "q151_packing_efficiency" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      Curate.packingManifest(d, col("doc_id"), col("n_tokens"),
+        nShards = 8, seqLen = 512L)
+        .agg(
+          sum("n_tokens").as("total_tokens"),
+          expr("(sum(n_tokens) + 511) div 512").as("packed_seqs"),
+          expr("((sum(n_tokens) + 511) div 512) * 512 - sum(n_tokens)")
+            .as("packed_waste"),
+          expr("sum((n_tokens + 511) div 512)").as("padded_seqs"),
+          expr("sum((n_tokens + 511) div 512) * 512 - sum(n_tokens)")
+            .as("padded_waste"),
+          sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_straddle"))
     })
   )
 
@@ -740,6 +763,39 @@ object CurationQueries {
             CAST(floor(CAST(doc_start + greatest(n_tokens, 1) - 1 AS DOUBLE) / 512.0)
               AS BIGINT)
               - CAST(floor(CAST(doc_start AS DOUBLE) / 512.0) AS BIGINT) + 1 AS n_seqs
-          FROM m ORDER BY shard, pos""".replaceAll("\\s+", " ")
+          FROM m ORDER BY shard, pos""".replaceAll("\\s+", " "),
+    "q151_packing_efficiency" ->
+      raw"""WITH d AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            md5('ord:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+          r AS (SELECT doc_id, n_tokens,
+                  ('0x' || substr(okey, 1, 8))::BIGINT % 8 AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(okey, 1, 8))::BIGINT % 8
+                    ORDER BY okey, doc_id) AS BIGINT) AS pos
+                FROM d),
+          p AS (SELECT doc_id, shard, pos, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM r),
+          o AS (SELECT shard, COALESCE(CAST(sum(t) OVER (ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS soff
+                FROM (SELECT shard, sum(n_tokens) AS t FROM r GROUP BY shard)),
+          m AS (SELECT p.n_tokens, o.soff + p.cum - p.n_tokens AS doc_start
+                FROM p JOIN o ON p.shard = o.shard),
+          mm AS (SELECT n_tokens,
+                  CAST(floor(CAST(doc_start + greatest(n_tokens, 1) - 1 AS DOUBLE) / 512.0)
+                    AS BIGINT)
+                    - CAST(floor(CAST(doc_start AS DOUBLE) / 512.0) AS BIGINT) + 1 AS n_seqs
+                FROM m)
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS packed_seqs,
+            CAST(((sum(n_tokens) + 511) // 512) * 512 - sum(n_tokens) AS BIGINT)
+              AS packed_waste,
+            CAST(sum((n_tokens + 511) // 512) AS BIGINT) AS padded_seqs,
+            CAST(sum((n_tokens + 511) // 512) * 512 - sum(n_tokens) AS BIGINT)
+              AS padded_waste,
+            CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+          FROM mm""".replaceAll("\\s+", " ")
   )
 }
