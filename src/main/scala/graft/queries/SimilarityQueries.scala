@@ -624,6 +624,52 @@ object SimilarityQueries {
         .unionByName(audit(16, 32, "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
+    // The re-rank dial — q145's code-budget sweep with q147's exact
+    // re-rank bolted on at the cheapest and richest budgets: per probe,
+    // the ADC top-32 shortlist is re-ranked by exact int64 distance and
+    // recall@10 re-measured. Quantifies the production claim that
+    // re-ranking recovers the ADC ordering error for the price of R exact
+    // distances per query — recall@10 becomes the shortlist's recall@32,
+    // so even the 6-bit code budget climbs. Shortlists are probes×32 rows
+    // (broadcast); the exact pass joins only those rows against the
+    // full-precision table; per-probe top-k is the bounded-heap
+    // TopKPerGroup.
+    "q152_rerank_dial" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      val fp = e.select(col("vec_id"), fpv.as("v"))
+      val probes = fp.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val ext = graft.operators.Analytics.topKPerGroupNative(
+        fp.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("d", Pq.l2sqFp(col("v"), col("pv")))
+          .select("probe_id", "vec_id", "d"),
+        Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
+        .select("probe_id", "vec_id")
+      def audit(m: Int, k: Int, cfg: String): DataFrame = {
+        val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", m, Dim, k, 1))
+        val codes = Pq.encode(e, "vec_id", "embedding", cb, m, Dim)
+        val probesSv = Pq.subVectorsFp(
+          e.filter(col("vec_id") % 29 === 0).select(col("vec_id").as("probe_id"), col("embedding")),
+          "probe_id", "embedding", m, Dim)
+        val sl = Pq.adcTopKPerProbe(codes, "vec_id", cb, probesSv, 32)
+          .select("probe_id", "vec_id")
+        val rrt = graft.operators.Analytics.topKPerGroupNative(
+          sl.join(fp, "vec_id").join(broadcast(probes), "probe_id")
+            .withColumn("d", Pq.l2sqFp(col("v"), col("pv")))
+            .select("probe_id", "vec_id", "d"),
+          Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
+          .select("probe_id", "vec_id")
+        val hits = ext.join(rrt, Seq("probe_id", "vec_id"))
+        ext.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(rrt.agg(count(lit(1)).as("n_rerank")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(lit(cfg).as("cfg"), col("n_exact"), col("n_rerank"), col("n_hits"))
+      }
+      audit(2, 8, "a_m2_k8_6bit")
+        .unionByName(audit(16, 32, "d_m16_k32_80bit"))
+        .orderBy("cfg")
+    }),
     // IVFADC+R (Jégou et al. 2011 ICASSP): the q141 compressed-domain scan
     // keeps a top-32 shortlist, then EXACT int64 distances are computed for
     // those 32 vectors only (broadcast semi-join prunes the full-vector
@@ -736,7 +782,51 @@ object SimilarityQueries {
             ORDER BY adc_d ASC, vec_id ASC) <= 10)"""
   }
 
+  /** Rerank CTEs for one PQ config: ADC top-32 shortlist per probe, then
+    * exact fixed-point re-rank to top-10. Requires `fp`, `prq`, and the
+    * config's `${p}adc` (from [[pqCfgSql]]) in scope.
+    */
+  private def pqRerankSql(p: String): String =
+    s"""${p}sl AS (SELECT probe_id, vec_id FROM ${p}adc
+          QUALIFY row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_d ASC, vec_id ASC) <= 32),
+        ${p}rrt AS (SELECT probe_id, vec_id FROM (
+            SELECT s.probe_id, s.vec_id,
+              list_sum(list_transform(range(1, ${Dim + 1}),
+                i -> (f.v[i] - p2.v[i]) * (f.v[i] - p2.v[i]))) AS d
+            FROM ${p}sl s
+            JOIN fp f ON s.vec_id = f.vec_id
+            JOIN prq p2 ON s.probe_id = p2.probe_id)
+          QUALIFY row_number() OVER (PARTITION BY probe_id
+            ORDER BY d ASC, vec_id ASC) <= 10)"""
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q152_rerank_dial" ->
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          ${pqCfgSql(2, 8, "a_")},
+          ${pqCfgSql(16, 32, "d_")},
+          prq AS (SELECT vec_id AS probe_id, v FROM fp WHERE vec_id % 29 = 0),
+          ex AS (SELECT p.probe_id, f.vec_id,
+                   list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (f.v[i] - p.v[i]) * (f.v[i] - p.v[i]))) AS d
+                 FROM fp f CROSS JOIN prq p WHERE f.vec_id <> p.probe_id),
+          ext AS (SELECT probe_id, vec_id FROM ex
+                  QUALIFY row_number() OVER (PARTITION BY probe_id
+                    ORDER BY d ASC, vec_id ASC) <= 10),
+          ${pqRerankSql("a_")},
+          ${pqRerankSql("d_")}
+          SELECT 'a_m2_k8_6bit' AS cfg,
+                 (SELECT count(*) FROM ext) AS n_exact,
+                 (SELECT count(*) FROM a_rrt) AS n_rerank,
+                 (SELECT count(*) FROM ext JOIN a_rrt USING (probe_id, vec_id)) AS n_hits
+          UNION ALL
+          SELECT 'd_m16_k32_80bit',
+                 (SELECT count(*) FROM ext),
+                 (SELECT count(*) FROM d_rrt),
+                 (SELECT count(*) FROM ext JOIN d_rrt USING (probe_id, vec_id))
+          ORDER BY cfg""".replaceAll("\\s+", " "),
     "q145_pq_recall_dial" ->
       s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
