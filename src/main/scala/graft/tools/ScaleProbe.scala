@@ -63,6 +63,35 @@ object ScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = time("minhash LSH pairs")(pairs.count())
     println(s"[scale] pairs = $nPairs")
+    // q150's shape: the O(L²) levenshtein verify runs only on the LSH
+    // candidate pairs. On THIS corpus the candidate count itself grows
+    // quadratically in mult (every base doc's mult near-dup replicas form
+    // a C(mult,2) candidate family — measured 169k pairs at 8×, 91.7 s
+    // for the full verify), so the probe measures the cost that matters
+    // at scale — seconds per candidate — on a fixed-target md5 sample of
+    // candidates (the q118 audit discipline: fixed absolute work under
+    // corpus growth). Expect: sampled verify time flat across mults while
+    // the candidate census grows ~mult².
+    val cand150 = graft.operators.TextDedup.minhashLshCandidates(
+      hashed, "doc_id", "shash", k = 8, bandRows = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = time("editdist candidate census")(cand150.count())
+    val target = 20000L
+    val rate = math.min(1.0, target.toDouble / math.max(nCand, 1L))
+    val rateGrid = math.floor(rate * 10000).toLong // q118's 10⁴ grid
+    val sampled = cand150.filter(
+      graft.operators.Sampling.hashBucket(
+        concat_ws(":", col("doc_a"), col("doc_b"))) < lit(rateGrid))
+    val lev = sampled
+      .join(big.select(col("doc_id").as("doc_a"), col("text").as("__ta")), "doc_a")
+      .join(big.select(col("doc_id").as("doc_b"), col("text").as("__tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("near", col("lev") * 100 <=
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long") * 30)
+    val nLev = time("editdist verify, sampled (q150 shape)")(
+      lev.agg(count(lit(1)), count(when(col("near"), 1))).head())
+    println(s"[scale] editdist candidates = $nCand, sampled verify (rate ${rateGrid}e-4) = $nLev")
+    cand150.unpersist(blocking = false)
     val (labels, rounds) = graft.operators.TextDedup
       .connectedComponentsStarWithRounds(pairs, "doc_a", "doc_b", maxRounds = 30)
     val nClusters = time("star CC")(labels.select("cluster_id").distinct().count())
