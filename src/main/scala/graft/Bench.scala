@@ -39,7 +39,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts: ns-as-long for NANOS-era testdata (no-op on MICROS)
       .config("spark.sql.ansi.enabled", "false") // reference semantics: lenient casts, x/0→inf
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
