@@ -192,4 +192,27 @@ class TransformSpec extends AnyFunSuite with SparkFixture {
       .orderBy("Check").as[(String, Long)].collect().toSeq
     assert(out == Seq(("Total clean records", 8L), ("Total raw records", 10L), ("bad", 2L)))
   }
+
+  test("Tables.events adapts to both testdata ts layouts (ns-as-long and native µs)") {
+    // the driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    // (read as nanos-since-epoch long) AND as TIMESTAMP(MICROS) across
+    // regenerations — the loader must yield the same TIMESTAMP_NTZ µs
+    // column from either. Simulate both layouts in temp dirs.
+    val us = 1704067200123456L // 2024-01-01T00:00:00.123456
+    def load(dir: java.nio.file.Path): java.time.LocalDateTime = {
+      graft.sources.Tables.events(spark, dir.toString)
+        .select(col("ts")).collect().head.getAs[java.time.LocalDateTime]("ts")
+    }
+    val dNano = java.nio.file.Files.createTempDirectory("ev_nanos")
+    Seq((1L, us * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dNano/events.parquet")
+    val dMicro = java.nio.file.Files.createTempDirectory("ev_micros")
+    Seq((1L, new java.sql.Timestamp(us / 1000)))
+      .toDF("event_id", "ts")
+      .withColumn("ts", col("ts") + expr("INTERVAL 456 MICROSECOND"))
+      .write.mode("overwrite").parquet(s"$dMicro/events.parquet")
+    val (a, b) = (load(dNano), load(dMicro))
+    assert(a == b, s"layouts disagree: $a vs $b")
+    assert(a == java.time.LocalDateTime.parse("2024-01-01T00:00:00.123456"))
+  }
 }
