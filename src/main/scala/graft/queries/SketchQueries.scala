@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Resample}
+import graft.operators.{Analytics, Resample, Sketches}
+import graft.functions.Text
 import graft.sources.Tables
 
 /** Calendar-interval resampling over the multi-year `orders` table plus
@@ -72,6 +73,24 @@ object SketchQueries {
           count(lit(1)).as("n"),
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
+    }),
+    // Count-min heavy hitters — the DETERMINISTIC frequency sketch q50's
+    // engine-specific HLL/KLL family can't oracle-check: a 4×64 md5-bucket
+    // CMS over corpus word bigrams (~900 distinct keys in 64 buckets, so
+    // collisions — and the min-over-rows recovery — are real), audited
+    // against the exact top-20 counts. cms_n ≥ exact_n always; the sketch
+    // is a constant-size, map-side-combined, MERGEABLE aggregate — the
+    // 100 TB (and streaming) shape for corpus-frequency tracking.
+    "q153_countmin_heavy" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(explode(Text.wordNgramsFromText(col("text"), 2)).as("tok"))
+      val sketch = Sketches.countMin(grams, "tok", depth = 4, width = 64)
+      val top = grams.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok").asc).limit(20)
+      top.join(Sketches.cmsEstimate(top.select("tok"), "tok", sketch, 4, 64), "tok")
+        .select(col("tok"), col("exact_n"), col("cms_n"),
+          (col("cms_n") - col("exact_n")).as("overestimate"))
+        .orderBy(col("exact_n").desc, col("tok").asc)
     })
   )
 
@@ -93,7 +112,28 @@ object SketchQueries {
       """SELECT o_orderpriority, count(*) AS n,
           count(DISTINCT o_custkey) AS n_customers
           FROM orders GROUP BY o_orderpriority
-          ORDER BY o_orderpriority""".replaceAll("\\s+", " ")
+          ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    "q153_countmin_heavy" ->
+      raw"""WITH t AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                  for i in range(1, len(ws))]) AS tok
+                FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                      FROM documents)),
+          jb AS (SELECT tok, u.j,
+                   ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+                     % 64 AS bucket
+                 FROM t CROSS JOIN unnest(range(0, 4)) AS u(j)),
+          sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+                 FROM jb GROUP BY 1, 2),
+          ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM t
+                 GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20),
+          est AS (SELECT e.tok, min(sk.c) AS cms_n
+                  FROM ex e CROSS JOIN unnest(range(0, 4)) AS u(j)
+                  JOIN sk ON sk.j = u.j AND sk.bucket =
+                    ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || e.tok), 1, 8))::BIGINT % 64
+                  GROUP BY e.tok)
+          SELECT e.tok, e.exact_n, est.cms_n, est.cms_n - e.exact_n AS overestimate
+          FROM ex e JOIN est USING (tok)
+          ORDER BY exact_n DESC, tok""".replaceAll("\\s+", " ")
     // q50 intentionally omitted (sketch values are engine-specific)
   )
 }
