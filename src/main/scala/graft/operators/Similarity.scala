@@ -476,4 +476,38 @@ object Similarity {
       .join(drops.withColumn("__dropped", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("centroid_id"), col("__dropped").isNull.as("keep"))
   }
+
+  /** Johnson–Lindenstrauss sign projection (Achlioptas 2003, "Database-
+    * friendly random projections", JCSS 66(4): a ±1 matrix preserves
+    * pairwise distances in expectation — E‖ya−yb‖² = k·‖va−vb‖² for an
+    * unnormalized sign matrix): project a fixed-point vector from `dim`
+    * to `k` dims, y_p = Σ_i s(p,i)·v_i with the sign drawn
+    * deterministically from md5("jl:p:i") — the same derivation trick as
+    * [[lshSignature]]'s hyperplanes, so both engines synthesize the
+    * identical matrix and the projection is exact int64 end-to-end.
+    *
+    * Scale shape: a pure per-row projection (no shuffle, no state) that
+    * cuts every downstream distance computation by dim/k — the standard
+    * pre-ANN reduction when embeddings are wider than retrieval needs.
+    * `scale` defaults to 1e5 (not the usual 1e7) so k·‖ya−yb‖² stays
+    * within both int64 and double-exact range for |x| ≤ ~1 inputs.
+    */
+  def jlProjectFp(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      dim: Int,
+      scale: Double = 1e5): DataFrame = {
+    require(k >= 1 && dim >= 1)
+    val fp = transform(col(embCol), x => floor(x.cast("double") * scale).cast("long"))
+    df.select(col(idCol), fp.as("__v"))
+      .select(col(idCol), transform(sequence(lit(0), lit(k - 1)), p =>
+        aggregate(
+          zip_with(col("__v"), sequence(lit(1), lit(dim)), (x, i) =>
+            when(conv(substring(md5(
+                concat(lit("jl:"), p.cast("string"), lit(":"), i.cast("string"))),
+                1, 8), 16, 10).cast("long") % 2 === 0, x).otherwise(-x)),
+          lit(0L), (acc, x) => acc + x)).as("y"))
+  }
 }

@@ -670,6 +670,32 @@ object SimilarityQueries {
         .unionByName(audit(16, 32, "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
+    // Johnson–Lindenstrauss sign projection 64→16 (Achlioptas 2003) with
+    // its distortion audit over the (i, i+1) pair family: the md5-derived
+    // ±1 matrix is synthesized identically in both engines, the projection
+    // and both distances are exact int64 (scale 1e5 keeps k·d16 within
+    // double-exact range), and ratio = d16/(16·d64) — E[ratio] = 1 — is
+    // one IEEE division. The production move this enables: every
+    // downstream ANN distance drops to k/dim of its cost after one
+    // shuffle-free per-row projection pass.
+    "q154_jl_distortion" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e5).cast("long"))
+      val fp = e.select(col("vec_id"), fpv.as("v"))
+      val y = Similarity.jlProjectFp(e, "vec_id", "embedding", k = 16, dim = Dim)
+      fp.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+        .join(fp.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(fp.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .join(y.select(col("vec_id").as("id_a"), col("y").as("ya")), "id_a")
+        .join(y.select(col("vec_id").as("id_b"), col("y").as("yb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Pq.l2sqFp(col("va"), col("vb")).as("d64"),
+          Pq.l2sqFp(col("ya"), col("yb")).as("d16"))
+        .withColumn("ratio",
+          col("d16").cast("double") / (col("d64") * 16L).cast("double"))
+        .orderBy("id_a")
+    }),
     // IVFADC+R (Jégou et al. 2011 ICASSP): the q141 compressed-domain scan
     // keeps a top-32 shortlist, then EXACT int64 distances are computed for
     // those 32 vectors only (broadcast semi-join prunes the full-vector
@@ -801,6 +827,31 @@ object SimilarityQueries {
             ORDER BY d ASC, vec_id ASC) <= 10)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q154_jl_distortion" ->
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          y AS (SELECT vec_id,
+              [CAST(list_sum([CASE WHEN ('0x' || substr(md5('jl:' || CAST(p AS VARCHAR)
+                   || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN v[i] ELSE -v[i] END for i in range(1, ${Dim + 1})]) AS BIGINT)
+               for p in range(0, 16)] AS y
+            FROM fp),
+          pr AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM fp
+                 WHERE vec_id % 17 = 0),
+          j AS (SELECT pr.id_a, pr.id_b,
+              CAST(list_sum([(fa.v[i] - fb.v[i]) * (fa.v[i] - fb.v[i])
+                for i in range(1, ${Dim + 1})]) AS BIGINT) AS d64,
+              CAST(list_sum([(ya.y[p] - yb.y[p]) * (ya.y[p] - yb.y[p])
+                for p in range(1, 17)]) AS BIGINT) AS d16
+            FROM pr
+            JOIN fp fa ON pr.id_a = fa.vec_id
+            JOIN fp fb ON pr.id_b = fb.vec_id
+            JOIN y ya ON pr.id_a = ya.vec_id
+            JOIN y yb ON pr.id_b = yb.vec_id)
+          SELECT id_a, id_b, d64, d16,
+            CAST(d16 AS DOUBLE) / CAST(d64 * 16 AS DOUBLE) AS ratio
+          FROM j ORDER BY id_a""".replaceAll("\\s+", " "),
     "q152_rerank_dial" ->
       s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
