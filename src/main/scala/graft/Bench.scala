@@ -107,8 +107,13 @@ object Bench {
     // stdout twice after stderr is fully drained — if anything sneaks between
     // the copies, the second still lands last; a front-truncated first copy
     // cannot shadow it because it no longer contains the "{"metric"" anchor.
+    // Per-query precision is one decimal: at 150+ queries the 2-decimal
+    // line was ~1.81k chars and growing ~13 chars per added query — one
+    // decimal buys ~150 chars of headroom inside the 2000-char window,
+    // and 0.1 s resolution is ample for per-query grading (the heavy
+    // queries run seconds; the cheap ones are not the signal).
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
