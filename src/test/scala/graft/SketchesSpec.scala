@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Count-min sketch invariants the q153 oracle can't see: the estimate
+  * dominates the true count for EVERY key (not just the audited top-20),
+  * and the sketch is mergeable — sketching a union equals adding the
+  * parts' sketches cell-wise (what makes the partial aggregation, and any
+  * batch/stream composition, correct).
+  */
+class SketchesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 16 // tiny width so collisions are guaranteed
+
+  private def items(keys: Seq[String]) = keys.toDF("k")
+
+  test("cms estimate >= exact count for every key; equality without collisions") {
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"key$i"))
+    val df = items(keys)
+    val sketch = Sketches.countMin(df, "k", D, W)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimate(exact.select("k"), "k", sketch, D, W)
+    val joined = exact.join(est, "k")
+      .select(col("k"), col("exact_n"), col("cms_n")).collect()
+    assert(joined.length == 40)
+    assert(joined.forall(r => r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n")),
+      "count-min must never underestimate")
+    // a sketch wide enough that every key gets its own buckets is exact
+    val wide = Sketches.countMin(df, "k", D, 1 << 20)
+    val estWide = Sketches.cmsEstimate(exact.select("k"), "k", wide, D, 1 << 20)
+    val diff = exact.join(estWide, "k")
+      .filter(col("cms_n") =!= col("exact_n")).count()
+    assert(diff == 0, "collision-free sketch must be exact")
+  }
+
+  test("sketches merge cell-wise: sketch(a ++ b) == sketch(a) + sketch(b)") {
+    val a = items(Seq("x", "y", "x", "z"))
+    val b = items(Seq("y", "y", "w"))
+    val whole = Sketches.countMin(a.unionByName(b), "k", D, W)
+    val merged = Sketches.countMin(a, "k", D, W)
+      .unionByName(Sketches.countMin(b, "k", D, W))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+    val mismatch = whole.join(merged, Seq("j", "bucket"), "full")
+      .filter(whole("c").isNull || merged("c").isNull || whole("c") =!= merged("c"))
+    assert(mismatch.count() == 0)
+  }
+}
