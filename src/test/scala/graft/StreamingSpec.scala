@@ -94,6 +94,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       (3L, 2L, false, true, false)))
   }
 
+  test("count-min sketch accumulates across micro-batches (mergeable, bounded state)") {
+    // the streaming use the q153 sketch's mergeability enables: each
+    // micro-batch contributes its own sketch, merged cell-wise into a
+    // bounded driver-side table (≤ depth·width cells — the sketch IS the
+    // state), and the accumulated sketch equals the batch sketch over the
+    // whole stream.
+    implicit val sc = spark.sqlContext
+    import graft.operators.Sketches
+    val (d, w) = (4, 16)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    val mem = MemoryStream[String]
+    val sink = mem.toDF().toDF("k").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sketches.countMin(batch, "k", d, w).collect().foreach { r =>
+          cells((r.getAs[Int]("j"), r.getAs[Long]("bucket"))) += r.getAs[Long]("c")
+        }
+    }.start()
+    val batches = Seq(
+      Seq("x", "y", "x", "z", "q1", "q2"),
+      Seq("y", "y", "w", "q3"),
+      Seq("x", "w", "q4", "q5", "q5"))
+    batches.foreach { b => mem.addData(b: _*); sink.processAllAvailable() }
+    sink.stop()
+    val whole = Sketches.countMin(batches.flatten.toDF("k"), "k", d, w)
+      .collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c"))
+      .toMap
+    assert(cells.toMap == whole, s"accumulated $cells != batch $whole")
+    assert(cells.size <= d * w)
+  }
+
   test("ingestDedupStream: micro-batched ingest equals the batch operator") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
