@@ -95,6 +95,40 @@ object TextQueries {
           floor(col("score") * 1e6).cast("long").as("score_fp"))
         .orderBy("doc_id", "rn")
     }),
+    // BM25 keyword search (Robertson et al.; the Lucene idf variant):
+    // top-15 docs for a fixed 3-term query, k1=1.2, b=0.75. Per-term
+    // scores are floored to fixed-point BEFORE the per-doc sum (q79's
+    // discipline — int64 addition commutes where raw doubles wouldn't),
+    // and every float op is one IEEE step on exact-int inputs except ln,
+    // which follows q64's ulp-separation argument. Scale shape: only the
+    // query terms' postings ever leave the scan (the isin filter is the
+    // inverted-index probe), df/avgdl are broadcast 1-row/3-row frames,
+    // and the top-15 is a TakeOrderedAndProject.
+    "q155_bm25_search" -> ((s, dir) => {
+      val qterms = Seq("table", "join", "stream")
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).cast("double").as("__n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = terms.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      val dft = terms.select("doc_id", "term").distinct()
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), "term").join(dl, "doc_id").crossJoin(broadcast(st))
+        .withColumn("idf",
+          log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("term_fp", floor(
+          col("idf")
+            * ((col("tc") * lit(2.2)) /
+               (col("tc") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_fp")).as("bm25_fp"))
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc)
+        .limit(15)
+    }),
     // Train/test decontamination: docs sharing >= 2 distinct word trigrams
     // with the held-out slice (doc_id % 37 = 0 stands in for the eval set).
     // Test-side n-gram index broadcast; train side never shuffles raw text.
@@ -459,6 +493,27 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q155_bm25_search" ->
+      raw"""WITH terms AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc FROM terms
+                 WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms
+                  WHERE term IN ('table', 'join', 'stream') GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * ((tf.tc * 2.2)
+                        / (tf.tc + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl))))
+                     * 1000000.0) AS BIGINT) AS term_fp
+                 FROM tf JOIN dft USING (term)
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+            CAST(sum(term_fp) AS BIGINT) AS bm25_fp
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25_fp DESC, doc_id ASC LIMIT 15""".replaceAll("\\s+", " "),
     "q27_token_stats" ->
       """SELECT doc_id,
           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
