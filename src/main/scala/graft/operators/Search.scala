@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Retrieval scoring: BM25 keyword search and reciprocal-rank fusion —
+  * the lexical half of a hybrid (keyword + embedding) retrieval stack
+  * over the corpus, and the standard scale-free way to combine the two
+  * rankings.
+  */
+object Search {
+
+  /** BM25 (Robertson et al.; the Lucene idf variant
+    * ln((N − df + 0.5)/(df + 0.5) + 1)) for a fixed term set:
+    * (doc_id, n_terms_hit, bm25_fp), every matching doc scored.
+    *
+    * Determinism: per-term scores floor to fixed-point (1e6) BEFORE the
+    * per-doc sum — int64 addition commutes where raw doubles wouldn't —
+    * and every float op is one IEEE step on exact-int inputs except ln
+    * (the q64 ulp-separation argument). Scale shape: only the query
+    * terms' postings survive the scan (the isin filter is the
+    * inverted-index probe), df and the corpus stats are broadcast
+    * 1-row/|terms|-row frames, and the doc-length join shuffles on
+    * doc_id only for docs that matched.
+    */
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val dft = toks.select("doc_id", "term").distinct()
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term").join(dl, "doc_id").crossJoin(broadcast(st))
+      .withColumn("idf",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_fp", floor(
+        col("idf")
+          * ((col("tc") * lit(k1 + 1)) /
+             (col("tc") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_fp")).as("bm25_fp"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * top-k rank lists: rrf = Σ_list 1/(kConst + rank), absent docs
+    * contribute 0. Each term is ONE IEEE division of exact integers and
+    * the fusion of two lists is ONE addition, so the fused score is
+    * bit-deterministic. `a`/`b`: (idCol, rank) frames — RANKED TOP-K
+    * LISTS, not whole corpora (fusion operates on candidate lists by
+    * construction; the windows that produce the ranks run over ≤ k rows).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, kConst: Int = 60): DataFrame = {
+    a.select(col(idCol), col("rank").as("__ra"))
+      .join(b.select(col(idCol), col("rank").as("__rb")), Seq(idCol), "full_outer")
+      .select(col(idCol), col("__ra").as("rank_a"), col("__rb").as("rank_b"),
+        (coalesce(lit(1.0) / (lit(kConst) + col("__ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kConst) + col("__rb")), lit(0.0))).as("rrf"))
+  }
+}

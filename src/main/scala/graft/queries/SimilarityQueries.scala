@@ -670,6 +670,30 @@ object SimilarityQueries {
         .unionByName(audit(16, 32, "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    // Büttcher 2009) of the lexical BM25 top-100 for a keyword query with
+    // the embedding cosine top-100 for the probe vector (doc_id ≡ vec_id
+    // on the synthetic corpus) — the standard scale-free way to combine
+    // keyword and semantic retrieval without calibrating score scales.
+    // Fusion operates on the two top-k candidate LISTS (the rank windows
+    // run over ≤100 rows each, never the corpus); each rank term is one
+    // exact-int division and the two-list fusion one addition, so the
+    // fused score is bit-deterministic.
+    "q156_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = graft.operators.Search.bm25(
+        Tables.documents(s, dir), Seq("table", "join", "stream"))
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc).limit(100)
+      val lex = lexTop.select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("bm25_fp").desc, col("doc_id").asc)).as("rank"))
+      val semTop = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", probe(s, dir), "probe_emb", k = 100)
+      val sem = semTop.select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id").asc)).as("rank"))
+      graft.operators.Search.rrfFuse(lex, sem, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+    }),
     // Johnson–Lindenstrauss sign projection 64→16 (Achlioptas 2003) with
     // its distortion audit over the (i, i+1) pair family: the md5-derived
     // ±1 matrix is synthesized identically in both engines, the projection
@@ -827,6 +851,41 @@ object SimilarityQueries {
             ORDER BY d ASC, vec_id ASC) <= 10)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q156_hybrid_rrf" ->
+      raw"""WITH terms AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+          dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc FROM terms
+                 WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms
+                  WHERE term IN ('table', 'join', 'stream') GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * ((tf.tc * 2.2)
+                        / (tf.tc + 1.2 * (0.25 + 0.75 * (dlen.dl / st.avgdl))))
+                     * 1000000.0) AS BIGINT) AS term_fp
+                 FROM tf JOIN dft USING (term)
+                 JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN st),
+          bm AS (SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS bm25_fp
+                 FROM sc GROUP BY doc_id),
+          lext AS (SELECT doc_id, bm25_fp FROM bm
+                   ORDER BY bm25_fp DESC, doc_id ASC LIMIT 100),
+          lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id ASC)
+                    AS rank FROM lext),
+          p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+          semt AS (SELECT vec_id, cosv FROM (
+                     SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosv
+                     FROM embeddings, p WHERE vec_id <> 0)
+                   ORDER BY cosv DESC, vec_id ASC LIMIT 100),
+          sem AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosv DESC, vec_id ASC)
+                    AS rank FROM semt)
+          SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id,
+            l.rank AS rank_a, s2.rank AS rank_b,
+            COALESCE(1.0 / (60 + l.rank), 0.0) + COALESCE(1.0 / (60 + s2.rank), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+          ORDER BY rrf DESC, doc_id ASC LIMIT 20""".replaceAll("\\s+", " "),
     "q154_jl_distortion" ->
       s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0) AS BIGINT)) AS v

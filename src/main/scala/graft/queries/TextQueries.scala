@@ -105,27 +105,8 @@ object TextQueries {
     // inverted-index probe), df/avgdl are broadcast 1-row/3-row frames,
     // and the top-15 is a TakeOrderedAndProject.
     "q155_bm25_search" -> ((s, dir) => {
-      val qterms = Seq("table", "join", "stream")
-      val docs = Tables.documents(s, dir)
-      val terms = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val st = dl.agg(count(lit(1)).cast("double").as("__n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = terms.filter(col("term").isin(qterms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
-      val dft = terms.select("doc_id", "term").distinct()
-        .filter(col("term").isin(qterms: _*))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dft), "term").join(dl, "doc_id").crossJoin(broadcast(st))
-        .withColumn("idf",
-          log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("term_fp", floor(
-          col("idf")
-            * ((col("tc") * lit(2.2)) /
-               (col("tc") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-            * lit(1e6)).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_fp")).as("bm25_fp"))
+      graft.operators.Search.bm25(
+        Tables.documents(s, dir), Seq("table", "join", "stream"))
         .orderBy(col("bm25_fp").desc, col("doc_id").asc)
         .limit(15)
     }),
