@@ -30,15 +30,61 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
-    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val toks = toksOf(docs)
+    val dl = dlOf(toks)
     val st = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("term").isin(terms: _*))
+    score(tfOf(toks, terms), dfOf(toks, terms), dl, st, k1, b)
+  }
+
+  /** BM25 with INCREMENTALLY-MAINTAINED index statistics: the corpus's
+    * stats tables (doc lengths, per-term df, corpus totals) are merged
+    * with the incoming batch's — exact-integer additions per term/total,
+    * never a recount of the corpus — and scoring runs on the merged
+    * stats. Byte-identical to [[bm25]] over the union BY CONSTRUCTION
+    * (the merged counts are the same integers, avgdl is the same single
+    * division of the same exact totals), so both formulations run under
+    * ONE oracle — the q132/q137 incremental-equals-batch discipline. At
+    * scale the corpus-side stats are a maintained artifact: a batch
+    * append costs one pass over the BATCH, not the corpus.
+    */
+  def bm25Incremental(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val (tc, ti) = (toksOf(corpus), toksOf(incoming))
+    val (dlc, dli) = (dlOf(tc), dlOf(ti))
+    val dl = dlc.unionByName(dli)
+    val st = dlc.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd"))
+      .unionByName(dli.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd")))
+      .agg(sum(col("nd")).cast("double").as("__n"),
+        (sum(col("sd")).cast("double") / sum(col("nd"))).as("avgdl"))
+    val dfm = dfOf(tc, terms).unionByName(dfOf(ti, terms))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    score(tfOf(tc, terms).unionByName(tfOf(ti, terms)), dfm, dl, st, k1, b)
+  }
+
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+
+  private def dlOf(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  private def tfOf(toks: DataFrame, terms: Seq[String]): DataFrame =
+    toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
-    val dft = toks.select("doc_id", "term").distinct()
+
+  private def dfOf(toks: DataFrame, terms: Seq[String]): DataFrame =
+    toks.select("doc_id", "term").distinct()
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
+
+  private def score(
+      tf: DataFrame, dft: DataFrame, dl: DataFrame, st: DataFrame,
+      k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dft), "term").join(dl, "doc_id").crossJoin(broadcast(st))
       .withColumn("idf",
         log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -49,7 +95,6 @@ object Search {
           * lit(1e6)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_fp")).as("bm25_fp"))
-  }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
     * top-k rank lists: rrf = Σ_list 1/(kConst + rank), absent docs

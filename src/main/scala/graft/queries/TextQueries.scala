@@ -110,6 +110,22 @@ object TextQueries {
         .orderBy(col("bm25_fp").desc, col("doc_id").asc)
         .limit(15)
     }),
+    // q155 with INCREMENTALLY-MAINTAINED index stats: the corpus's df /
+    // doc-length / total tables merge with a batch's by exact-integer
+    // addition (a batch append costs one pass over the BATCH, never a
+    // corpus recount) and scoring runs on the merged stats — byte-
+    // identical to the one-shot build by construction, so it runs under
+    // q155's oracle and the hash gate itself proves incremental == batch
+    // (the q132/q137 discipline).
+    "q157_bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Search.bm25Incremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        Seq("table", "join", "stream"))
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc)
+        .limit(15)
+    }),
     // Train/test decontamination: docs sharing >= 2 distinct word trigrams
     // with the held-out slice (doc_id % 37 = 0 stands in for the eval set).
     // Test-side n-gram index broadcast; train side never shuffles raw text.
@@ -780,6 +796,12 @@ object TextQueries {
   /** q113 = q75's semantics exactly (the bloom is a pre-filter whose false
     * positives the exact join removes), so its oracle is q75's verbatim.
     */
+  /** q157 = q155's semantics with incrementally-merged index stats —
+    * byte-identical by construction, so both run under ONE oracle and the
+    * hash gate itself proves incremental == batch.
+    */
   val oracleSql: Map[String, String] =
-    oracleSqlBase + ("q113_decontaminate_bloom" -> oracleSqlBase("q75_decontaminate_hashed"))
+    oracleSqlBase +
+      ("q113_decontaminate_bloom" -> oracleSqlBase("q75_decontaminate_hashed")) +
+      ("q157_bm25_incremental" -> oracleSqlBase("q155_bm25_search"))
 }
