@@ -92,6 +92,13 @@ object ScaleProbe {
       lev.agg(count(lit(1)), count(when(col("near"), 1))).head())
     println(s"[scale] editdist candidates = $nCand, sampled verify (rate ${rateGrid}e-4) = $nLev")
     cand150.unpersist(blocking = false)
+    // q155's shape: BM25 for a fixed query — only the query terms'
+    // postings leave the scan; df/avgdl are broadcast. Expect linear in
+    // corpus (the postings volume), with the join shuffling only the
+    // matching docs.
+    val bm = graft.operators.Search.bm25(big, Seq("table", "join", "stream"))
+    val nBm = time("bm25 search (q155 shape)")(bm.count())
+    println(s"[scale] bm25 matching docs = $nBm")
     val (labels, rounds) = graft.operators.TextDedup
       .connectedComponentsStarWithRounds(pairs, "doc_a", "doc_b", maxRounds = 30)
     val nClusters = time("star CC")(labels.select("cluster_id").distinct().count())
