@@ -74,6 +74,31 @@ object SketchQueries {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("o_orderpriority")
     }),
+    // Linear counting (Whang, Vander-Zanden & Taylor 1990) — the
+    // DETERMINISTIC cardinality estimator next to q50's engine-specific
+    // HLL++: a 4096-bucket md5 bitmap per priority (constant size, one
+    // map-side-combined distinct over (group, bucket)), estimate
+    // n̂ = −m·ln(empty/m), audited against the exact distinct count. The
+    // bitmap is exact-int; the single ln per GROUP follows q64's
+    // ulp-separation argument. m chosen so no priority saturates at any
+    // tested sf (expected empty ≈ 174 at sf0.1's heaviest load).
+    "q158_linear_counting" -> ((s, dir) => {
+      val m = 4096
+      val o = Tables.orders(s, dir)
+      val hits = o.select(col("o_orderpriority"),
+          (conv(substring(md5(concat(lit("lc:"), col("o_custkey").cast("string"))),
+            1, 8), 16, 10).cast("long") % m).as("b"))
+        .distinct()
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_buckets_hit"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      hits.join(exact, "o_orderpriority")
+        .withColumn("lc_est_fp", floor(
+          lit(-m.toDouble)
+            * log((lit(m) - col("n_buckets_hit")).cast("double") / lit(m.toDouble))
+            * lit(1e6)).cast("long"))
+        .orderBy("o_orderpriority")
+    }),
     // Count-min heavy hitters — the DETERMINISTIC frequency sketch q50's
     // engine-specific HLL/KLL family can't oracle-check: a 4×64 md5-bucket
     // CMS over corpus word bigrams (~900 distinct keys in 64 buckets, so
@@ -112,6 +137,20 @@ object SketchQueries {
       """SELECT o_orderpriority, count(*) AS n,
           count(DISTINCT o_custkey) AS n_customers
           FROM orders GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    "q158_linear_counting" ->
+      """WITH b AS (SELECT DISTINCT o_orderpriority,
+              ('0x' || substr(md5('lc:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                % 4096 AS b
+            FROM orders),
+          h AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_buckets_hit
+                FROM b GROUP BY 1),
+          e AS (SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+                FROM orders GROUP BY 1)
+          SELECT h.o_orderpriority, h.n_buckets_hit, e.n_exact,
+            CAST(floor(-4096.0 * ln((4096 - h.n_buckets_hit) / 4096.0) * 1000000.0)
+              AS BIGINT) AS lc_est_fp
+          FROM h JOIN e USING (o_orderpriority)
           ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
     "q153_countmin_heavy" ->
       raw"""WITH t AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
