@@ -147,4 +147,23 @@ class SemanticOpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(rows.map(_.getLong(3)).sum > 0L, "IVF nProbe=4/16 must find SOME truth")
   }
+
+  test("jlProjectFp is linear: y(a) - y(b) == y of the fixed-point difference") {
+    // the sign matrix is FIXED (md5-derived), so projection is linear in
+    // the fixed-point domain — the property that makes projected DISTANCES
+    // meaningful: ya − yb is exactly the projection of va − vb.
+    import graft.operators.Similarity
+    val d = 8
+    // quarters are exact in float and scale 4 floors them to exact ints,
+    // so fp(row0) − fp(row1) == fp(row2) element-wise by construction
+    val df = Seq(
+      (0L, (1 to d).map(i => i * 0.25f)),
+      (1L, (1 to d).map(i => (d - i) * 0.25f)),
+      (2L, (1 to d).map(i => (2 * i - d) * 0.25f))).toDF("vec_id", "embedding")
+    val y = Similarity.jlProjectFp(df, "vec_id", "embedding", k = 4, dim = d, scale = 4.0)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("y").toSeq)
+    val diff = y(0).zip(y(1)).map { case (a, b) => a - b }
+    assert(diff == y(2), s"projection must be linear: ${y(0)} - ${y(1)} != ${y(2)}")
+  }
 }
