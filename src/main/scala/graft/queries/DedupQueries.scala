@@ -126,6 +126,22 @@ object DedupQueries {
         k = 8, bandRows = 2, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
+    // Dedup-graph observability: the near-dup DEGREE histogram a dataset
+    // card quotes ("how entangled is the corpus") — per-doc degree over
+    // the VERIFIED LSH pairs, rolled into (degree → doc count). Two
+    // map-side-combined aggregations over the pair list; the histogram
+    // is at most max-degree rows.
+    "q159_dedup_degree_hist" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("degree")
+    }),
     // Candidate verification by edit distance — the cheap-candidates →
     // expensive-verify production pattern: LSH banding proposes pairs from
     // signatures alone, then the O(L²) levenshtein DP runs ONLY on the
@@ -698,6 +714,24 @@ object DedupQueries {
           SELECT (SELECT count(*) FROM cand) AS n_candidates,
                  (SELECT count(*) FROM truth) AS n_truth,
                  (SELECT count(*) FROM hits) AS n_hits""".replaceAll("\\s+", " "),
+    "q159_dedup_degree_hist" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          vp AS (SELECT doc_a, doc_b
+                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                 WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                     / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+                    (SELECT doc_a AS doc_id FROM vp
+                     UNION ALL SELECT doc_b AS doc_id FROM vp)
+                  GROUP BY doc_id)
+          SELECT degree, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+          FROM deg GROUP BY degree ORDER BY degree""".replaceAll("\\s+", " "),
     "q150_editdist_verify" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh
