@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Align, Cast, Dedup, Quality}
 import graft.schema.Schemas
@@ -49,6 +49,27 @@ object Pipeline {
   /** S2: one keyset page — `WHERE id > cursor ORDER BY id LIMIT batch`. */
   def keysetPage(df: DataFrame, cursor: Long, batchSize: Int, id: String = "_id"): DataFrame =
     df.filter(col(id) > lit(cursor)).orderBy(col(id)).limit(batchSize)
+
+  /** S2 generalized to a COMPOSITE cursor (orderCol, idCol) — the
+    * production keyset shape when the pagination order key is not unique
+    * (e.g. a timestamp): `WHERE ts > t0 OR (ts = t0 AND id > id0)
+    * ORDER BY ts, id LIMIT batch`. The id tie-breaker makes the cursor a
+    * total order, so pages never skip or repeat rows under equal
+    * timestamps. The disjunctive predicate is sargable — both arms push
+    * to the scan — and the page is a TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def keysetPageComposite(
+      df: DataFrame,
+      orderCursor: Column,
+      idCursor: Long,
+      batchSize: Int,
+      orderCol: String,
+      idCol: String): DataFrame =
+    df.filter(col(orderCol) > orderCursor ||
+        (col(orderCol) === orderCursor && col(idCol) > lit(idCursor)))
+      .orderBy(col(orderCol), col(idCol))
+      .limit(batchSize)
 
   /** The full transform: landing (all-string) frame → typed, repaired, deduped. */
   def transform(landing: DataFrame, tolerance: Double = Quality.DefaultTolerance): TransformResult = {

@@ -39,6 +39,19 @@ object ReferenceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // S2 generalized to a COMPOSITE cursor (ts, event_id) — the production
+    // keyset shape when the order key (a timestamp) is not unique: the id
+    // tie-breaker makes the cursor a total order so pages never skip or
+    // repeat rows under equal timestamps; the disjunctive predicate is
+    // sargable and the page is a TakeOrderedAndProject, never a global
+    // sort.
+    "q160_keyset_composite" -> ((s, dir) => {
+      Pipeline.keysetPageComposite(Tables.events(s, dir),
+        lit("2024-01-15 00:00:00").cast("timestamp_ntz"), 5000L, 1000,
+        "ts", "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    }),
     // S4/S6/A1: scalar max-id probe.
     "q03_max_probe" -> ((s, dir) =>
       Tables.events(s, dir).agg(max(col("event_id")).as("last_id"))),
@@ -216,6 +229,11 @@ object ReferenceQueries {
       "SELECT event_id, ts, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id",
     "q02_keyset_page" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id > 500 ORDER BY event_id LIMIT 1000",
+    "q160_keyset_composite" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+          WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+             OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+          ORDER BY ts, event_id LIMIT 1000""".replaceAll("\\s+", " "),
     "q03_max_probe" ->
       "SELECT max(event_id) AS last_id FROM events",
     "q04_latest_probe" ->
