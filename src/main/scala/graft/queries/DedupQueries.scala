@@ -142,6 +142,22 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
         .orderBy("degree")
     }),
+    // Robust winnowing (Schleimer et al. 2003, the MOSS fingerprinter):
+    // word-5-gram hashes → window-min selection (w=4, rightmost tie-break
+    // via the packed int64 key) → position-aware fingerprint sets →
+    // overlap pairs on shared hashes under a df≤8 common-gram cap, kept at
+    // ≥2 shared fingerprints. The LOCAL guarantee MinHash lacks: any run
+    // of ≥ w+k−1 = 8 shared tokens surfaces the pair — which is how it
+    // catches the prefix-dropped near-copies q99's fixed 64-token grid
+    // misaligns on. One per-doc window sort + one fingerprint equi-join;
+    // text never leaves the scan.
+    "q161_winnow_overlap" -> ((s, dir) => {
+      val fp = graft.operators.Winnow.fingerprints(
+        augmented(s, dir), "doc_id", "text", k = 5, w = 4)
+      graft.operators.Winnow.overlapPairs(fp, "doc_id", maxDf = 8)
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Candidate verification by edit distance — the cheap-candidates →
     // expensive-verify production pattern: LSH banding proposes pairs from
     // signatures alone, then the O(L²) levenshtein DP runs ONLY on the
@@ -548,6 +564,28 @@ object DedupQueries {
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q161_winnow_overlap" ->
+      raw"""WITH $AugSql,
+          tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug),
+          grams AS (SELECT doc_id, i - 1 AS pos,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+            FROM tk, unnest(range(1, greatest(len(toks) - 3, 1))) AS u(i)),
+          keys AS (SELECT doc_id, pos,
+              ('0x' || substr(md5(gram), 1, 8))::BIGINT * 2097152 + (2097151 - pos) AS key
+            FROM grams),
+          sel AS (SELECT doc_id, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel_key,
+              max(pos) OVER (PARTITION BY doc_id) AS max_pos
+            FROM keys),
+          fp AS (SELECT DISTINCT doc_id, sel_key // 2097152 AS fp_hash
+                 FROM sel WHERE pos >= 3 OR pos = max_pos),
+          keep AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 8),
+          kept AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN keep USING (fp_hash))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q32_dedup_exact" ->
       raw"""WITH $AugSql,
           norm AS (SELECT doc_id,
