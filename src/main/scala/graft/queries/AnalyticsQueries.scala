@@ -169,6 +169,19 @@ object AnalyticsQueries {
           grouping_id(col("r_name"), col("n_name")).cast("int").as("lvl"))
         .orderBy(col("lvl"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
+    // SCD2 dimension history from the orders changelog: each customer's
+    // status timeline collapsed into [valid_from, valid_to) segments with
+    // version numbers and the open current row — the history-keeping twin
+    // of the upsert sink's keep-latest (and the dimension side an as-of
+    // join consumes). Two window passes over ONE per-key exchange; no
+    // global sort.
+    "q163_scd2_history" -> ((s, dir) => {
+      graft.operators.Scd.scd2(
+        Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+        key = "o_custkey", ts = "o_orderdate", tieBreak = "o_orderkey",
+        state = "o_orderstatus")
+        .orderBy("o_custkey", "version")
+    }),
     // TPC-H Q3 shipping priority: 3-way join, filter both fact sides, group
     // by order, top 10 by revenue. Dim filter (mktsegment) broadcast-pruned;
     // lineitem⋈orders sort-merge; final top-k is a single-partition sort of
@@ -266,6 +279,21 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q163_scd2_history" ->
+      """WITH ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders),
+          seg AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM ch
+                  WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+          hist AS (SELECT o_custkey,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS version,
+            o_orderstatus AS state, o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM seg)
+          SELECT o_custkey, version, state, valid_from, valid_to,
+                 (valid_to IS NULL) AS is_current
+          FROM hist ORDER BY o_custkey, version""".replaceAll("\\s+", " "),
     "q123_bucket_anomaly" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value
