@@ -96,6 +96,35 @@ object Search {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_fp")).as("bm25_fp"))
 
+  /** Positional phrase search: occurrences of an exact n-term phrase via
+    * the positional inverted index — postings are (doc_id, pos) rows for
+    * the QUERY terms only (the `isin` filter is the index probe, pushed
+    * into the scan), and an n-term phrase is the (n−1)-fold equi-join on
+    * (doc_id, pos + i). Returns one row per match: (doc_id, pos of the
+    * phrase's first token).
+    *
+    * Scale shape: nothing corpus-sized shuffles — only the query terms'
+    * postings leave the scan, and each join key (doc_id, pos) is unique
+    * per posting so the join never fans out. The adjacency join is how
+    * positional indexes (Lucene, Trino's full-text connectors) evaluate
+    * phrases; repeated terms in the phrase are handled naturally because
+    * each leg re-filters the postings by ITS term before the offset join.
+    */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    val pos = docs.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val base = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+      acc.join(
+        pos.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos").cast("long") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
     * top-k rank lists: rrf = Σ_list 1/(kConst + rank), absent docs
     * contribute 0. Each term is ONE IEEE division of exact integers and

@@ -104,6 +104,19 @@ object TextQueries {
     // query terms' postings ever leave the scan (the isin filter is the
     // inverted-index probe), df/avgdl are broadcast 1-row/3-row frames,
     // and the top-15 is a TakeOrderedAndProject.
+    // Positional phrase search: exact-adjacency occurrences of the 2-term
+    // phrase "part filter" via the positional postings join (the way
+    // Lucene-style positional indexes evaluate phrase queries; q155's BM25
+    // is the bag-of-words ranking this complements). Per-doc match count
+    // + first occurrence position; only the two query terms' postings
+    // leave the scan.
+    "q164_phrase_search" -> ((s, dir) => {
+      graft.operators.Search.phraseMatches(
+        Tables.documents(s, dir), Seq("part", "filter"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+        .orderBy("doc_id")
+    }),
     "q155_bm25_search" -> ((s, dir) => {
       graft.operators.Search.bm25(
         Tables.documents(s, dir), Seq("table", "join", "stream"))
@@ -547,6 +560,17 @@ object TextQueries {
                  ELSE 'zh' END AS lang_pred FROM s)
           SELECT lang, lang_pred, count(*) AS n FROM p
           GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".replaceAll("\\s+", " "),
+    "q164_phrase_search" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                     FROM documents),
+          p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+                FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+                WHERE toks[i] IN ('part', 'filter')),
+          m AS (SELECT a.doc_id, a.pos
+                FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'part' AND b.term = 'filter')
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(pos) AS first_pos
+          FROM m GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q30_fingerprint" ->
       """SELECT doc_id,
           list_min([md5(text[i:i+7]) for i in range(1, greatest(len(text)-7, 1) + 1)]) AS fingerprint

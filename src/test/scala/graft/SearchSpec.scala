@@ -55,4 +55,32 @@ class SearchSpec extends AnyFunSuite with SparkFixture {
     // the doc in both lists outranks every single-list doc here
     assert(out(3L) > out(1L) && out(3L) > out(4L))
   }
+
+  test("phraseMatches: exact adjacency only, every occurrence, 0-based pos") {
+    val docs = Seq(
+      (1L, "x part filter y part filter"), // matches at pos 1 and 4
+      (2L, "part x filter"),               // terms present, not adjacent
+      (3L, "filter part"),                 // reversed — no match
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val m = Search.phraseMatches(docs, Seq("part", "filter")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).sorted.toSeq
+    assert(m == Seq((1L, 1L), (1L, 4L)))
+  }
+
+  test("phraseMatches: 3-term phrase and repeated terms in the phrase") {
+    val docs = Seq(
+      (1L, "a b a c"),   // matches "a b a" at 0
+      (2L, "a b b a"),   // no "a b a"
+      (3L, "a a b a")).toDF("doc_id", "text") // match at 1
+    val m = Search.phraseMatches(docs, Seq("a", "b", "a")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).sorted.toSeq
+    assert(m == Seq((1L, 0L), (3L, 1L)))
+  }
+
+  test("phraseMatches: overlapping self-phrase occurrences are all reported") {
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val m = Search.phraseMatches(docs, Seq("a", "a")).collect()
+      .map(_.getAs[Long]("pos")).sorted.toSeq
+    assert(m == Seq(0L, 1L, 2L))
+  }
 }
