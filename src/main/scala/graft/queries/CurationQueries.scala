@@ -126,6 +126,26 @@ object CurationQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // importance of every doc toward the English slice (target = lang
+    // 'en', raw = whole corpus), Laplace-smoothed fixed-point log-ratio
+    // weights (256 broadcast rows), per-doc Σ c_f·w_f exact in int64, and
+    // the top-100 keep decision from a broadcast 1-row threshold (ties at
+    // the boundary keep — deterministic). The cheap quality-classifier
+    // alternative for steering a pretraining mix toward a domain.
+    "q162_dsir_importance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Dsir.importanceWeights(
+        docs, "text", col("lang") === "en", buckets = 256)
+      val scores = graft.operators.Dsir.importanceScores(
+        docs, "doc_id", "text", w, buckets = 256)
+      val th = scores.orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(100).agg(min(col("score_fp")).as("__th"))
+      scores.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("score_fp"),
+          (col("score_fp") >= col("__th")).as("selected"))
+        .orderBy("doc_id")
+    }),
     // PII scrub before release: per-doc detection counts plus the md5 of
     // the redacted text itself — the redaction OUTPUT is hash-verified
     // against the oracle performing the same RE2-subset replacements.
@@ -466,6 +486,25 @@ object CurationQueries {
     oracleSqlBase + ("q137_bpe_encode_vocab" -> oracleSqlBase("q133_bpe_encode"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q162_dsir_importance" ->
+      raw"""WITH tk AS (SELECT doc_id, lang,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+          f AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS bucket FROM tk),
+          bc AS (SELECT bucket, count(*) FILTER (lang = 'en') AS tf, count(*) AS rf
+                 FROM f GROUP BY bucket),
+          tot AS (SELECT sum(tf) AS tt, sum(rf) AS rt FROM bc),
+          w AS (SELECT bucket,
+              CAST(floor(1e6 * ln(CAST((tf + 1) * (rt + 256) AS DOUBLE)
+                                  / CAST((rf + 1) * (tt + 256) AS DOUBLE))) AS BIGINT) AS w_fp
+            FROM bc, tot),
+          dc AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
+          sc AS (SELECT doc_id, sum(c * w_fp) AS score_fp
+                 FROM dc JOIN w USING (bucket) GROUP BY doc_id),
+          th AS (SELECT min(score_fp) AS th FROM
+                 (SELECT score_fp FROM sc ORDER BY score_fp DESC, doc_id LIMIT 100))
+          SELECT doc_id, score_fp, (score_fp >= th) AS selected
+          FROM sc, th ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q89_pii_scrub" ->
       raw"""WITH $DecSql
           SELECT doc_id,
