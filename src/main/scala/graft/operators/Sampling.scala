@@ -144,6 +144,49 @@ object Sampling {
     }
   }
 
+  /** Exact integer square root: floor(√x) for 0 ≤ x < 2^52. The libm
+    * `sqrt` result can land one off after `floor` when x sits next to a
+    * perfect square, so the candidate is corrected by ±1 with pure int64
+    * comparisons — the SAME three-step formula any SQL engine reproduces,
+    * which is what makes √-shaped weights (temperature sampling) oracle-
+    * checkable where raw doubles wouldn't be.
+    */
+  def isqrt(x: Column): Column = {
+    val r0 = floor(sqrt(x.cast("double"))).cast("long")
+    r0 + when((r0 + 1) * (r0 + 1) <= x, 1L).otherwise(0L) -
+      when(r0 * r0 > x, 1L).otherwise(0L)
+  }
+
+  /** Temperature-scaled (α = 1/2) mixture calibration — the multilingual
+    * α-sampling of Conneau & Lample 2019 / mT5, in exact integer
+    * arithmetic: stratum s gets sampling mass ∝ n_s^α, flattening the
+    * head and lifting under-resourced strata. With α = 1/2 the weight is
+    * w_s = isqrt(n_s · 10^6) (≈ √n_s on a 10⁻³ grid), the per-stratum doc
+    * target is the floor-division allocation of `targetRows`, and the keep
+    * threshold is the [[hashSampleTarget]] integer-grid rate — every step
+    * int64, so the whole calibration (and the realized sample) is engine-
+    * reproducible. Returns one row per stratum:
+    * (stratum, n_rows, w_fp, target_rows, threshold).
+    *
+    * Scale shape: the stratum table is |strata| rows (broadcast); the
+    * corpus contributes one map-side-combined count. Floor allocation
+    * under-fills by at most |strata| rows — a bias audit, not a bug.
+    */
+  def temperatureTargets(
+      df: DataFrame, stratum: Column, targetRows: Long): DataFrame = {
+    require(targetRows > 0)
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("w_fp", isqrt(col("n_rows") * 1000000L))
+    val tot = counts.agg(sum(col("w_fp")).as("__sw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target_rows",
+        expr(s"($targetRows * w_fp) div __sw"))
+      .withColumn("threshold",
+        least(lit(10000L), expr("(10000 * target_rows) div n_rows")))
+      .drop("__sw")
+  }
+
   /** Per-stratum rates (e.g. language → keep fraction), `default` for
     * strata not listed. One codegen'd CASE over the stratum column.
     */

@@ -126,6 +126,23 @@ object CurationQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Temperature (α=1/2) mixture calibration — multilingual α-sampling
+    // (Conneau & Lample 2019): per-language √-scaled targets for a
+    // 200-doc mix, with the exact-isqrt weight, floor allocation, derived
+    // integer threshold, and the REALIZED deterministic sample count per
+    // language. Head languages flatten, tail languages lift, and every
+    // number is int64 — the whole calibration is oracle-replayed.
+    "q167_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = Sampling.temperatureTargets(docs, col("lang"), targetRows = 200L)
+      val sampled = docs.join(broadcast(t), col("lang") === col("stratum"))
+        .filter(Sampling.hashBucket(col("doc_id")) < col("threshold"))
+        .groupBy("stratum").agg(count(lit(1)).as("n_sampled"))
+      t.join(sampled, Seq("stratum"), "left")
+        .select(col("stratum").as("lang"), col("n_rows"), col("w_fp"),
+          col("target_rows"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // importance of every doc toward the English slice (target = lang
     // 'en', raw = whole corpus), Laplace-smoothed fixed-point log-ratio
@@ -486,6 +503,22 @@ object CurationQueries {
     oracleSqlBase + ("q137_bpe_encode_vocab" -> oracleSqlBase("q133_bpe_encode"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q167_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+          r0 AS (SELECT lang, n_rows, n_rows * 1000000 AS x,
+                 CAST(floor(sqrt(CAST(n_rows * 1000000 AS DOUBLE))) AS BIGINT) AS r FROM c),
+          w AS (SELECT lang, n_rows,
+                 r + (CASE WHEN (r+1)*(r+1) <= x THEN 1 ELSE 0 END)
+                   - (CASE WHEN r*r > x THEN 1 ELSE 0 END) AS w_fp FROM r0),
+          tw AS (SELECT sum(w_fp) AS sw FROM w),
+          t AS (SELECT lang, n_rows, w_fp, (200 * w_fp) // sw AS target_rows FROM w, tw),
+          t2 AS (SELECT *, least(10000, (10000 * target_rows) // n_rows) AS th FROM t),
+          s AS (SELECT d.lang, count(*) AS n_sampled
+                FROM documents d JOIN t2 USING (lang)
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < th
+                GROUP BY d.lang)
+          SELECT t2.lang, n_rows, w_fp, target_rows, coalesce(n_sampled, 0) AS n_sampled
+          FROM t2 LEFT JOIN s ON t2.lang = s.lang ORDER BY t2.lang""".replaceAll("\\s+", " "),
     "q162_dsir_importance" ->
       raw"""WITH tk AS (SELECT doc_id, lang,
               unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),

@@ -261,4 +261,36 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .filter($"n" > W || ($"n" < W && $"chunk_idx" < $"nch" - 1))
     assert(bad.count() === 0L)
   }
+
+  test("isqrt is exact floor(sqrt) across perfect-square boundaries") {
+    import graft.operators.Sampling
+    val xs = ((0L to 2000L) ++
+      Seq(25L, 26L, 10000000000L, 10000000001L, 9999999999L,
+        (1L << 26) * (1L << 26), (1L << 26) * (1L << 26) - 1)).distinct
+    val out = xs.toDF("x").select($"x", Sampling.isqrt($"x").as("r")).collect()
+    out.foreach { row =>
+      val (x, r) = (row.getLong(0), row.getLong(1))
+      assert(r * r <= x && (r + 1) * (r + 1) > x, s"isqrt($x) = $r wrong")
+    }
+  }
+
+  test("temperatureTargets flattens the head and lifts the tail") {
+    import graft.operators.Sampling
+    // strata: big=900 rows, small=100 rows (raw shares 90% / 10%)
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "stratum")
+    val t = Sampling.temperatureTargets(df, $"stratum", targetRows = 100L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("w_fp"),
+          r.getAs[Long]("target_rows"), r.getAs[Long]("threshold"))).toMap
+    // sqrt weights: 30000 vs 10000 -> shares 75% / 25% (raw was 90/10)
+    assert(t("big")._2 == 30000L && t("small")._2 == 10000L)
+    assert(t("big")._3 == 75L && t("small")._3 == 25L)
+    // small stratum's target share (25%) exceeds its raw share (10%)
+    assert(t("small")._3 * 1000 > 100L * t("small")._1)
+    // thresholds on the integer grid, capped
+    assert(t.values.forall(v => v._4 >= 0 && v._4 <= 10000))
+    // floor allocation never over-fills
+    assert(t.values.map(_._3).sum <= 100L)
+  }
 }
