@@ -144,6 +144,29 @@ object Sampling {
     }
   }
 
+  /** Per-GROUP fixed-target sampling — [[hashSampleTarget]] generalized to
+    * one absolute target per group (semantic cluster, language, shard)
+    * with the thresholds derived IN THE PLAN: one windowed count per
+    * group partition, then the same integer-grid rate and md5 membership.
+    * No driver-side count per group, no collect — the calibration rides
+    * the same single exchange that groups the rows, so the op works
+    * unchanged whether there are 16 clusters or 16 million.
+    *
+    * The balancing half of cluster-balanced corpus assembly (SemDeDup-
+    * style pipelines sample a fixed budget per embedding cluster so
+    * over-represented regions of embedding space don't dominate the mix).
+    */
+  def balancedSampleByGroup(
+      df: DataFrame, group: Column, key: Column, targetRows: Long): DataFrame = {
+    require(targetRows > 0)
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__n", count(lit(1)).over(Window.partitionBy(group)))
+      .withColumn("__th",
+        least(lit(10000L), expr(s"(10000 * $targetRows) div __n")))
+      .filter(hashBucket(key) < col("__th"))
+      .drop("__n", "__th")
+  }
+
   /** Exact integer square root: floor(√x) for 0 ≤ x < 2^52. The libm
     * `sqrt` result can land one off after `floor` when x sits next to a
     * perfect square, so the candidate is corrected by ±1 with pure int64

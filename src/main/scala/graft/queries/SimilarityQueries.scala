@@ -370,6 +370,26 @@ object SimilarityQueries {
     // aggregation, so the card itself hash-matches the oracle; assignment
     // is the zero-shuffle broadcast fold, the card one map-side-combined
     // aggregation over 16 groups.
+    // Cluster-balanced corpus sampling (the SemDeDup-pipeline mix step):
+    // assign every embedding to its nearest of 16 centroids (zero-shuffle
+    // broadcast argmin fold), join the documents by id, and keep a FIXED
+    // 8-doc target per cluster via the in-plan derived integer threshold —
+    // over-represented regions of embedding space stop dominating the mix,
+    // and the whole calibration (counts → thresholds → membership) is
+    // exact-integer, no driver round trip per group.
+    "q166_cluster_balanced" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .select("vec_id", "centroid_id")
+      val joined = Tables.documents(s, dir).select(col("doc_id"))
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .select("doc_id", "centroid_id")
+      graft.operators.Sampling.balancedSampleByGroup(
+        joined, col("centroid_id"), col("doc_id"), targetRows = 8L)
+        .orderBy("centroid_id", "doc_id")
+    }),
     "q119_corpus_diversity" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
@@ -1212,6 +1232,23 @@ object SimilarityQueries {
           SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
           ORDER BY a.vec_id""".replaceAll("\\s+", " ")
+    },
+    "q166_cluster_balanced" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, cid FROM (
+              SELECT v.vec_id, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          j AS (SELECT d.doc_id, a.cid AS centroid_id
+                FROM documents d JOIN assigned a ON d.doc_id = a.vec_id),
+          n AS (SELECT centroid_id, count(*) AS n FROM j GROUP BY centroid_id)
+          SELECT doc_id, centroid_id FROM j JOIN n USING (centroid_id)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                < least(10000, (10000 * 8) // n)
+          ORDER BY centroid_id, doc_id""".replaceAll("\\s+", " ")
     },
     "q119_corpus_diversity" -> {
       val dl2 =

@@ -262,6 +262,36 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() === 0L)
   }
 
+  test("balancedSampleByGroup: small groups keep everything, big groups cut to target") {
+    import graft.operators.Sampling
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (2001 to 2005).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = Sampling.balancedSampleByGroup(df, $"g", $"id", targetRows = 10L)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // a group at-or-under target keeps every row (threshold caps at 10000)
+    assert(out("small") == (2001L to 2005L).toSet)
+    // the big group is cut to ~target (md5-uniform: 1% of 1000)
+    assert(out("big").size < 50 && out("big").nonEmpty)
+    // membership is the hashBucket predicate, not RNG
+    val th = 10000L * 10 / 1000
+    val expected = (1 to 1000).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000 < th
+    }.map(_.toLong).toSet
+    assert(out("big") == expected)
+  }
+
+  test("balancedSampleByGroup: one group's sample is unchanged when another grows") {
+    import graft.operators.Sampling
+    val base = (1 to 400).map(i => (i.toLong, if (i <= 200) "a" else "b"))
+    val grown = base ++ (401 to 800).map(i => (i.toLong, "b"))
+    def sampleA(rows: Seq[(Long, String)]) =
+      Sampling.balancedSampleByGroup(rows.toDF("id", "g"), $"g", $"id", 20L)
+        .filter($"g" === "a").collect().map(_.getLong(0)).toSet
+    assert(sampleA(base) == sampleA(grown))
+  }
+
   test("isqrt is exact floor(sqrt) across perfect-square boundaries") {
     import graft.operators.Sampling
     val xs = ((0L to 2000L) ++
