@@ -377,6 +377,52 @@ object Similarity {
   /** Brute-force top-k by cosine against a 1-row probe DataFrame
     * (columns: `probeCol` the vector). Probe is broadcast; result is k rows.
     */
+  /** Mutual k-NN graph over an IVF-bucketed candidate space — the
+    * neighborhood-graph construction semantic clustering and NN-descent
+    * initialization use: candidates are vectors sharing a coarse centroid
+    * (the [[ivfAssign]] zero-shuffle fold), each vector keeps its exact
+    * k nearest candidates by int64 fixed-point L2 (scale 1e7 — engine-
+    * reproducible, no float ranking), and an undirected edge (a < b)
+    * survives only if each endpoint is in the OTHER's top-k (the mutual
+    * filter that cuts hub vertices out of skewed neighborhoods).
+    *
+    * Scale shape: the self-join is per-centroid-bucket (quadratic in the
+    * BUCKET, never the corpus — the quantizer caps bucket volume, and
+    * [[ivfRebalanceHottest]] is the repair when drift fattens one); top-k
+    * runs through the native bounded-heap TopKPerGroup operator, so the
+    * exchange after the join carries k rows per vector; the mutual filter
+    * is one self-join of that k·N edge list on both key orders.
+    */
+  def knnGraphMutual(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      k: Int,
+      scale: Double = 1e7): DataFrame = {
+    require(k >= 1)
+    val assigned = ivfAssign(df, idCol, embCol, centroids)
+      .select(col(idCol), col("centroid_id"),
+        transform(col(embCol), x => floor(x.cast("double") * scale).cast("long"))
+          .as("__vfp"))
+    val a = assigned.select(col("centroid_id"),
+      col(idCol).as("a_id"), col("__vfp").as("__va"))
+    val b = assigned.select(col("centroid_id"),
+      col(idCol).as("b_id"), col("__vfp").as("__vb"))
+    val pairs = a.join(b, "centroid_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+    val topk = Analytics.topKPerGroupNative(
+      pairs, Seq("a_id"), Seq(("d", false), ("b_id", false)), k)
+      .select("a_id", "b_id")
+    topk.join(
+        topk.select(col("a_id").as("b_id"), col("b_id").as("a_id")),
+        Seq("a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
   def bruteForceTopK(
       df: DataFrame,
       idCol: String,

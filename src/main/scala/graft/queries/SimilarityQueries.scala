@@ -370,6 +370,22 @@ object SimilarityQueries {
     // aggregation, so the card itself hash-matches the oracle; assignment
     // is the zero-shuffle broadcast fold, the card one map-side-combined
     // aggregation over 16 groups.
+    // Semantic clustering by MUTUAL k-NN graph components: IVF-bucketed
+    // exact k=5 neighborhoods in int64 fixed point, edges kept only when
+    // both endpoints choose each other (kills hub vertices), components
+    // labeled by the O(log n) star CC — the embedding-space analogue of
+    // the q73/q77 text dedup clusters, sharing their recursive-CTE oracle
+    // pattern. Output: (vec_id, cluster_id) for every vector with at
+    // least one mutual neighbor.
+    "q165_mutual_knn_clusters" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
+      val edges = Similarity.knnGraphMutual(e, "vec_id", "embedding", cents, k = 5)
+      graft.operators.TextDedup.connectedComponentsStar(edges, "a_id", "b_id")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
     // Cluster-balanced corpus sampling (the SemDeDup-pipeline mix step):
     // assign every embedding to its nearest of 16 centroids (zero-shuffle
     // broadcast argmin fold), join the documents by id, and keep a FIXED
@@ -1232,6 +1248,38 @@ object SimilarityQueries {
           SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
           FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
           ORDER BY a.vec_id""".replaceAll("\\s+", " ")
+    },
+    "q165_mutual_knn_clusters" -> {
+      val dl2 =
+        s"list_sum([(CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) * (CAST(e[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)) for i in range(1, ${Dim + 1})])"
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+          assigned AS (
+            SELECT vec_id, cid FROM (
+              SELECT v.vec_id, cent.cid, v.embedding AS e, cent.c
+              FROM embeddings v, cent)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $dl2 ASC, cid ASC) = 1),
+          fp AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+                 FROM embeddings),
+          pa AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   list_sum(list_transform(range(1, ${Dim + 1}),
+                     i -> (fa.v[i] - fb.v[i]) * (fa.v[i] - fb.v[i]))) AS d
+                 FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                 JOIN fp fa ON fa.vec_id = a.vec_id
+                 JOIN fp fb ON fb.vec_id = b.vec_id),
+          topk AS (SELECT a_id, b_id FROM pa
+                   QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY d, b_id) <= 5),
+          mut AS (SELECT t1.a_id, t1.b_id FROM topk t1
+                  JOIN topk t2 ON t1.a_id = t2.b_id AND t1.b_id = t2.a_id
+                  WHERE t1.a_id < t1.b_id),
+          edges AS (SELECT a_id AS a, b_id AS b FROM mut
+                    UNION SELECT b_id, a_id FROM mut),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lbl) AS (SELECT id, id FROM nodes
+                             UNION
+                             SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON e2.a = r.id)
+          SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach
+          GROUP BY id ORDER BY vec_id""".replaceAll("\\s+", " ")
     },
     "q166_cluster_balanced" -> {
       val dl2 =
