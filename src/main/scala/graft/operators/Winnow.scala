@@ -45,8 +45,56 @@ object Winnow {
   /** 32-bit gram hash: first 8 md5 hex digits, exactly the
     * [[Sampling.hashBucket]] / q118 bucket construction (engine-portable).
     */
-  private def h32(c: Column): Column =
+  private[operators] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Longest shared token run per CANDIDATE pair — the per-pair span
+    * measurement behind exact-substring deduplication (Lee et al., ACL
+    * 2022 "Deduplicating Training Data Makes Language Models Better"):
+    * where that paper's suffix array finds duplicated spans corpus-wide,
+    * this measures them on an LSH-proposed candidate list — the cheap-
+    * candidates → expensive-verify shape (q150's discipline, but the
+    * verdict is the SPAN LENGTH, which an edit-distance verdict can't
+    * give).
+    *
+    * Method: word-k-gram hashes with positions for both docs of each
+    * pair; matches (a_pos, b_pos) on equal hash; a run is a maximal set of
+    * matches on one diagonal (a_pos − b_pos constant) with consecutive
+    * a_pos — the gaps-and-islands grouping key is
+    * `a_pos − row_number()` within the (pair, diagonal) partition. A run
+    * of m consecutive shared k-grams is m+k−1 shared tokens.
+    *
+    * Returns (doc_a, doc_b, longest_run_tokens, n_matching_grams); pairs
+    * with zero shared k-grams drop out (nothing to measure). Scale shape:
+    * gram volume joins only FOR candidate pairs (the candidate join keys
+    * the gram exchange), diagonals partition per pair, and the window
+    * sort is per (pair, diagonal) — never global.
+    */
+  def longestSharedRuns(
+      docs: DataFrame, idCol: String, textCol: String,
+      cand: DataFrame, k: Int = 5): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("__gid"),
+        posexplode(Text.wordNgrams(Text.tokens(col(textCol)), k))
+          .as(Seq("__pos", "__gram")))
+      .select(col("__gid"), col("__pos").cast("long").as("__pos"),
+        h32(col("__gram")).as("__h"))
+    val ga = g.select(col("__gid").as("doc_a"), col("__pos").as("__ap"), col("__h"))
+    val gb = g.select(col("__gid").as("doc_b"), col("__pos").as("__bp"), col("__h"))
+    val m = cand.select("doc_a", "doc_b")
+      .join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "__h"))
+    val wd = Window
+      .partitionBy(col("doc_a"), col("doc_b"), (col("__ap") - col("__bp")).as("__d"))
+      .orderBy("__ap")
+    m.withColumn("__grp", col("__ap") - row_number().over(wd))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("__ap") - col("__bp")).as("__d"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("__len")) + (k - 1)).as("longest_run_tokens"),
+        sum(col("__len")).as("n_matching_grams"))
+  }
 
   /** Winnowed fingerprints, one row per selected (doc, gram hash, position).
     *

@@ -158,6 +158,20 @@ object DedupQueries {
         .filter(col("n_shared") >= 2)
         .orderBy("doc_a", "doc_b")
     }),
+    // Duplicated-SPAN measurement per candidate pair (Lee et al. 2022's
+    // unit of work, on LSH candidates instead of a corpus suffix array):
+    // matching word-5-gram positions → diagonal gaps-and-islands → the
+    // longest shared token run and total matching grams. The prefix-
+    // dropped near-copies surface with runs spanning nearly the whole
+    // doc; q150's edit-distance verdict says HOW different, this says
+    // WHERE and HOW LONG the copy is.
+    "q168_dup_spans" -> ((s, dir) => {
+      val aug = augmented(s, dir)
+      val cand = TextDedup.minhashLshCandidates(
+        withShingles(aug), "doc_id", "shash", k = 8, bandRows = 2)
+      graft.operators.Winnow.longestSharedRuns(aug, "doc_id", "text", cand, k = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Candidate verification by edit distance — the cheap-candidates →
     // expensive-verify production pattern: LSH banding proposes pairs from
     // signatures alone, then the O(L²) levenshtein DP runs ONLY on the
@@ -564,6 +578,30 @@ object DedupQueries {
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q168_dup_spans" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          g AS (SELECT doc_id, i - 1 AS pos,
+                  ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 8))::BIGINT AS h
+                FROM sh, unnest(range(1, greatest(len(toks) - 3, 1))) AS u(i)),
+          m AS (SELECT c.doc_a, c.doc_b, ga.pos AS ap, gb.pos AS bp
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.doc_a
+                JOIN g gb ON gb.doc_id = c.doc_b AND ga.h = gb.h),
+          r AS (SELECT doc_a, doc_b, ap - bp AS dg, ap,
+                  ap - row_number() OVER (PARTITION BY doc_a, doc_b, ap - bp ORDER BY ap) AS grp
+                FROM m),
+          runs AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS len
+                   FROM r GROUP BY doc_a, doc_b, dg, grp)
+          SELECT doc_a, doc_b, max(len) + 4 AS longest_run_tokens,
+                 sum(len) AS n_matching_grams
+          FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q161_winnow_overlap" ->
       raw"""WITH $AugSql,
           tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM aug),

@@ -67,6 +67,40 @@ class WinnowSpec extends AnyFunSuite with SparkFixture {
     assert(Winnow.overlapPairs(f, "doc_id", maxDf = 3).count() == 3)
   }
 
+  test("longestSharedRuns: m consecutive shared 5-grams = m+4 shared tokens") {
+    import graft.operators.Winnow
+    // docs share a 12-token run -> 8 consecutive 5-grams -> longest = 12
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${salt("ua", 8)} $shared ${salt("ub", 8)}"),
+      (2L, s"${salt("vc", 5)} $shared ${salt("vd", 11)}")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Winnow.longestSharedRuns(docs, "doc_id", "text", cand, k = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("longest_run_tokens") == 12L)
+    assert(out.head.getAs[Long]("n_matching_grams") == 8L)
+  }
+
+  test("longestSharedRuns: two disjoint shared spans are separate runs") {
+    import graft.operators.Winnow
+    val s1 = (1 to 7).map(i => s"x$i").mkString(" ")  // 3 grams -> 7 tokens
+    val s2 = (1 to 6).map(i => s"y$i").mkString(" ")  // 2 grams -> 6 tokens
+    val docs = Seq(
+      (1L, s"$s1 ${salt("pa", 6)} $s2"),
+      (2L, s"$s2 ${salt("qb", 9)} $s1")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Winnow.longestSharedRuns(docs, "doc_id", "text", cand, k = 5).collect()
+    assert(out.head.getAs[Long]("longest_run_tokens") == 7L)
+    assert(out.head.getAs[Long]("n_matching_grams") == 5L) // 3 + 2
+  }
+
+  test("longestSharedRuns: pairs with no shared gram drop out") {
+    import graft.operators.Winnow
+    val docs = Seq((1L, salt("aa", 10)), (2L, salt("bb", 10))).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(Winnow.longestSharedRuns(docs, "doc_id", "text", cand).count() == 0)
+  }
+
   test("deterministic: two runs produce identical fingerprint sets") {
     val texts = Seq(1 -> salt("d", 30), 2 -> (salt("e", 10) + " " + salt("d", 15)))
     val a = fp(texts: _*).collect().map(_.toString).sorted
