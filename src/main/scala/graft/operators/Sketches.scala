@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic count-min sketch (Cormode & Muthukrishnan 2005, "An
@@ -38,6 +39,57 @@ object Sketches {
         .as("__jb"))
       .groupBy(col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Equi-width histogram median estimator with its own exact audit — the
+    * constant-memory quantile shape (a KLL/t-digest stand-in that, unlike
+    * them, is bit-deterministic cross-engine): per group, values quantize
+    * to `bins` equal integer buckets over the group's [min, max], the
+    * estimate is the LOWER EDGE of the first bin whose cumulative count
+    * reaches the lower-median rank ⌈n/2⌉, and the exact median (the
+    * rank-⌈n/2⌉ smallest value — well-defined under ties) rides along
+    * with the signed error.
+    *
+    * Everything after the one float→fixed-point quantization
+    * (floor(value·1e6), the shared IEEE step both engines replay) is
+    * int64: bin index by cross-multiplied floor division, bin edge back
+    * the same way. Scale shape: min/max/count one map-side-combined agg
+    * joined back broadcast (|groups| rows); the histogram is ≤
+    * groups·bins rows; only the exact-audit rank is a per-group sort —
+    * the thing a 100 TB run drops, keeping the estimator (the paired
+    * audit is the point of this op at test scale).
+    */
+  def histogramMedian(
+      df: DataFrame, groupCol: String, valueFpCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2)
+    val q = df.select(col(groupCol).as("g"), col(valueFpCol).as("v"))
+    val stats = q.groupBy("g").agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val binned = q.join(broadcast(stats), "g")
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit(bins - 1L),
+          expr(s"((v - mn) * $bins) div (mx - mn + 1)"))))
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(stats), "g")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("g").agg(min(col("bin")).as("p50_bin"))
+      .join(broadcast(stats), "g")
+      .withColumn("p50_est_fp", expr(s"mn + (p50_bin * (mx - mn + 1)) div $bins"))
+    val wr = Window.partitionBy("g").orderBy("v")
+    val exact = q
+      .withColumn("rn", row_number().over(wr))
+      .join(broadcast(stats.select(col("g"), col("n"))), "g")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("v").as("p50_exact_fp"))
+    est.join(exact, "g")
+      .select(col("g").as(groupCol), col("n"), col("mn"), col("mx"),
+        col("p50_bin"), col("p50_est_fp"), col("p50_exact_fp"),
+        (col("p50_est_fp") - col("p50_exact_fp")).as("err_fp"))
   }
 
   /** Point estimates for the keys in `keys(keyCol)`: min over the depth

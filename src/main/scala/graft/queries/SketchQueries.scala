@@ -106,6 +106,22 @@ object SketchQueries {
     // against the exact top-20 counts. cms_n ≥ exact_n always; the sketch
     // is a constant-size, map-side-combined, MERGEABLE aggregate — the
     // 100 TB (and streaming) shape for corpus-frequency tracking.
+    // Equi-width histogram median per event type, with the exact audit in
+    // the same row: the deterministic constant-memory quantile estimator
+    // (16 integer bins over the group's fixed-point range; estimate = the
+    // lower edge of the bin reaching rank ⌈n/2⌉) next to the rank-exact
+    // median and the signed error — the oracle-checkable counterpart of
+    // q50's approx_percentile the way q158's linear counting pairs with
+    // HLL. At 100 TB the estimator's shape (one agg + groups·bins rows)
+    // survives; the audit's per-group sort is the part you drop.
+    "q169_histogram_median" -> ((s, dir) => {
+      Sketches.histogramMedian(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") * 1e6).cast("long").as("vfp")),
+        "event_type", "vfp", bins = 16)
+        .orderBy("event_type")
+    }),
     "q153_countmin_heavy" -> ((s, dir) => {
       val grams = Tables.documents(s, dir)
         .select(explode(Text.wordNgramsFromText(col("text"), 2)).as("tok"))
@@ -138,6 +154,30 @@ object SketchQueries {
           count(DISTINCT o_custkey) AS n_customers
           FROM orders GROUP BY o_orderpriority
           ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    "q169_histogram_median" ->
+      """WITH q AS (SELECT event_type AS g,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+          st AS (SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n FROM q GROUP BY g),
+          b AS (SELECT q.g,
+              CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                   ELSE least(CAST(15 AS BIGINT), ((v - mn) * 16) // (mx - mn + 1)) END AS bin
+            FROM q JOIN st USING (g)),
+          h AS (SELECT g, bin, count(*) AS c FROM b GROUP BY g, bin),
+          cu AS (SELECT g, bin,
+              sum(c) OVER (PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+            FROM h),
+          eb AS (SELECT cu.g, min(bin) AS p50_bin FROM cu JOIN st USING (g)
+                 WHERE cum >= (n + 1) // 2 GROUP BY cu.g),
+          est AS (SELECT g, n, mn, mx, p50_bin,
+                    mn + (p50_bin * (mx - mn + 1)) // 16 AS p50_est_fp
+                  FROM eb JOIN st USING (g)),
+          ex AS (SELECT g, v AS p50_exact_fp FROM
+                   (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                           count(*) OVER (PARTITION BY g) AS n2 FROM q)
+                 WHERE rn = (n2 + 1) // 2)
+          SELECT g AS event_type, n, mn, mx, p50_bin, p50_est_fp, p50_exact_fp,
+                 p50_est_fp - p50_exact_fp AS err_fp
+          FROM est JOIN ex USING (g) ORDER BY event_type""".replaceAll("\\s+", " "),
     "q158_linear_counting" ->
       """WITH b AS (SELECT DISTINCT o_orderpriority,
               ('0x' || substr(md5('lc:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT

@@ -48,4 +48,38 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       .filter(whole("c").isNull || merged("c").isNull || whole("c") =!= merged("c"))
     assert(mismatch.count() == 0)
   }
+
+  test("histogramMedian: known small case and exact-rank audit") {
+    // values 1..100: lower median (rank 50) = 50; bin((50-1)*16//100)=7,
+    // edge = 1 + (7*100)//16 = 44
+    val df = (1 to 100).map(v => ("g1", v.toLong)).toDF("g", "v")
+    val r = Sketches.histogramMedian(df, "g", "v", bins = 16).head()
+    assert(r.getAs[Long]("p50_exact_fp") == 50L)
+    assert(r.getAs[Long]("p50_bin") == 7L)
+    assert(r.getAs[Long]("p50_est_fp") == 44L)
+    assert(r.getAs[Long]("err_fp") == -6L)
+  }
+
+  test("histogramMedian: the exact median always lands in the chosen bin") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i * i * 2654435761L) % 99991))
+      .toDF("g", "v")
+    Sketches.histogramMedian(df, "g", "v", bins = 16).collect().foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("mn"), r.getAs[Long]("mx"))
+      val bin = r.getAs[Long]("p50_bin")
+      val exact = r.getAs[Long]("p50_exact_fp")
+      val lower = mn + (bin * (mx - mn + 1)) / 16
+      val upper = mn + ((bin + 1) * (mx - mn + 1)) / 16
+      assert(exact >= lower && exact < upper,
+        s"median $exact outside bin [$lower, $upper)")
+      assert(r.getAs[Long]("p50_est_fp") == lower)
+    }
+  }
+
+  test("histogramMedian: a constant group estimates exactly with zero error") {
+    val df = (1 to 40).map(_ => ("c", 7L)).toDF("g", "v")
+    val r = Sketches.histogramMedian(df, "g", "v", bins = 16).head()
+    assert(r.getAs[Long]("p50_bin") == 0L)
+    assert(r.getAs[Long]("p50_est_fp") == 7L)
+    assert(r.getAs[Long]("err_fp") == 0L)
+  }
 }
