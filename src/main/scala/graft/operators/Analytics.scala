@@ -109,6 +109,37 @@ object Analytics {
     * naive inequality join plans; all three bucket probes are one shuffle
     * (the explode happens before the exchange).
     */
+  /** Exponentially-weighted moving average in EXACT fixed point — the
+    * dashboard smoothing op (the reference's resample averages are the
+    * box-filter cousin) made engine-reproducible where float EWMA never
+    * is: α = 1/2 with the window truncated at `lags` rows, so the weights
+    * are powers of two and the whole estimate is one int64 fold.
+    *
+    * With the frame's m ≤ lags values ordered oldest→newest and weight
+    * 2^p for the p-th (newest highest), the normalized EWMA collapses to
+    * `(Σ x_p·2^p) div (2^m − 1)` — pure integer, no float accumulation
+    * order to diverge. Magnitude: |x| ≤ 10^9 fp units keeps the fold
+    * under 2^53 at lags=16.
+    *
+    * Scale shape: one per-key window (hash-partition by key, sort within)
+    * + a codegen'd per-row fold over ≤ `lags` elements; nothing global.
+    */
+  def ewmaFp(
+      df: DataFrame, key: String, ts: String, tieBreak: String,
+      vfpCol: String, lags: Int = 16): DataFrame = {
+    require(lags >= 1 && lags <= 32, s"lags must be in [1,32], got $lags")
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+      .rowsBetween(-(lags - 1), Window.currentRow)
+    df.withColumn("__lst", collect_list(col(vfpCol)).over(w))
+      .withColumn("__f", aggregate(col("__lst"),
+        struct(lit(1L).as("w"), lit(0L).as("s")),
+        (acc, x) => struct(
+          (acc.getField("w") * 2).as("w"),
+          (acc.getField("s") + x * acc.getField("w")).as("s"))))
+      .withColumn("ewma_fp", expr("__f.s div (__f.w - 1)"))
+      .drop("__lst", "__f")
+  }
+
   def bandJoin(
       left: DataFrame,
       right: DataFrame,

@@ -15,6 +15,19 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // EWMA smoothing in exact fixed point (α=1/2, 16-lag truncation →
+    // power-of-two weights → `(Σ x_p·2^p) div (2^m−1)` pure int64): the
+    // exponentially-weighted cousin of q55's rolling mean that float
+    // arithmetic could never hash-match cross-engine. One per-user window
+    // + codegen'd fold.
+    "q170_ewma" -> ((s, dir) => {
+      graft.operators.Analytics.ewmaFp(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 1e6).cast("long").as("vfp")),
+        key = "user_id", ts = "ts", tieBreak = "event_id", vfpCol = "vfp")
+        .select("event_id", "user_id", "ewma_fp")
+        .orderBy("event_id")
+    }),
     // Rolling mean over a 7-row frame per user (moving-average smoothing —
     // the time-series op the reference's dashboard resample approximates).
     // Exact decimal rolling sum / count so values hash-match.
@@ -125,6 +138,19 @@ object WindowQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q170_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+          f AS (SELECT a.user_id, a.event_id,
+              b.v, b.rn - greatest(a.rn - 15, 1) AS p
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn)
+          SELECT event_id, user_id,
+              sum(v * (CAST(1 AS BIGINT) << p)) // ((CAST(1 AS BIGINT) << count(*)) - 1)
+                AS ewma_fp
+          FROM f GROUP BY event_id, user_id ORDER BY event_id""".replaceAll("\\s+", " "),
     "q55_rolling_mean" ->
       """SELECT event_id, user_id,
           CAST(sum(CAST(value AS DECIMAL(30,10)))
