@@ -104,6 +104,39 @@ object TextQueries {
     // query terms' postings ever leave the scan (the isin filter is the
     // inverted-index probe), df/avgdl are broadcast 1-row/3-row frames,
     // and the top-15 is a TakeOrderedAndProject.
+    // PMI collocation mining (Church & Hanks 1990) — the statistic phrase
+    // extraction ranks by, where q31's raw bigram counts only rank
+    // frequency: pmi = ln(p(ab) / (p(a)·p(b))) over MLE estimates, as ONE
+    // libm ln of ONE IEEE division of exact int64 cross-products (the
+    // q64/q79 discipline), floored to fixed point. Support floor c(ab) ≥ 5
+    // (PMI's low-count pathology), top-30 by (pmi, bigram). Three map-side-
+    // combined count tables + two broadcast 1-row totals; at 100 TB the
+    // cross-products move to log space — here they stay < 2^53.
+    "q173_pmi_collocations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = docs.select(explode(Text.wordNgramsFromText(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val nUni = uni.agg(sum(col("c")).as("__nu"))
+      val nBi = docs.select(explode(Text.wordNgramsFromText(col("text"), 2)).as("b"))
+        .agg(count(lit(1)).as("__nb"))
+      bi
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .withColumn("pmi_fp",
+          floor(lit(1e6) * log(
+            (col("c_ab") * col("__nu") * col("__nu")).cast("double") /
+              (col("__nb") * col("c1") * col("c2")).cast("double")))
+            .cast("long"))
+        .select("bigram", "c_ab", "pmi_fp")
+        .orderBy(col("pmi_fp").desc, col("bigram").asc)
+        .limit(30)
+    }),
     // Positional phrase search: exact-adjacency occurrences of the 2-term
     // phrase "part filter" via the positional postings join (the way
     // Lucene-style positional indexes evaluate phrase queries; q155's BM25
@@ -560,6 +593,28 @@ object TextQueries {
                  ELSE 'zh' END AS lang_pred FROM s)
           SELECT lang, lang_pred, count(*) AS n FROM p
           GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".replaceAll("\\s+", " "),
+    "q173_pmi_collocations" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+          uni AS (SELECT unnest(toks) AS w FROM tk),
+          uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+          big AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+                  FROM tk, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+                  WHERE i < len(toks)),
+          bc AS (SELECT bigram, count(*) AS c_ab FROM big GROUP BY bigram
+                 HAVING count(*) >= 5),
+          nu AS (SELECT sum(c) AS nu FROM uc),
+          nb AS (SELECT count(*) AS nb FROM big),
+          j AS (SELECT b.bigram, b.c_ab,
+                  u1.c AS c1, u2.c AS c2
+                FROM bc b
+                JOIN uc u1 ON u1.w = split_part(b.bigram, ' ', 1)
+                JOIN uc u2 ON u2.w = split_part(b.bigram, ' ', 2))
+          SELECT bigram, c_ab,
+            CAST(floor(1e6 * ln(CAST(c_ab * nu * nu AS DOUBLE)
+                                / CAST(nb * c1 * c2 AS DOUBLE))) AS BIGINT) AS pmi_fp
+          FROM j, nu, nb
+          ORDER BY pmi_fp DESC, bigram ASC LIMIT 30""".replaceAll("\\s+", " "),
     "q164_phrase_search" ->
       raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                      FROM documents),
