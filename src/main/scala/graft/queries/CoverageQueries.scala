@@ -17,6 +17,25 @@ object CoverageQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Rendezvous (HRW) shard routing audit: every doc's shard under 8 and
+    // under 9 shards, rolled up per old shard with the count that moved.
+    // The minimal-disruption contract — movers relocate ONLY to the new
+    // shard 8, ~1/9 of each old shard — is visible in the result (and
+    // spec-asserted); mod-hashing would scatter ~8/9 of every shard.
+    // Pure per-row codegen'd argmax, one small aggregation.
+    "q171_rendezvous_shards" -> ((s, dir) => {
+      val sh = graft.operators.Shard
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sh.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          sh.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard8")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("shard8") =!= col("shard9")).as("n_moved"),
+          count_if(col("shard8") =!= col("shard9") && col("shard9") =!= 8)
+            .as("n_moved_elsewhere"))
+        .orderBy("shard8")
+    }),
     // A2 + C3 + C4: dataset date bounds and the UI's default range starts
     // (7d/14d/13w/5y before max), all from one aggregation pass.
     "q44_date_bounds" -> ((s, dir) => {
@@ -86,6 +105,22 @@ object CoverageQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q171_rendezvous_shards" ->
+      """WITH w8 AS (SELECT doc_id, s,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT AS w
+            FROM documents, unnest(range(0, 8)) AS u(s)),
+          s8 AS (SELECT doc_id, s AS shard8 FROM w8
+                 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) = 1),
+          w9 AS (SELECT doc_id, s,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT AS w
+            FROM documents, unnest(range(0, 9)) AS u(s)),
+          s9 AS (SELECT doc_id, s AS shard9 FROM w9
+                 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) = 1)
+          SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) FILTER (shard8 <> shard9) AS BIGINT) AS n_moved,
+            CAST(count(*) FILTER (shard8 <> shard9 AND shard9 <> 8) AS BIGINT) AS n_moved_elsewhere
+          FROM s8 JOIN s9 USING (doc_id)
+          GROUP BY shard8 ORDER BY shard8""".replaceAll("\\s+", " "),
     "q44_date_bounds" ->
       """SELECT CAST(min(ts) AS DATE) AS min_date, CAST(max(ts) AS DATE) AS max_date,
           CAST(max(ts) AS DATE) - 7 AS default_7d,
