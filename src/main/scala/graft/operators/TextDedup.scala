@@ -834,4 +834,43 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** PageRank over an undirected pair list in EXACT integer arithmetic —
+    * centrality of the near-dup graph (which documents sit at the heart
+    * of a duplication cluster vs its fringe — a canonical-selection
+    * signal beyond q105's quality argmax). Float PageRank is never
+    * engine-reproducible; this one is: ranks start at 10^9 mass units,
+    * each round redistributes `r div deg` along every edge and applies
+    * damping 85/100 by integer cross-multiplication —
+    * `r' = 15·10^9 div 100 + (85·Σ contrib) div 100` — so three rounds
+    * hash-match a SQL replay bit-for-bit (the [[Similarity.kmeansFp]]
+    * discipline for iterative ML, applied to iterative graph scoring).
+    * Floor division leaks mass monotonically; ranking, not mass
+    * conservation, is the contract (leak bounded by deg·iters units).
+    *
+    * Scale shape: per round, one join of edges to (deg, rank) on src +
+    * one map-side-combined sum by dst — the standard Pregel round as two
+    * shuffles on the edge list; undirected input means no dangling-node
+    * term. Plans nest per round; for rounds ≫ 3 materialize between
+    * rounds (the [[connectedComponentsStar]] loop discipline).
+    */
+  def pageRankFp(
+      pairs: DataFrame, aCol: String, bCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8)
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cs"))
+      ranks = ranks.select("id").join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").as("pr_fp"))
+  }
 }

@@ -158,6 +158,19 @@ object DedupQueries {
         .filter(col("n_shared") >= 2)
         .orderBy("doc_a", "doc_b")
     }),
+    // Near-dup graph centrality by exact-integer PageRank (3 rounds,
+    // d=85/100 by cross-multiplication): which docs ANCHOR a duplication
+    // cluster vs ride its fringe — a canonical-selection signal built on
+    // the same verified pair list as q159's degree histogram, but global
+    // (degree is round-1 PageRank; rounds 2–3 see through neighbors).
+    // Iterative graph float ML made oracle-checkable, like q71's k-means.
+    "q172_pagerank_fp" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5)
+      TextDedup.pageRankFp(pairs, "doc_a", "doc_b", iters = 3)
+        .orderBy("doc_id")
+    }),
     // Duplicated-SPAN measurement per candidate pair (Lee et al. 2022's
     // unit of work, on LSH candidates instead of a corpus suffix array):
     // matching word-5-gram positions → diagonal gaps-and-islands → the
@@ -578,6 +591,32 @@ object DedupQueries {
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q172_pagerank_fp" -> {
+      def round(i: Int) =
+        s"""c$i AS (SELECT e.t AS id, sum(r${i - 1}.r // d.deg) AS cs
+               FROM edges e JOIN deg d ON d.s = e.s JOIN r${i - 1} ON r${i - 1}.id = e.s
+               GROUP BY e.t),
+            r$i AS (SELECT r${i - 1}.id,
+                 CAST(150000000 AS BIGINT) + (85 * coalesce(cs, 0)) // 100 AS r
+               FROM r${i - 1} LEFT JOIN c$i USING (id))"""
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          vp AS (SELECT doc_a, doc_b
+                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                 WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                     / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          edges AS (SELECT doc_a AS s, doc_b AS t FROM vp
+                    UNION ALL SELECT doc_b, doc_a FROM vp),
+          deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+          r0 AS (SELECT s AS id, CAST(1000000000 AS BIGINT) AS r FROM deg),
+          ${round(1)}, ${round(2)}, ${round(3)}
+          SELECT id AS doc_id, r AS pr_fp FROM r3 ORDER BY doc_id""".replaceAll("\\s+", " ")
+    },
     "q168_dup_spans" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           sig AS (SELECT doc_id, hs, $SigSql AS mh
