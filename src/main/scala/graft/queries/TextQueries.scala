@@ -16,6 +16,17 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Linear quality probe: exact least-squares fit of token count on
+    // character count per source — one map-side-combined pass carrying
+    // five Gram sums per group, results as exact int64 rationals (plus
+    // the R² rational in decimal(38,0)), no iterative solver, no floats.
+    "q175_linear_probe" -> ((s, dir) => {
+      graft.operators.Regress.linearFitExact(
+        Tables.documents(s, dir),
+        col("source"), col("n_chars"), size(Text.tokens(col("text"))))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
     // Token statistics: whitespace tokens, BPE-ish tokens, distinct tokens,
     // mean token length. Pure per-row map — no shuffle except the final sort.
     "q27_token_stats" -> ((s, dir) => {
@@ -505,6 +516,27 @@ object TextQueries {
   )
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q175_linear_probe" ->
+      raw"""WITH pts AS (SELECT source,
+              CAST(n_chars AS BIGINT) AS x,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+            FROM documents),
+          g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pts GROUP BY source),
+          fit AS (SELECT source, n,
+              n * sxy - sx * sy AS slope_num,
+              n * sxx - sx * sx AS den,
+              sy * sxx - sx * sxy AS intercept_num,
+              n * syy - sy * sy AS syy_c
+            FROM g)
+          SELECT source, n, slope_num, den, intercept_num,
+            CAST(CAST(slope_num AS HUGEINT) * slope_num AS DECIMAL(38,0)) AS r2_num,
+            CAST(CAST(den AS HUGEINT) * syy_c AS DECIMAL(38,0)) AS r2_den
+          FROM fit ORDER BY source""".replaceAll("\\s+", " "),
     "q148_repetition_filters" ->
       raw"""WITH d0 AS (SELECT doc_id, text,
               regexp_split_to_array(trim(text), '\s+') AS ws0 FROM documents),
