@@ -32,4 +32,40 @@ object Shard {
       struct(weight(key, s).as("w"), lit(s.toLong).as("s"))): _*))
       .getField("s")
   }
+
+  /** Sampled range-partitioner bounds + assignment — what Spark's own
+    * `RangePartitioner` (and every distributed sort-merge writer) does
+    * before a 100 TB global sort, made deterministic and oracle-checkable:
+    * a md5-hash sample (no RNG — identical sample in any engine) is cut
+    * into `k` ntiles, the k−1 tile maxima become the range boundaries,
+    * and every row's range is `count(boundaries < v)` against the
+    * broadcast boundary array — a codegen'd array filter, NO shuffle for
+    * assignment and no global sort of the input. The per-range counts this
+    * returns ARE the skew audit: bounds from a representative sample keep
+    * ranges balanced, so the downstream sort's reducers stay even.
+    *
+    * The only ordered window runs on the SAMPLE (bounded by `sampleCap`
+    * per-10k rate by construction); boundary values are deterministic
+    * under ties because equal sort keys share one max regardless of which
+    * side of a tile cut the copies land on.
+    *
+    * Returns (range_id, n_rows, min_v, max_v), one row per occupied range.
+    */
+  def rangePartitionAudit(
+      df: org.apache.spark.sql.DataFrame,
+      v: Column, key: Column, k: Int, sampleCap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= 1024, s"bad range count $k")
+    require(sampleCap >= 1 && sampleCap <= 10000, s"bad sample rate $sampleCap")
+    val sample = df.filter(Sampling.hashBucket(key) < sampleCap).select(v.as("__v"))
+    val bounds = sample
+      .withColumn("__tile", ntile(k).over(Window.orderBy(col("__v"))))
+      .filter(col("__tile") < k)
+      .groupBy("__tile").agg(max(col("__v")).as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    df.select(v.as("__v")).crossJoin(broadcast(bounds))
+      .select(size(filter(col("__bs"), b => col("__v") > b)).as("range_id"), col("__v"))
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
 }

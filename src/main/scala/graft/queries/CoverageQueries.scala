@@ -23,6 +23,52 @@ object CoverageQueries {
     // shard 8, ~1/9 of each old shard — is visible in the result (and
     // spec-asserted); mod-hashing would scatter ~8/9 of every shard.
     // Pure per-row codegen'd argmax, one small aggregation.
+    // Z-order layout pruning audit: events mapped onto a 256×256 grid
+    // (x = user bucket, y = 6-minute time-of-day band), laid out two ways
+    // into 64 files — z-tiles (top 6 Morton bits) vs a single-key x-sort
+    // (x div 4) — then three predicates (2-D rectangle, user-only slice,
+    // time-only band) count the files each layout opens. The z-layout
+    // bounds ALL three (the rectangle hits the tiles it overlaps); the
+    // x-sort is perfect on x and opens every file for the time band —
+    // the trade a 100 TB table's clustering key decides. One scan, one
+    // aggregate; the morton code is pure codegen'd bit arithmetic.
+    "q174_zorder_pruning" -> ((s, dir) => {
+      val L = graft.operators.Layout
+      val base = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(256L)).as("x"),
+        expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"))
+      val prepared = base.select(
+        col("x"), col("y"),
+        L.zTile(col("x"), col("y"), bits = 8, tileBits = 6).as("file_z"),
+        shiftright(col("x"), 2).as("file_x"))
+      val rect = col("x").between(32, 47) && col("y").between(64, 95)
+      val userP = col("x").between(32, 47)
+      val timeP = col("y").between(64, 95)
+      prepared.agg(
+        countDistinct(when(rect, col("file_z"))).as("rect_files_z"),
+        countDistinct(when(rect, col("file_x"))).as("rect_files_x"),
+        countDistinct(when(userP, col("file_z"))).as("user_files_z"),
+        countDistinct(when(userP, col("file_x"))).as("user_files_x"),
+        countDistinct(when(timeP, col("file_z"))).as("time_files_z"),
+        countDistinct(when(timeP, col("file_x"))).as("time_files_x"),
+        count_if(rect).as("rect_rows"),
+        count_if(userP).as("user_rows"),
+        count_if(timeP).as("time_rows"))
+    }),
+    // Range-partitioner bounds audit: the deterministic twin of what a
+    // 100 TB global sort does first — md5-sample the sort key (5%), cut
+    // the sample into 8 ntiles, take tile maxima as boundaries, assign
+    // every event by a broadcast boundary-array filter (no shuffle, no
+    // global sort), and report per-range counts + bounds. Balanced
+    // n_rows across ranges IS the audit: it is what keeps the real
+    // sort's reducers even.
+    "q177_range_bounds" -> ((s, dir) => {
+      graft.operators.Shard.rangePartitionAudit(
+        Tables.events(s, dir), col("ts"), col("event_id"), k = 8, sampleCap = 500)
+        .withColumnRenamed("min_v", "min_ts")
+        .withColumnRenamed("max_v", "max_ts")
+        .orderBy("range_id")
+    }),
     "q171_rendezvous_shards" -> ((s, dir) => {
       val sh = graft.operators.Shard
       Tables.documents(s, dir)
@@ -105,6 +151,34 @@ object CoverageQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_zorder_pruning" ->
+      s"""WITH base AS (SELECT user_id % 256 AS x,
+              (hour(ts) * 60 + minute(ts)) // 6 AS y FROM events),
+          laid AS (SELECT x, y,
+              ${graft.operators.Layout.mortonSql("x", "y", 8)} // 1024 AS file_z,
+              x // 4 AS file_x FROM base)
+          SELECT
+            count(DISTINCT CASE WHEN x BETWEEN 32 AND 47 AND y BETWEEN 64 AND 95 THEN file_z END) AS rect_files_z,
+            count(DISTINCT CASE WHEN x BETWEEN 32 AND 47 AND y BETWEEN 64 AND 95 THEN file_x END) AS rect_files_x,
+            count(DISTINCT CASE WHEN x BETWEEN 32 AND 47 THEN file_z END) AS user_files_z,
+            count(DISTINCT CASE WHEN x BETWEEN 32 AND 47 THEN file_x END) AS user_files_x,
+            count(DISTINCT CASE WHEN y BETWEEN 64 AND 95 THEN file_z END) AS time_files_z,
+            count(DISTINCT CASE WHEN y BETWEEN 64 AND 95 THEN file_x END) AS time_files_x,
+            CAST(count(*) FILTER (x BETWEEN 32 AND 47 AND y BETWEEN 64 AND 95) AS BIGINT) AS rect_rows,
+            CAST(count(*) FILTER (x BETWEEN 32 AND 47) AS BIGINT) AS user_rows,
+            CAST(count(*) FILTER (y BETWEEN 64 AND 95) AS BIGINT) AS time_rows
+          FROM laid""".replaceAll("\\s+", " "),
+    "q177_range_bounds" ->
+      """WITH sample AS (SELECT ts AS v FROM events
+              WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 500),
+          tiled AS (SELECT v, ntile(8) OVER (ORDER BY v) AS tile FROM sample),
+          b AS (SELECT tile, max(v) AS bv FROM tiled WHERE tile < 8 GROUP BY tile),
+          bs AS (SELECT list_sort(list(bv)) AS bl FROM b),
+          assigned AS (SELECT len(list_filter(bs.bl, x -> e.ts > x)) AS range_id, e.ts
+            FROM events e, bs)
+          SELECT range_id, CAST(count(*) AS BIGINT) AS n_rows,
+            min(ts) AS min_ts, max(ts) AS max_ts
+          FROM assigned GROUP BY range_id ORDER BY range_id""".replaceAll("\\s+", " "),
     "q171_rendezvous_shards" ->
       """WITH w8 AS (SELECT doc_id, s,
               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT AS w

@@ -44,4 +44,23 @@ class ShardSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  // -- sampled range-partitioner bounds --------------------------------------
+
+  test("range audit covers every row in contiguous non-overlapping ranges") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5000).select($"id".as("k"), ($"id" * 37 % 4999).as("v"))
+    val audit = Shard.rangePartitionAudit(df, col("v"), col("k"), k = 8, sampleCap = 1000)
+      .orderBy("range_id").collect()
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == 5000L)
+    assert(audit.map(_.getAs[Int]("range_id")).toSeq == (0 until audit.length))
+    // ranges are ordered and disjoint: each range's min exceeds the previous max
+    audit.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("max_v") < hi.getAs[Long]("min_v"))
+    case _ => ()
+    }
+    // bounds from a 10% sample keep ranges roughly even (within 3x of ideal)
+    val counts = audit.map(_.getAs[Long]("n_rows"))
+    assert(counts.max < 3 * (5000 / 8) && counts.min > (5000 / 8) / 3)
+  }
 }
