@@ -351,6 +351,64 @@ object TextDedup {
     withCapNoopAssertion(pairs, df, idCol, shinglesCol, maxShingleDf, assertCapIsNoop)
   }
 
+  /** Prefix-filtered EXACT Jaccard similarity join — the PPJoin family
+    * (Chaudhuri/Ganti/Kaushik 2006, Xiao et al. 2008): order the shingle
+    * universe rarest-first (by document frequency), keep only each doc's
+    * first p = n − ⌈t·n⌉ + 1 shingles in that order as its PREFIX, and
+    * generate candidates from prefix-postings alone. The filter is
+    * LOSSLESS for Jaccard ≥ t = tNum/tDen: two sets whose prefixes are
+    * disjoint cannot reach the required overlap ⌈t/(1+t)·(n_a+n_b)⌉ — so
+    * unlike MinHash banding there are NO false negatives, yet the join
+    * never touches the full postings of common shingles (reference near-
+    * dup semantics: dedup/minhash.{rs,go} in /root/reference, here as the
+    * exact-join alternative to its probabilistic banding).
+    *
+    * Scale shape: candidate volume is Σ over PREFIX tokens of df², and
+    * prefixes hold each doc's RAREST tokens — the quadratic term lives
+    * exactly where df is smallest. Verification joins full postings only
+    * for surviving candidate pairs. The one global window (ranking the
+    * vocabulary by df) runs on the distinct-shingle DIMENSION table, not
+    * the corpus. The threshold is a rational (tDen·common ≥
+    * tNum·(union)) so the decision — and hence the result set — is exact
+    * int64, engine-reproducible.
+    *
+    * Returns (doc_a, doc_b, common, na, nb) for all pairs with
+    * J ≥ tNum/tDen.
+    */
+  def prefixFilterJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"bad threshold $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.filter(size(col(hashesCol)) > 0)
+      .select(col(idCol).as("doc"), col(hashesCol).as("__hs"))
+    val exploded = docs
+      .select(col("doc"), size(col("__hs")).as("n"), explode(col("__hs")).as("h"))
+      .repartition(col("h")) // shared barrier: df agg + rank join + both verify sides
+    val rank = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("__df"), col("h"))))
+      .select("h", "rank")
+    val prefix = exploded.join(rank, "h")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("doc")).orderBy(col("rank"))))
+      .filter(col("__rn") <= col("n") - expr(s"(($tNum * n) + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc"), col("h"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"), col("pa.h") === col("pb.h") && col("pa.doc") < col("pb.doc"))
+      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"))
+      .distinct()
+    val ia = exploded.select(col("doc").as("doc_a"), col("n").as("na"), col("h"))
+    val ib = exploded.select(col("doc").as("doc_b"), col("n").as("nb"), col("h"))
+    cand.join(ia, "doc_a").join(ib, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(lit(tDen) * col("common") >= lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "common", "na", "nb")
+  }
+
   /** Attach the cap-is-noop premise check to a pair result: a 1-row max-df
     * aggregate over the SAME exploded-shingle subtree the inverted index
     * repartitions (so ReuseExchange serves it from the index's shuffle

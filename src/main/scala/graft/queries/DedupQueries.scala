@@ -232,6 +232,18 @@ object DedupQueries {
     // identically-capped oracle still matches). The truly uncapped
     // configuration is an sf≤0.01-only ground-truth check
     // (JaccardGroundTruthSpec), never a sweep query.
+    // Prefix-filtered EXACT similarity join (PPJoin family): candidates
+    // come only from each doc's p = n−⌈0.7n⌉+1 RAREST shingles under a
+    // global df-order — a provably lossless filter for J ≥ 0.7 (no LSH
+    // false negatives), with the quadratic candidate term pushed to the
+    // lowest-df postings. PrefixJoinSpec pins equality with brute-force
+    // all-pairs Jaccard; here the full pipeline (rank → prefix →
+    // candidates → exact verify, all integer) is DuckDB-replayed.
+    "q176_prefix_join" -> ((s, dir) => {
+      TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
@@ -899,6 +911,27 @@ object DedupQueries {
                    FROM bands a JOIN bands b ON a.p = b.p AND a.nib = b.nib AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
           FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+          ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q176_prefix_join" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          docs AS (SELECT doc_id AS doc, hs FROM hashed WHERE len(hs) > 0),
+          ex AS (SELECT doc, len(hs) AS n, unnest(hs) AS h FROM docs),
+          rk AS (SELECT h, row_number() OVER (ORDER BY count(*), h) AS rank
+                 FROM ex GROUP BY h),
+          pre AS (SELECT doc, h FROM (SELECT ex.doc, ex.h, ex.n, rk.rank
+                    FROM ex JOIN rk USING (h))
+                  QUALIFY row_number() OVER (PARTITION BY doc ORDER BY rank)
+                    <= n - (7 * n + 9) // 10 + 1),
+          cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                   FROM pre a JOIN pre b ON a.h = b.h AND a.doc < b.doc),
+          ver AS (SELECT c.doc_a, c.doc_b, ea.n AS na, eb.n AS nb,
+                    count(*) AS common
+                  FROM cand c
+                  JOIN ex ea ON ea.doc = c.doc_a
+                  JOIN ex eb ON eb.doc = c.doc_b AND eb.h = ea.h
+                  GROUP BY c.doc_a, c.doc_b, ea.n, eb.n)
+          SELECT doc_a, doc_b, common, na, nb FROM ver
+          WHERE 10 * common >= 7 * (na + nb - common)
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q36_jaccard_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
