@@ -931,4 +931,30 @@ object TextDedup {
     }
     ranks.select(col("id").as("doc_id"), col("r").as("pr_fp"))
   }
+
+  /** Triangle census of an undirected pair list — the near-dup graph's
+    * transitivity audit: MinHash/prefix-join edges are pairwise decisions,
+    * and the ratio of closed triangles to open wedges (the global
+    * clustering coefficient, here as the exact rational 3·T / W) says how
+    * self-consistent those decisions are before connected components
+    * fuses them into clusters (near-dup similarity is not transitive; a
+    * LOW ratio warns that CC will chain dissimilar docs through middlemen).
+    *
+    * Exact and scale-shaped: edges arrive canonicalized a<b, so each
+    * triangle a<b<c is counted once by the two-join rule
+    * e(a,b)⋈e(b,c)⋈e(a,c) — two equi-joins ON THE EDGE LIST, never the
+    * doc table; wedges are Σ deg·(deg−1)/2, one map-side-combined pass.
+    * All int64, engine-reproducible.
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"), col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+  }
 }

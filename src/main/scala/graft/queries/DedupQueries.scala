@@ -65,6 +65,31 @@ object DedupQueries {
                [('0x' || substr(md5(t), 1, 8))::BIGINT for t in toks] AS th
              FROM sh))"""
 
+  /** The q176 prefix-filter join pipeline as a reusable CTE chain ending
+    * in `ppairs` (doc_a, doc_b, common, na, nb): global rarest-first rank,
+    * per-doc prefix p = n−⌈0.7n⌉+1, prefix-postings candidates, exact
+    * integer verify at J ≥ 7/10.
+    */
+  private val PrefixPairsSql =
+    """docs AS (SELECT doc_id AS doc, hs FROM hashed WHERE len(hs) > 0),
+       ex AS (SELECT doc, len(hs) AS n, unnest(hs) AS h FROM docs),
+       rk AS (SELECT h, row_number() OVER (ORDER BY count(*), h) AS rank
+              FROM ex GROUP BY h),
+       pre AS (SELECT doc, h FROM (SELECT ex.doc, ex.h, ex.n, rk.rank
+                 FROM ex JOIN rk USING (h))
+               QUALIFY row_number() OVER (PARTITION BY doc ORDER BY rank)
+                 <= n - (7 * n + 9) // 10 + 1),
+       cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                FROM pre a JOIN pre b ON a.h = b.h AND a.doc < b.doc),
+       ver AS (SELECT c.doc_a, c.doc_b, ea.n AS na, eb.n AS nb,
+                 count(*) AS common
+               FROM cand c
+               JOIN ex ea ON ea.doc = c.doc_a
+               JOIN ex eb ON eb.doc = c.doc_b AND eb.h = ea.h
+               GROUP BY c.doc_a, c.doc_b, ea.n, eb.n),
+       ppairs AS (SELECT doc_a, doc_b, common, na, nb FROM ver
+                  WHERE 10 * common >= 7 * (na + nb - common))"""
+
   /** MinHash signature from base hashes: k=8 universal-hash permutations. */
   private val SigSql =
     """[list_min([(h * (2*i + 1) + i * 2654435761) % 4294967296 for h in hs])
@@ -243,6 +268,17 @@ object DedupQueries {
       TextDedup.prefixFilterJaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
         .orderBy("doc_a", "doc_b")
+    }),
+    // Triangle census of the prefix-join near-dup graph: closed triangles
+    // vs open wedges (global clustering coefficient as the exact rational
+    // 3T/W) — the transitivity audit run BEFORE connected components
+    // fuses pairwise decisions into clusters. Two equi-joins on the edge
+    // list + one degree pass, all int64.
+    "q178_triangle_census" -> ((s, dir) => {
+      TextDedup.triangleStats(
+        TextDedup.prefixFilterJaccardPairs(
+          withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10),
+        "doc_a", "doc_b")
     }),
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
@@ -913,26 +949,20 @@ object DedupQueries {
           FROM cand WHERE bit_count(xor(ha, hb)) <= 6
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q176_prefix_join" ->
-      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
-          docs AS (SELECT doc_id AS doc, hs FROM hashed WHERE len(hs) > 0),
-          ex AS (SELECT doc, len(hs) AS n, unnest(hs) AS h FROM docs),
-          rk AS (SELECT h, row_number() OVER (ORDER BY count(*), h) AS rank
-                 FROM ex GROUP BY h),
-          pre AS (SELECT doc, h FROM (SELECT ex.doc, ex.h, ex.n, rk.rank
-                    FROM ex JOIN rk USING (h))
-                  QUALIFY row_number() OVER (PARTITION BY doc ORDER BY rank)
-                    <= n - (7 * n + 9) // 10 + 1),
-          cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-                   FROM pre a JOIN pre b ON a.h = b.h AND a.doc < b.doc),
-          ver AS (SELECT c.doc_a, c.doc_b, ea.n AS na, eb.n AS nb,
-                    count(*) AS common
-                  FROM cand c
-                  JOIN ex ea ON ea.doc = c.doc_a
-                  JOIN ex eb ON eb.doc = c.doc_b AND eb.h = ea.h
-                  GROUP BY c.doc_a, c.doc_b, ea.n, eb.n)
-          SELECT doc_a, doc_b, common, na, nb FROM ver
-          WHERE 10 * common >= 7 * (na + nb - common)
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
+          SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q178_triangle_census" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          e AS (SELECT doc_a AS u, doc_b AS v FROM ppairs),
+          tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                  FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+          deg AS (SELECT x, count(*) AS dg FROM
+                    (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                  GROUP BY x),
+          w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+          SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
     "q36_jaccard_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
