@@ -23,6 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object Regress {
 
+  /** Pairwise Pearson correlation of k integral signals, fixed-point on
+    * the 10⁻⁴ grid — the redundancy audit over quality signals (two
+    * signals with |r| ≈ 1 gate the same documents; a filter stack wants
+    * decorrelated signals). One aggregation computes all k + k(k+1)/2
+    * sums map-side combined; each pair row is then pure arithmetic:
+    * num = n·Σxy − Σx·Σy, sx = isqrt(n·Σx² − (Σx)²), and
+    * r_fp = sign(num)·(10⁴·|num|) div (sx·sy) — truncation toward zero on
+    * NON-NEGATIVE operands, so the quotient is engine-identical (floor vs
+    * trunc never diverges). sx·sy = 0 (a constant signal) yields NULL.
+    *
+    * Not mathematically floor(10⁴·r): the denominator is
+    * isqrt(dx)·isqrt(dy), not isqrt(dx·dy) (whose product overflows
+    * int64) — off by at most ~2·10⁻⁴·r and clamped to [−10⁴, 10⁴] (the
+    * floor'd denominator underestimates, so perfect correlation would
+    * otherwise read 10⁴+ε), and every engine computes the SAME integers,
+    * which is the contract that matters under the oracle gate. Callers
+    * bound the sums' magnitude; with a fixed-target sample (n ≈ 400,
+    * signals < 2¹⁶) everything stays far inside int64.
+    *
+    * Returns (x_name, y_name, n, num, sx, sy, r_fp) per unordered pair.
+    */
+  def pearsonPairsFp(df: DataFrame, feats: Seq[(String, Column)]): DataFrame = {
+    require(feats.size >= 2 && feats.size <= 8, s"need 2..8 signals, got ${feats.size}")
+    val names = feats.map(_._1)
+    require(names.distinct == names, "signal names must be unique")
+    val named = df.select(feats.map { case (nm, c) => c.cast("long").as(nm) }: _*)
+    val aggs = (names.map(nm => sum(col(nm)).as(s"s_$nm")) ++
+      (for { (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex if i <= j }
+        yield sum(col(a) * col(b)).as(s"s_${a}_$b"))).toList
+    val g = named.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex if i < j
+    } yield struct(
+      lit(a).as("x_name"), lit(b).as("y_name"), col("n").as("n"),
+      (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).as("num"),
+      Sampling.isqrt(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")).as("sx"),
+      Sampling.isqrt(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")).as("sy"))
+    g.select(inline(array(pairRows: _*)))
+      .withColumn("r_fp",
+        when(col("sx") * col("sy") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("num")).cast("long") *
+            least(expr("(10000 * abs(num)) div (sx * sy)"), lit(10000L))))
+  }
+
   /** Per-group exact least-squares fit of `y` on `x` (both integral).
     * Returns (grp, n, slope_num, den, intercept_num, r2_num, r2_den):
     * slope = slope_num/den, intercept = intercept_num/den,

@@ -27,6 +27,23 @@ object TextQueries {
         .withColumnRenamed("grp", "source")
         .orderBy("source")
     }),
+    // Signal-redundancy audit: pairwise fixed-point Pearson correlation of
+    // three quality signals (chars, tokens, distinct tokens) on a FIXED
+    // 400-doc md5 sample (derived-rate — audit cost constant under corpus
+    // growth, the q118 discipline). Highly-correlated signals gate the
+    // same docs; a filter stack wants to know. One map-side-combined
+    // Gram pass; r on the 10⁻⁴ grid via exact isqrt, no floats.
+    "q179_signal_corr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+      graft.operators.Regress.pearsonPairsFp(
+        graft.operators.Sampling.hashSampleTarget(d, col("doc_id"), 400L),
+        Seq(
+          "chars" -> col("n_chars"),
+          "dtoks" -> size(array_distinct(col("toks"))),
+          "tokens" -> size(col("toks"))))
+        .orderBy("x_name", "y_name")
+    }),
     // Token statistics: whitespace tokens, BPE-ish tokens, distinct tokens,
     // mean token length. Pure per-row map — no shuffle except the final sort.
     "q27_token_stats" -> ((s, dir) => {
@@ -537,6 +554,39 @@ object TextQueries {
             CAST(CAST(slope_num AS HUGEINT) * slope_num AS DECIMAL(38,0)) AS r2_num,
             CAST(CAST(den AS HUGEINT) * syy_c AS DECIMAL(38,0)) AS r2_den
           FROM fit ORDER BY source""".replaceAll("\\s+", " "),
+    "q179_signal_corr" ->
+      raw"""WITH d AS (SELECT doc_id, n_chars AS chars,
+              len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS dtoks,
+              len(regexp_split_to_array(trim(text), '\s+')) AS tokens
+            FROM documents),
+          th AS (SELECT least(10000, (10000 * 400) // count(*)) AS t FROM d),
+          s AS (SELECT chars, dtoks, tokens FROM d, th
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < t),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              sum(chars) AS s_c, sum(dtoks) AS s_d, sum(tokens) AS s_t,
+              sum(chars*chars) AS s_cc, sum(dtoks*dtoks) AS s_dd, sum(tokens*tokens) AS s_tt,
+              sum(chars*dtoks) AS s_cd, sum(chars*tokens) AS s_ct, sum(dtoks*tokens) AS s_dt
+            FROM s),
+          p AS (
+            SELECT 'chars' AS x_name, 'dtoks' AS y_name, n,
+              n*s_cd - s_c*s_d AS num, n*s_cc - s_c*s_c AS dx, n*s_dd - s_d*s_d AS dy FROM g
+            UNION ALL SELECT 'chars', 'tokens', n,
+              n*s_ct - s_c*s_t, n*s_cc - s_c*s_c, n*s_tt - s_t*s_t FROM g
+            UNION ALL SELECT 'dtoks', 'tokens', n,
+              n*s_dt - s_d*s_t, n*s_dd - s_d*s_d, n*s_tt - s_t*s_t FROM g),
+          p2 AS (SELECT *, CAST(floor(sqrt(CAST(dx AS DOUBLE))) AS BIGINT) AS rx,
+              CAST(floor(sqrt(CAST(dy AS DOUBLE))) AS BIGINT) AS ry FROM p),
+          i AS (SELECT x_name, y_name, n, num,
+              rx + (CASE WHEN (rx+1)*(rx+1) <= dx THEN 1 ELSE 0 END)
+                 - (CASE WHEN rx*rx > dx THEN 1 ELSE 0 END) AS sx,
+              ry + (CASE WHEN (ry+1)*(ry+1) <= dy THEN 1 ELSE 0 END)
+                 - (CASE WHEN ry*ry > dy THEN 1 ELSE 0 END) AS sy FROM p2)
+          SELECT x_name, y_name, n, CAST(num AS BIGINT) AS num,
+            CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+            CAST(CASE WHEN sx * sy = 0 THEN NULL
+                 WHEN num < 0 THEN -least((10000 * (-num)) // (sx * sy), 10000)
+                 ELSE least((10000 * num) // (sx * sy), 10000) END AS BIGINT) AS r_fp
+          FROM i ORDER BY x_name, y_name""".replaceAll("\\s+", " "),
     "q148_repetition_filters" ->
       raw"""WITH d0 AS (SELECT doc_id, text,
               regexp_split_to_array(trim(text), '\s+') AS ws0 FROM documents),

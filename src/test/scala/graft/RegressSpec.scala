@@ -36,6 +36,18 @@ class RegressSpec extends AnyFunSuite with SparkFixture {
     assert(rows("c").getAs[Long]("den") == 0L)
   }
 
+  test("pearsonPairsFp: perfect +/- correlation hits the grid ends, constant signal is NULL") {
+    val df = (1L to 50L).map(i => (i, 2 * i, 100 - i, 7L)).toDF("a", "b", "c", "k")
+    val rows = Regress.pearsonPairsFp(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows(("a", "b")).getAs[Long]("r_fp") == 10000L)
+    assert(rows(("a", "c")).getAs[Long]("r_fp") == -10000L)
+    assert(rows(("a", "k")).isNullAt(rows(("a", "k")).fieldIndex("r_fp")))
+    assert(rows.size == 6)
+  }
+
   test("fit is partitioning-invariant (map-side combine, no order terms)") {
     val pts = (1L to 100L).map(i => ("g", i, 3 * i + (i % 7)))
     val one = Regress.linearFitExact(
