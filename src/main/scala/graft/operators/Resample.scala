@@ -90,4 +90,34 @@ object Resample {
     // aggregated, tiny) broadcasts; the axis streams
     axis.join(broadcast(buckets), Seq(dtCol), "left").orderBy(col(dtCol))
   }
+
+  /** Settlement-grid completeness audit: the reference's feed is
+    * half-hourly energy data (native interval "30m",
+    * src/app/utils/helpers.py:33-38) fetched incrementally by keyset
+    * pagination (src/ingest/fetch_neso.py:42-78) — the failure mode an
+    * operator actually watches for is a day with MISSING settlement
+    * periods (a fetch died mid-page, the upstream republished a partial
+    * day). Per day: row count, distinct slots present out of
+    * `slotsPerDay`, missing-slot count, and the first missing slot id
+    * (NULL when complete) — enough to target a backfill at day + slot.
+    *
+    * Scale shape: slot is a pure expression, one map-side-combined
+    * groupBy(day); the expected grid is synthesized per day with
+    * `sequence`, never joined against a calendar table. Exact integers
+    * throughout.
+    */
+  def completenessAudit(df: DataFrame, ts: Column, slotsPerDay: Int = 48): DataFrame = {
+    require(slotsPerDay >= 1 && slotsPerDay <= 1440 && 1440 % slotsPerDay == 0,
+      s"slotsPerDay must divide 1440, got $slotsPerDay")
+    val minutesPerSlot = 1440 / slotsPerDay
+    df.select(to_date(ts).as("day"),
+        floor((hour(ts) * 60 + minute(ts)) / lit(minutesPerSlot)).cast("int").as("slot"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), collect_set(col("slot")).as("__slots"))
+      .select(col("day"), col("n_rows"),
+        size(col("__slots")).as("n_present"),
+        (lit(slotsPerDay) - size(col("__slots"))).as("n_missing"),
+        array_min(array_except(
+          sequence(lit(0), lit(slotsPerDay - 1)), col("__slots"))).as("first_missing_slot"))
+  }
 }

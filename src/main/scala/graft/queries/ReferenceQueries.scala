@@ -162,6 +162,15 @@ object ReferenceQueries {
         .select("event_id", "ts", "value")
         .orderBy("event_id")
     }),
+    // Settlement-grid completeness audit: the feed the reference ingests
+    // is half-hourly (48 settlement periods/day, helpers.py:33-38) via
+    // incremental keyset fetch (fetch_neso.py:42-78); this reports, per
+    // day, rows / present slots / missing slots / first missing slot —
+    // the backfill worklist an operator of that pipeline actually needs.
+    "q180_completeness" -> ((s, dir) => {
+      Resample.completenessAudit(Tables.events(s, dir), col("ts"), slotsPerDay = 48)
+        .orderBy("day")
+    }),
     // §3.2 read path: resample FIRST, then filter on bucket labels.
     "q13_resample_then_filter" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -274,6 +283,17 @@ object ReferenceQueries {
           ORDER BY r.bucket""".replaceAll("\\s+", " "),
     "q12_filter_range" ->
       "SELECT event_id, ts, value FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
+    "q180_completeness" ->
+      """WITH slotted AS (SELECT CAST(ts AS DATE) AS day,
+              (hour(ts) * 60 + minute(ts)) // 30 AS slot FROM events),
+          g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+              list(DISTINCT slot) AS slots FROM slotted GROUP BY day)
+          SELECT day, n_rows,
+            CAST(len(slots) AS INT) AS n_present,
+            CAST(48 - len(slots) AS INT) AS n_missing,
+            CAST(list_min(list_filter(range(0, 48), x -> NOT list_contains(slots, x))) AS INT)
+              AS first_missing_slot
+          FROM g ORDER BY day""".replaceAll("\\s+", " "),
     "q13_resample_then_filter" ->
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
