@@ -50,6 +50,32 @@ object Streaming {
   def dedupStream(events: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream INTERVAL join — the attribution shape (impression ⋈
+    * click on the same key where the click lands within `horizonSeconds`
+    * AFTER the impression). Both sides carry watermarks and the join
+    * condition is a bounded event-time range, which is exactly what lets
+    * Structured Streaming reclaim buffered state: an unmatched left row
+    * is droppable once the right watermark passes its horizon end, so
+    * state is O(rows in horizon), never the full history.
+    *
+    * Inner by default; `leftOuter = true` additionally emits
+    * never-matched left rows (right columns NULL) after the horizon
+    * closes — how a feed reports definitively-unattributed impressions.
+    */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      horizonSeconds: Long,
+      watermark: String = "10 minutes",
+      leftOuter: Boolean = false): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val cond = col(s"l.$key") === col(s"r.$key") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $horizonSeconds seconds")
+    l.join(r, cond, if (leftOuter) "leftOuter" else "inner")
+  }
+
   // ---- Gap sessionization with explicit state (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)

@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("intervalJoinStream attributes clicks to impressions within the horizon only") {
+    implicit val sc = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streaming.intervalJoinStream(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      key = "user_id", leftTs = "imp_ts", rightTs = "click_ts",
+      horizonSeconds = 600L, watermark = "10 minutes")
+      .select(col("l.user_id").as("user_id"), col("imp_ts"), col("click_ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")),
+        (3L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),  // in horizon -> attributed
+        (2L, ts("2024-01-01 10:20:00")),  // past the 10-min horizon -> dropped
+        (3L, ts("2024-01-01 09:55:00")))  // click BEFORE impression -> dropped
+      q.processAllAvailable()
+      val out = spark.table("attrib").select("user_id").as[Long].collect().toSeq
+      assert(out == Seq(1L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes a session on gap and emits it") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
