@@ -213,6 +213,56 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Vocabulary PRUNING audit — the tokenizer-lifecycle step after
+    * learning: merges whose output symbol is rarely USED in the final
+    * encoding (earlier merges consumed by later ones, or frequencies that
+    * shifted since learning) are dead vocabulary slots; pruning them
+    * frees ids without moving the compression needle. Per learned merge:
+    * its realized usage (weighted occurrences of its output symbol in
+    * the fully-merged corpus), the keep decision (kept iff
+    * 2·usage ≥ max usage — scale-free, always keeps the argmax), and the
+    * corpus-total symbol counts under the full vs pruned merge lists —
+    * the before/after a prune proposal is judged by.
+    *
+    * Cost shape: learning's distinct-word table is reused; usage of ALL
+    * merges + the full total come from ONE aggregation pass (one bounded
+    * 1-row collect), and the pruned re-encode is one more replace chain
+    * over the vocabulary. Exact integers throughout; the oracle replays
+    * the same chain with conditional replaces (q181).
+    */
+  def pruneAudit(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8)
+    val s = docs.sparkSession
+    val merges = learnMerges(docs, textCol, rounds).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val base = wordTable(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = merges.foldLeft(base: DataFrame) { case (w, (_, a, b)) => applyMerge(w, a, b) }
+      .withColumn("syms", split(expr("substring(enc, 2, length(enc) - 2)"), D + D))
+    val usageAggs = merges.toSeq.map { case (r, a, b) =>
+      sum(col("wn") * size(filter(col("syms"), x => x === lit(a + b)))).as(s"u$r")
+    }
+    // one bounded 1-row collect: every merge's usage + the full total
+    val totals = full
+      .agg(sum(col("wn") * size(col("syms"))).as("full_total"), usageAggs: _*)
+      .head()
+    val fullTotal = totals.getAs[Long]("full_total")
+    val usages = merges.map { case (r, a, b) => (r, a, b, totals.getAs[Long](s"u$r")) }
+    val uMax = usages.map(_._4).max
+    val decided = usages.map { case (r, a, b, u) => (r, a, b, u, 2 * u >= uMax) }
+    val pruned = decided.filter(_._5)
+      .foldLeft(base: DataFrame) { case (w, (_, a, b, _, _)) => applyMerge(w, a, b) }
+    val prunedTotal = pruned.agg(sum(col("wn") *
+        size(split(expr("substring(enc, 2, length(enc) - 2)"), D + D))))
+      .head().getLong(0)
+    base.unpersist(blocking = false)
+    import s.implicits._
+    decided.toSeq
+      .map { case (r, a, b, u, k) => (r, a + b, u, k, fullTotal, prunedTotal) }
+      .toDF("round", "merged", "usage", "kept", "n_symbols_full", "n_symbols_pruned")
+      .orderBy("round")
+  }
+
   /** BATCHED merge learning — the shape that takes BPE from toy rounds to a
     * production vocabulary (10⁴–10⁵ merges) without 10⁴–10⁵ driver round
     * trips: each round learns up to `batchSize` merges from ONE pass.

@@ -270,6 +270,14 @@ object CurationQueries {
     "q135_bpe_batched" -> ((s, dir) =>
       Bpe.learnMergesBatched(Tables.documents(s, dir).select("text"), "text",
         rounds = 2, batchSize = 4, candidateCap = 12)),
+    // Tokenizer vocab pruning: realized USAGE of each learned merge's
+    // output symbol in the final encoding, the scale-free keep rule
+    // (2·usage ≥ max usage), and corpus symbol totals under full vs
+    // pruned merge lists. One extra aggregation pass + one vocab-sized
+    // replace chain on top of the learn loop; the oracle replays the
+    // prune as per-round CONDITIONAL replaces.
+    "q181_bpe_prune" -> ((s, dir) =>
+      Bpe.pruneAudit(Tables.documents(s, dir).select("text"), "text", rounds = 3)),
     "q133_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = Bpe.learnMerges(docs.select("text"), "text", rounds = 3)
@@ -570,6 +578,51 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q181_bpe_prune" ->
+      s"""WITH $BpeChainSql,
+          e3 AS (SELECT wn, replace(enc,
+                   chr(31) || t3.a || chr(31) || chr(31) || t3.b || chr(31),
+                   chr(31) || t3.a || t3.b || chr(31)) AS enc
+                 FROM e2 CROSS JOIN t3),
+          s4 AS (SELECT wn, string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)) AS s FROM e3),
+          ms AS (SELECT (SELECT a || b FROM t1) AS m1,
+                        (SELECT a || b FROM t2) AS m2,
+                        (SELECT a || b FROM t3) AS m3),
+          u AS (SELECT
+              CAST(sum(wn * len(list_filter(s, x -> x = m1))) AS BIGINT) AS u1,
+              CAST(sum(wn * len(list_filter(s, x -> x = m2))) AS BIGINT) AS u2,
+              CAST(sum(wn * len(list_filter(s, x -> x = m3))) AS BIGINT) AS u3,
+              CAST(sum(wn * len(s)) AS BIGINT) AS full_total
+            FROM s4 CROSS JOIN ms),
+          k AS (SELECT u1, u2, u3, full_total,
+              2 * u1 >= greatest(u1, u2, u3) AS k1,
+              2 * u2 >= greatest(u1, u2, u3) AS k2,
+              2 * u3 >= greatest(u1, u2, u3) AS k3 FROM u),
+          pe1 AS (SELECT wn, CASE WHEN (SELECT k1 FROM k) THEN replace(enc,
+                    chr(31) || t1.a || chr(31) || chr(31) || t1.b || chr(31),
+                    chr(31) || t1.a || t1.b || chr(31)) ELSE enc END AS enc
+                  FROM e0 CROSS JOIN t1),
+          pe2 AS (SELECT wn, CASE WHEN (SELECT k2 FROM k) THEN replace(enc,
+                    chr(31) || t2.a || chr(31) || chr(31) || t2.b || chr(31),
+                    chr(31) || t2.a || t2.b || chr(31)) ELSE enc END AS enc
+                  FROM pe1 CROSS JOIN t2),
+          pe3 AS (SELECT wn, CASE WHEN (SELECT k3 FROM k) THEN replace(enc,
+                    chr(31) || t3.a || chr(31) || chr(31) || t3.b || chr(31),
+                    chr(31) || t3.a || t3.b || chr(31)) ELSE enc END AS enc
+                  FROM pe2 CROSS JOIN t3),
+          pt AS (SELECT CAST(sum(wn * len(string_split(substr(enc, 2, length(enc) - 2),
+                                         chr(31) || chr(31)))) AS BIGINT) AS pruned_total
+                 FROM pe3)
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, (SELECT a || b FROM t1) AS merged,
+                   u1 AS usage, k1 AS kept, full_total AS n_symbols_full,
+                   (SELECT pruned_total FROM pt) AS n_symbols_pruned FROM k
+            UNION ALL SELECT CAST(2 AS BIGINT), (SELECT a || b FROM t2), u2, k2,
+                   full_total, (SELECT pruned_total FROM pt) FROM k
+            UNION ALL SELECT CAST(3 AS BIGINT), (SELECT a || b FROM t3), u3, k3,
+                   full_total, (SELECT pruned_total FROM pt) FROM k)
+          ORDER BY round""".replaceAll("\\s+", " "),
     "q134_bpe_curve" ->
       s"""WITH $BpeChainSql,
           e3 AS (SELECT wn, replace(enc,
