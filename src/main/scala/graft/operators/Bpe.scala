@@ -229,6 +229,12 @@ object Bpe {
     * 1-row collect), and the pruned re-encode is one more replace chain
     * over the vocabulary. Exact integers throughout; the oracle replays
     * the same chain with conditional replaces (q181).
+    *
+    * Merges form DEPENDENCY CHAINS: pruning an ancestor leaves a
+    * descendant's pattern unmatchable (its input symbol never forms), so
+    * a prune can INCREASE the symbol total. The audit surfaces that cost
+    * in `n_symbols_pruned` rather than pretending merges are independent
+    * (spec-pinned in BpeSpec).
     */
   def pruneAudit(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8)

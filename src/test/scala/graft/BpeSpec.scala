@@ -84,6 +84,22 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(Bpe.compressionCurve(docs("ab ab"), "text", rounds = 3).count() == 2L)
   }
 
+  test("pruneAudit: low-usage merges are dropped; ancestor pruning disables descendants") {
+    // 10x "abc", 2x "ab", 4x "xy": learns ab, abc, xy. In the final
+    // encoding "ab" survives only in the 2 bare "ab" words (usage 2),
+    // "abc" has usage 10, "xy" usage 4 -> rule 2u >= 10 keeps only "abc".
+    val corpus = docs(
+      (Seq.fill(10)("abc") ++ Seq.fill(2)("ab") ++ Seq.fill(4)("xy")).mkString(" "))
+    val rows = Bpe.pruneAudit(corpus, "text", rounds = 3).collect()
+    assert(rows.map(r => (r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq(("ab", 2L, false), ("abc", 10L, true), ("xy", 4L, false)))
+    assert(rows.head.getLong(4) == 16L) // full: every word one symbol
+    // pruning "ab" (the ancestor) leaves "abc"'s pattern unmatchable: the
+    // pruned encode degrades to characters — the audit SURFACES that cost
+    // (30 + 4 + 8 = 42) instead of pretending merges are independent.
+    assert(rows.head.getLong(5) == 42L)
+  }
+
   test("pairCounts ignores single-symbol words") {
     val words = Bpe.wordTable(docs("a a a bc"), "text")
     val pairs = Bpe.pairCounts(words).collect()
