@@ -794,6 +794,51 @@ object TextDedup {
     (result, rounds)
   }
 
+  /** INCREMENTAL connected components — fold a batch of NEW near-dup
+    * edges into an existing converged label table without re-clustering
+    * the corpus: each new edge is CONTRACTED to the label graph (endpoint
+    * → its current cluster id, or itself if unseen), edges that land
+    * inside one cluster vanish, and [[connectedComponentsStar]] runs on
+    * what remains — a graph with one node per AFFECTED cluster, so the
+    * loop's cost tracks the batch, never the corpus. The resulting
+    * old-label → new-label mapping is applied with one broadcastable
+    * join; untouched clusters pass through unchanged.
+    *
+    * Labels stay canonical (cluster id = min member id) because min is
+    * associative: the min over a merged component equals the min over its
+    * old cluster minima — which is exactly what the star loop computes on
+    * the contracted graph. Equality with from-scratch CC over the union
+    * edge set is therefore structural, and q182 puts it under the hash
+    * gate (the incremental result runs against the from-scratch oracle).
+    */
+  def connectedComponentsIncremental(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val la = labels.select(col("doc_id").as("__a"), col("cluster_id").as("__la"))
+    val lb = labels.select(col("doc_id").as("__b"), col("cluster_id").as("__lb"))
+    val contracted = newPairs
+      .select(col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .join(la, Seq("__a"), "left").join(lb, Seq("__b"), "left")
+      .select(coalesce(col("__la"), col("__a")).as("la"),
+        coalesce(col("__lb"), col("__b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    val mapping = connectedComponentsStar(contracted, "la", "lb", maxRounds)
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("__new"))
+    val newNodes = newPairs.select(col(aCol).cast("long").as("doc_id"))
+      .union(newPairs.select(col(bCol).cast("long").as("doc_id")))
+      .distinct()
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .unionByName(newNodes)
+      .join(mapping, Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Train/test decontamination: (train, test) doc pairs sharing at least
     * `minShared` distinct word n-grams — the benchmark-contamination check a
     * training corpus runs before release (n-gram collision against the eval

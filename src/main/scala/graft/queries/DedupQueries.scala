@@ -269,6 +269,22 @@ object DedupQueries {
         withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
         .orderBy("doc_a", "doc_b")
     }),
+    // INCREMENTAL connected components: cluster the base corpus's exact
+    // near-dup pairs, then fold the augmented batch's pairs in through
+    // the contracted label graph — the star loop re-runs only over
+    // AFFECTED clusters (batch-sized, never corpus-sized). The result
+    // runs against the FROM-SCRATCH recursive-CTE oracle over the full
+    // pair set, so incremental == scratch is the hash gate itself.
+    "q182_cc_incremental" -> ((s, dir) => {
+      val pairs = TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+        .select("doc_a", "doc_b")
+      val labels0 = TextDedup.connectedComponentsStar(
+        pairs.filter(col("doc_b") < 100000L), "doc_a", "doc_b")
+      TextDedup.connectedComponentsIncremental(
+        labels0, pairs.filter(col("doc_b") >= 100000L), "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
     // Triangle census of the prefix-join near-dup graph: closed triangles
     // vs open wedges (global clustering coefficient as the exact rational
     // 3T/W) — the transitivity audit run BEFORE connected components
@@ -952,6 +968,16 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q182_cc_incremental" ->
+      s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+                    UNION SELECT doc_b, doc_a FROM ppairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lbl) AS (SELECT id, id FROM nodes
+                             UNION
+                             SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+          SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+          GROUP BY id ORDER BY doc_id""".replaceAll("\\s+", " "),
     "q178_triangle_census" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
           e AS (SELECT doc_a AS u, doc_b AS v FROM ppairs),

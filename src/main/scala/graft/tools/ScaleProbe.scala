@@ -321,6 +321,37 @@ object ScaleProbe {
       println(s"[scale] pq codes = $nCodes, top1 adc_d = ${top.head.getAs[Long]("adc_d")}")
       codes.unpersist(blocking = true)
     }
+    // r6d: prefix-filtered exact similarity join (q176 shape). The
+    // candidate term is Σ df² over PREFIX postings only (each doc's
+    // rarest shingles), so candidates should grow ~mult² on the
+    // replicated corpus (replicas share planted texts) while staying a
+    // small fraction of the share-any-token volume; verification joins
+    // full postings only for candidates.
+    reap()
+    locally {
+      val pp = graft.operators.TextDedup.prefixFilterJaccardPairs(
+        big.withColumn("toks", graft.functions.Text.tokens(col("text")))
+          .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3)),
+        "doc_id", "shash", tNum = 7, tDen = 10)
+      val nPp = time("prefix join (q176 shape)")(pp.count())
+      println(s"[scale] prefix-join pairs = $nPp")
+    }
+    // r6d: layout family — the z-order audit is one scan + one aggregate
+    // (linear, trivially); range-partitioner bounds are a 5% sample
+    // window + a broadcast boundary-array assignment, so cost tracks the
+    // corpus scan with NO global sort.
+    reap()
+    locally {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val evBig = (0 until mult).map { r =>
+        ev.select((col("event_id") + lit(r * 10000000L)).as("event_id"), col("ts"))
+      }.reduce(_ unionByName _)
+      val rb = graft.operators.Shard.rangePartitionAudit(
+        evBig, col("ts"), col("event_id"), k = 8, sampleCap = 500)
+      val counts = time("range bounds + assignment (q177 shape)")(
+        rb.agg(max(col("n_rows")), min(col("n_rows"))).head())
+      println(s"[scale] range balance max/min = ${counts.getLong(0)}/${counts.getLong(1)}")
+    }
     spark.stop()
   }
 }

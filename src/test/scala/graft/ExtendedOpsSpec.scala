@@ -257,6 +257,30 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponentsIncremental: batch edges merge, bridge, and add clusters without corpus re-runs") {
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels0 = TextDedup.connectedComponentsStar(base, "doc_a", "doc_b")
+    // batch: an intra-cluster no-op edge, a bridge merging clusters 1 and 10,
+    // a brand-new two-node cluster, and a new node attaching to cluster 20
+    val batch = Seq((1L, 3L), (3L, 10L), (30L, 31L), (22L, 21L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponentsIncremental(labels0, batch, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val scratch = TextDedup.connectedComponentsStar(
+      base.unionByName(batch), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == scratch)
+    assert(out(11L) == 1L && out(31L) == 30L && out(22L) == 20L)
+  }
+
+  test("connectedComponentsIncremental with an all-intra-cluster batch is the identity") {
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels0 = TextDedup.connectedComponentsStar(base, "doc_a", "doc_b")
+    val out = TextDedup.connectedComponentsIncremental(
+      labels0, Seq((1L, 3L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connectedComponentsStar converges in O(log n) rounds on a 1000-node chain") {
     // label propagation moves the min label ONE hop per round — a
     // 1000-node path needs ~999 rounds (maxIters=20 would stop far short);
