@@ -46,4 +46,31 @@ object Scd {
         lead(col(ts), 1).over(ws).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time join — the consumer side of [[scd2]]: each fact row
+    * picks the dimension state that was valid AT ITS OWN timestamp
+    * (`valid_from <= ts < valid_to`, open segment unbounded). Left join:
+    * facts predating the key's first version keep NULL state — a real
+    * answer ("no dimension state existed yet"), not a dropped row.
+    *
+    * Scale shape: an equi-join on the dimension KEY with the interval
+    * predicate folded into the join condition — the shuffle is keyed by
+    * the dimension key, and each fact row meets only its key's version
+    * rows (bounded by versions-per-key, not history size). Intervals are
+    * disjoint per key by construction, so the join preserves fact
+    * cardinality exactly — which the oracle hash verifies.
+    */
+  def pitJoin(
+      fact: DataFrame, factKey: String, factTs: String,
+      history: DataFrame, histKey: String): DataFrame = {
+    val h = history.select(
+      col(histKey).as("__hk"), col("version"), col("state"),
+      col("valid_from"), col("valid_to"))
+    fact.join(h,
+      col(factKey) === col("__hk") &&
+        col("valid_from") <= col(factTs) &&
+        (col("valid_to").isNull || col(factTs) < col("valid_to")),
+      "left")
+      .drop("__hk", "valid_from", "valid_to")
+  }
 }

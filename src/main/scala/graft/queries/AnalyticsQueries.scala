@@ -182,6 +182,25 @@ object AnalyticsQueries {
         state = "o_orderstatus")
         .orderBy("o_custkey", "version")
     }),
+    // Point-in-time join against the q163 SCD2 history: every lineitem
+    // reads its customer's order-status AS OF its ship date (left join —
+    // facts predating the first version keep NULL state). The interval
+    // predicate rides inside a key-equi join, so each fact meets only its
+    // key's few version rows; cardinality is provably preserved and the
+    // hash gate checks it.
+    "q183_pit_join" -> ((s, dir) => {
+      val hist = graft.operators.Scd.scd2(
+        Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+        key = "o_custkey", ts = "o_orderdate", tieBreak = "o_orderkey",
+        state = "o_orderstatus")
+      val fact = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+      graft.operators.Scd.pitJoin(fact, "o_custkey", "l_shipdate", hist, "o_custkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // TPC-H Q3 shipping priority: 3-way join, filter both fact sides, group
     // by order, top 10 by revenue. Dim filter (mktsegment) broadcast-pruned;
     // lineitem⋈orders sort-merge; final top-k is a single-partition sort of
@@ -294,6 +313,26 @@ object AnalyticsQueries {
           SELECT o_custkey, version, state, valid_from, valid_to,
                  (valid_to IS NULL) AS is_current
           FROM hist ORDER BY o_custkey, version""".replaceAll("\\s+", " "),
+    "q183_pit_join" ->
+      """WITH ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders),
+          seg AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM ch
+                  WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+          hist AS (SELECT o_custkey,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS version,
+            o_orderstatus AS state, o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM seg),
+          fact AS (SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+                 h.version, h.state
+          FROM fact f LEFT JOIN hist h
+            ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
+            AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+          ORDER BY l_orderkey, l_linenumber""".replaceAll("\\s+", " "),
     "q123_bucket_anomaly" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value

@@ -65,6 +65,27 @@ class ScdSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getString(2)).toSeq == Seq("A", null, "A"))
   }
 
+  test("pitJoin picks the interval covering each fact ts, NULL before history") {
+    import org.apache.spark.sql.functions._
+    val hist = run(
+      (1, "2024-01-10 00:00:00", 1, "A"),
+      (1, "2024-01-20 00:00:00", 2, "B"))
+    val fact = Seq(
+      (100L, 1, "2024-01-05 00:00:00"), // before first version -> NULL
+      (101L, 1, "2024-01-10 00:00:00"), // valid_from inclusive -> A
+      (102L, 1, "2024-01-15 00:00:00"), // inside [A, B) -> A
+      (103L, 1, "2024-01-20 00:00:00"), // boundary: valid_to exclusive -> B
+      (104L, 1, "2024-12-01 00:00:00")) // open segment -> B
+      .toDF("fid", "k", "ts0")
+      .withColumn("ts", col("ts0").cast("timestamp_ntz")).drop("ts0")
+    val out = Scd.pitJoin(fact, "k", "ts", hist, "k")
+      .orderBy("fid").select("fid", "state").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(
+      100L -> null, 101L -> "A", 102L -> "A", 103L -> "B", 104L -> "B"))
+    assert(Scd.pitJoin(fact, "k", "ts", hist, "k").count() == fact.count())
+  }
+
   test("prefix-stable: appending newer changelog rows never rewrites old segments") {
     val base = Seq(
       (1, "2024-01-01 00:00:00", 1, "A"), (1, "2024-01-02 00:00:00", 2, "B"))
