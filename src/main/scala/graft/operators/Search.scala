@@ -67,6 +67,73 @@ object Search {
     score(tfOf(tc, terms).unionByName(tfOf(ti, terms)), dfm, dl, st, k1, b)
   }
 
+  /** PMI query expansion — each seed term pulls in its strongest
+    * collocate (argmax PMI over bigrams containing the seed, the q173
+    * statistic; ties → lexicographic bigram), and BM25 runs over
+    * seeds ∪ partners. The classic thesaurus-free recall lever: a query
+    * for "table join" also surfaces docs phrased with the collocates the
+    * corpus itself pairs those words with.
+    *
+    * Scale shape: the PMI table is vocabulary²-bounded (bigram counts
+    * with a support floor, three map-side-combined count tables); the
+    * per-seed argmax is a window over each seed's candidate bigrams
+    * only. Returns a 1-column `term` frame — the expansion stays IN-PLAN
+    * (no driver round-trip), feeding [[bm25Terms]] as a broadcast probe.
+    */
+  def pmiExpand(docs: DataFrame, seeds: Seq[String], minCount: Long = 5L): DataFrame = {
+    require(seeds.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigrams = docs.select(explode(Text.wordNgramsFromText(col("text"), 2)).as("bigram"))
+    val nUni = uni.agg(sum(col("c")).as("__nu"))
+    val nBi = bigrams.agg(count(lit(1)).as("__nb"))
+    val pmi = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi_fp", floor(lit(1e6) * log(
+        (col("c_ab") * col("__nu") * col("__nu")).cast("double") /
+          (col("__nb") * col("c1") * col("c2")).cast("double"))).cast("long"))
+    val cand = pmi.filter(col("w1").isin(seeds: _*))
+      .select(col("w1").as("seed"), col("w2").as("partner"), col("pmi_fp"), col("bigram"))
+      .unionByName(pmi.filter(col("w2").isin(seeds: _*))
+        .select(col("w2").as("seed"), col("w1").as("partner"), col("pmi_fp"), col("bigram")))
+    val partners = cand
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("seed")).orderBy(col("pmi_fp").desc, col("bigram").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("partner").as("term"))
+    import docs.sparkSession.implicits._
+    seeds.toDF("term").unionByName(partners).distinct()
+  }
+
+  /** [[bm25]] with the term set as a FRAME instead of literals — the
+    * shape query-expansion needs (the expansion is computed in-plan).
+    * The term frame broadcasts as the inverted-index probe on both the
+    * tf and df sides; scoring is byte-identical to [[bm25]] for the same
+    * term set.
+    */
+  def bm25Terms(
+      docs: DataFrame,
+      termsDf: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = toksOf(docs)
+    val dl = dlOf(toks)
+    val st = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val t = broadcast(termsDf.select(col("term")).distinct())
+    val tf = toks.join(t, "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val dfm = toks.select("doc_id", "term").distinct().join(t, "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    score(tf, dfm, dl, st, k1, b)
+  }
+
   private def toksOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
 

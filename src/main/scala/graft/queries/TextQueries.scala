@@ -178,6 +178,18 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // PMI query expansion → BM25: each seed term ("table", "join") pulls
+    // in its strongest collocate from the q173 PMI table (in-plan, no
+    // driver trip), and q155's BM25 scores the expanded term set (the
+    // term frame broadcasts as the index probe). Wrong expansion ⇒ wrong
+    // scores ⇒ hash mismatch, so the expansion rule itself is gated.
+    "q184_query_expansion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = graft.operators.Search.pmiExpand(docs, Seq("table", "join"))
+      graft.operators.Search.bm25Terms(docs, terms)
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc)
+        .limit(15)
+    }),
     "q155_bm25_search" -> ((s, dir) => {
       graft.operators.Search.bm25(
         Tables.documents(s, dir), Seq("table", "join", "stream"))
@@ -618,6 +630,55 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q184_query_expansion" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+          uc AS (SELECT w, count(*) AS c FROM
+                   (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+          big AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+                  FROM tk, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+                  WHERE i < len(toks)),
+          nu AS (SELECT sum(c) AS nu FROM uc),
+          nb AS (SELECT count(*) AS nb FROM big),
+          pm AS (SELECT b.bigram, split_part(b.bigram, ' ', 1) AS w1,
+                   split_part(b.bigram, ' ', 2) AS w2,
+                   CAST(floor(1e6 * ln(CAST(b.c_ab * nu * nu AS DOUBLE)
+                       / CAST(nb * u1.c * u2.c AS DOUBLE))) AS BIGINT) AS pmi_fp
+                 FROM (SELECT bigram, count(*) AS c_ab FROM big GROUP BY bigram
+                       HAVING count(*) >= 5) b
+                 JOIN uc u1 ON u1.w = split_part(b.bigram, ' ', 1)
+                 JOIN uc u2 ON u2.w = split_part(b.bigram, ' ', 2)
+                 CROSS JOIN nu CROSS JOIN nb),
+          cand AS (SELECT w1 AS seed, w2 AS partner, pmi_fp, bigram FROM pm
+                     WHERE w1 IN ('table', 'join')
+                   UNION ALL
+                   SELECT w2, w1, pmi_fp, bigram FROM pm
+                     WHERE w2 IN ('table', 'join')),
+          part AS (SELECT partner AS term FROM cand
+                   QUALIFY row_number() OVER (PARTITION BY seed
+                     ORDER BY pmi_fp DESC, bigram ASC) = 1),
+          qterms AS (SELECT DISTINCT term FROM
+                       (SELECT unnest(['table', 'join']) AS term
+                        UNION ALL SELECT term FROM part)),
+          dterms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dterms GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc FROM dterms
+                 WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dterms
+                  WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * ((tf.tc * 2.2)
+                        / (tf.tc + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl))))
+                     * 1000000.0) AS BIGINT) AS term_fp
+                 FROM tf JOIN dft USING (term)
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+            CAST(sum(term_fp) AS BIGINT) AS bm25_fp
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25_fp DESC, doc_id ASC LIMIT 15""".replaceAll("\\s+", " "),
     "q155_bm25_search" ->
       raw"""WITH terms AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
