@@ -191,6 +191,29 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Anti-entropy bucket fingerprints: 64 Merkle-style bucket checksums
+    // of the events table (order-independent exact sums of 60-bit row
+    // hashes) compared against a copy with ONE perturbed row — the diff
+    // localizes to exactly the perturbed key's bucket, which is how two
+    // 100 TB replicas are compared with 64 numbers instead of a
+    // row-by-row join. Doubles ride on a fixed-point grid (engine float
+    // formatting is not canonical).
+    "q185_bucket_fingerprint" -> ((s, dir) => {
+      def fp(df: DataFrame) = graft.sources.Merge.bucketFingerprints(
+        df, col("event_id"),
+        Seq(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long")),
+        buckets = 64)
+      val base = Tables.events(s, dir)
+      val mutated = base.withColumn("value",
+        when(col("event_id") === 4242L, col("value") * 2).otherwise(col("value")))
+      fp(base).as("a")
+        .join(fp(mutated).withColumnRenamed("fp", "fp_mut")
+          .withColumnRenamed("n_rows", "n_rows_mut"), Seq("bucket"), "full")
+        .select(col("bucket"), col("n_rows"), col("fp"), col("fp_mut"),
+          (!(col("fp") <=> col("fp_mut"))).as("differs"))
+        .orderBy("bucket")
+    }),
     "q15_upsert" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
@@ -298,6 +321,26 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q185_bucket_fingerprint" ->
+      """WITH rows0 AS (SELECT event_id, user_id, event_type,
+              CAST(floor(value * 1e6) AS BIGINT) AS vfp, value FROM events),
+          canon AS (SELECT
+              ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+              ('0x' || substr(md5(
+                 concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                           event_type, CAST(vfp AS VARCHAR))), 1, 15))::BIGINT AS h,
+              ('0x' || substr(md5(
+                 concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                           event_type, CAST(CAST(floor(
+                             (CASE WHEN event_id = 4242 THEN value * 2 ELSE value END) * 1e6)
+                             AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT AS hm
+            FROM rows0),
+          g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(h) AS DECIMAL(38,0)) AS fp,
+              CAST(sum(hm) AS DECIMAL(38,0)) AS fp_mut
+            FROM canon GROUP BY bucket)
+          SELECT bucket, n_rows, fp, fp_mut, fp IS DISTINCT FROM fp_mut AS differs
+          FROM g ORDER BY bucket""".replaceAll("\\s+", " "),
     "q15_upsert" ->
       "WITH existing AS (SELECT event_id, user_id, event_type, value FROM events), incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value FROM existing WHERE event_id % 10 = 0 UNION ALL SELECT event_id + 1000000, user_id, event_type, value FROM existing WHERE event_id < 50) SELECT * FROM (SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id) UNION ALL SELECT * FROM incoming) ORDER BY event_id",
     "q67_upsert_partitioned_sink" ->

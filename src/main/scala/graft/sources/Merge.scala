@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -208,6 +208,36 @@ object Merge {
   }
 
   /** S8: append-only metrics sink (run history). */
+  /** Merkle-style bucket fingerprints — the anti-entropy primitive for
+    * comparing two copies of a table (sink vs re-export, primary vs
+    * replica) WITHOUT a row-by-row join: each row hashes to a 60-bit
+    * md5 integer over its canonical column string, rows bucket by key
+    * hash, and a bucket's fingerprint is the exact SUM of its row hashes
+    * (order- and partitioning-independent — addition commutes; carried
+    * in decimal(38,0) so it never wraps). Two copies agree iff all
+    * `buckets` fingerprints agree; a diff localizes to its buckets, so
+    * repair reads only those — the Cassandra/DynamoDB anti-entropy idea
+    * as one map-side-combined aggregation.
+    *
+    * Columns are canonicalized as strings joined with '|', NULL as a
+    * sentinel; callers pass integer/string columns (cast floats to a
+    * fixed-point grid first — engine float-formatting is not canonical).
+    *
+    * Returns (bucket, n_rows, fp), one row per occupied bucket.
+    */
+  def bucketFingerprints(df: DataFrame, key: Column, cols: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20), s"bad bucket count $buckets")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    df.select(
+        pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+          .cast("decimal(38,0)").as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("fp"))
+  }
+
   def appendMetrics(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
