@@ -96,6 +96,24 @@ object Quality {
     if (floatCols.isEmpty) dropped else dropped.na.fill(0.0, floatCols)
   }
 
+  /** Dead-letter routing: tag every row with the FIRST violated rule's
+    * name ("ok" when none) — the ingest-quarantine split a pipeline runs
+    * before the sink, so malformed rows land in a dead-letter table WITH
+    * a reason instead of silently vanishing in a filter. Rules are
+    * (name, isViolated) pairs evaluated in order (first match wins —
+    * deterministic reason codes when a row breaks several rules). One
+    * codegen'd CASE chain per row: pushes anywhere a filter does, and
+    * the quarantine table is `filter(dl_reason != 'ok')` with zero extra
+    * passes.
+    */
+  def deadLetterTag(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    require(rules.map(_._1).distinct == rules.map(_._1), "rule names must be unique")
+    require(!rules.exists(_._1 == "ok"), "'ok' is the reserved clean tag")
+    df.withColumn("dl_reason",
+      coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("ok"): _*))
+  }
+
   /** S10: the literal-rows quality summary table. */
   def qualitySummary(
       spark: SparkSession,

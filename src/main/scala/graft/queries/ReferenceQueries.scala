@@ -191,6 +191,25 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Dead-letter routing: rows violating ingest rules get a REASON code
+    // (first violated rule wins) instead of silently vanishing — the
+    // quarantine split before the sink. Violations are planted in-plan
+    // (every 97th row an empty type, every 89th a NaN value) so each rule
+    // demonstrably fires; the rollup is the dead-letter dashboard row.
+    "q186_dead_letter" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("event_type",
+          when(col("event_id") % 97 === 0, lit("")).otherwise(col("event_type")))
+        .withColumn("value",
+          when(col("event_id") % 89 === 0, lit(Double.NaN)).otherwise(col("value")))
+      graft.operators.Quality.deadLetterTag(ev, Seq(
+        "empty_type" -> (length(col("event_type")) === 0),
+        "nan_value" -> isnan(col("value")),
+        "null_ts" -> col("ts").isNull))
+        .groupBy("dl_reason")
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_event_id"))
+        .orderBy("dl_reason")
+    }),
     // Anti-entropy bucket fingerprints: 64 Merkle-style bucket checksums
     // of the events table (order-independent exact sums of 60-bit row
     // hashes) compared against a copy with ONE perturbed row — the diff
@@ -321,6 +340,20 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q186_dead_letter" ->
+      """WITH p AS (SELECT event_id, ts,
+              CASE WHEN event_id % 97 = 0 THEN '' ELSE event_type END AS event_type,
+              CASE WHEN event_id % 89 = 0 THEN 'NaN'::DOUBLE ELSE value END AS value
+            FROM events),
+          tagged AS (SELECT event_id,
+              CASE WHEN length(event_type) = 0 THEN 'empty_type'
+                   WHEN isnan(value) THEN 'nan_value'
+                   WHEN ts IS NULL THEN 'null_ts'
+                   ELSE 'ok' END AS dl_reason
+            FROM p)
+          SELECT dl_reason, CAST(count(*) AS BIGINT) AS n_rows,
+            min(event_id) AS min_event_id
+          FROM tagged GROUP BY dl_reason ORDER BY dl_reason""".replaceAll("\\s+", " "),
     "q185_bucket_fingerprint" ->
       """WITH rows0 AS (SELECT event_id, user_id, event_type,
               CAST(floor(value * 1e6) AS BIGINT) AS vfp, value FROM events),
