@@ -107,13 +107,17 @@ object Bench {
     // stdout twice after stderr is fully drained — if anything sneaks between
     // the copies, the second still lands last; a front-truncated first copy
     // cannot shadow it because it no longer contains the "{"metric"" anchor.
-    // Per-query precision is one decimal: at 150+ queries the 2-decimal
-    // line was ~1.81k chars and growing ~13 chars per added query — one
-    // decimal buys ~150 chars of headroom inside the 2000-char window,
-    // and 0.1 s resolution is ample for per-query grading (the heavy
-    // queries run seconds; the cheap ones are not the signal).
+    // Per-query precision is adaptive: sub-50ms queries print "0",
+    // sub-10s one decimal, 10s+ whole seconds. At 185 queries the flat
+    // one-decimal line crossed ~2.0k chars — outside the window again —
+    // and the fast queries are not the signal, so they pay the
+    // compression: the heavies keep 0.1 s resolution where it matters.
+    def fmt(v: Double): String =
+      if (v < 0.05) "0"
+      else if (v < 9.95) f"$v%.1f"
+      else Math.round(v).toString
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.1f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
