@@ -224,6 +224,35 @@ object AnalyticsQueries {
     // 1e4 grid, then (n·x − S)² > 4(nQ − S²) (the z-test cross-multiplied
     // so no division or sqrt exists to differ between engines). The
     // 30-row stats frame broadcasts back; one pass over buckets.
+    // Robust anomaly detection: q123's mean/σ rule breaks when the
+    // anomaly itself inflates σ (masking); the median/MAD rule doesn't.
+    // Lower median + lower median of absolute deviations, both RANK-exact
+    // (row_number over the day-cardinality aggregated frame — bounded
+    // post-aggregation, never raw events), flag |x − med| > 3·MAD, all
+    // int64 on the 10⁻⁴ grid.
+    "q187_mad_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.events(s, dir)
+        .groupBy(graft.operators.Resample.bucketStart(col("ts"), "1d")
+          .cast("timestamp_ntz").as("bucket"))
+        .agg(Exact.davg(col("value")).as("avg_value"))
+        .withColumn("xfp", floor(col("avg_value") * 1e4).cast("long"))
+      def lowerMedian(df: DataFrame, v: String): DataFrame = {
+        val w = Window.orderBy(col(v), col("bucket"))
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col(v).as(s"med_$v"))
+      }
+      val med = lowerMedian(x, "xfp")
+      val dev = x.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("xfp") - col("med_xfp")))
+      val mad = lowerMedian(dev, "dev")
+      dev.crossJoin(broadcast(mad))
+        .withColumn("is_anomaly", col("dev") > lit(3L) * col("med_dev"))
+        .select("bucket", "avg_value", "dev", "is_anomaly")
+        .orderBy("bucket")
+    }),
     "q123_bucket_anomaly" -> ((s, dir) => {
       val b = Tables.events(s, dir)
         .groupBy(graft.operators.Resample.bucketStart(col("ts"), "1d")
@@ -333,6 +362,21 @@ object AnalyticsQueries {
             ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
             AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
           ORDER BY l_orderkey, l_linenumber""".replaceAll("\\s+", " "),
+    "q187_mad_anomaly" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value
+            FROM events GROUP BY 1),
+          x AS (SELECT bucket, avg_value,
+            CAST(floor(avg_value * 10000.0) AS BIGINT) AS xfp FROM b),
+          m AS (SELECT xfp AS med FROM x
+                QUALIFY row_number() OVER (ORDER BY xfp, bucket)
+                  = (count(*) OVER () + 1) // 2),
+          d AS (SELECT x.bucket, x.avg_value, abs(x.xfp - m.med) AS dev FROM x, m),
+          md AS (SELECT dev AS mad FROM d
+                 QUALIFY row_number() OVER (ORDER BY dev, bucket)
+                   = (count(*) OVER () + 1) // 2)
+          SELECT bucket, avg_value, dev, dev > 3 * mad AS is_anomaly
+          FROM d, md ORDER BY bucket""".replaceAll("\\s+", " "),
     "q123_bucket_anomaly" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value
