@@ -270,6 +270,29 @@ object CurationQueries {
     "q135_bpe_batched" -> ((s, dir) =>
       Bpe.learnMergesBatched(Tables.documents(s, dir).select("text"), "text",
         rounds = 2, batchSize = 4, candidateCap = 12)),
+    // Weighted percentiles by TOKEN MASS, rank-exact: the smallest doc
+    // length (chars) such that docs up to it hold ≥50/90/99% of corpus
+    // tokens — the stat a sequence-length / truncation budget actually
+    // needs (an unweighted length percentile over-counts short docs).
+    // Prefix sums run over the distinct-length DIMENSION frame (bounded),
+    // thresholds are integer cross-multiplications; no interpolation.
+    "q188_weighted_percentile" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .withColumn("tok", size(Text.tokens(col("text"))).cast("long"))
+        .groupBy("n_chars").agg(sum(col("tok")).as("w"))
+      val cum = per.withColumn("cumw", sum(col("w")).over(Window.orderBy("n_chars")))
+      val tot = per.agg(sum(col("w")).as("tw"))
+      import s.implicits._
+      Seq(50, 90, 99).toDF("pct")
+        .crossJoin(cum).crossJoin(broadcast(tot))
+        .filter(lit(100L) * col("cumw") >= col("pct") * col("tw"))
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy(col("pct")).orderBy(col("n_chars"))))
+        .filter(col("__rn") === 1)
+        .select(col("pct"), col("n_chars").as("threshold_chars"),
+          col("cumw").as("cum_tokens"), col("tw").as("total_tokens"))
+        .orderBy("pct")
+    }),
     // Tokenizer vocab pruning: realized USAGE of each learned merge's
     // output symbol in the final encoding, the scale-free keep rule
     // (2·usage ≥ max usage), and corpus symbol totals under full vs
@@ -578,6 +601,20 @@ object CurationQueries {
             unnest([md5(array_to_string(toks[i*64+1 : least((i+1)*64, len(toks))], ' '))
                     for i in range(0, nch)]) AS chunk_md5
           FROM n ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " "),
+    "q188_weighted_percentile" ->
+      raw"""WITH per AS (SELECT n_chars,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS w
+            FROM documents GROUP BY n_chars),
+          c AS (SELECT n_chars, w,
+              CAST(sum(w) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+            FROM per),
+          t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per),
+          p AS (SELECT unnest([50, 90, 99]) AS pct)
+          SELECT pct, n_chars AS threshold_chars, cumw AS cum_tokens, tw AS total_tokens
+          FROM (SELECT p.pct, c.n_chars, c.cumw, t.tw,
+                  row_number() OVER (PARTITION BY p.pct ORDER BY c.n_chars) AS rn
+                FROM p, c, t WHERE 100 * c.cumw >= p.pct * t.tw)
+          WHERE rn = 1 ORDER BY pct""".replaceAll("\\s+", " "),
     "q181_bpe_prune" ->
       s"""WITH $BpeChainSql,
           e3 AS (SELECT wn, replace(enc,
