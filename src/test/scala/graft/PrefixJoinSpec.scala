@@ -50,6 +50,14 @@ class PrefixJoinSpec extends AnyFunSuite with SparkFixture {
     assert(fast.exceptAll(truth).count() == 0 && truth.exceptAll(fast).count() == 0)
   }
 
+  test("plan reuses the prefix-postings exchange across both self-join sides") {
+    val df = TextDedup.prefixFilterJaccardPairs(corpus, "doc_id", "shash", 7, 10)
+    df.collect() // finalize THIS QueryExecution's AQE stages (count() spawns its own)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected the repartition(h) barrier to be reused, plan:\n${plan.take(2000)}")
+  }
+
   test("the filter actually prunes: candidate prefixes are shorter than full sets") {
     // every matching pair shares a prefix token, but the prefix postings are
     // a strict subset of the full postings — measure via the any-token join
