@@ -812,6 +812,56 @@ object TextDedup {
     (result, rounds)
   }
 
+  /** Sparse tf-idf cosine similarity pairs — the WEIGHTED companion of
+    * [[jaccardPairs]]: documents as sparse tf·idf vectors, pairwise
+    * cosine computed through the shared-term postings join, so two docs
+    * that share only stopwords score near zero where Jaccard would still
+    * count them. idf is the one libm `ln` (floored to the 10⁻⁴ grid —
+    * the q64/BM25 discipline); weights, dot products and norms are then
+    * exact int64, and cos_fp = (dot·10⁴) div (isqrt(‖a‖²)·isqrt(‖b‖²))
+    * divides non-negative ints — engine-identical.
+    *
+    * The df cap (terms in more than `maxDf` docs leave the vector space
+    * — df-ranked stopword removal, the q110/q127 production dial) bounds
+    * the candidate join at Σ df² over surviving terms; weights ride the
+    * shuffle as (doc, term-hash, w) longs, never text.
+    *
+    * Returns (doc_a, doc_b, dot, cos_fp) for candidate pairs sharing ≥1
+    * surviving term.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      termsCol: Column,
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 1)
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(termsCol).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .repartition(col("term")) // barrier: df agg + both pair-join sides
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * floor(lit(1e4) * log(col("__n") / col("df"))).cast("long"))
+      .select("doc", "term", "w")
+    val norms = w.groupBy("doc").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("n2").as("__na")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("n2").as("__nb")), "doc_b")
+      .withColumn("__sa", Sampling.isqrt(col("__na")))
+      .withColumn("__sb", Sampling.isqrt(col("__nb")))
+      .withColumn("cos_fp",
+        expr("(dot * 10000) div greatest(1L, __sa * __sb)"))
+      .select("doc_a", "doc_b", "dot", "cos_fp")
+  }
+
   /** INCREMENTAL connected components — fold a batch of NEW near-dup
     * edges into an existing converged label table without re-clustering
     * the corpus: each new edge is CONTRACTED to the label graph (endpoint

@@ -178,6 +178,19 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // Sparse tf-idf cosine pairs: docs as tf·idf vectors over word
+    // TRIGRAMS (the 31-word vocab makes unigram df useless; the trigram
+    // space is where df discriminates), dot products through the shared-
+    // term postings join under the df≤8 production dial, cosine in fixed
+    // point via exact isqrt. The weighted companion of q36's Jaccard:
+    // shared boilerplate scores low, shared RARE content scores high.
+    "q189_tfidf_cosine" -> ((s, dir) => {
+      graft.operators.TextDedup.tfidfCosinePairs(
+        Tables.documents(s, dir), "doc_id",
+        Text.wordNgramsFromText(col("text"), 3), maxDf = 8L)
+        .orderBy(col("cos_fp").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(20)
+    }),
     // PMI query expansion → BM25: each seed term ("table", "join") pulls
     // in its strongest collocate from the q173 PMI table (in-plan, no
     // driver trip), and q155's BM25 scores the expanded term set (the
@@ -630,6 +643,38 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q189_tfidf_cosine" ->
+      raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+          tr AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+                 FROM tk, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+                 WHERE i < len(toks) - 1),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tr GROUP BY 1, 2),
+          nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+          dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+                  HAVING count(*) <= 8),
+          w AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * CAST(floor(1e4 * ln(nd.n / dft.df)) AS BIGINT) AS w
+                FROM tf JOIN dft USING (term), nd),
+          norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          i0 AS (SELECT d.doc_a, d.doc_b, d.dot, na.n2 AS na2, nb.n2 AS nb2,
+                   CAST(floor(sqrt(CAST(na.n2 AS DOUBLE))) AS BIGINT) AS ra,
+                   CAST(floor(sqrt(CAST(nb.n2 AS DOUBLE))) AS BIGINT) AS rb
+                 FROM dots d JOIN norms na ON na.doc_id = d.doc_a
+                 JOIN norms nb ON nb.doc_id = d.doc_b),
+          i1 AS (SELECT doc_a, doc_b, dot,
+                   ra + (CASE WHEN (ra+1)*(ra+1) <= na2 THEN 1 ELSE 0 END)
+                      - (CASE WHEN ra*ra > na2 THEN 1 ELSE 0 END) AS sa,
+                   rb + (CASE WHEN (rb+1)*(rb+1) <= nb2 THEN 1 ELSE 0 END)
+                      - (CASE WHEN rb*rb > nb2 THEN 1 ELSE 0 END) AS sb
+                 FROM i0)
+          SELECT doc_a, doc_b, dot,
+            CAST((dot * 10000) // greatest(1, sa * sb) AS BIGINT) AS cos_fp
+          FROM i1 ORDER BY cos_fp DESC, doc_a ASC, doc_b ASC LIMIT 20""".replaceAll("\\s+", " "),
     "q184_query_expansion" ->
       raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
