@@ -191,6 +191,25 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Freshness SLA report: per feed (event_type), row count, latest
+    // event, and the lag in whole minutes behind the freshest feed —
+    // with a stale flag at >60 min. The ops dashboard row the
+    // reference's hourly incremental fetch is judged by; lag is exact
+    // integer arithmetic on epoch micros (date_diff counts boundary
+    // crossings — not the same number in every engine).
+    "q190_freshness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val global = ev.agg(max(col("ts")).as("gmax"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("max_ts"))
+        .crossJoin(broadcast(global))
+        .withColumn("lag_minutes", expr(
+          // NTZ → UTC timestamp is exact under the pinned UTC session TZ
+          "(unix_micros(cast(gmax as timestamp)) - unix_micros(cast(max_ts as timestamp))) div 60000000"))
+        .withColumn("stale", col("lag_minutes") > 60L)
+        .select("event_type", "n_rows", "max_ts", "lag_minutes", "stale")
+        .orderBy("event_type")
+    }),
     // Dead-letter routing: rows violating ingest rules get a REASON code
     // (first violated rule wins) instead of silently vanishing — the
     // quarantine split before the sink. Violations are planted in-plan
@@ -340,6 +359,14 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q190_freshness" ->
+      """WITH g AS (SELECT max(ts) AS gmax FROM events),
+          f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+              max(ts) AS max_ts FROM events GROUP BY event_type)
+          SELECT event_type, n_rows, max_ts,
+            (epoch_us(g.gmax) - epoch_us(max_ts)) // 60000000 AS lag_minutes,
+            (epoch_us(g.gmax) - epoch_us(max_ts)) // 60000000 > 60 AS stale
+          FROM f, g ORDER BY event_type""".replaceAll("\\s+", " "),
     "q186_dead_letter" ->
       """WITH p AS (SELECT event_id, ts,
               CASE WHEN event_id % 97 = 0 THEN '' ELSE event_type END AS event_type,
