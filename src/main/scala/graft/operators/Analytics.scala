@@ -187,6 +187,34 @@ object Analytics {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Skew-SPLIT join — the differentiated alternative to [[saltedJoin]]:
+    * instead of salting every key (which multiplies the small side by
+    * `salts` for the 99% of keys that never needed it), one cheap
+    * map-side-combined count pass finds the ACTUAL heavy keys
+    * (n ≥ heavyThreshold — heavy keys are few by definition, so the key
+    * list broadcasts), then the join runs twice: the heavy keys'
+    * dimension rows broadcast (their fact rows never shuffle at all —
+    * the hot key's whole problem), the light keys take the normal
+    * shuffle join, and the union is row-identical to the plain join
+    * (which is exactly what the q191 oracle checks). This is the shape
+    * AQE's skew-join mitigation approximates at runtime, made explicit
+    * and deterministic.
+    */
+  def skewSplitJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      heavyThreshold: Long): DataFrame = {
+    require(heavyThreshold >= 1)
+    val heavy = big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyThreshold).select(key)
+    val bigHeavy = big.join(broadcast(heavy), Seq(key), "left_semi")
+    val bigLight = big.join(broadcast(heavy), Seq(key), "left_anti")
+    val smallHeavy = small.join(broadcast(heavy), Seq(key), "left_semi")
+    bigHeavy.join(broadcast(smallHeavy), Seq(key))
+      .unionByName(bigLight.join(small, Seq(key)))
+  }
+
   /** AS-OF join: for every left row, the single latest right row with
     * `rightTs <= leftTs` within the same `key` (the time-series point
     * lookup Spark has no built-in operator for).

@@ -121,6 +121,21 @@ object CoverageQueries {
         Seq(col("event_id")), start = 1000, end = 1100)
         .orderBy("event_id")
     }),
+    // Skew-SPLIT join: exact heavy-key detection (count pass → broadcast
+    // heavy-key list), heavy keys join broadcast / light keys shuffle,
+    // union — row-identical to the plain join, which is what the oracle
+    // hash proves. The deterministic twin of AQE skew mitigation, and
+    // the differentiated alternative to q53's blanket salting.
+    "q191_skew_split_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val profile = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("event_id")).as("first_event"))
+      Analytics.skewSplitJoin(ev, profile, "user_id", heavyThreshold = 40L)
+        .groupBy("user_id", "first_event")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    }),
     // Skew-mitigating salted join, oracle-checked equivalent to the plain
     // join: events (big, per-user skew) ⋈ per-user profile (small), salted
     // over 8 buckets, then aggregated back per user.
@@ -213,6 +228,13 @@ object CoverageQueries {
       """SELECT event_id, event_type FROM events
           QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 1001 AND 1100
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q191_skew_split_join" ->
+      """WITH profile AS (SELECT user_id, min(event_id) AS first_event
+                          FROM events GROUP BY user_id)
+          SELECT e.user_id, p.first_event, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+          FROM events e JOIN profile p ON e.user_id = p.user_id
+          GROUP BY e.user_id, p.first_event ORDER BY e.user_id""".replaceAll("\\s+", " "),
     "q53_salted_join" ->
       """WITH profile AS (SELECT user_id, min(event_id) AS first_event
                           FROM events GROUP BY user_id)
