@@ -27,6 +27,36 @@ object TextQueries {
         .withColumnRenamed("grp", "source")
         .orderBy("source")
     }),
+    // Calibration deciles for the q175 linear probe: fit on the fixed
+    // 400-doc sample, score every sampled doc with the exact rational
+    // prediction (pred_num over the shared determinant), cut into
+    // ntile(10) deciles by predicted value, and report per-decile actual
+    // vs predicted sums — monotone sum_y across deciles IS the
+    // calibration check. The one ordered window runs on the 400-row
+    // sample; everything is int64.
+    "q192_probe_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .withColumn("y", size(Text.tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"), col("y"))
+      val sample = graft.operators.Sampling.hashSampleTarget(d, col("doc_id"), 400L)
+      val fit = sample
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("intercept_num"))
+      sample.crossJoin(broadcast(fit))
+        .withColumn("pred_num",
+          col("slope_num") * col("x") + col("intercept_num"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("pred_num"), col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("sum_y"),
+          sum(col("pred_num")).as("sum_pred_num"), min(col("den")).as("den"))
+        .orderBy("decile")
+    }),
     // Signal-redundancy audit: pairwise fixed-point Pearson correlation of
     // three quality signals (chars, tokens, distinct tokens) on a FIXED
     // 400-doc md5 sample (derived-rate — audit cost constant under corpus
@@ -579,6 +609,28 @@ object TextQueries {
             CAST(CAST(slope_num AS HUGEINT) * slope_num AS DECIMAL(38,0)) AS r2_num,
             CAST(CAST(den AS HUGEINT) * syy_c AS DECIMAL(38,0)) AS r2_den
           FROM fit ORDER BY source""".replaceAll("\\s+", " "),
+    "q192_probe_calibration" ->
+      raw"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+            FROM documents),
+          th AS (SELECT least(10000, (10000 * 400) // count(*)) AS t FROM d),
+          s AS (SELECT doc_id, x, y FROM d, th
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < t),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM s),
+          f AS (SELECT n * sxy - sx * sy AS slope_num,
+              n * sxx - sx * sx AS den,
+              sy * sxx - sx * sxy AS intercept_num FROM g),
+          sc AS (SELECT s.doc_id, s.y,
+              f.slope_num * s.x + f.intercept_num AS pred_num, f.den
+            FROM s, f),
+          dec AS (SELECT *, ntile(10) OVER (ORDER BY pred_num, doc_id) AS decile FROM sc)
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(y) AS BIGINT) AS sum_y,
+            CAST(sum(pred_num) AS BIGINT) AS sum_pred_num, min(den) AS den
+          FROM dec GROUP BY decile ORDER BY decile""".replaceAll("\\s+", " "),
     "q179_signal_corr" ->
       raw"""WITH d AS (SELECT doc_id, n_chars AS chars,
               len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS dtoks,
