@@ -224,6 +224,25 @@ object AnalyticsQueries {
     // 1e4 grid, then (n·x − S)² > 4(nQ − S²) (the z-test cross-multiplied
     // so no division or sqrt exists to differ between engines). The
     // 30-row stats frame broadcasts back; one pass over buckets.
+    // Ingestion-order lateness audit: an event is LATE if some
+    // earlier-ingested event of its day (smaller event_id) already
+    // carried a later event time — the out-of-order rate that decides a
+    // streaming watermark delay and a batch keep-last dedup horizon.
+    // Running max over a per-day window ordered by ingest id; per-day
+    // partitions stay bounded at any corpus size.
+    "q194_late_arrivals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("day")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("__runmax", max(col("ts")).over(w))
+        .withColumn("__late", col("__runmax").isNotNull && col("ts") < col("__runmax"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"), count_if(col("__late")).as("n_late"))
+        .withColumn("late_rate", col("n_late").cast("double") / col("n_rows"))
+        .orderBy("day")
+    }),
     // Robust anomaly detection: q123's mean/σ rule breaks when the
     // anomaly itself inflates σ (masking); the median/MAD rule doesn't.
     // Lower median + lower median of absolute deviations, both RANK-exact
@@ -362,6 +381,16 @@ object AnalyticsQueries {
             ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
             AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
           ORDER BY l_orderkey, l_linenumber""".replaceAll("\\s+", " "),
+    "q194_late_arrivals" ->
+      """WITH e AS (SELECT event_id, ts, CAST(ts AS DATE) AS day FROM events),
+          r AS (SELECT day, ts, max(ts) OVER (PARTITION BY day ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+                FROM e)
+          SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) FILTER (runmax IS NOT NULL AND ts < runmax) AS BIGINT) AS n_late,
+            CAST(count(*) FILTER (runmax IS NOT NULL AND ts < runmax) AS DOUBLE)
+              / count(*) AS late_rate
+          FROM r GROUP BY day ORDER BY day""".replaceAll("\\s+", " "),
     "q187_mad_anomaly" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value

@@ -149,6 +149,27 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
         .orderBy("user_id")
     }),
+    // Referential-integrity audit: orphan counts across every FK edge of
+    // the star schema (lineitem→orders/part/supplier, orders→customer,
+    // customer/supplier→nation) — each edge one broadcast-dim anti-join,
+    // rolled into a single report with the first orphan key for triage.
+    // The DQ gate a warehouse load runs before publishing a snapshot.
+    "q193_fk_orphans" -> ((s, dir) => {
+      def edge(name: String, fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
+        fact.join(Analytics.dim(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            min(col(fk)).cast("long").as("first_orphan_key"))
+          .select(lit(name).as("fk_edge"), col("n_orphans"), col("first_orphan_key"))
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      edge("lineitem.l_orderkey", li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(edge("lineitem.l_partkey", li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(edge("orders.o_custkey", ord, "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(edge("customer.c_nationkey", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"))
+        .orderBy("fk_edge")
+    }),
     // Join coverage for part/supplier: revenue and supplier count by brand
     // over lineitem ⋈ part(bcast) ⋈ supplier(bcast).
     "q47_brand_revenue" -> ((s, dir) => {
@@ -228,6 +249,21 @@ object CoverageQueries {
       """SELECT event_id, event_type FROM events
           QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 1001 AND 1100
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q193_fk_orphans" ->
+      """SELECT * FROM (
+          SELECT 'customer.c_nationkey' AS fk_edge,
+            CAST(count(*) AS BIGINT) AS n_orphans,
+            CAST(min(c_nationkey) AS BIGINT) AS first_orphan_key
+          FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+          UNION ALL SELECT 'lineitem.l_orderkey', CAST(count(*) AS BIGINT), CAST(min(l_orderkey) AS BIGINT)
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+          UNION ALL SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT), CAST(min(l_partkey) AS BIGINT)
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+          UNION ALL SELECT 'lineitem.l_suppkey', CAST(count(*) AS BIGINT), CAST(min(l_suppkey) AS BIGINT)
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+          UNION ALL SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT), CAST(min(o_custkey) AS BIGINT)
+          FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+          ORDER BY fk_edge""".replaceAll("\\s+", " "),
     "q191_skew_split_join" ->
       """WITH profile AS (SELECT user_id, min(event_id) AS first_event
                           FROM events GROUP BY user_id)
