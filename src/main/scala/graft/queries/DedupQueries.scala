@@ -98,6 +98,24 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lowercase / strip punctuation / collapse
     // whitespace) then content-hash canonical mapping, listed dups only.
+    // Cross-language duplicate contamination: content-identical docs
+    // tagged with DIFFERENT lang values — mislabeled copies that corrupt
+    // per-language stats and mixing weights (a lang-stratified sampler
+    // double-counts them). Planted copies (every 17th doc under lang
+    // 'xx') make the audit demonstrably fire; one content-hash groupBy.
+    "q195_cross_lang_dups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val aug = d.unionByName(
+        d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), lit("xx").as("lang"), col("text")))
+      aug.withColumn("__h", md5(Text.normalize(col("text"))))
+        .groupBy("__h")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1 && col("n_langs") > 1)
+        .select("min_doc", "n_docs", "n_langs")
+        .orderBy("min_doc")
+    }),
     "q32_dedup_exact" -> ((s, dir) => {
       TextDedup.exactCanonical(
         augmented(s, dir).withColumn("text", Text.normalize(col("text"))),
@@ -727,6 +745,19 @@ object DedupQueries {
           FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q195_cross_lang_dups" ->
+      raw"""WITH aug AS (
+            SELECT doc_id, lang, text FROM documents
+            UNION ALL SELECT doc_id + 300000, 'xx', text FROM documents WHERE doc_id % 17 = 0),
+          n AS (SELECT doc_id, lang,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+            FROM aug),
+          g AS (SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              min(doc_id) AS min_doc
+            FROM n GROUP BY h)
+          SELECT min_doc, n_docs, n_langs FROM g
+          WHERE n_docs > 1 AND n_langs > 1 ORDER BY min_doc""".replaceAll("\\s+", " "),
     "q32_dedup_exact" ->
       raw"""WITH $AugSql,
           norm AS (SELECT doc_id,
