@@ -287,6 +287,39 @@ object DedupQueries {
         withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
         .orderBy("doc_a", "doc_b")
     }),
+    // Partition-quality audit: Newman MODULARITY of the strict-threshold
+    // clustering (CC over J≥0.8 edges) evaluated on the LOOSE J≥0.7
+    // near-dup graph, as the exact rational q_num/q_den with
+    // q_num = Σ_c (4m·e_c − d_c²), q_den = 4m² — "do the tight clusters
+    // explain the loose graph's edges?" is the dial-setting question
+    // between the two thresholds. Tightening is free (q176's verified
+    // pairs carry common/na/nb), and every term is int64.
+    "q196_modularity" -> ((s, dir) => {
+      val pairs7 = TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+      val pairs8 = pairs7.filter(
+        lit(10) * col("common") >= lit(8) * (col("na") + col("nb") - col("common")))
+      val labels = TextDedup.connectedComponentsStar(pairs8, "doc_a", "doc_b")
+      val la = labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+      val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+      val e = pairs7.select("doc_a", "doc_b")
+        .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+        .select(coalesce(col("ca"), col("doc_a")).as("ca"),
+          coalesce(col("cb"), col("doc_b")).as("cb"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val intra = e.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+      val deg = e.select(col("ca").as("c")).unionByName(e.select(col("cb").as("c")))
+        .groupBy("c").agg(count(lit(1)).as("d"))
+      deg.join(intra, Seq("c"), "left")
+        .select(col("c"), col("d"), coalesce(col("e_in"), lit(0L)).as("e_in"))
+        .crossJoin(broadcast(m))
+        .agg(
+          min(col("m")).as("m"),
+          count(lit(1)).as("n_clusters"),
+          sum(lit(4L) * col("m") * col("e_in") - col("d") * col("d")).as("q_num"),
+          min(lit(4L) * col("m") * col("m")).as("q_den"))
+    }),
     // INCREMENTAL connected components: cluster the base corpus's exact
     // near-dup pairs, then fold the augmented batch's pairs in through
     // the contracted label graph — the star loop re-runs only over
@@ -999,6 +1032,34 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q196_modularity" ->
+      s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          p8 AS (SELECT doc_a, doc_b FROM ppairs
+                 WHERE 10 * common >= 8 * (na + nb - common)),
+          edges8 AS (SELECT doc_a AS a, doc_b AS b FROM p8
+                     UNION SELECT doc_b, doc_a FROM p8),
+          nodes8 AS (SELECT DISTINCT a AS id FROM edges8),
+          reach(id, lbl) AS (SELECT id, id FROM nodes8
+                             UNION
+                             SELECT e.b, r.lbl FROM reach r JOIN edges8 e ON e.a = r.id),
+          lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+          ev AS (SELECT coalesce(la.cluster_id, p.doc_a) AS ca,
+                   coalesce(lb.cluster_id, p.doc_b) AS cb
+                 FROM ppairs p
+                 LEFT JOIN lab la ON la.doc_id = p.doc_a
+                 LEFT JOIN lab lb ON lb.doc_id = p.doc_b),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ev),
+          intra AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_in FROM ev
+                    WHERE ca = cb GROUP BY ca),
+          deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM
+                    (SELECT ca AS c FROM ev UNION ALL SELECT cb FROM ev)
+                  GROUP BY c),
+          per AS (SELECT deg.c, deg.d, coalesce(intra.e_in, 0) AS e_in
+                  FROM deg LEFT JOIN intra USING (c))
+          SELECT min(mm.m) AS m, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(4 * mm.m * per.e_in - per.d * per.d) AS BIGINT) AS q_num,
+            CAST(min(4 * mm.m * mm.m) AS BIGINT) AS q_den
+          FROM per, mm""".replaceAll("\\s+", " "),
     "q182_cc_incremental" ->
       s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
           edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
