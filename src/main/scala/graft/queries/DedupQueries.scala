@@ -152,6 +152,34 @@ object DedupQueries {
         .filter(col("__ns") > 1).drop("__ns")
         .orderBy("content_hash", "split")
     }),
+    // Leakage REPAIR — q116 detects dup groups spanning splits; this
+    // closes the loop: every member of a content-dup group is REASSIGNED
+    // to the canonical member's (min doc_id's) split, a deterministic
+    // group-atomic rule. Output: per-split doc counts before/after, rows
+    // moved, and the residual leaking-group count — which the repair
+    // provably drives to ZERO (and the hash gate checks).
+    "q197_leak_repair" -> ((s, dir) => {
+      val withSplit = augmented(s, dir)
+        .withColumn("text", Text.normalize(col("text")))
+        .withColumn("split", graft.operators.Sampling.assignSplit(
+          col("doc_id"), Seq("train" -> 0.90, "val" -> 0.05), last = "test"))
+        .select(md5(col("text")).as("content_hash"), col("doc_id"), col("split"))
+        .repartition(col("content_hash"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+      val repaired = withSplit
+        .withColumn("split_fixed",
+          first(col("split")).over(w.orderBy(col("doc_id"))))
+      val residual = repaired
+        .groupBy("content_hash")
+        .agg(countDistinct(col("split_fixed")).as("__ns"))
+        .agg(count_if(col("__ns") > 1).as("n_leaking_groups"))
+      repaired
+        .groupBy(col("split_fixed").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("split") =!= col("split_fixed")).as("n_moved_in"))
+        .crossJoin(broadcast(residual))
+        .orderBy("split")
+    }),
     // MinHash signature materialization (k=8) — the per-doc scale-out stage
     // of LSH dedup, observable on its own.
     "q33_minhash_signature" -> ((s, dir) => {
@@ -1032,6 +1060,24 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q197_leak_repair" ->
+      s"""WITH $AugSql,
+          n AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_hash,
+              CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM aug),
+          r AS (SELECT doc_id, content_hash, split,
+              first_value(split) OVER (PARTITION BY content_hash ORDER BY doc_id) AS split_fixed
+            FROM n),
+          res AS (SELECT CAST(count(*) FILTER (ns > 1) AS BIGINT) AS n_leaking_groups
+                  FROM (SELECT count(DISTINCT split_fixed) AS ns FROM r GROUP BY content_hash))
+          SELECT split_fixed AS split, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) FILTER (split <> split_fixed) AS BIGINT) AS n_moved_in,
+            res.n_leaking_groups
+          FROM r, res GROUP BY split_fixed, res.n_leaking_groups
+          ORDER BY split""".replaceAll("\\s+", " "),
     "q196_modularity" ->
       s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
           p8 AS (SELECT doc_a, doc_b FROM ppairs
