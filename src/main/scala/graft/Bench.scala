@@ -107,22 +107,22 @@ object Bench {
     // stdout twice after stderr is fully drained — if anything sneaks between
     // the copies, the second still lands last; a front-truncated first copy
     // cannot shadow it because it no longer contains the "{"metric"" anchor.
-    // Per-query precision is adaptive: sub-50ms queries print "0",
-    // sub-10s one decimal, 10s+ whole seconds. At 185 queries the flat
-    // one-decimal line crossed ~2.0k chars — outside the window again —
-    // and the fast queries are not the signal, so they pay the
-    // compression: the heavies keep 0.1 s resolution where it matters.
-    def fmt(v: Double): String =
-      if (v < 0.05) "0"
-      else if (v < 9.95) f"$v%.1f"
-      else Math.round(v).toString
+    // Per-query values are integer DECIseconds under unprefixed number
+    // keys ("176":13 = q176 at 1.3 s), declared by the "qunit" field: at
+    // 195+ queries even a one-decimal line crossed the 2000-char tail
+    // window (measured 2025 chars at 188 queries), and single-digit
+    // decisecond values put the typical entry at 8 chars — ~1.7k for the
+    // whole map, with headroom for more queries. 0.1 s resolution is
+    // ample for per-query grading; the total keeps centiseconds.
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) =>
+        "\"" + k.stripPrefix("q").takeWhile(_ != '_') + "\":" + Math.round(v * 10)
+      }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","queries":$qs,"sf":"$sfName"}"""
     System.err.println(s"[bench-diag] json line length: ${jsonLine.length} chars (tail window 2000)")
     System.err.flush(); System.out.flush()
     spark.sparkContext.setLogLevel("OFF")
