@@ -715,6 +715,35 @@ object SimilarityQueries {
     // run over ≤100 rows each, never the corpus); each rank term is one
     // exact-int division and the two-list fusion one addition, so the
     // fused score is bit-deterministic.
+    // Retrieval-agreement audit: exact Kendall rank correlation between
+    // the lexical (BM25) and semantic (cosine) top-50 lists on their
+    // SHARED docs — concordant/discordant pair counts, τ as the exact
+    // rational tau_num / n_pairs. Low agreement is the signal that
+    // hybrid fusion (q156) has something to add; pure integer pair
+    // comparisons over two ≤50-row lists.
+    "q198_rank_tau" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = graft.operators.Search.bm25(
+        Tables.documents(s, dir), Seq("table", "join", "stream"))
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc).limit(50)
+      val lex = lexTop.select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("bm25_fp").desc, col("doc_id").asc)).as("rank_a"))
+      val semTop = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", probe(s, dir), "probe_emb", k = 50)
+      val sem = semTop.select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id").asc)).as("rank_b"))
+      val joint = lex.join(sem, "doc_id")
+      val shared = joint.agg(count(lit(1)).as("n_shared"))
+      joint.as("a").join(joint.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select((((col("a.rank_a") - col("b.rank_a")) *
+          (col("a.rank_b") - col("b.rank_b"))) > 0).as("conc"))
+        .agg(count(lit(1)).as("n_pairs"), count_if(col("conc")).as("concordant"))
+        .crossJoin(broadcast(shared))
+        .select(col("n_shared"), col("n_pairs"), col("concordant"),
+          (col("n_pairs") - col("concordant")).as("discordant"),
+          (lit(2L) * col("concordant") - col("n_pairs")).as("tau_num"))
+    }),
     "q156_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val lexTop = graft.operators.Search.bm25(
@@ -887,6 +916,49 @@ object SimilarityQueries {
             ORDER BY d ASC, vec_id ASC) <= 10)"""
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q198_rank_tau" ->
+      raw"""WITH terms AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+          dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc FROM terms
+                 WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms
+                  WHERE term IN ('table', 'join', 'stream') GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * ((tf.tc * 2.2)
+                        / (tf.tc + 1.2 * (0.25 + 0.75 * (dlen.dl / st.avgdl))))
+                     * 1000000.0) AS BIGINT) AS term_fp
+                 FROM tf JOIN dft USING (term)
+                 JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN st),
+          bm AS (SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS bm25_fp
+                 FROM sc GROUP BY doc_id),
+          lext AS (SELECT doc_id, bm25_fp FROM bm
+                   ORDER BY bm25_fp DESC, doc_id ASC LIMIT 50),
+          lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id ASC)
+                    AS rank_a FROM lext),
+          p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+          semt AS (SELECT vec_id, cosv FROM (
+                     SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosv
+                     FROM embeddings, p WHERE vec_id <> 0)
+                   ORDER BY cosv DESC, vec_id ASC LIMIT 50),
+          sem AS (SELECT vec_id AS doc_id,
+                    row_number() OVER (ORDER BY cosv DESC, vec_id ASC) AS rank_b
+                  FROM semt),
+          j AS (SELECT l.doc_id, l.rank_a, sem.rank_b
+                FROM lex l JOIN sem ON sem.doc_id = l.doc_id),
+          ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM j),
+          pr AS (SELECT ((a.rank_a - b.rank_a) * (a.rank_b - b.rank_b) > 0) AS conc
+                 FROM j a JOIN j b ON a.doc_id < b.doc_id)
+          SELECT ns.n_shared,
+            (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs,
+            (SELECT CAST(count(*) FILTER (conc) AS BIGINT) FROM pr) AS concordant,
+            (SELECT CAST(count(*) FILTER (NOT conc) AS BIGINT) FROM pr) AS discordant,
+            2 * (SELECT CAST(count(*) FILTER (conc) AS BIGINT) FROM pr)
+              - (SELECT CAST(count(*) AS BIGINT) FROM pr) AS tau_num
+          FROM ns""".replaceAll("\\s+", " "),
     "q156_hybrid_rrf" ->
       raw"""WITH terms AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
