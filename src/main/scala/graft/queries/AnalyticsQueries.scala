@@ -224,6 +224,24 @@ object AnalyticsQueries {
     // 1e4 grid, then (n·x − S)² > 4(nQ − S²) (the z-test cross-multiplied
     // so no division or sqrt exists to differ between engines). The
     // 30-row stats frame broadcasts back; one pass over buckets.
+    // First-order behavior model: per-user event-type TRANSITION counts
+    // (lead over each user's time-ordered stream) with per-source-state
+    // totals — the Markov transition matrix as exact integer rationals
+    // (n / from_total), the base model behind next-event prediction and
+    // funnel-drop diagnostics. One per-user window + one small groupBy;
+    // user partitions stay bounded at any corpus size.
+    "q199_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .orderBy("from_type", "to_type")
+    }),
     // Ingestion-order lateness audit: an event is LATE if some
     // earlier-ingested event of its day (smaller event_id) already
     // carried a later event time — the out-of-order rate that decides a
@@ -381,6 +399,16 @@ object AnalyticsQueries {
             ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
             AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
           ORDER BY l_orderkey, l_linenumber""".replaceAll("\\s+", " "),
+    "q199_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events),
+          g AS (SELECT event_type AS from_type, next_type AS to_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n,
+            CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+          FROM g ORDER BY from_type, to_type""".replaceAll("\\s+", " "),
     "q194_late_arrivals" ->
       """WITH e AS (SELECT event_id, ts, CAST(ts AS DATE) AS day FROM events),
           r AS (SELECT day, ts, max(ts) OVER (PARTITION BY day ORDER BY event_id
