@@ -208,6 +208,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // Diversity-return curve: distinct word-trigram coverage of the
+    // corpus slices above quality-score thresholds (q75/q50/q25/all) —
+    // "how much lexical diversity does each quality cut retain" is the
+    // number that arbitrates aggressive quality filtering vs coverage.
+    // Fixed thresholds (no global percentile window); one exploded pass
+    // with four conditional count-distincts.
+    "q200_diversity_curve" -> ((s, dir) => {
+      val t = Text.tokens(col("text"))
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          floor(Text.qualityScore(col("text"), t) * 1e4).cast("long").as("qfp"),
+          explode(Text.wordNgramsFromText(col("text"), 3)).as("g"))
+      ex.agg(
+        countDistinct(when(col("qfp") >= 7500, col("doc_id"))).as("docs_q75"),
+        countDistinct(when(col("qfp") >= 7500, col("g"))).as("grams_q75"),
+        countDistinct(when(col("qfp") >= 5000, col("doc_id"))).as("docs_q50"),
+        countDistinct(when(col("qfp") >= 5000, col("g"))).as("grams_q50"),
+        countDistinct(when(col("qfp") >= 2500, col("doc_id"))).as("docs_q25"),
+        countDistinct(when(col("qfp") >= 2500, col("g"))).as("grams_q25"),
+        countDistinct(col("doc_id")).as("docs_all"),
+        countDistinct(col("g")).as("grams_all"))
+    }),
     // Sparse tf-idf cosine pairs: docs as tf·idf vectors over word
     // TRIGRAMS (the 31-word vocab makes unigram df useless; the trigram
     // space is where df discriminates), dot products through the shared-
@@ -695,6 +717,27 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q200_diversity_curve" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+              regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          q AS (SELECT doc_id, toks,
+              CAST(floor((least(len(text), 400) / 400.0 * 0.5
+                + (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks)) * 0.5) * 1e4) AS BIGINT) AS qfp
+            FROM t),
+          ex AS (SELECT doc_id, qfp,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+            FROM q, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+            WHERE i < len(toks) - 1)
+          SELECT
+            count(DISTINCT CASE WHEN qfp >= 7500 THEN doc_id END) AS docs_q75,
+            count(DISTINCT CASE WHEN qfp >= 7500 THEN g END) AS grams_q75,
+            count(DISTINCT CASE WHEN qfp >= 5000 THEN doc_id END) AS docs_q50,
+            count(DISTINCT CASE WHEN qfp >= 5000 THEN g END) AS grams_q50,
+            count(DISTINCT CASE WHEN qfp >= 2500 THEN doc_id END) AS docs_q25,
+            count(DISTINCT CASE WHEN qfp >= 2500 THEN g END) AS grams_q25,
+            count(DISTINCT doc_id) AS docs_all,
+            count(DISTINCT g) AS grams_all
+          FROM ex""".replaceAll("\\s+", " "),
     "q189_tfidf_cosine" ->
       raw"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
