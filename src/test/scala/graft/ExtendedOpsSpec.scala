@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Similarity, TextDedup}
+import graft.operators.{Analytics, Quality, Similarity, TextDedup}
 import graft.functions.Text
 
 /** Extended-surface operators: analytics windows, text analysis, content
@@ -33,6 +33,28 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       .select("user_id", "event_id", "session_id")
       .orderBy("user_id", "event_id").as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
+  }
+
+  test("skewSplitJoin is row-identical to the plain join, heavy and light") {
+    import org.apache.spark.sql.functions._
+    // key 1 is hot (100 rows), keys 2..20 light; key 99 only in dim
+    val big = ((1 to 100).map(_ => (1L, "x")) ++ (2L to 20L).map(k => (k, s"v$k")))
+      .toDF("k", "payload")
+    val dim = ((1L to 20L) :+ 99L).map(k => (k, k * 10)).toDF("k", "attr")
+    val fast = Analytics.skewSplitJoin(big, dim, "k", heavyThreshold = 50L)
+    val plain = big.join(dim, Seq("k"))
+    assert(fast.exceptAll(plain).count() == 0 && plain.exceptAll(fast).count() == 0)
+  }
+
+  test("deadLetterTag: first violated rule wins; clean rows read ok") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "", Double.NaN), (2L, "t", Double.NaN), (3L, "t", 1.0))
+      .toDF("id", "s", "v")
+    val out = Quality.deadLetterTag(df, Seq(
+      "empty_s" -> (length(col("s")) === 0),
+      "nan_v" -> isnan(col("v"))))
+      .select("id", "dl_reason").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "empty_s", 2L -> "nan_v", 3L -> "ok"))
   }
 
   test("saltedJoin is row-identical to the plain join on skewed keys") {
