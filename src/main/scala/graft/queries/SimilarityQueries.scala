@@ -549,6 +549,48 @@ object SimilarityQueries {
     // Recall@10 audit of the ADC scan against the exact fixed-point top-10
     // (q114's integer-exact audit shape): how much retrieval quality the
     // ~170× compression costs, itself oracle-gated.
+    // PQ dimension-permutation audit — OPQ's zeroth-order idea (Ge et al.
+    // 2013: reorganize dimensions so product subspaces carry balanced
+    // energy) with a deterministic md5-derived permutation instead of a
+    // learned rotation: run the identical m=4/k=8 train→encode→ADC
+    // recall audit on the identity layout and on the permuted layout.
+    // Exact top-10 is permutation-invariant (L2 over a permutation), so
+    // any n_hits delta isolates the SUBSPACE split's effect — the dial
+    // this audit exists to measure. The permutation is built in-plan
+    // (rank of md5("perm:i"), broadcast 1-row array) and replayed
+    // identically in SQL.
+    "q201_pq_permutation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val perm = s.range(Dim)
+        .select(
+          conv(substring(md5(concat(lit("perm:"), col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("w"),
+          col("id").cast("int").as("i"))
+        .agg(transform(array_sort(collect_list(struct(col("w"), col("i")))),
+          x => x.getField("i")).as("pm"))
+      val eP = e.crossJoin(broadcast(perm)).select(col("vec_id"),
+        expr(s"transform(sequence(1, $Dim), j -> element_at(embedding, element_at(pm, j) + 1))")
+          .as("embedding"))
+      def audit(src: DataFrame, label: String): DataFrame = {
+        val cb = Pq.localized(Pq.trainCodebooks(src, "vec_id", "embedding", 4, Dim, 8, 1))
+        val codes = Pq.encode(src.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, 4, Dim)
+        val probeSv = Pq.subVectorsFp(src.filter(col("vec_id") === 0),
+          "vec_id", "embedding", 4, Dim).select("sub", "v")
+        val adcTop = Pq.adcTopK(codes, "vec_id", cb, probeSv, 10).select("vec_id")
+        val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+        val corpus = src.filter(col("vec_id") =!= 0).select(col("vec_id"), fpv.as("__v"))
+        val probe = src.filter(col("vec_id") === 0).select(fpv.as("__pv"))
+        val exactTop = corpus.crossJoin(broadcast(probe))
+          .withColumn("d", Pq.l2sqFp(col("__v"), col("__pv")))
+          .orderBy(col("d").asc, col("vec_id").asc).limit(10).select("vec_id")
+        val hits = exactTop.join(adcTop, "vec_id")
+        exactTop.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(adcTop.agg(count(lit(1)).as("n_adc")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(lit(label).as("variant"), col("n_exact"), col("n_adc"), col("n_hits"))
+      }
+      audit(e, "identity").unionByName(audit(eP, "permuted")).orderBy("variant")
+    }),
     "q142_pq_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 4, Dim, 8, 1))
@@ -852,6 +894,51 @@ object SimilarityQueries {
         adc AS (SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
                 FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.cid
                 GROUP BY 1)"""
+
+  /** The m=4/k=8 train→encode→ADC chain with ALL CTE names prefixed and
+    * the fixed-point source parameterized as `${p}fp` — so two variants
+    * of the SAME config over different vector spaces can coexist in one
+    * statement (q201's permuted-vs-identity audit).
+    */
+  private def pqVariantSql(p: String): String =
+    s"""${p}sv AS (SELECT vec_id, CAST(u.sub AS INT) AS sub,
+            list_slice(${p}fp.v, u.sub * 16 + 1, u.sub * 16 + 16) AS v
+          FROM ${p}fp CROSS JOIN unnest(range(0, 4)) AS u(sub)),
+        ${p}c0 AS (SELECT sub, vec_id AS cid, v AS c FROM ${p}sv WHERE vec_id < 8),
+        ${p}d1 AS (SELECT f.vec_id, f.sub, c.cid,
+            list_sum(list_transform(range(1, 17),
+              i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+          FROM ${p}sv f JOIN ${p}c0 c ON f.sub = c.sub),
+        ${p}a1 AS (SELECT vec_id, sub, cid FROM ${p}d1
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        ${p}cb AS (SELECT a1.sub, a1.cid, u.i AS dim,
+            CAST(floor(CAST(CAST(sum(f.v[u.i]) AS BIGINT) AS DOUBLE)
+              / count(*)) AS BIGINT) AS c_fp
+          FROM ${p}a1 a1 JOIN ${p}sv f ON a1.vec_id = f.vec_id AND a1.sub = f.sub
+          CROSS JOIN unnest(range(1, 17)) AS u(i)
+          GROUP BY 1, 2, 3),
+        ${p}cbl AS (SELECT sub, cid, list(c_fp ORDER BY dim) AS c FROM ${p}cb GROUP BY 1, 2),
+        ${p}de AS (SELECT f.vec_id, f.sub, c.cid,
+            list_sum(list_transform(range(1, 17),
+              i -> (f.v[i] - c.c[i]) * (f.v[i] - c.c[i]))) AS d
+          FROM ${p}sv f JOIN ${p}cbl c ON f.sub = c.sub WHERE f.vec_id <> 0),
+        ${p}enc AS (SELECT vec_id, sub, cid AS code FROM ${p}de
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+        ${p}psv AS (SELECT sub, v FROM ${p}sv WHERE vec_id = 0),
+        ${p}lut AS (SELECT c.sub, c.cid,
+            CAST(list_sum(list_transform(range(1, 17),
+              i -> (c.c[i] - p2.v[i]) * (c.c[i] - p2.v[i]))) AS BIGINT) AS d
+          FROM ${p}cbl c JOIN ${p}psv p2 ON c.sub = p2.sub),
+        ${p}adc AS (SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+          FROM ${p}enc e JOIN ${p}lut l ON e.sub = l.sub AND e.code = l.cid
+          GROUP BY 1),
+        ${p}adct AS (SELECT vec_id FROM ${p}adc ORDER BY adc_d ASC, vec_id ASC LIMIT 10),
+        ${p}pfull AS (SELECT v FROM ${p}fp WHERE vec_id = 0),
+        ${p}ex AS (SELECT f.vec_id,
+            list_sum(list_transform(range(1, 65),
+              i -> (f.v[i] - p2.v[i]) * (f.v[i] - p2.v[i]))) AS d
+          FROM ${p}fp f CROSS JOIN ${p}pfull p2 WHERE f.vec_id <> 0),
+        ${p}ext AS (SELECT vec_id FROM ${p}ex ORDER BY d ASC, vec_id ASC LIMIT 10)"""
 
   /** One PQ config's full CTE chain (train → encode → per-probe LUT →
     * per-probe ADC top-10 over the q114 probe set), all names prefixed `p`
@@ -1188,6 +1275,30 @@ object SimilarityQueries {
                    GROUP BY 1)
           SELECT vec_id, adc_d FROM adcr
           ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    "q201_pq_permutation" ->
+      s"""WITH afp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          perm AS (SELECT list(i ORDER BY w, i) AS pm FROM (
+              SELECT CAST(u.i AS INT) AS i,
+                ('0x' || substr(md5('perm:' || CAST(u.i AS VARCHAR)), 1, 8))::BIGINT AS w
+              FROM unnest(range(0, $Dim)) AS u(i))),
+          zfp AS (SELECT vec_id,
+              [afp.v[perm.pm[j] + 1] for j in range(1, ${Dim + 1})] AS v
+            FROM afp, perm),
+          ${pqVariantSql("a")},
+          ${pqVariantSql("z")}
+          SELECT * FROM (
+            SELECT 'identity' AS variant,
+              (SELECT CAST(count(*) AS BIGINT) FROM aext) AS n_exact,
+              (SELECT CAST(count(*) AS BIGINT) FROM aadct) AS n_adc,
+              (SELECT CAST(count(*) AS BIGINT) FROM aext JOIN aadct USING (vec_id)) AS n_hits
+            UNION ALL
+            SELECT 'permuted',
+              (SELECT CAST(count(*) AS BIGINT) FROM zext),
+              (SELECT CAST(count(*) AS BIGINT) FROM zadct),
+              (SELECT CAST(count(*) AS BIGINT) FROM zext JOIN zadct USING (vec_id)))
+          ORDER BY variant""".replaceAll("\\s+", " "),
     "q142_pq_recall" ->
       s"""WITH $PqSql, $PqAdcSql,
           adct AS (SELECT vec_id FROM adc ORDER BY adc_d ASC, vec_id ASC LIMIT 10),
