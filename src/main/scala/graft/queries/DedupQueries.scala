@@ -98,6 +98,37 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lowercase / strip punctuation / collapse
     // whitespace) then content-hash canonical mapping, listed dups only.
+    // Cascade-dedup funnel: the production three-stage pipeline measured
+    // stage-by-stage ON EACH STAGE'S SURVIVORS — length floor → exact
+    // content dedup → near-dup CC canonicalization (prefix-join pairs
+    // computed only over what exact dedup kept). The per-stage
+    // (n_in, n_removed, n_out) rows are the curation dashboard's funnel;
+    // ordering stages cheap-to-expensive is what makes the cascade
+    // affordable — each stage shrinks the next one's input.
+    "q202_dedup_cascade" -> ((s, dir) => {
+      val aug = augmented(s, dir)
+      val s0 = aug.filter(length(col("text")) >= 120)
+      val s1 = TextDedup.exactCanonical(
+        s0.withColumn("__norm", Text.normalize(col("text")))
+          .withColumnRenamed("text", "__orig").withColumnRenamed("__norm", "text"),
+        "doc_id", "text")
+        .filter(!col("is_dup"))
+        .select(col("doc_id"), col("__orig").as("text"))
+      val pairs = TextDedup.prefixFilterJaccardPairs(
+        withShingles(s1), "doc_id", "shash", tNum = 7, tDen = 10)
+      val labels = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      val s2drop = labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      def stage(name: String, nIn: DataFrame, nOut: DataFrame): DataFrame =
+        nIn.agg(count(lit(1)).as("n_in"))
+          .crossJoin(nOut.agg(count(lit(1)).as("n_out")))
+          .select(lit(name).as("stage"), col("n_in"),
+            (col("n_in") - col("n_out")).as("n_removed"), col("n_out"))
+      stage("s0_length", aug, s0)
+        .unionByName(stage("s1_exact", s0, s1))
+        .unionByName(stage("s2_neardup", s1,
+          s1.join(broadcast(s2drop), Seq("doc_id"), "left_anti")))
+        .orderBy("stage")
+    }),
     // Cross-language duplicate contamination: content-identical docs
     // tagged with DIFFERENT lang values — mislabeled copies that corrupt
     // per-language stats and mixing weights (a lang-stratified sampler
@@ -1060,6 +1091,40 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q202_dedup_cascade" ->
+      s"""WITH RECURSIVE $AugSql,
+          s0 AS (SELECT doc_id, text FROM aug WHERE length(text) >= 120),
+          nrm AS (SELECT doc_id, text,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+            FROM s0),
+          s1 AS (SELECT doc_id, text FROM nrm
+                 QUALIFY min(doc_id) OVER (PARTITION BY h) = doc_id),
+          ${shinglesSqlFrom("s1")}, $HashesSql, $PrefixPairsSql,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+                    UNION SELECT doc_b, doc_a FROM ppairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lbl) AS (SELECT id, id FROM nodes
+                             UNION
+                             SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+          lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+          drop2 AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+          SELECT * FROM (
+            SELECT 's0_length' AS stage,
+              (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n_in,
+              (SELECT CAST(count(*) AS BIGINT) FROM aug)
+                - (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_removed,
+              (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_out
+            UNION ALL SELECT 's1_exact',
+              (SELECT CAST(count(*) AS BIGINT) FROM s0),
+              (SELECT CAST(count(*) AS BIGINT) FROM s0)
+                - (SELECT CAST(count(*) AS BIGINT) FROM s1),
+              (SELECT CAST(count(*) AS BIGINT) FROM s1)
+            UNION ALL SELECT 's2_neardup',
+              (SELECT CAST(count(*) AS BIGINT) FROM s1),
+              (SELECT CAST(count(*) AS BIGINT) FROM drop2),
+              (SELECT CAST(count(*) AS BIGINT) FROM s1)
+                - (SELECT CAST(count(*) AS BIGINT) FROM drop2))
+          ORDER BY stage""".replaceAll("\\s+", " "),
     "q197_leak_repair" ->
       s"""WITH $AugSql,
           n AS (SELECT doc_id,
