@@ -108,12 +108,15 @@ object DedupQueries {
     "q202_dedup_cascade" -> ((s, dir) => {
       val aug = augmented(s, dir)
       val s0 = aug.filter(length(col("text")) >= 120)
-      val s1 = TextDedup.exactCanonical(
-        s0.withColumn("__norm", Text.normalize(col("text")))
-          .withColumnRenamed("text", "__orig").withColumnRenamed("__norm", "text"),
-        "doc_id", "text")
-        .filter(!col("is_dup"))
-        .select(col("doc_id"), col("__orig").as("text"))
+      // staged: s1 feeds the shingle pipeline, two stage counters, and
+      // the final anti-join — one exact-dedup window pass, four scans
+      val s1 = graft.sources.Stage.through(
+        TextDedup.exactCanonical(
+          s0.withColumn("__norm", Text.normalize(col("text")))
+            .withColumnRenamed("text", "__orig").withColumnRenamed("__norm", "text"),
+          "doc_id", "text")
+          .filter(!col("is_dup"))
+          .select(col("doc_id"), col("__orig").as("text")))
       val pairs = TextDedup.prefixFilterJaccardPairs(
         withShingles(s1), "doc_id", "shash", tNum = 7, tDen = 10)
       val labels = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
@@ -354,8 +357,11 @@ object DedupQueries {
     // between the two thresholds. Tightening is free (q176's verified
     // pairs carry common/na/nb), and every term is int64.
     "q196_modularity" -> ((s, dir) => {
-      val pairs7 = TextDedup.prefixFilterJaccardPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+      // staged once: consumed by the strict-CC subgraph AND the loose
+      // edge evaluation (and CC itself iterates)
+      val pairs7 = graft.sources.Stage.through(
+        TextDedup.prefixFilterJaccardPairs(
+          withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10))
       val pairs8 = pairs7.filter(
         lit(10) * col("common") >= lit(8) * (col("na") + col("nb") - col("common")))
       val labels = TextDedup.connectedComponentsStar(pairs8, "doc_a", "doc_b")
@@ -386,9 +392,13 @@ object DedupQueries {
     // runs against the FROM-SCRATCH recursive-CTE oracle over the full
     // pair set, so incremental == scratch is the hash gate itself.
     "q182_cc_incremental" -> ((s, dir) => {
-      val pairs = TextDedup.prefixFilterJaccardPairs(
-        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
-        .select("doc_a", "doc_b")
+      // the pair list feeds base-CC, the contracted batch, and the
+      // new-node scan — stage it once (parquet, not cache) so all three
+      // consumers read a scan instead of re-running the prefix join
+      val pairs = graft.sources.Stage.through(
+        TextDedup.prefixFilterJaccardPairs(
+          withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+          .select("doc_a", "doc_b"))
       val labels0 = TextDedup.connectedComponentsStar(
         pairs.filter(col("doc_b") < 100000L), "doc_a", "doc_b")
       TextDedup.connectedComponentsIncremental(

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialize-through-parquet — the q101/q102 decision-table discipline
+  * as a reusable operator: write the frame once, read it back, and every
+  * downstream consumer starts from a parquet scan instead of re-running
+  * the producing plan. This is how a multi-consumer intermediate (a
+  * verified pair list feeding CC + counts + an anti-join) avoids both the
+  * N× recompute of a lazy frame AND the lingering persisted-RDD state of
+  * `cache`/`localCheckpoint` — at cluster scale the staged table is what
+  * a production pipeline materializes anyway.
+  *
+  * Each call writes a fresh subdirectory of one per-JVM temp root
+  * (bounded by queries-per-session; decision tables are KB–MB sized).
+  */
+object Stage {
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft_stage").toString
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write `df` to a fresh staging path and return the read-back frame. */
+  def through(df: DataFrame): DataFrame = {
+    val p = s"$root/s${counter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+}
