@@ -215,20 +215,32 @@ object TextQueries {
     // Fixed thresholds (no global percentile window); one exploded pass
     // with four conditional count-distincts.
     "q200_diversity_curve" -> ((s, dir) => {
+      // "distinct grams among docs with qfp ≥ t" ≡ "grams whose MAX doc
+      // qfp ≥ t": one per-gram max aggregation + plain conditional
+      // counts, instead of 8 countDistincts (whose Expand rewrite
+      // multiplies the exploded frame 8×). Doc counts need no distinct
+      // at all (doc_id is unique pre-explode).
       val t = Text.tokens(col("text"))
-      val ex = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
           floor(Text.qualityScore(col("text"), t) * 1e4).cast("long").as("qfp"),
-          explode(Text.wordNgramsFromText(col("text"), 3)).as("g"))
-      ex.agg(
-        countDistinct(when(col("qfp") >= 7500, col("doc_id"))).as("docs_q75"),
-        countDistinct(when(col("qfp") >= 7500, col("g"))).as("grams_q75"),
-        countDistinct(when(col("qfp") >= 5000, col("doc_id"))).as("docs_q50"),
-        countDistinct(when(col("qfp") >= 5000, col("g"))).as("grams_q50"),
-        countDistinct(when(col("qfp") >= 2500, col("doc_id"))).as("docs_q25"),
-        countDistinct(when(col("qfp") >= 2500, col("g"))).as("grams_q25"),
-        countDistinct(col("doc_id")).as("docs_all"),
-        countDistinct(col("g")).as("grams_all"))
+          Text.wordNgramsFromText(col("text"), 3).as("grams"))
+      val docCounts = docs.agg(
+        count_if(col("qfp") >= 7500).as("docs_q75"),
+        count_if(col("qfp") >= 5000).as("docs_q50"),
+        count_if(col("qfp") >= 2500).as("docs_q25"),
+        count(lit(1)).as("docs_all"))
+      val gramCounts = docs
+        .select(col("qfp"), explode(col("grams")).as("g"))
+        .groupBy("g").agg(max(col("qfp")).as("mq"))
+        .agg(
+          count_if(col("mq") >= 7500).as("grams_q75"),
+          count_if(col("mq") >= 5000).as("grams_q50"),
+          count_if(col("mq") >= 2500).as("grams_q25"),
+          count(lit(1)).as("grams_all"))
+      docCounts.crossJoin(gramCounts)
+        .select("docs_q75", "grams_q75", "docs_q50", "grams_q50",
+          "docs_q25", "grams_q25", "docs_all", "grams_all")
     }),
     // Sparse tf-idf cosine pairs: docs as tf·idf vectors over word
     // TRIGRAMS (the 31-word vocab makes unigram df useless; the trigram
