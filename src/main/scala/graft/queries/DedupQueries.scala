@@ -98,6 +98,29 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lowercase / strip punctuation / collapse
     // whitespace) then content-hash canonical mapping, listed dups only.
+    // Cross-source duplication matrix: every exact/near pair mapped back
+    // to its ORIGINAL documents' sources (planted copies fold to their
+    // origin via doc_id mod 100000) and rolled up per unordered source
+    // pair, self-copies split out — the provenance-overlap table that
+    // tells a curator WHICH feeds plagiarize each other vs merely
+    // re-publish themselves.
+    "q204_cross_source_pairs" -> ((s, dir) => {
+      val pairs = TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+      val src = Tables.documents(s, dir).select(col("doc_id").as("__o"), col("source"))
+      pairs
+        .withColumn("oa", col("doc_a") % 100000L)
+        .withColumn("ob", col("doc_b") % 100000L)
+        .join(src.select(col("__o").as("oa"), col("source").as("source_a")), "oa")
+        .join(src.select(col("__o").as("ob"), col("source").as("source_b")), "ob")
+        .select(
+          least(col("source_a"), col("source_b")).as("source_lo"),
+          greatest(col("source_a"), col("source_b")).as("source_hi"),
+          (col("oa") === col("ob")).as("self_copy"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"), count_if(col("self_copy")).as("n_self_copies"))
+        .orderBy("source_lo", "source_hi")
+    }),
     // Cascade-dedup funnel: the production three-stage pipeline measured
     // stage-by-stage ON EACH STAGE'S SURVIVORS — length floor → exact
     // content dedup → near-dup CC canonicalization (prefix-join pairs
@@ -1101,6 +1124,17 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q204_cross_source_pairs" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          srcmap AS (SELECT doc_id AS o, source FROM documents),
+          e AS (SELECT p.doc_a % 100000 AS oa, p.doc_b % 100000 AS ob FROM ppairs p),
+          j AS (SELECT sa.source AS source_a, sb.source AS source_b, e.oa = e.ob AS self_copy
+                FROM e JOIN srcmap sa ON sa.o = e.oa JOIN srcmap sb ON sb.o = e.ob)
+          SELECT least(source_a, source_b) AS source_lo,
+            greatest(source_a, source_b) AS source_hi,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(count(*) FILTER (self_copy) AS BIGINT) AS n_self_copies
+          FROM j GROUP BY 1, 2 ORDER BY source_lo, source_hi""".replaceAll("\\s+", " "),
     "q202_dedup_cascade" ->
       s"""WITH RECURSIVE $AugSql,
           s0 AS (SELECT doc_id, text FROM aug WHERE length(text) >= 120),

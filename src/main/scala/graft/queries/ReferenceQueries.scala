@@ -191,6 +191,23 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Load-profile seasonality: mean value per (weekday × hour) cell —
+    // the standard energy-dashboard heatmap over half-hourly feeds (the
+    // reference's charting layer renders exactly this shape), with the
+    // per-weekday PEAK hour via a deterministic struct-max. Exact
+    // decimal means; one map-side-combined pass + a 7-row window.
+    "q205_seasonality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("weekday"), hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), Exact.davg(col("value")).as("avg_value"))
+      cells
+        .withColumn("peak_hour",
+          max(struct(col("avg_value"), col("hour"))).over(Window.partitionBy("weekday"))
+            .getField("hour"))
+        .select("weekday", "hour", "n", "avg_value", "peak_hour")
+        .orderBy("weekday", "hour")
+    }),
     // Freshness SLA report: per feed (event_type), row count, latest
     // event, and the lag in whole minutes behind the freshest feed —
     // with a stale flag at >60 min. The ops dashboard row the
@@ -359,6 +376,18 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q205_seasonality" ->
+      """WITH cells AS (SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value
+            FROM events GROUP BY 1, 2),
+          pk AS (SELECT weekday, hour AS peak_hour FROM cells
+                 QUALIFY row_number() OVER (PARTITION BY weekday
+                   ORDER BY avg_value DESC, hour DESC) = 1)
+          SELECT c.weekday, CAST(c.hour AS INT) AS hour, c.n, c.avg_value,
+            CAST(pk.peak_hour AS INT) AS peak_hour
+          FROM cells c JOIN pk USING (weekday)
+          ORDER BY weekday, hour""".replaceAll("\\s+", " "),
     "q190_freshness" ->
       """WITH g AS (SELECT max(ts) AS gmax FROM events),
           f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
