@@ -224,6 +224,29 @@ object AnalyticsQueries {
     // 1e4 grid, then (n·x − S)² > 4(nQ − S²) (the z-test cross-multiplied
     // so no division or sqrt exists to differ between engines). The
     // 30-row stats frame broadcasts back; one pass over buckets.
+    // Denormalized order documents: lineitems nested per order
+    // (collect_list → sort_array for a canonical item order), then the
+    // per-order stats computed FROM THE ARRAY with higher-order
+    // functions — decimal-accumulator `aggregate` for revenue (exact,
+    // order-independent) and a struct array_max for the priciest line.
+    // The oracle computes the same numbers relationally, so the hash
+    // gate proves nested == flat — the pre-joined document layout a
+    // 100 TB serving store materializes to avoid re-shuffling joins.
+    "q206_nested_orders" -> ((s, dir) => {
+      val nested = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"), col("l_extendedprice").as("price"),
+            col("l_discount").as("disc")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      nested.select(col("l_orderkey"),
+        size(col("items")).as("n_items"),
+        expr("""CAST(aggregate(items, CAST(0 AS DECIMAL(30,4)),
+                 (acc, x) -> CAST(acc + CAST(x.price * (1.0 - x.disc) AS DECIMAL(30,4))
+                             AS DECIMAL(30,4))) AS DOUBLE)""").as("revenue"),
+        expr("array_max(transform(items, x -> struct(x.price, x.ln))).ln").as("max_price_ln"))
+        .orderBy("l_orderkey")
+    }),
     // First-order behavior model: per-user event-type TRANSITION counts
     // (lead over each user's time-ordered stream) with per-source-state
     // totals — the Markov transition matrix as exact integer rationals
@@ -399,6 +422,17 @@ object AnalyticsQueries {
             ON h.o_custkey = f.o_custkey AND h.valid_from <= f.l_shipdate
             AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
           ORDER BY l_orderkey, l_linenumber""".replaceAll("\\s+", " "),
+    "q206_nested_orders" ->
+      """WITH mx AS (SELECT l_orderkey, l_linenumber AS max_price_ln FROM lineitem
+                     QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber DESC) = 1),
+          ag AS (SELECT l_orderkey, CAST(count(*) AS INT) AS n_items,
+              CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                AS revenue
+            FROM lineitem GROUP BY l_orderkey)
+          SELECT ag.l_orderkey, ag.n_items, ag.revenue, mx.max_price_ln
+          FROM ag JOIN mx USING (l_orderkey)
+          ORDER BY l_orderkey""".replaceAll("\\s+", " "),
     "q199_event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
