@@ -191,6 +191,25 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Keyed DELETE on the partitioned sink (takedown / right-to-be-
+    // forgotten mechanics): build the bucketed sink, delete every 50th
+    // event through the bucket-pruned anti-join path, read back — the
+    // oracle computes events minus the delete list relationally, so the
+    // hash gate proves the pruned rewrite removed exactly those keys and
+    // nothing else. MergePipelineSpec covers the emptied-bucket edge.
+    "q207_delete_partitioned" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q207").toString + "/sink"
+      Merge.upsertPartitioned(s, existing, sink, Seq("event_id"), numBuckets = 16)
+      Merge.deletePartitioned(s,
+        existing.filter(col("event_id") % 50 === 0).select("event_id"),
+        sink, Seq("event_id"), numBuckets = 16)
+      s.read.parquet(sink).drop("p_bucket")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // Load-profile seasonality: mean value per (weekday × hour) cell —
     // the standard energy-dashboard heatmap over half-hourly feeds (the
     // reference's charting layer renders exactly this shape), with the
@@ -376,6 +395,9 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q207_delete_partitioned" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 50 <> 0 ORDER BY event_id""".replaceAll("\\s+", " "),
     "q205_seasonality" ->
       """WITH cells AS (SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
               CAST(count(*) AS BIGINT) AS n,

@@ -208,6 +208,59 @@ object Merge {
   }
 
   /** S8: append-only metrics sink (run history). */
+  /** Keyed DELETE on the bucket-partitioned sink — the inverse of
+    * [[upsertPartitioned]] and the mechanics of a takedown / opt-out /
+    * right-to-be-forgotten pass at 100 TB: the delete-key list maps to
+    * its buckets through the SAME pmod(xxhash64) the sink was written
+    * with, only the touched partitions are read (directory pruning) and
+    * anti-joined, and the rewrite commits via dynamic partition
+    * overwrite — untouched buckets' files are never opened. Idempotent:
+    * re-running the same delete list is a no-op.
+    *
+    * The bucket-count marker contract of [[upsertPartitioned]] applies
+    * unchanged (a mismatched N would prune to the WRONG buckets and
+    * silently miss rows).
+    */
+  def deletePartitioned(
+      spark: SparkSession,
+      deleteKeys: DataFrame,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int = 64,
+      partCol: String = "p_bucket"): Unit = {
+    val withP = deleteKeys.select(keys.map(col): _*).distinct()
+      .withColumn(partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (withP.isEmpty) return
+      val marker = Paths.get(path, "_graft_buckets")
+      if (Files.exists(marker)) {
+        val recorded = Files.readString(marker).trim.toInt
+        require(recorded == numBuckets,
+          s"sink at $path is bucketed with $recorded buckets; delete called with " +
+            s"$numBuckets — pruning would miss the keys' actual partitions.")
+      }
+      val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isin(touched: _*))
+      val survivors = existing.join(withP, keys, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // dynamic overwrite only replaces partitions PRESENT in the written
+        // data — a bucket whose every row was deleted would silently keep
+        // its old files. Remove those directories explicitly.
+        val kept = survivors.select(partCol).distinct().collect().map(_.getInt(0)).toSet
+        survivors
+          .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(path)
+        (touched.toSet -- kept).foreach { b =>
+          deleteRecursive(Paths.get(path, s"$partCol=$b"))
+        }
+      } finally survivors.unpersist(blocking = false)
+    } finally withP.unpersist(blocking = false)
+  }
+
   /** Merkle-style bucket fingerprints — the anti-entropy primitive for
     * comparing two copies of a table (sink vs re-export, primary vs
     * replica) WITHOUT a row-by-row join: each row hashes to a 60-bit

@@ -75,6 +75,43 @@ class MergePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(again == expected)
   }
 
+  test("deletePartitioned: pruned rewrite, emptied-bucket cleanup, idempotent") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_delete_part").toString
+    val path = s"$dir/table"
+    val existing = (1L to 200L).map(i => (i, s"v$i")).toDF("_id", "v")
+    Merge.upsertPartitioned(spark, existing, path, Seq("_id"), numBuckets = 8)
+    val bucketOf = existing.select(col("_id"),
+      pmod(xxhash64(col("_id")), lit(8)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    // delete EVERY key of one bucket (the dynamic-overwrite edge: the
+    // partition must disappear, not silently keep its old files) plus a
+    // couple of keys from another
+    val emptied = bucketOf(1L)
+    val other = bucketOf.collectFirst { case (k, b) if b != emptied => b }.get
+    val delKeys = bucketOf.collect { case (k, b) if b == emptied => k }.toSeq ++
+      bucketOf.collect { case (k, b) if b == other => k }.take(2)
+    Merge.deletePartitioned(spark, delKeys.map(Tuple1(_)).toDF("_id"),
+      path, Seq("_id"), numBuckets = 8)
+    assert(!Files.exists(Paths.get(path, s"p_bucket=$emptied")),
+      "a fully-deleted bucket's directory must be removed")
+    val out = spark.read.parquet(path).drop("p_bucket")
+      .orderBy("_id").as[(Long, String)].collect().toSeq
+    val expected = (1L to 200L).filterNot(delKeys.toSet)
+      .map(i => (i, s"v$i")).toSeq
+    assert(out == expected)
+    // idempotent re-run
+    Merge.deletePartitioned(spark, delKeys.map(Tuple1(_)).toDF("_id"),
+      path, Seq("_id"), numBuckets = 8)
+    assert(spark.read.parquet(path).count() == expected.size)
+    // mismatched bucket count refused
+    intercept[IllegalArgumentException] {
+      Merge.deletePartitioned(spark, Seq(Tuple1(1L)).toDF("_id"),
+        path, Seq("_id"), numBuckets = 16)
+    }
+  }
+
   test("upsertPartitioned refuses a merge with a mismatched bucket count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_nbuck").toString
     val path = s"$dir/table"
