@@ -50,6 +50,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamed corpus growth keeps BM25 == batch over the union (index maintenance)") {
+    // micro-batched doc arrivals accumulate in a sink via foreachBatch;
+    // after each batch, bm25Incremental(corpus-so-far, batch) must equal
+    // bm25 over the full union — the maintained-index contract under
+    // streaming ingest.
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bm25").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val corpusPath = s"$dir/corpus"
+        val corpusExists = new java.io.File(corpusPath).exists()
+        if (corpusExists) {
+          val corpus = spark.read.parquet(corpusPath)
+          val inc = graft.operators.Search
+            .bm25Incremental(corpus, batch, Seq("spark", "stream"))
+            .orderBy("doc_id").collect().toSeq
+          val full = graft.operators.Search
+            .bm25(corpus.unionByName(batch), Seq("spark", "stream"))
+            .orderBy("doc_id").collect().toSeq
+          assert(inc == full, s"batch $id: incremental != batch-over-union")
+        }
+        batch.write.mode("append").parquet(corpusPath)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "spark joins the stream"), (2L, "a table of streams"))
+      q.processAllAvailable()
+      mem.addData((3L, "spark spark stream"), (4L, "nothing relevant here"))
+      q.processAllAvailable()
+      mem.addData((5L, "stream stream stream spark"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 5)
+    } finally q.stop()
+  }
+
   test("intervalJoinStream attributes clicks to impressions within the horizon only") {
     implicit val sc = spark.sqlContext
     val imps = MemoryStream[(Long, java.sql.Timestamp)]
