@@ -208,6 +208,23 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // Deterministic eval-set construction: per language, the 10 docs
+    // with the LOWEST md5 buckets (hash order ⇒ unbiased, stable under
+    // corpus growth; doc_id tie-break) selected by the native
+    // TopKPerGroup plan — groups×k rows cross the wire, never a full
+    // sort. The per-stratum floor a benchmark suite needs even for rare
+    // languages; coverage shortfall is visible as n_docs < 10.
+    "q208_eval_set" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      graft.operators.Analytics.topKPerGroupNative(
+        d, Seq("lang"), Seq(("bucket", false), ("doc_id", false)), k = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("bucket")).as("max_bucket"))
+        .orderBy("lang")
+    }),
     // Diversity-return curve: distinct word-trigram coverage of the
     // corpus slices above quality-score thresholds (q75/q50/q25/all) —
     // "how much lexical diversity does each quality cut retain" is the
@@ -729,6 +746,15 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q208_eval_set" ->
+      """WITH d AS (SELECT lang, doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+            FROM documents),
+          t AS (SELECT * FROM d
+                QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 10)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            min(doc_id) AS first_doc, max(bucket) AS max_bucket
+          FROM t GROUP BY lang ORDER BY lang""".replaceAll("\\s+", " "),
     "q200_diversity_curve" ->
       raw"""WITH t AS (SELECT doc_id, text,
               regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
