@@ -208,6 +208,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // Distribution-drift monitor: population stability index of the
+    // doc-length distribution, corpus vs incoming batch (the augmented
+    // near/exact copies — a genuinely shifted length profile). Fixed
+    // 100-char bins, Laplace-smoothed exact-integer shares, one ln per
+    // bin (the q79 discipline), psi contribution floored to 1e-6 grid;
+    // psi_total repeated per row from a bounded window. PSI > 0.2 is the
+    // standard "retrain/re-examine" alarm.
+    "q209_length_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val aug = Tables.documents(s, dir).select(length(col("text")).as("len"))
+        .withColumn("side", lit("base"))
+        .unionByName(Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 === 0)
+          .select((length(col("text")) - 14).as("len"))
+          .withColumn("side", lit("inc")))
+      val binned = aug.withColumn("bin", expr("len div 100"))
+        .groupBy("bin")
+        .agg(count_if(col("side") === "base").as("n_base"),
+          count_if(col("side") === "inc").as("n_inc"))
+      val tot = binned.agg(sum(col("n_base")).as("tb"), sum(col("n_inc")).as("ti"),
+        count(lit(1)).as("nbins"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("p", (col("n_base") + 1).cast("double") / (col("tb") + col("nbins")))
+        .withColumn("q", (col("n_inc") + 1).cast("double") / (col("ti") + col("nbins")))
+        .withColumn("psi_fp",
+          floor(lit(1e6) * (col("p") - col("q")) * log(col("p") / col("q"))).cast("long"))
+        .withColumn("psi_total_fp", sum(col("psi_fp")).over(Window.partitionBy()))
+        .select("bin", "n_base", "n_inc", "psi_fp", "psi_total_fp")
+        .orderBy("bin")
+    }),
     // Deterministic eval-set construction: per language, the 10 docs
     // with the LOWEST md5 buckets (hash order ⇒ unbiased, stable under
     // corpus growth; doc_id tie-break) selected by the native
@@ -746,6 +776,25 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q209_length_psi" ->
+      """WITH a AS (SELECT length(text) AS len, 'base' AS side FROM documents
+            UNION ALL SELECT length(text) - 14, 'inc' FROM documents WHERE doc_id % 7 = 0),
+          b AS (SELECT len // 100 AS bin,
+              CAST(count(*) FILTER (side = 'base') AS BIGINT) AS n_base,
+              CAST(count(*) FILTER (side = 'inc') AS BIGINT) AS n_inc
+            FROM a GROUP BY 1),
+          t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+              CAST(sum(n_inc) AS BIGINT) AS ti,
+              CAST(count(*) AS BIGINT) AS nbins FROM b),
+          c AS (SELECT bin, n_base, n_inc,
+              CAST(n_base + 1 AS DOUBLE) / (tb + nbins) AS p,
+              CAST(n_inc + 1 AS DOUBLE) / (ti + nbins) AS q
+            FROM b, t),
+          d AS (SELECT bin, n_base, n_inc,
+              CAST(floor(1e6 * (p - q) * ln(p / q)) AS BIGINT) AS psi_fp FROM c)
+          SELECT bin, n_base, n_inc, psi_fp,
+            CAST(sum(psi_fp) OVER () AS BIGINT) AS psi_total_fp
+          FROM d ORDER BY bin""".replaceAll("\\s+", " "),
     "q208_eval_set" ->
       """WITH d AS (SELECT lang, doc_id,
               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
