@@ -98,6 +98,42 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lowercase / strip punctuation / collapse
     // whitespace) then content-hash canonical mapping, listed dups only.
+    // Contamination HALO: decontamination (q68) flags train docs that
+    // share eval n-grams — but a train doc that is a NEAR-DUP of a
+    // flagged doc is just as suspect even with zero direct gram overlap.
+    // Two BFS rounds over the train-side near-dup graph from the flagged
+    // seeds: hop 0 = direct hits, hop 1/2 = transitively suspect. Each
+    // frontier is a distinct + anti-join on the staged edge list —
+    // bounded rounds, no recursive driver loop.
+    "q210_contamination_halo" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // train = the augmented corpus (originals + planted near/exact
+      // copies) minus eval-fold originals — so a COPY of a flagged doc
+      // can sit in the halo without being flagged itself
+      val train = augmented(s, dir).filter((col("doc_id") % 100000L) % 37 =!= 0)
+      val seeds = graft.sources.Stage.through(
+        TextDedup.contaminationPairs(train, docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+          .select(col("train_id").as("doc_id")).distinct())
+      val pairs = graft.sources.Stage.through(
+        TextDedup.prefixFilterJaccardPairs(
+          withShingles(train), "doc_id", "shash", tNum = 7, tDen = 10)
+          .select("doc_a", "doc_b"))
+      val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      val h1 = und.join(seeds.withColumnRenamed("doc_id", "a"), "a")
+        .select(col("b").as("doc_id")).distinct()
+        .join(seeds, Seq("doc_id"), "left_anti")
+      val f1 = graft.sources.Stage.through(seeds.unionByName(h1))
+      val h2 = und.join(f1.withColumnRenamed("doc_id", "a"), "a")
+        .select(col("b").as("doc_id")).distinct()
+        .join(f1, Seq("doc_id"), "left_anti")
+      def hopRow(df: DataFrame, hop: Int) =
+        df.agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .select(lit(hop).as("hop"), col("n_docs"), col("min_doc"))
+      hopRow(seeds, 0).unionByName(hopRow(h1, 1)).unionByName(hopRow(h2, 2))
+        .orderBy("hop")
+    }),
     // Cross-source duplication matrix: every exact/near pair mapped back
     // to its ORIGINAL documents' sources (planted copies fold to their
     // origin via doc_id mod 100000) and rolled up per unordered source
@@ -1124,6 +1160,42 @@ object DedupQueries {
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql
           SELECT doc_a, doc_b, common, na, nb FROM ppairs
           ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
+    "q210_contamination_halo" ->
+      s"""WITH $AugSql,
+          tr AS (SELECT doc_id, text FROM aug WHERE (doc_id % 100000) % 37 <> 0),
+          ${shinglesSqlFrom("tr")}, $HashesSql, $PrefixPairsSql,
+          t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM tr),
+          gtr AS (SELECT doc_id, unnest(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, len(toks) - 1)])) AS g
+                  FROM t2),
+          t3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents WHERE doc_id % 37 = 0),
+          gte AS (SELECT doc_id, unnest(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, len(toks) - 1)])) AS g
+                  FROM t3),
+          cp AS (SELECT a.doc_id AS train_id
+                 FROM gtr a JOIN gte b ON a.g = b.g
+                 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+          s0 AS (SELECT DISTINCT train_id AS doc_id FROM cp),
+          und AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+                  UNION ALL SELECT doc_b, doc_a FROM ppairs),
+          n1 AS (SELECT DISTINCT e.b AS doc_id FROM und e
+                 JOIN s0 ON e.a = s0.doc_id
+                 WHERE e.b NOT IN (SELECT doc_id FROM s0)),
+          f1 AS (SELECT doc_id FROM s0 UNION SELECT doc_id FROM n1),
+          n2 AS (SELECT DISTINCT e.b AS doc_id FROM und e
+                 JOIN f1 ON e.a = f1.doc_id
+                 WHERE e.b NOT IN (SELECT doc_id FROM f1))
+          SELECT * FROM (
+            SELECT 0 AS hop, (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_docs,
+              (SELECT min(doc_id) FROM s0) AS min_doc
+            UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM n1),
+              (SELECT min(doc_id) FROM n1)
+            UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM n2),
+              (SELECT min(doc_id) FROM n2))
+          ORDER BY hop""".replaceAll("\\s+", " "),
     "q204_cross_source_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
           srcmap AS (SELECT doc_id AS o, source FROM documents),
