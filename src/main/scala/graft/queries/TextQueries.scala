@@ -208,6 +208,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
         .orderBy("doc_id")
     }),
+    // Source concentration (Pareto) table: per-source token mass ranked
+    // largest-first with cumulative share — "how few feeds carry 80% of
+    // the corpus" is the dependency-risk number a data-sourcing review
+    // asks for. Shares stay exact integer cross-multiplications
+    // (5·cum ≥ 4·total ⟺ ≥80%); the window runs over the source
+    // DIMENSION frame.
+    "q211_source_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, dir)
+        .withColumn("tok", size(Text.tokens(col("text"))).cast("long"))
+        .groupBy("source").agg(sum(col("tok")).as("toks"))
+      val tot = per.agg(sum(col("toks")).as("total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("toks").desc, col("source"))))
+        .withColumn("cum_toks",
+          sum(col("toks")).over(Window.orderBy(col("toks").desc, col("source"))))
+        .withColumn("in_top80", lit(5L) * (col("cum_toks") - col("toks")) < lit(4L) * col("total"))
+        .select("rank", "source", "toks", "cum_toks", "total", "in_top80")
+        .orderBy("rank")
+    }),
     // Distribution-drift monitor: population stability index of the
     // doc-length distribution, corpus vs incoming batch (the augmented
     // near/exact copies — a genuinely shifted length profile). Fixed
@@ -776,6 +797,19 @@ object TextQueries {
              AND coalesce(d5.dup5_chars, 0) * 100 <= d.text_chars * 50) AS keep
           FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
           ORDER BY doc_id""".replaceAll("\\s+", " "),
+    "q211_source_pareto" ->
+      raw"""WITH per AS (SELECT source,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks
+            FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM per),
+          r AS (SELECT source, toks,
+              row_number() OVER (ORDER BY toks DESC, source) AS rank,
+              CAST(sum(toks) OVER (ORDER BY toks DESC, source
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+            FROM per)
+          SELECT rank, source, toks, cum_toks, t.total,
+            5 * (cum_toks - toks) < 4 * t.total AS in_top80
+          FROM r, t ORDER BY rank""".replaceAll("\\s+", " "),
     "q209_length_psi" ->
       """WITH a AS (SELECT length(text) AS len, 'base' AS side FROM documents
             UNION ALL SELECT length(text) - 14, 'inc' FROM documents WHERE doc_id % 7 = 0),
