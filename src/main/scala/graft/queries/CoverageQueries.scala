@@ -149,6 +149,31 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
         .orderBy("user_id")
     }),
+    // Cross-table consistency audit: an order's status must agree with
+    // its lineitems' statuses (F ⟺ all lines F, O ⟺ all lines O,
+    // P ⟺ mixed; no lines at all is always a violation). Per status:
+    // orders, consistent, violations, first violating key — the
+    // business-rule DQ gate that runs beside q193's FK audit. One
+    // per-order aggregate + one broadcast-dim join.
+    "q212_status_consistency" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count_if(col("l_linestatus") === "F").as("nf"),
+          count_if(col("l_linestatus") === "O").as("no"))
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("nf", coalesce(col("nf"), lit(0L)))
+        .withColumn("no", coalesce(col("no"), lit(0L)))
+        .withColumn("consistent",
+          when(col("o_orderstatus") === "F", col("no") === 0 && col("nf") > 0)
+            .when(col("o_orderstatus") === "O", col("nf") === 0 && col("no") > 0)
+            .otherwise(col("nf") > 0 && col("no") > 0))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          count_if(col("consistent")).as("n_consistent"),
+          count_if(!col("consistent")).as("n_violations"),
+          min(when(!col("consistent"), col("o_orderkey"))).as("first_violation"))
+        .orderBy("o_orderstatus")
+    }),
     // Referential-integrity audit: orphan counts across every FK edge of
     // the star schema (lineitem→orders/part/supplier, orders→customer,
     // customer/supplier→nation) — each edge one broadcast-dim anti-join,
@@ -249,6 +274,24 @@ object CoverageQueries {
       """SELECT event_id, event_type FROM events
           QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 1001 AND 1100
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q212_status_consistency" ->
+      """WITH li AS (SELECT l_orderkey,
+              CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS nf,
+              CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS no
+            FROM lineitem GROUP BY l_orderkey),
+          j AS (SELECT o.o_orderkey, o.o_orderstatus,
+              coalesce(li.nf, 0) AS nf, coalesce(li.no, 0) AS no
+            FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey),
+          c AS (SELECT o_orderkey, o_orderstatus,
+              CASE WHEN o_orderstatus = 'F' THEN no = 0 AND nf > 0
+                   WHEN o_orderstatus = 'O' THEN nf = 0 AND no > 0
+                   ELSE nf > 0 AND no > 0 END AS consistent
+            FROM j)
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(count(*) FILTER (consistent) AS BIGINT) AS n_consistent,
+            CAST(count(*) FILTER (NOT consistent) AS BIGINT) AS n_violations,
+            min(CASE WHEN NOT consistent THEN o_orderkey END) AS first_violation
+          FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".replaceAll("\\s+", " "),
     "q193_fk_orphans" ->
       """SELECT * FROM (
           SELECT 'customer.c_nationkey' AS fk_edge,
