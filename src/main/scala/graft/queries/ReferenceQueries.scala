@@ -191,6 +191,26 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
     // M1/S7: keyed idempotent upsert as a pure query (anti-join + union).
+    // Deterministic pseudonymization: user ids mapped to 60-bit md5
+    // pseudonyms (salted, re-derivable — joins keep working without the
+    // raw id ever leaving the pipeline) with the injectivity audit a
+    // privacy review requires: distinct-pseudonym count vs user count
+    // (collisions would MERGE users' histories) plus proof every event
+    // re-keys. Pure codegen'd expression; the mapping table is the only
+    // artifact that ever needs restricted storage.
+    "q213_pseudonymize" -> ((s, dir) => {
+      val pseud = conv(substring(
+        md5(concat(lit("pseudo:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val mapped = Tables.events(s, dir).select("user_id").distinct()
+        .withColumn("pseudonym", pseud)
+      val rekeyed = Tables.events(s, dir).select("user_id", "event_id")
+        .join(mapped, "user_id")
+      mapped.agg(count(lit(1)).as("n_users"),
+          countDistinct(col("pseudonym")).as("n_pseudonyms"),
+          (count(lit(1)) - countDistinct(col("pseudonym"))).as("n_collisions"))
+        .crossJoin(broadcast(rekeyed.agg(count(lit(1)).as("n_events_rekeyed"))))
+    }),
     // Keyed DELETE on the partitioned sink (takedown / right-to-be-
     // forgotten mechanics): build the bucketed sink, delete every 50th
     // event through the bucket-pruned anti-join path, read back — the
@@ -395,6 +415,19 @@ object ReferenceQueries {
       "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1) WHERE bucket BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00' ORDER BY bucket",
     "q14_unpivot" ->
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure",
+    "q213_pseudonymize" ->
+      """WITH m AS (SELECT DISTINCT user_id,
+              ('0x' || substr(md5('pseudo:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                AS pseudonym
+            FROM events),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+              CAST(count(*) - count(DISTINCT pseudonym) AS BIGINT) AS n_collisions
+            FROM m),
+          r AS (SELECT CAST(count(*) AS BIGINT) AS n_events_rekeyed
+                FROM events e JOIN m USING (user_id))
+          SELECT a.n_users, a.n_pseudonyms, a.n_collisions, r.n_events_rekeyed
+          FROM a, r""".replaceAll("\\s+", " "),
     "q207_delete_partitioned" ->
       """SELECT event_id, user_id, event_type, value FROM events
           WHERE event_id % 50 <> 0 ORDER BY event_id""".replaceAll("\\s+", " "),
