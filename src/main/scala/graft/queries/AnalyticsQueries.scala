@@ -284,6 +284,26 @@ object AnalyticsQueries {
         .withColumn("late_rate", col("n_late").cast("double") / col("n_rows"))
         .orderBy("day")
     }),
+    // Daily quantile bands: rank-exact p10/p50/p90 of value per day
+    // (lower quantile at rank ⌈q·n/100⌉ — picked VALUES, never
+    // interpolated, so the bands hash cross-engine where approx
+    // percentiles can't). Per-day windows stay bounded at any corpus
+    // size; the band table is the volatility-envelope chart every
+    // monitoring dashboard draws.
+    "q214_daily_bands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+      ranked.groupBy("day")
+        .agg(max(col("n")).as("n_rows"),
+          min(when(col("rn") === expr("(10 * n + 99) div 100"), col("value"))).as("p10"),
+          min(when(col("rn") === expr("(50 * n + 99) div 100"), col("value"))).as("p50"),
+          min(when(col("rn") === expr("(90 * n + 99) div 100"), col("value"))).as("p90"))
+        .orderBy("day")
+    }),
     // Robust anomaly detection: q123's mean/σ rule breaks when the
     // anomaly itself inflates σ (masking); the median/MAD rule doesn't.
     // Lower median + lower median of absolute deviations, both RANK-exact
@@ -452,6 +472,17 @@ object AnalyticsQueries {
             CAST(count(*) FILTER (runmax IS NOT NULL AND ts < runmax) AS BIGINT) AS n_late,
             CAST(count(*) FILTER (runmax IS NOT NULL AND ts < runmax) AS DOUBLE)
               / count(*) AS late_rate
+          FROM r GROUP BY day ORDER BY day""".replaceAll("\\s+", " "),
+    "q214_daily_bands" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),
+          r AS (SELECT day, value,
+              row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY day) AS n
+            FROM e)
+          SELECT day, CAST(max(n) AS BIGINT) AS n_rows,
+            min(CASE WHEN rn = (10 * n + 99) // 100 THEN value END) AS p10,
+            min(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+            min(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90
           FROM r GROUP BY day ORDER BY day""".replaceAll("\\s+", " "),
     "q187_mad_anomaly" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
