@@ -230,6 +230,27 @@ object ReferenceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // Ramp-rate audit: the between-consecutive-readings jump |Δvalue|
+    // per day (energy ops watch ramp rates — a generation feed that
+    // swings hard inside one settlement period is news). lag() over each
+    // day's time-ordered readings; per day: max ramp, its timestamp
+    // (deterministic struct-max tie-break), and the count of ramps above
+    // 3000. Differences are single IEEE subtractions of stored doubles —
+    // engine-identical.
+    "q215_ramp_rates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("day").orderBy(col("ts"), col("event_id"))
+      val d = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"), col("value"))
+        .withColumn("ramp", abs(col("value") - lag(col("value"), 1).over(w)))
+        .filter(col("ramp").isNotNull)
+      d.groupBy("day")
+        .agg(count(lit(1)).as("n_ramps"),
+          max(col("ramp")).as("max_ramp"),
+          max(struct(col("ramp"), col("ts"))).getField("ts").as("max_ramp_ts"),
+          count_if(col("ramp") > 3000d).as("n_big_ramps"))
+        .orderBy("day")
+    }),
     // Load-profile seasonality: mean value per (weekday × hour) cell —
     // the standard energy-dashboard heatmap over half-hourly feeds (the
     // reference's charting layer renders exactly this shape), with the
@@ -431,6 +452,20 @@ object ReferenceQueries {
     "q207_delete_partitioned" ->
       """SELECT event_id, user_id, event_type, value FROM events
           WHERE event_id % 50 <> 0 ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q215_ramp_rates" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value,
+              abs(value - lag(value) OVER (PARTITION BY CAST(ts AS DATE)
+                ORDER BY ts, event_id)) AS ramp
+            FROM events),
+          f AS (SELECT * FROM d WHERE ramp IS NOT NULL),
+          mx AS (SELECT day, ts AS max_ramp_ts FROM f
+                 QUALIFY row_number() OVER (PARTITION BY day
+                   ORDER BY ramp DESC, ts DESC) = 1)
+          SELECT f.day, CAST(count(*) AS BIGINT) AS n_ramps,
+            max(f.ramp) AS max_ramp, min(mx.max_ramp_ts) AS max_ramp_ts,
+            CAST(count(*) FILTER (f.ramp > 3000) AS BIGINT) AS n_big_ramps
+          FROM f JOIN mx USING (day)
+          GROUP BY f.day ORDER BY f.day""".replaceAll("\\s+", " "),
     "q205_seasonality" ->
       """WITH cells AS (SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
               CAST(count(*) AS BIGINT) AS n,
