@@ -40,6 +40,24 @@ object MultimodalQueries {
     }),
     // Metadata-only scan: never touches the payload column (column
     // pruning keeps 100 TB of media bytes unread).
+    // Payload integrity audit: every media row carries the checksum
+    // computed at ingest; recomputing md5 over the (possibly corrupted —
+    // every 101st row gets an appended byte in-plan) payload localizes
+    // silent bit-rot per kind with the first corrupt id for triage. The
+    // check never decodes — it reads bytes and hashes, which is why it
+    // can run on 100 TB of media cheaply.
+    "q216_media_integrity" -> ((s, dir) => {
+      val m = media(s, dir).toDF().withColumn("checksum", md5(col("content")))
+      val corrupted = m.withColumn("content",
+        when(col("media_id") % 101 === 0,
+          concat(col("content"), encode(lit("X"), "UTF-8")))
+          .otherwise(col("content")))
+      corrupted.withColumn("ok", md5(col("content")) === col("checksum"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_rows"), count_if(!col("ok")).as("n_corrupt"),
+          min(when(!col("ok"), col("media_id"))).as("first_corrupt"))
+        .orderBy("kind")
+    }),
     "q42_media_meta" -> ((s, dir) => {
       media(s, dir).toDF()
         .groupBy("kind")
@@ -101,6 +119,18 @@ object MultimodalQueries {
                 / CAST(997 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)
               for d in range(0, 8)], ',') AS embedding
           FROM b ORDER BY media_id""".replaceAll("\\s+", " "),
+    "q216_media_integrity" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+              ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+              text, md5(text) AS checksum
+            FROM documents),
+          c AS (SELECT media_id, kind, checksum,
+              CASE WHEN media_id % 101 = 0 THEN text || 'X' ELSE text END AS content
+            FROM m)
+          SELECT kind, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) FILTER (md5(content) <> checksum) AS BIGINT) AS n_corrupt,
+            min(CASE WHEN md5(content) <> checksum THEN media_id END) AS first_corrupt
+          FROM c GROUP BY kind ORDER BY kind""".replaceAll("\\s+", " "),
     "q121_media_dedup" ->
       """WITH m AS (
             SELECT doc_id AS media_id,
