@@ -306,6 +306,35 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_event_id"))
         .orderBy("dl_reason")
     }),
+    // Checksum-verified MERGE: q185's bucket fingerprints taken before
+    // and after an upsert — the differing buckets must be EXACTLY the
+    // md5-buckets of the incoming keys (an upsert that touched anything
+    // else corrupted data; one that touched fewer lost writes). The
+    // fp_delta_ok flag IS the post-merge integrity gate, computed from
+    // 64 numbers per side.
+    "q217_merge_fp_delta" -> ((s, dir) => {
+      def fp(df: DataFrame) = graft.sources.Merge.bucketFingerprints(
+        df, col("event_id"),
+        Seq(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long")),
+        buckets = 64)
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val incoming = existing.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") * 3)
+      val after = graft.sources.Merge.upsert(existing, incoming, Seq("event_id"))
+      val expected = incoming.select(
+        pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(64L)).as("bucket")).distinct()
+        .agg(count(lit(1)).as("n_expected"))
+      fp(existing).withColumnRenamed("fp", "fp_before")
+        .join(fp(after).withColumnRenamed("fp", "fp_after")
+          .withColumnRenamed("n_rows", "n_rows_after"), Seq("bucket"), "full")
+        .agg(count(lit(1)).as("n_buckets"),
+          count_if(!(col("fp_before") <=> col("fp_after"))).as("n_differing"))
+        .crossJoin(broadcast(expected))
+        .withColumn("fp_delta_ok", col("n_differing") === col("n_expected"))
+    }),
     // Anti-entropy bucket fingerprints: 64 Merkle-style bucket checksums
     // of the events table (order-independent exact sums of 60-bit row
     // hashes) compared against a copy with ONE perturbed row — the diff
@@ -500,6 +529,37 @@ object ReferenceQueries {
           SELECT dl_reason, CAST(count(*) AS BIGINT) AS n_rows,
             min(event_id) AS min_event_id
           FROM tagged GROUP BY dl_reason ORDER BY dl_reason""".replaceAll("\\s+", " "),
+    "q217_merge_fp_delta" ->
+      """WITH ex AS (SELECT event_id, user_id, event_type, value FROM events),
+          inc AS (SELECT event_id, user_id, event_type, value * 3 AS value
+                  FROM ex WHERE event_id % 100 = 0),
+          aft AS (SELECT e.* FROM ex e
+                    WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = e.event_id)
+                  UNION ALL SELECT * FROM inc),
+          fpb AS (SELECT
+              ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+              CAST(sum(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                CAST(user_id AS VARCHAR), event_type,
+                CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT)
+                AS DECIMAL(38,0)) AS fp_before
+            FROM ex GROUP BY 1),
+          fpa AS (SELECT
+              ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+              CAST(sum(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                CAST(user_id AS VARCHAR), event_type,
+                CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT)
+                AS DECIMAL(38,0)) AS fp_after
+            FROM aft GROUP BY 1),
+          exp0 AS (SELECT CAST(count(DISTINCT
+              ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64)
+              AS BIGINT) AS n_expected FROM inc),
+          d AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+              CAST(count(*) FILTER (fp_before IS DISTINCT FROM fp_after) AS BIGINT)
+                AS n_differing
+            FROM fpb FULL OUTER JOIN fpa USING (bucket))
+          SELECT d.n_buckets, d.n_differing, exp0.n_expected,
+            d.n_differing = exp0.n_expected AS fp_delta_ok
+          FROM d, exp0""".replaceAll("\\s+", " "),
     "q185_bucket_fingerprint" ->
       """WITH rows0 AS (SELECT event_id, user_id, event_type,
               CAST(floor(value * 1e6) AS BIGINT) AS vfp, value FROM events),
