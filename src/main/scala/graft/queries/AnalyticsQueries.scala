@@ -284,6 +284,34 @@ object AnalyticsQueries {
         .withColumn("late_rate", col("n_late").cast("double") / col("n_rows"))
         .orderBy("day")
     }),
+    // Session basket analysis: which event types CO-OCCUR within one
+    // user session, with lift as the exact rational
+    // (supp_ab·n_sessions)/(supp_a·supp_b) — lift > 1 means the pair
+    // appears together more than independence predicts, the association
+    // signal behind next-action suggestions. Distinct (session, type)
+    // rows first, so the pair join is bounded by types-per-session,
+    // never raw events.
+    "q218_session_baskets" -> ((s, dir) => {
+      val sess = Analytics.sessionize(
+        Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"), col("event_type")).distinct()
+      val nSess = sess.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val supp = sess.groupBy("event_type").agg(count(lit(1)).as("supp"))
+      sess.as("a").join(sess.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .join(broadcast(supp.select(col("event_type").as("type_a"), col("supp").as("supp_a"))), "type_a")
+        .join(broadcast(supp.select(col("event_type").as("type_b"), col("supp").as("supp_b"))), "type_b")
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("supp_ab"), col("supp_a"), col("supp_b"),
+          (col("supp_ab") * col("n_sessions")).as("lift_num"),
+          (col("supp_a") * col("supp_b")).as("lift_den"))
+        .orderBy("type_a", "type_b")
+    }),
     // Daily quantile bands: rank-exact p10/p50/p90 of value per day
     // (lower quantile at rank ⌈q·n/100⌉ — picked VALUES, never
     // interpolated, so the bands hash cross-engine where approx
@@ -473,6 +501,30 @@ object AnalyticsQueries {
             CAST(count(*) FILTER (runmax IS NOT NULL AND ts < runmax) AS DOUBLE)
               / count(*) AS late_rate
           FROM r GROUP BY day ORDER BY day""".replaceAll("\\s+", " "),
+    "q218_session_baskets" ->
+      """WITH g AS (SELECT user_id, event_type, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sid AS (SELECT user_id, event_type,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM g),
+          st AS (SELECT DISTINCT user_id, session_id, event_type FROM sid),
+          ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM
+                   (SELECT DISTINCT user_id, session_id FROM st)),
+          sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS supp FROM st GROUP BY 1),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(count(*) AS BIGINT) AS supp_ab
+            FROM st a JOIN st b ON a.user_id = b.user_id
+              AND a.session_id = b.session_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+          SELECT p.type_a, p.type_b, p.supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+            p.supp_ab * ns.n_sessions AS lift_num,
+            sa.supp * sb.supp AS lift_den
+          FROM p JOIN sup sa ON sa.event_type = p.type_a
+          JOIN sup sb ON sb.event_type = p.type_b CROSS JOIN ns
+          ORDER BY type_a, type_b""".replaceAll("\\s+", " "),
     "q214_daily_bands" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),
           r AS (SELECT day, value,
