@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout/stderr must reach the driver WITHOUT sbt's
+// logger prefixes: the bench contract is a bare one-line JSON on stdout,
+// and sbt's default LoggedOutput strategy rewrites every line to
+// "[info] …"/"[error] …" (BENCH_r06 had the complete JSON line inside the
+// driver's 2000-char tail window, yet parsed:null — the "[info] " prefix
+// is the only thing left that can break a line-anchored parse).
+// StdoutOutput hands the forked process the sbt process's own streams.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
