@@ -75,7 +75,7 @@ object Winnow {
       cand: DataFrame, k: Int = 5): DataFrame = {
     val g = docs
       .select(col(idCol).as("__gid"),
-        posexplode(Text.wordNgrams(Text.tokens(col(textCol)), k))
+        posexplode(Text.wordNgramsFromText(col(textCol), k))
           .as(Seq("__pos", "__gram")))
       .select(col("__gid"), col("__pos").cast("long").as("__pos"),
         h32(col("__gram")).as("__h"))
@@ -110,17 +110,19 @@ object Winnow {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1 && w <= 1024, s"bad winnow params k=$k w=$w")
+    // The gram count is known BEFORE the explode (size of the gram array),
+    // so the short-doc guard needs no second window pass over the exploded
+    // table — one sort per doc partition total, not two.
     val grams = df
-      .select(col(idCol), posexplode(Text.wordNgrams(Text.tokens(col(textCol)), k))
-        .as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"),
+      .select(col(idCol), Text.wordNgramsFromText(col(textCol), k).as("__arr"))
+      .select(col(idCol), (size(col("__arr")) - 1).as("last_pos"),
+        posexplode(col("__arr")).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), col("last_pos"),
         (h32(col("gram")) * (1L << PosBits) + (lit(PosMask) - col("pos"))).as("key"))
     val sel = Window.partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)
-    val all = Window.partitionBy(idCol)
     grams
       .withColumn("sel_key", min(col("key")).over(sel))
-      .withColumn("max_pos", max(col("pos")).over(all))
-      .filter(col("pos") >= (w - 1) || col("pos") === col("max_pos"))
+      .filter(col("pos") >= (w - 1) || col("pos") === col("last_pos"))
       .select(col(idCol),
         shiftright(col("sel_key"), PosBits).as("fp_hash"),
         (lit(PosMask) - col("sel_key") % (1L << PosBits)).as("fp_pos"))
