@@ -95,4 +95,12 @@ object GraftExtensions {
   /** Native distinct n-gram shingle hashes of an array<string> column. */
   def shingleHashesNative(tokens: Column, n: Int): Column =
     ColumnShim.column(ShingleHashes32(ColumnShim.expression(tokens), n))
+
+  /** Native exact int64 squared L2 of two array<bigint> columns. */
+  def l2sqFpNative(a: Column, b: Column): Column =
+    ColumnShim.column(L2SqFp(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Native IEEE squared L2 of two array<float|double> columns. */
+  def l2sqNative(a: Column, b: Column): Column =
+    ColumnShim.column(L2SqDouble(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -36,8 +36,15 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Exact int64 squared L2 between two bigint-array columns. */
+  /** Exact int64 squared L2 between two bigint-array columns — native
+    * codegen'd ([[graft.expressions.L2SqFp]]); [[l2sqFpHof]] is the
+    * SQL-function formulation it is bit-parity spec-pinned against.
+    */
   def l2sqFp(a: Column, b: Column): Column =
+    graft.expressions.GraftExtensions.l2sqFpNative(a, b)
+
+  /** HOF formulation of [[l2sqFp]] (interpreted; spec/bit-parity use). */
+  def l2sqFpHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
@@ -104,13 +111,25 @@ object Pq {
       k: Int,
       iters: Int): DataFrame = {
     require(iters >= 1 && k >= 1)
+    lloydRounds(svPlan,
+      svPlan.filter(col(idCol) < k)
+        .select(col("sub"), col(idCol).cast("long").as("cid"), col("v").as("c")),
+      iters)
+  }
+
+  /** The shared Lloyd loop: `seeds` is the initial (sub, cid, c) codebook
+    * table; everything else is [[trainCodebooksSv]]'s contract.
+    */
+  private def lloydRounds(
+      svPlan: DataFrame,
+      seeds: DataFrame,
+      iters: Int): DataFrame = {
     val truncate = iters > 2
     val df = svPlan
     val sv = if (truncate)
       svPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else svPlan
-    var cents = sv.filter(col(idCol) < k)
-      .select(col("sub"), col(idCol).cast("long").as("cid"), col("v").as("c"))
+    var cents = seeds
     var out: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = assignCodes(sv, cents)
@@ -141,18 +160,21 @@ object Pq {
     * side. Output: input columns + `code`.
     */
   private def assignCodes(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val centsArr = cents.agg(
-      sort_array(collect_list(struct(col("sub").as("sub"), col("cid"), col("c"))))
-        .as("__cb"))
-    val mine = filter(col("__cb"), cw => cw.getField("sub") === col("sub"))
-    val scored = transform(mine, cw =>
+    // One broadcast row PER SUBSPACE (hash-joined on `sub`, codegen'd)
+    // rather than one global codebook array per row: the former per-row
+    // `filter(__cb, sub match)` scanned all m·k entries for every
+    // sub-vector before the k-entry argmin; the join hands each row only
+    // its own subspace's k codewords. Still zero shuffle of the data side.
+    val bySub = cents.groupBy("sub").agg(
+      sort_array(collect_list(struct(col("cid"), col("c")))).as("__cw"))
+    val scored = transform(col("__cw"), cw =>
       struct(l2sqFp(col("v"), cw.getField("c")).as("d"), cw.getField("cid").as("cid")))
     val best = aggregate(scored,
       struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
       (acc, x) => when(x < acc, x).otherwise(acc)).getField("cid")
-    sv.crossJoin(broadcast(centsArr))
+    sv.join(broadcast(bySub), Seq("sub"))
       .withColumn("code", best)
-      .drop("__cb")
+      .drop("__cw")
   }
 
   /** Collect the codebook (m·k·(d/m) rows — broadcast-small by contract,
@@ -166,6 +188,47 @@ object Pq {
     import scala.jdk.CollectionConverters._
     codebooks.sparkSession.createDataFrame(
       codebooks.collect().toSeq.asJava, codebooks.schema)
+  }
+
+  /** Train SEVERAL (m, k) PQ configurations in ONE fused Lloyd pass and
+    * ONE driver collect — the code-budget dial (q145/q152) trains 2–4
+    * codebook sets over the same corpus, and run separately each config
+    * pays its own corpus scan plus an eager collect round-trip. Fusing
+    * tags each config's sub-vector table with a disjoint `sub` range
+    * (config i occupies [i·64, i·64+m)), unions them, and runs the
+    * standard loop: the broadcast-fold assignment matches each row only
+    * against its own (config, subspace) codewords because the range
+    * encoding makes `sub` globally unique, so results are bit-identical
+    * to per-config training — same seeds (first k ids of that config),
+    * same argmin, same floor-mean updates. Returns one LOCALIZED
+    * codebook frame per config, `sub` shifted back to [0, m).
+    *
+    * Requires m <= 64 per config and iters <= 2 (the lazy-plan regime).
+    */
+  def trainCodebooksMultiLocalized(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      cfgs: Seq[(Int, Int)],
+      dimTotal: Int,
+      iters: Int,
+      scale: Double = 1e7): Seq[DataFrame] = {
+    require(cfgs.nonEmpty && cfgs.forall { case (m, k) => m >= 1 && m <= 64 && k >= 1 })
+    require(iters >= 1 && iters <= 2, "fused training stays in the lazy-plan regime")
+    val svs = cfgs.zipWithIndex.map { case ((m, _), i) =>
+      subVectorsFp(df, idCol, embCol, m, dimTotal, scale)
+        .withColumn("sub", (col("sub") + lit(i * 64)).cast("int"))
+    }
+    val svAll = svs.reduce(_ unionByName _)
+    val seeds = cfgs.zipWithIndex.map { case ((_, k), i) =>
+      svs(i).filter(col(idCol) < k)
+        .select(col("sub"), col(idCol).cast("long").as("cid"), col("v").as("c"))
+    }.reduce(_ unionByName _)
+    val local = localized(lloydRounds(svAll, seeds, iters))
+    cfgs.zipWithIndex.map { case (_, i) =>
+      local.filter(col("sub") >= i * 64 && col("sub") < (i + 1) * 64)
+        .withColumn("sub", (col("sub") - lit(i * 64)).cast("int"))
+    }
   }
 
   /** List-form codebooks (sub, cid, c: array<bigint>) from the long form
@@ -300,8 +363,13 @@ object Pq {
         col("sub") === col("__ps"))
       .select(col("probe_id"), col("sub"), col("cid"),
         l2sqFp(col("c"), col("__pv")).as("d"))
-    val summed = codes.join(broadcast(lut), Seq("sub"))
-      .filter(col("code") === col("cid") && col(idCol) =!= col("probe_id"))
+    // (sub, code)=(sub, cid) must be JOIN keys, not a post-join filter: with
+    // them in the hash key the broadcast join emits codes·probes rows; keyed
+    // on `sub` alone it first fans every code row out to all probes·k LUT
+    // entries of its subspace (~30× more intermediate rows at k=32).
+    val summed = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col(idCol) =!= col("probe_id"))
       .groupBy(col("probe_id"), col(idCol))
       .agg(sum(col("d")).as("adc_d"))
     Analytics.topKPerGroupNative(summed,

@@ -80,8 +80,14 @@ object Similarity {
 
   /** Squared L2 distance of two float-array columns (sequential fold;
     * float subtraction promoted to double — exact IEEE, engine-identical).
+    * Native codegen'd ([[graft.expressions.L2SqDouble]]); [[l2sqHof]] is
+    * the SQL-function formulation it is bit-parity spec-pinned against.
     */
   def l2sq(a: Column, b: Column): Column =
+    graft.expressions.GraftExtensions.l2sqNative(a, b)
+
+  /** HOF formulation of [[l2sq]] (interpreted; spec/bit-parity use). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

@@ -706,8 +706,12 @@ object SimilarityQueries {
           .select("probe_id", "vec_id", "d"),
         Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
         .select("probe_id", "vec_id")
-      def audit(m: Int, k: Int, cfg: String): DataFrame = {
-        val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", m, Dim, k, 1))
+      // All four codebook sets train in ONE fused Lloyd pass + ONE collect
+      // (disjoint sub-ranges) instead of four sequential eager round-trips.
+      val cfgList = Seq((2, 8), (4, 8), (8, 16), (16, 32))
+      val cbs = Pq.trainCodebooksMultiLocalized(
+        e, "vec_id", "embedding", cfgList, Dim, iters = 1)
+      def audit(m: Int, k: Int, cb: DataFrame, cfg: String): DataFrame = {
         val codes = Pq.encode(e, "vec_id", "embedding", cb, m, Dim)
         val probesSv = Pq.subVectorsFp(
           e.filter(col("vec_id") % 29 === 0).select(col("vec_id").as("probe_id"), col("embedding")),
@@ -720,10 +724,10 @@ object SimilarityQueries {
           .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
           .select(lit(cfg).as("cfg"), col("n_exact"), col("n_adc"), col("n_hits"))
       }
-      audit(2, 8, "a_m2_k8_6bit")
-        .unionByName(audit(4, 8, "b_m4_k8_12bit"))
-        .unionByName(audit(8, 16, "c_m8_k16_32bit"))
-        .unionByName(audit(16, 32, "d_m16_k32_80bit"))
+      audit(2, 8, cbs(0), "a_m2_k8_6bit")
+        .unionByName(audit(4, 8, cbs(1), "b_m4_k8_12bit"))
+        .unionByName(audit(8, 16, cbs(2), "c_m8_k16_32bit"))
+        .unionByName(audit(16, 32, cbs(3), "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
     // The re-rank dial — q145's code-budget sweep with q147's exact
@@ -748,8 +752,10 @@ object SimilarityQueries {
           .select("probe_id", "vec_id", "d"),
         Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
         .select("probe_id", "vec_id")
-      def audit(m: Int, k: Int, cfg: String): DataFrame = {
-        val cb = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", m, Dim, k, 1))
+      // Both code budgets train in one fused pass (q145's discipline).
+      val cbs = Pq.trainCodebooksMultiLocalized(
+        e, "vec_id", "embedding", Seq((2, 8), (16, 32)), Dim, iters = 1)
+      def audit(m: Int, k: Int, cb: DataFrame, cfg: String): DataFrame = {
         val codes = Pq.encode(e, "vec_id", "embedding", cb, m, Dim)
         val probesSv = Pq.subVectorsFp(
           e.filter(col("vec_id") % 29 === 0).select(col("vec_id").as("probe_id"), col("embedding")),
@@ -768,8 +774,8 @@ object SimilarityQueries {
           .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
           .select(lit(cfg).as("cfg"), col("n_exact"), col("n_rerank"), col("n_hits"))
       }
-      audit(2, 8, "a_m2_k8_6bit")
-        .unionByName(audit(16, 32, "d_m16_k32_80bit"))
+      audit(2, 8, cbs(0), "a_m2_k8_6bit")
+        .unionByName(audit(16, 32, cbs(1), "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
     // Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &

@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.operators.Pq
+
 /** Dev scratch: component-level timing probes
-  * (current target: q161 winnow-overlap and q168 dup-spans stage
-  * decomposition — where do 15 s go on a 6k-doc corpus?).
+  * (current target: q145 PQ recall-dial cost decomposition).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -23,43 +24,44 @@ object Probe {
       val n = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val aug = base
-      .unionByName(base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), expr("substring(text, 15)").as("text")))
-      .unionByName(base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-
-    // warm the parquet
-    time("warm scan")(aug.count())
-    time("warm scan 2")(aug.count())
-
-    // --- q161 decomposition ---
-    val grams = aug.select(col("doc_id"),
-      posexplode(graft.functions.Text.wordNgrams(graft.functions.Text.tokens(col("text")), 5))
-        .as(Seq("pos", "gram")))
-    time("gram explode (no hash)")(grams.count())
-    val hashed = grams.select(col("doc_id"), col("pos"),
-      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
-    time("gram explode + md5")(hashed.select(sum(col("h"))).count())
-    val fp = graft.operators.Winnow.fingerprints(aug, "doc_id", "text", k = 5, w = 4)
-    time("fingerprints")(fp.count())
-    time("fingerprints again")(fp.count())
-    val ov = graft.operators.Winnow.overlapPairs(fp, "doc_id", maxDf = 8)
-    time("overlapPairs on computed fp")(ov.count())
-    time("q161 full")(graft.operators.Winnow.overlapPairs(
-      graft.operators.Winnow.fingerprints(aug, "doc_id", "text", k = 5, w = 4),
-      "doc_id", maxDf = 8).filter(col("n_shared") >= 2).count())
-
-    // --- q168 decomposition ---
-    val sh = aug.withColumn("toks", graft.functions.Text.tokens(col("text")))
-      .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3))
-      .select("doc_id", "shash")
-    time("shingles")(sh.count())
-    val cand = graft.operators.TextDedup.minhashLshCandidates(
-      sh, "doc_id", "shash", k = 8, bandRows = 2)
-    time("lsh candidates")(cand.count())
-    val runs = graft.operators.Winnow.longestSharedRuns(aug, "doc_id", "text", cand, k = 5)
-    time("longestSharedRuns")(runs.count())
+    val Dim = 64
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    time("warm")(e.count())
+    time("warm2")(e.count())
+    val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+    val fp = e.select(col("vec_id"), fpv.as("v"))
+    val probes = fp.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val ext = graft.operators.Analytics.topKPerGroupNative(
+      fp.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d", Pq.l2sqFp(col("v"), col("pv")))
+        .select("probe_id", "vec_id", "d"),
+      Seq("probe_id"), Seq(("d", false), ("vec_id", false)), 10)
+      .select("probe_id", "vec_id")
+    time("ext (exact topk)")(ext.count())
+    time("ext again")(ext.count())
+    val t0 = System.nanoTime()
+    val cbs = Pq.trainCodebooksMultiLocalized(
+      e, "vec_id", "embedding", Seq((2, 8), (4, 8), (8, 16), (16, 32)), Dim, iters = 1)
+    println(f"[probe] fused train+collect: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    val cbsingle = Pq.localized(Pq.trainCodebooks(e, "vec_id", "embedding", 16, Dim, 32, 1))
+    println(f"[probe] single train m16 k32: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    def branch(m: Int, k: Int, cb: org.apache.spark.sql.DataFrame) = {
+      val codes = Pq.encode(e, "vec_id", "embedding", cb, m, Dim)
+      val probesSv = Pq.subVectorsFp(
+        e.filter(col("vec_id") % 29 === 0).select(col("vec_id").as("probe_id"), col("embedding")),
+        "probe_id", "embedding", m, Dim)
+      Pq.adcTopKPerProbe(codes, "vec_id", cb, probesSv, 10).select("probe_id", "vec_id")
+    }
+    time("branch m2k8 adct")(branch(2, 8, cbs(0)).count())
+    time("branch m16k32 adct")(branch(16, 32, cbs(3)).count())
+    val adct = branch(16, 32, cbs(3))
+    val hits = ext.join(adct, Seq("probe_id", "vec_id"))
+    val full = ext.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(adct.agg(count(lit(1)).as("n_adc")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    time("one full audit branch")(full.count())
+    time("one full audit branch again")(full.count())
   }
 }

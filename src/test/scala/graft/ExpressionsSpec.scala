@@ -42,6 +42,32 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     out.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native l2sq (double) is bit-identical to the HOF formulation") {
+    val df = vecs.toDF("id", "a", "b")
+    val out = df.select(
+      Similarity.l2sq(col("a"), col("b")).as("native"),
+      Similarity.l2sqHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native l2sqFp (int64) equals the HOF formulation incl. wrap-around") {
+    val df = Seq(
+      (1L, Seq(0L, 3L, -7L, 123456789012L), Seq(1L, -4L, 7L, -987654321L)),
+      (2L, Seq(Long.MaxValue, 1L), Seq(-10L, 1L)), // overflow wraps identically
+      (3L, Seq(5L), Seq(5L)))
+      .toDF("id", "a", "b")
+    val out = df.select(
+      graft.operators.Pq.l2sqFp(col("a"), col("b")).as("native"),
+      graft.operators.Pq.l2sqFpHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     // wholestage off forces the interpreted/eval path
     val df = vecs.toDF("id", "a", "b")
