@@ -132,6 +132,65 @@ object SketchQueries {
         .select(col("tok"), col("exact_n"), col("cms_n"),
           (col("cms_n") - col("exact_n")).as("overestimate"))
         .orderBy(col("exact_n").desc, col("tok").asc)
+    }),
+    // KMV / bottom-k sketch overlap (Beyer, Haas, Reinwald, Sismanis &
+    // Gemulla, SIGMOD 2007): every source pair's shingle-set Jaccard and
+    // union size estimated WITHOUT a corpus join — the 100 TB shape for
+    // cross-corpus overlap monitoring, where the per-source sketch is k
+    // values (here k=256, sets are 1k–10k) and pairwise comparison
+    // touches only sketches. Per source: the k smallest distinct 32-bit
+    // gram hashes via the bounded-heap TopKPerGroup (no per-source
+    // sort). Per pair: merge the two sketches, keep the k smallest of
+    // the union, rho = values present in BOTH → Jaccard ≈ rho/k, and the
+    // k-th minimum gives |A∪B| ≈ (k−1)·2³²/kth. The exact audit columns
+    // (inter/union/Jaccard over the full gram sets) ride along at test
+    // scale; at production scale the audit drops and only the 20·k-value
+    // sketch table remains. All arithmetic exact int64 (divisions via
+    // non-negative `div`).
+    "q219_kmv_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val g = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.wordNgramsFromText(col("text"), 3)).as("gram"))
+        .distinct()
+      val h = g.select(col("source"),
+          conv(substring(md5(concat(lit("kmv:"), col("gram"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val sk = Analytics.topKPerGroupNative(h, Seq("source"), Seq(("h", false)), k)
+      val srcs = g.select("source").distinct()
+      val pairs = srcs.select(col("source").as("src_a"))
+        .crossJoin(srcs.select(col("source").as("src_b")))
+        .filter(col("src_a") < col("src_b"))
+      val pv = pairs.join(sk.select(col("source").as("src_a"), col("h")), "src_a")
+          .withColumn("ina", lit(1L)).withColumn("inb", lit(0L))
+        .unionByName(pairs.join(sk.select(col("source").as("src_b"), col("h")), "src_b")
+          .select(col("src_a"), col("src_b"), col("h"), lit(0L).as("ina"), lit(1L).as("inb")))
+      val m = pv.groupBy("src_a", "src_b", "h")
+        .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src_a", "src_b").orderBy("h")))
+        .filter(col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(max(col("h")).as("kth_min"),
+          sum(col("ina") * col("inb")).as("rho"))
+      val inter = g.select(col("source").as("src_a"), col("gram"))
+        .join(g.select(col("source").as("src_b"), col("gram")), "gram")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter_exact"))
+      val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      m.join(inter, Seq("src_a", "src_b"))
+        .join(sz.select(col("source").as("src_a"), col("n").as("__na")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("__nb")), "src_b")
+        .select(col("src_a"), col("src_b"), lit(k.toLong).as("k"),
+          col("kth_min"), col("rho"),
+          expr(s"(rho * 1000000) div $k").as("jaccard_est_ppm"),
+          expr(s"(${k - 1} * 4294967296) div kth_min").as("union_est"),
+          col("inter_exact"),
+          (col("__na") + col("__nb") - col("inter_exact")).as("union_exact"),
+          expr("(inter_exact * 1000000) div (__na + __nb - inter_exact)")
+            .as("jaccard_exact_ppm"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -212,7 +271,50 @@ object SketchQueries {
                   GROUP BY e.tok)
           SELECT e.tok, e.exact_n, est.cms_n, est.cms_n - e.exact_n AS overestimate
           FROM ex e JOIN est USING (tok)
-          ORDER BY exact_n DESC, tok""".replaceAll("\\s+", " ")
+          ORDER BY exact_n DESC, tok""".replaceAll("\\s+", " "),
+    "q219_kmv_overlap" ->
+      raw"""WITH gr AS (SELECT DISTINCT source, gram FROM (
+              SELECT source, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                     for i in range(1, greatest(len(toks) - 1, 1))]) AS gram
+              FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents))),
+          hs AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5('kmv:' || gram), 1, 8))::BIGINT AS h FROM gr),
+          sk AS (SELECT source, h FROM (
+                   SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+                 WHERE rn <= 256),
+          sr AS (SELECT DISTINCT source FROM gr),
+          p AS (SELECT a.source AS src_a, b.source AS src_b
+                FROM sr a, sr b WHERE a.source < b.source),
+          pv AS (SELECT p.src_a, p.src_b, sk.h, 1 AS ina, 0 AS inb
+                 FROM p JOIN sk ON sk.source = p.src_a
+                 UNION ALL
+                 SELECT p.src_a, p.src_b, sk.h, 0 AS ina, 1 AS inb
+                 FROM p JOIN sk ON sk.source = p.src_b),
+          pu AS (SELECT src_a, src_b, h, max(ina) AS ina, max(inb) AS inb
+                 FROM pv GROUP BY 1, 2, 3),
+          pr AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+                 FROM pu),
+          m AS (SELECT src_a, src_b, max(h) AS kth_min,
+                  CAST(sum(ina * inb) AS BIGINT) AS rho
+                FROM pr WHERE rn <= 256 GROUP BY 1, 2),
+          ie AS (SELECT ga.source AS src_a, gb.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS inter_exact
+                 FROM gr ga JOIN gr gb ON ga.gram = gb.gram AND ga.source < gb.source
+                 GROUP BY 1, 2),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY 1)
+          SELECT m.src_a, m.src_b, CAST(256 AS BIGINT) AS k, m.kth_min, m.rho,
+            CAST((m.rho * 1000000) // 256 AS BIGINT) AS jaccard_est_ppm,
+            CAST((255 * 4294967296) // m.kth_min AS BIGINT) AS union_est,
+            ie.inter_exact,
+            (sza.n + szb.n - ie.inter_exact) AS union_exact,
+            CAST((ie.inter_exact * 1000000) // (sza.n + szb.n - ie.inter_exact) AS BIGINT)
+              AS jaccard_exact_ppm
+          FROM m JOIN ie ON ie.src_a = m.src_a AND ie.src_b = m.src_b
+          JOIN sz sza ON sza.source = m.src_a
+          JOIN sz szb ON szb.source = m.src_b
+          ORDER BY m.src_a, m.src_b""".replaceAll("\\s+", " ")
     // q50 intentionally omitted (sketch values are engine-specific)
   )
 }
