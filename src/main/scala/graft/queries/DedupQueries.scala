@@ -475,6 +475,72 @@ object DedupQueries {
           withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10),
         "doc_a", "doc_b")
     }),
+    // Entity resolution / record linkage (the Fellegi–Sunter pipeline made
+    // deterministic): golden-record consolidation of the clean part catalog
+    // with a dirty feed whose names carry injected typos (drop-first-char
+    // for partkey%9, drop-last-char for partkey%13 — the augmented-corpus
+    // discipline). Shape: (1) dedupe the DISTINCT NAME VALUES, never the
+    // record table — names are domain-bounded, so pairing cost is
+    // independent of record volume and the records only ever broadcast-join
+    // the name→cluster decision table; (2) TWO blocking passes (noun token;
+    // 3-char prefix) unioned — each catches the variant class the other
+    // structurally misses (a dropped first char changes the prefix but not
+    // the noun; a dropped last char the reverse); (3) pairwise verify
+    // levenshtein <= 1 on candidates only; (4) O(log n) star CC over the
+    // verified name graph; (5) survivorship per cluster: canonical name
+    // (the min rep id's name), record/name-variant counts, modal brand
+    // (ties -> min brand), exact price bounds in cents.
+    "q220_entity_resolution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"),
+          col("p_brand").as("brand"),
+          floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+      val recs = p
+        .unionByName(p.filter(col("rec_id") % 9 === 0)
+          .select((col("rec_id") + 1000000L).as("rec_id"),
+            expr("substring(name, 2)").as("name"), col("brand"), col("price_c")))
+        .unionByName(p.filter(col("rec_id") % 13 === 0)
+          .select((col("rec_id") + 2000000L).as("rec_id"),
+            expr("substring(name, 1, length(name) - 1)").as("name"),
+            col("brand"), col("price_c")))
+      val names = recs.groupBy("name").agg(min(col("rec_id")).as("rep"))
+      val withKeys = names
+        .withColumn("k_noun", element_at(split(col("name"), " "), 2))
+        .withColumn("k_pre", substring(col("name"), 1, 3))
+      def pass(key: String) = withKeys
+        .select(col(key).as("__k"), col("name").as("name_a"), col("rep").as("rep_a"))
+        .join(withKeys.select(col(key).as("__k"), col("name").as("name_b"),
+          col("rep").as("rep_b")), "__k")
+        .filter(col("rep_a") < col("rep_b"))
+        .select("name_a", "rep_a", "name_b", "rep_b")
+      val cand = pass("k_noun").unionByName(pass("k_pre")).distinct()
+      val verified = cand.filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      val cc = TextDedup.connectedComponentsStar(verified, "rep_a", "rep_b")
+        .select(col("doc_id").as("rep"), col("cluster_id"))
+      val labeled = names.join(cc, Seq("rep"), "left")
+        .select(col("name"), col("rep"),
+          coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      val canon = labeled.filter(col("rep") === col("cluster_id"))
+        .select(col("cluster_id"), col("name").as("canonical_name"))
+      val rl = recs.join(labeled.select("name", "cluster_id"), "name")
+      val brandTop = rl.groupBy("cluster_id", "brand")
+        .agg(count(lit(1)).as("__bc"))
+        .withColumn("__rn", row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("__bc").desc, col("brand").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_id"), col("brand").as("modal_brand"))
+      rl.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("name")).as("n_names"),
+          min(col("price_c")).as("min_price_c"),
+          max(col("price_c")).as("max_price_c"))
+        .join(canon, "cluster_id")
+        .join(brandTop, "cluster_id")
+        .select("cluster_id", "canonical_name", "n_records", "n_names",
+          "modal_brand", "min_price_c", "max_price_c")
+        .orderBy("cluster_id")
+    }),
     "q36_jaccard_pairs" -> ((s, dir) => {
       TextDedup.jaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
@@ -1308,6 +1374,52 @@ object DedupQueries {
                   GROUP BY x),
           w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
           SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
+    "q220_entity_resolution" ->
+      """WITH RECURSIVE
+          p0 AS (SELECT p_partkey AS rec_id, p_name AS name, p_brand AS brand,
+                   CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c FROM part),
+          recs AS (SELECT * FROM p0
+            UNION ALL SELECT rec_id + 1000000, substr(name, 2), brand, price_c
+              FROM p0 WHERE rec_id % 9 = 0
+            UNION ALL SELECT rec_id + 2000000, substr(name, 1, length(name) - 1),
+                brand, price_c
+              FROM p0 WHERE rec_id % 13 = 0),
+          names AS (SELECT name, min(rec_id) AS rep FROM recs GROUP BY name),
+          wk AS (SELECT name, rep, split_part(name, ' ', 2) AS k_noun,
+                   substr(name, 1, 3) AS k_pre FROM names),
+          cand AS (
+            SELECT a.name AS name_a, a.rep AS rep_a, b.name AS name_b, b.rep AS rep_b
+            FROM wk a JOIN wk b ON a.k_noun = b.k_noun AND a.rep < b.rep
+            UNION
+            SELECT a.name, a.rep, b.name, b.rep
+            FROM wk a JOIN wk b ON a.k_pre = b.k_pre AND a.rep < b.rep),
+          ver AS (SELECT rep_a, rep_b FROM cand WHERE levenshtein(name_a, name_b) <= 1),
+          edges AS (SELECT rep_a AS a, rep_b AS b FROM ver
+                    UNION SELECT rep_b, rep_a FROM ver),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, lbl) AS (SELECT id, id FROM nodes
+                             UNION
+                             SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+          lab AS (SELECT id AS rep, min(lbl) AS cluster_id FROM reach GROUP BY id),
+          labeled AS (SELECT n.name, n.rep, coalesce(l.cluster_id, n.rep) AS cluster_id
+                      FROM names n LEFT JOIN lab l ON l.rep = n.rep),
+          canon AS (SELECT cluster_id, name AS canonical_name FROM labeled
+                    WHERE rep = cluster_id),
+          rl AS (SELECT r.rec_id, r.name, r.brand, r.price_c, lb.cluster_id
+                 FROM recs r JOIN labeled lb ON lb.name = r.name),
+          bt AS (SELECT cluster_id, brand AS modal_brand FROM (
+                   SELECT cluster_id, brand,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY count(*) DESC, brand) AS rn
+                   FROM rl GROUP BY cluster_id, brand) WHERE rn = 1),
+          ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(count(DISTINCT name) AS BIGINT) AS n_names,
+                   min(price_c) AS min_price_c, max(price_c) AS max_price_c
+                 FROM rl GROUP BY cluster_id)
+          SELECT ag.cluster_id, canon.canonical_name, ag.n_records, ag.n_names,
+            bt.modal_brand, ag.min_price_c, ag.max_price_c
+          FROM ag JOIN canon USING (cluster_id) JOIN bt USING (cluster_id)
+          ORDER BY cluster_id""".replaceAll("\\s+", " "),
     "q36_jaccard_pairs" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql,
           inv0 AS (SELECT doc_id, unnest(hs) AS s FROM hashed),
