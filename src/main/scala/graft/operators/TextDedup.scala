@@ -1070,4 +1070,58 @@ object TextDedup {
       .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
     tri.crossJoin(wedges)
   }
+
+  /** k-core by bulk-synchronous peeling (the parallel form of Matula &
+    * Beck 1983 / Batagelj–Zaveršnik): repeatedly drop every node whose
+    * degree among SURVIVORS is < k; what remains is the k-core — the
+    * maximal subgraph of minimum degree k. On a near-dup graph the k-core
+    * separates docs embedded in DENSE duplication communities from
+    * degree-k fringe riders (degree alone can't: a hub of k leaves has
+    * high degree but no 2-core).
+    *
+    * `rounds` bounds the peeling depth; `assertFixpoint` makes the PLAN
+    * prove convergence — one extra peel must remove nothing, enforced
+    * with `assert_true` (the df-cap premise discipline: a bound is an
+    * assertion that fails loudly at every scale, not a hope). Scale
+    * shape: each round is two semi-joins + one degree aggregation over a
+    * monotonically shrinking survivor set, all lazy; a production run at
+    * real peeling depth would checkpoint every few rounds to cut lineage
+    * (the CC discipline).
+    *
+    * Returns the k-core node set as a single `id` column.
+    */
+  def kCore(
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int, assertFixpoint: Boolean = false,
+      commit: DataFrame => DataFrame = identity): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16, s"bad kCore params k=$k rounds=$rounds")
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    def peel(s: DataFrame): DataFrame =
+      und.join(s.select(col("id").as("src")), "src")
+        .join(s.select(col("id").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("id"))
+    // Lazy peeling is EXPONENTIAL in plan references: round r's survivors
+    // reference round r−1 TWICE (src and dst side), so und — and whatever
+    // candidate pipeline feeds it — would be re-derived ~2^rounds times.
+    // `commit` (Stage.through in the oracle-gated queries) materializes
+    // each round, making every round one small job over the previous
+    // round's table — the checkpoint-per-round discipline CC uses.
+    var surv = und.select(col("src").as("id")).distinct()
+    for (_ <- 1 to rounds) surv = commit(peel(surv))
+    if (!assertFixpoint) surv
+    else {
+      val chk = surv.agg(count(lit(1)).as("__n1"))
+        .crossJoin(peel(surv).agg(count(lit(1)).as("__n2")))
+      surv.crossJoin(broadcast(chk))
+        .filter(coalesce(
+          assert_true(col("__n1") === col("__n2"),
+            concat(lit(s"k-core k=$k not converged after $rounds rounds: "),
+              col("__n1"), lit(" -> "), col("__n2"))),
+          lit(true)))
+        .drop("__n1", "__n2")
+    }
+  }
 }

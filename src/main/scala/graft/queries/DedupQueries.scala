@@ -475,6 +475,40 @@ object DedupQueries {
           withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10),
         "doc_a", "doc_b")
     }),
+    // k-core decomposition of the verified near-dup graph (bulk-synchronous
+    // peeling, fixpoint asserted IN the plan): 2-core and 3-core membership
+    // next to raw degree. Degree alone can't separate docs embedded in
+    // DENSE duplication communities from fringe riders — a hub with k
+    // one-off neighbors has high degree but an empty 2-core — so the core
+    // number is the canonical-selection/cluster-mining signal the degree
+    // histogram (q159) lacks. Peeling is two semi-joins + a degree agg per
+    // round over a shrinking survivor set; 4 rounds suffice here and the
+    // plan PROVES it (one extra peel must remove nothing, assert_true).
+    "q221_kcore" -> ((s, dir) => {
+      // Staged: the pair list feeds degree + two peeling towers (the
+      // q182/q196/q202 multi-consumer discipline), and each peel round
+      // commits through parquet so the round tower stays linear work.
+      val pairs = graft.sources.Stage.through(TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5))
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val deg = e.select(col("src").as("doc_id"))
+        .unionByName(e.select(col("dst").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val c2 = TextDedup.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 4,
+        assertFixpoint = true, commit = graft.sources.Stage.through)
+      val c3 = TextDedup.kCore(pairs, "doc_a", "doc_b", k = 3, rounds = 4,
+        assertFixpoint = true, commit = graft.sources.Stage.through)
+      deg
+        .join(c2.select(col("id").as("doc_id"), lit(1L).as("in_2core")),
+          Seq("doc_id"), "left")
+        .join(c3.select(col("id").as("doc_id"), lit(1L).as("in_3core")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          coalesce(col("in_2core"), lit(0L)).as("in_2core"),
+          coalesce(col("in_3core"), lit(0L)).as("in_3core"))
+        .orderBy("doc_id")
+    }),
     // Entity resolution / record linkage (the Fellegi–Sunter pipeline made
     // deterministic): golden-record consolidation of the clean part catalog
     // with a dirty feed whose names carry injected typos (drop-first-char
@@ -1374,6 +1408,45 @@ object DedupQueries {
                   GROUP BY x),
           w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
           SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
+    "q221_kcore" -> {
+      def peel(k: Int, rounds: Int): String = {
+        val init = s"s${k}_0 AS (SELECT DISTINCT src AS id FROM und)"
+        val rs = (1 to rounds).map { r =>
+          s"""s${k}_$r AS (SELECT src AS id FROM (
+                SELECT e.src, count(*) AS d FROM und e
+                JOIN s${k}_${r - 1} a ON a.id = e.src
+                JOIN s${k}_${r - 1} b ON b.id = e.dst
+                GROUP BY e.src) WHERE d >= $k)"""
+        }
+        (init +: rs).mkString(", ")
+      }
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          vp AS (SELECT doc_a, doc_b
+                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                 WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                     / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+                  UNION SELECT doc_b, doc_a FROM vp),
+          ${peel(2, 4)}, ${peel(3, 4)},
+          deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+                    (SELECT doc_a AS doc_id FROM vp
+                     UNION ALL SELECT doc_b AS doc_id FROM vp)
+                  GROUP BY doc_id)
+          SELECT d.doc_id, d.degree,
+            CAST(CASE WHEN c2.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_2core,
+            CAST(CASE WHEN c3.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_3core
+          FROM deg d
+          LEFT JOIN s2_4 c2 ON c2.id = d.doc_id
+          LEFT JOIN s3_4 c3 ON c3.id = d.doc_id
+          ORDER BY d.doc_id""".replaceAll("\\s+", " ")
+    },
     "q220_entity_resolution" ->
       """WITH RECURSIVE
           p0 AS (SELECT p_partkey AS rec_id, p_name AS name, p_brand AS brand,
