@@ -332,6 +332,42 @@ object AnalyticsQueries {
           min(when(col("rn") === expr("(90 * n + 99) div 100"), col("value"))).as("p90"))
         .orderBy("day")
     }),
+    // Optimal single changepoint per event-type series — the first step
+    // of binary segmentation (Scott & Knott 1974 shape), EXACT: for every
+    // split t the between-segment score (S_L·n_R − S_R·n_L)²/(n_L·n_R)
+    // (maximizing it minimizes total within-segment SSE for one split) is
+    // computed from per-series prefix sums — one partitioned window pass,
+    // no per-split rescan — in pure int64 on whole currency units, argmax
+    // by (score, earliest day). Per-series windows parallelize across
+    // series at any corpus size; the daily pre-aggregation bounds window
+    // rows at days-per-series. Complements q187 (point anomalies) and
+    // q209 (distribution drift) with LEVEL-SHIFT detection.
+    "q222_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pre = daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("sl", sum(col("x")).over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("st", sum(col("x")).over(Window.partitionBy("event_type")))
+      pre.filter(col("t") < col("n"))
+        .withColumn("a",
+          col("sl") * (col("n") - col("t")) - (col("st") - col("sl")) * col("t"))
+        .withColumn("score_q", expr("(a * a) div (t * (n - t))"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("score_q").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"), col("n").as("n_days"),
+          col("t").as("n_left"), (col("n") - col("t")).as("n_right"),
+          col("sl").as("sum_left"), (col("st") - col("sl")).as("sum_right"),
+          col("score_q"),
+          expr("(sl * 1000000) div t").as("mean_left_ppm"),
+          expr("((st - sl) * 1000000) div (n - t)").as("mean_right_ppm"))
+        .orderBy("event_type")
+    }),
     // Robust anomaly detection: q123's mean/σ rule breaks when the
     // anomaly itself inflates σ (masking); the median/MAD rule doesn't.
     // Lower median + lower median of absolute deviations, both RANK-exact
@@ -525,6 +561,28 @@ object AnalyticsQueries {
           FROM p JOIN sup sa ON sa.event_type = p.type_a
           JOIN sup sb ON sb.event_type = p.type_b CROSS JOIN ns
           ORDER BY type_a, type_b""".replaceAll("\\s+", " "),
+    "q222_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+          pre AS (SELECT event_type, day, x,
+              row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+              sum(x) OVER (PARTITION BY event_type ORDER BY day) AS sl,
+              count(*) OVER (PARTITION BY event_type) AS n,
+              sum(x) OVER (PARTITION BY event_type) AS st
+            FROM daily),
+          sc AS (SELECT *, (sl * (n - t) - (st - sl) * t) AS a
+                 FROM pre WHERE t < n),
+          sq AS (SELECT *, (a * a) // (t * (n - t)) AS score_q FROM sc),
+          b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY score_q DESC, day) AS rn FROM sq)
+          SELECT event_type, day AS cp_day, CAST(n AS BIGINT) AS n_days,
+            CAST(t AS BIGINT) AS n_left, CAST(n - t AS BIGINT) AS n_right,
+            CAST(sl AS BIGINT) AS sum_left, CAST(st - sl AS BIGINT) AS sum_right,
+            CAST(score_q AS BIGINT) AS score_q,
+            CAST((sl * 1000000) // t AS BIGINT) AS mean_left_ppm,
+            CAST(((st - sl) * 1000000) // (n - t) AS BIGINT) AS mean_right_ppm
+          FROM b WHERE rn = 1 ORDER BY event_type""".replaceAll("\\s+", " "),
     "q214_daily_bands" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),
           r AS (SELECT day, value,
