@@ -211,6 +211,39 @@ object ReferenceQueries {
           (count(lit(1)) - countDistinct(col("pseudonym"))).as("n_collisions"))
         .crossJoin(broadcast(rekeyed.agg(count(lit(1)).as("n_events_rekeyed"))))
     }),
+    // k-anonymity audit with a generalization ladder (Sweeney 2002 / the
+    // Samarati generalization lattice, one chain of it): how identifiable
+    // is a row from its quasi-identifiers (nation, market segment,
+    // account-balance bucket), and which coarsening first reaches k=5?
+    // Four levels — balance bucketed at 100, at 1000, dropped, then
+    // nation alone — each audited in one map-side-combined group-size
+    // aggregation: violating-group count, rows at re-identification risk,
+    // minimum group size, and the k-anonymous verdict. The 100 TB shape:
+    // each level is one groupBy over bounded-cardinality keys; the ladder
+    // is a 4-row decision table, not a per-row rewrite (q213's
+    // pseudonymization is the row-level complement).
+    "q223_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 100.0).cast("long").as("b100"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("b1000"))
+      def audit(level: String, keys: Seq[String]): DataFrame =
+        c.groupBy(keys.map(col): _*).agg(count(lit(1)).as("gs"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("gs") < k, lit(1L)).otherwise(lit(0L))).as("n_violating"),
+            sum(when(col("gs") < k, col("gs")).otherwise(lit(0L))).as("rows_at_risk"),
+            min(col("gs")).as("min_group"))
+          .select(lit(level).as("level"), col("n_groups"), col("n_violating"),
+            col("rows_at_risk"), col("min_group"),
+            (col("min_group") >= k).as("k_anonymous"))
+      audit("l0_nat_seg_bal100", Seq("nat", "seg", "b100"))
+        .unionByName(audit("l1_nat_seg_bal1000", Seq("nat", "seg", "b1000")))
+        .unionByName(audit("l2_nat_seg", Seq("nat", "seg")))
+        .unionByName(audit("l3_nat", Seq("nat")))
+        .orderBy("level")
+    }),
     // Keyed DELETE on the partitioned sink (takedown / right-to-be-
     // forgotten mechanics): build the bucketed sink, delete every 50th
     // event through the bucket-pruned anti-join path, read back — the
@@ -481,6 +514,34 @@ object ReferenceQueries {
     "q207_delete_partitioned" ->
       """SELECT event_id, user_id, event_type, value FROM events
           WHERE event_id % 50 <> 0 ORDER BY event_id""".replaceAll("\\s+", " "),
+    "q223_k_anonymity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+              CAST(floor(c_acctbal / 100.0) AS BIGINT) AS b100,
+              CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1000
+            FROM customer),
+          g0 AS (SELECT count(*) AS gs FROM c GROUP BY nat, seg, b100),
+          g1 AS (SELECT count(*) AS gs FROM c GROUP BY nat, seg, b1000),
+          g2 AS (SELECT count(*) AS gs FROM c GROUP BY nat, seg),
+          g3 AS (SELECT count(*) AS gs FROM c GROUP BY nat),
+          a0 AS (SELECT 'l0_nat_seg_bal100' AS level, CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT) AS rows_at_risk,
+              CAST(min(gs) AS BIGINT) AS min_group, min(gs) >= 5 AS k_anonymous FROM g0),
+          a1 AS (SELECT 'l1_nat_seg_bal1000', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT),
+              CAST(min(gs) AS BIGINT), min(gs) >= 5 FROM g1),
+          a2 AS (SELECT 'l2_nat_seg', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT),
+              CAST(min(gs) AS BIGINT), min(gs) >= 5 FROM g2),
+          a3 AS (SELECT 'l3_nat', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT),
+              CAST(min(gs) AS BIGINT), min(gs) >= 5 FROM g3)
+          SELECT * FROM a0 UNION ALL SELECT * FROM a1
+          UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+          ORDER BY level""".replaceAll("\\s+", " "),
     "q215_ramp_rates" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value,
               abs(value - lag(value) OVER (PARTITION BY CAST(ts AS DATE)
