@@ -332,6 +332,42 @@ object AnalyticsQueries {
           min(when(col("rn") === expr("(90 * n + 99) div 100"), col("value"))).as("p90"))
         .orderBy("day")
     }),
+    // Exact Mann–Whitney U per source (each source's doc-length
+    // distribution vs the rest of the corpus): the nonparametric
+    // distribution-shift test behind "is src7 sending different content",
+    // exact where a z-approximation needn't be. Rank arithmetic runs on
+    // the AGGREGATED VALUE DOMAIN, never raw rows: per-value counts, one
+    // prefix-sum window over the bounded distinct-value table (doubled
+    // average ranks stay integer under ties), then per-(source, value)
+    // counts join the value table — so corpus size only enters through
+    // two map-side-combined aggregations. Emits doubled rank sums,
+    // U·2, E[U]·2 = n₁·n₂, and the tie-correction term Σ(t³−t) for a
+    // downstream variance — all exact int64.
+    "q225_mann_whitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val byVal = d.groupBy("v").agg(count(lit(1)).as("c"))
+      // bounded-domain window: rows = distinct lengths, not docs
+      val valstats = byVal
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+        .withColumn("avg2", lit(2L) * (col("cum") - col("c") + 1) + col("c") - 1)
+      val bySrcVal = d.groupBy("source", "v").agg(count(lit(1)).as("sc"))
+      val tot = d.agg(count(lit(1)).as("nn"))
+      val ties = byVal.agg(
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie_sum"))
+      bySrcVal.join(valstats.select("v", "avg2"), "v")
+        .groupBy("source")
+        .agg(sum(col("sc")).as("n"),
+          sum(col("sc") * col("avg2")).as("rank_sum_x2"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(ties))
+        .select(col("source"), col("n"), col("rank_sum_x2"),
+          (col("rank_sum_x2") - col("n") * (col("n") + 1)).as("u_x2"),
+          (col("n") * (col("nn") - col("n"))).as("eu_x2"),
+          col("tie_sum"))
+        .orderBy("source")
+    }),
     // Optimal single changepoint per event-type series — the first step
     // of binary segmentation (Scott & Knott 1974 shape), EXACT: for every
     // split t the between-segment score (S_L·n_R − S_R·n_L)²/(n_L·n_R)
@@ -561,6 +597,21 @@ object AnalyticsQueries {
           FROM p JOIN sup sa ON sa.event_type = p.type_a
           JOIN sup sb ON sb.event_type = p.type_b CROSS JOIN ns
           ORDER BY type_a, type_b""".replaceAll("\\s+", " "),
+    "q225_mann_whitney" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+          bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY v),
+          vs AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM bv),
+          vst AS (SELECT v, CAST(2 * (cum - c + 1) + c - 1 AS BIGINT) AS avg2 FROM vs),
+          sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS sc FROM d GROUP BY 1, 2),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+          ties AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum FROM bv),
+          per AS (SELECT source, CAST(sum(sc) AS BIGINT) AS n,
+                    CAST(sum(sc * avg2) AS BIGINT) AS rank_sum_x2
+                  FROM sv JOIN vst USING (v) GROUP BY source)
+          SELECT p.source, p.n, p.rank_sum_x2,
+            (p.rank_sum_x2 - p.n * (p.n + 1)) AS u_x2,
+            (p.n * (t.nn - p.n)) AS eu_x2, ties.tie_sum
+          FROM per p, tot t, ties ORDER BY p.source""".replaceAll("\\s+", " "),
     "q222_changepoint" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
               CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
