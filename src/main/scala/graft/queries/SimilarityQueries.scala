@@ -778,6 +778,50 @@ object SimilarityQueries {
         .unionByName(audit(16, 32, cbs(1), "d_m16_k32_80bit"))
         .orderBy("cfg")
     }),
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    // 1998) — the serving-side diverse-context picker: from the probe's
+    // top-32 relevance pool, greedily take 8 items maximizing
+    // λ·rel − (1−λ)·max-sim-to-selected with λ = 7/10, every quantity an
+    // exact int64 (rel and sim are negated fixed-point L2², the score
+    // cross-multiplied by 10). Round 1 is pure relevance (empty-set
+    // similarity term = 0). Shape: the pool and its 32×32 similarity
+    // matrix are staged once (pool-sized, broadcast-small — the corpus is
+    // touched only by the relevance top-k); each greedy round is one
+    // bounded 1-row argmax collect (the BPE per-round decision
+    // discipline), so selection depth never multiplies corpus work.
+    "q224_mmr_select" -> ((s, dir) => {
+      val fpv = transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), fpv.as("v"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val rels = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("a"),
+          (Pq.l2sqFp(col("v"), col("pv")) * lit(-1L)).as("rel"), col("v"))
+      val cand = graft.sources.Stage.through(
+        rels.orderBy(col("rel").desc, col("a").asc).limit(32))
+      val simm = graft.sources.Stage.through(
+        cand.select(col("a"), col("v"))
+          .join(cand.select(col("a").as("b"), col("v").as("vb")), col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            (Pq.l2sqFp(col("v"), col("vb")) * lit(-1L)).as("sim")))
+      var picks = Vector.empty[(Long, Long, Long, Long)] // (pick, id, score, rel)
+      for (r <- 1 to 8) {
+        val ids = picks.map(_._2)
+        val rem = if (ids.isEmpty) cand else cand.filter(!col("a").isin(ids: _*))
+        val scored =
+          if (ids.isEmpty) rem.select(col("a"), (col("rel") * 7).as("sc"), col("rel"))
+          else {
+            val ms = simm.filter(col("b").isin(ids: _*))
+              .groupBy("a").agg(max(col("sim")).as("ms"))
+            rem.join(ms, "a")
+              .select(col("a"), (col("rel") * 7 - col("ms") * 3).as("sc"), col("rel"))
+          }
+        val row = scored.orderBy(col("sc").desc, col("a").asc).limit(1).collect()(0)
+        picks = picks :+ ((r.toLong, row.getLong(0), row.getLong(1), row.getLong(2)))
+      }
+      val sp = s; import sp.implicits._
+      picks.toDF("pick", "vec_id", "score_x10", "rel")
+        .orderBy("pick")
+    }),
     // Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
     // Büttcher 2009) of the lexical BM25 top-100 for a keyword query with
     // the embedding cosine top-100 for the probe vector (doc_id ≡ vec_id
@@ -1076,6 +1120,39 @@ object SimilarityQueries {
             2 * (SELECT CAST(count(*) FILTER (conc) AS BIGINT) FROM pr)
               - (SELECT CAST(count(*) AS BIGINT) FROM pr) AS tau_num
           FROM ns""".replaceAll("\\s+", " "),
+    "q224_mmr_select" -> {
+      def dist(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      val rounds = (2 to 8).map { r =>
+        s"""sc$r AS (SELECT c.a, 7 * c.rel - 3 * m.ms AS sc, c.rel
+              FROM cand c JOIN (SELECT a, max(sim) AS ms FROM simm
+                WHERE b IN (SELECT a FROM sel${r - 1}) GROUP BY a) m ON m.a = c.a
+              WHERE c.a NOT IN (SELECT a FROM sel${r - 1})),
+            s$r AS MATERIALIZED (SELECT a, sc, rel FROM sc$r ORDER BY sc DESC, a LIMIT 1),
+            sel$r AS MATERIALIZED (SELECT a FROM sel${r - 1} UNION ALL SELECT a FROM s$r)"""
+      }.mkString(", ")
+      val picks = (2 to 8)
+        .map(r => s"UNION ALL SELECT CAST($r AS BIGINT), a, sc, rel FROM s$r")
+        .mkString(" ")
+      s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+            FROM embeddings),
+          pr AS (SELECT v AS pv FROM fp WHERE vec_id = 0),
+          rels AS (SELECT f.vec_id AS a,
+              -CAST(${dist("f.v", "p.pv")} AS BIGINT) AS rel, f.v
+            FROM fp f, pr p WHERE f.vec_id <> 0),
+          cand AS MATERIALIZED (SELECT a, rel, v FROM rels ORDER BY rel DESC, a LIMIT 32),
+          simm AS MATERIALIZED (SELECT x.a AS a, y.a AS b,
+              -CAST(${dist("x.v", "y.v")} AS BIGINT) AS sim
+            FROM cand x, cand y WHERE x.a <> y.a),
+          s1 AS MATERIALIZED (SELECT a, 7 * rel AS sc, rel FROM cand ORDER BY rel DESC, a LIMIT 1),
+          sel1 AS MATERIALIZED (SELECT a FROM s1),
+          $rounds
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS pick, a AS vec_id, sc AS score_x10, rel FROM s1
+            $picks)
+          ORDER BY pick""".replaceAll("\\s+", " ")
+    },
     "q156_hybrid_rrf" ->
       raw"""WITH terms AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
