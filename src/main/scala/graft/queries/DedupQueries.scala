@@ -329,9 +329,12 @@ object DedupQueries {
     // (degree is round-1 PageRank; rounds 2–3 see through neighbors).
     // Iterative graph float ML made oracle-checkable, like q71's k-means.
     "q172_pagerank_fp" -> ((s, dir) => {
-      val pairs = TextDedup.minhashLshPairs(
+      // staged: each PageRank iteration references the rank frame twice,
+      // so an unstaged pair list would re-run the LSH pipeline ~2^iters
+      // times (the q221 peeling lesson).
+      val pairs = graft.sources.Stage.through(TextDedup.minhashLshPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash",
-        k = 8, bandRows = 2, threshold = 0.5)
+        k = 8, bandRows = 2, threshold = 0.5).select("doc_a", "doc_b"))
       TextDedup.pageRankFp(pairs, "doc_a", "doc_b", iters = 3)
         .orderBy("doc_id")
     }),
@@ -470,9 +473,12 @@ object DedupQueries {
     // fuses pairwise decisions into clusters. Two equi-joins on the edge
     // list + one degree pass, all int64.
     "q178_triangle_census" -> ((s, dir) => {
+      // staged: the census reads the edge list three times (two triangle
+      // joins + the wedge degree pass)
       TextDedup.triangleStats(
-        TextDedup.prefixFilterJaccardPairs(
-          withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10),
+        graft.sources.Stage.through(TextDedup.prefixFilterJaccardPairs(
+          withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+          .select("doc_a", "doc_b")),
         "doc_a", "doc_b")
     }),
     // k-core decomposition of the verified near-dup graph (bulk-synchronous
