@@ -352,6 +352,66 @@ object ScaleProbe {
         rb.agg(max(col("n_rows")), min(col("n_rows"))).head())
       println(s"[scale] range balance max/min = ${counts.getLong(0)}/${counts.getLong(1)}")
     }
+    // r7: winnow family — native-gram fingerprints + df-capped overlap
+    // join. Gram volume is corpus-linear (one window sort per doc);
+    // overlap pairs are bounded by df² per hash, so pair count should
+    // track the replica multiplicity like the LSH family does.
+    reap()
+    locally {
+      val fp = graft.operators.Winnow.fingerprints(big, "doc_id", "text", k = 5, w = 4)
+      val nFp = time("winnow fingerprints")(fp.count())
+      val nOv = time("winnow overlap (df<=8, >=2 shared)")(
+        graft.operators.Winnow.overlapPairs(fp, "doc_id", maxDf = 8)
+          .filter(col("n_shared") >= 2).count())
+      println(s"[scale] winnow fp = $nFp, overlap pairs = $nOv")
+    }
+    // r7: k-core family — peeling cost is per-round semi-joins over the
+    // staged pair list; pair volume doubles per corpus doubling on the
+    // replicated corpus, and rounds are fixed, so cost should track the
+    // pair list linearly.
+    reap()
+    locally {
+      val pr = graft.sources.Stage.through(
+        graft.operators.TextDedup.minhashLshPairs(
+          big.withColumn("toks", graft.functions.Text.tokens(col("text")))
+            .withColumn("shash", graft.operators.TextDedup.shingleHashes("toks", 3)),
+          "doc_id", "shash", k = 8, bandRows = 2, threshold = 0.5)
+          .select("doc_a", "doc_b"))
+      val n2 = time("k-core peel (k=2, 4 rounds)")(
+        graft.operators.TextDedup.kCore(pr, "doc_a", "doc_b", k = 2, rounds = 4,
+          commit = graft.sources.Stage.through).count())
+      println(s"[scale] 2-core size = $n2")
+    }
+    // r7: KMV family — per-source bottom-k sketch build is one distinct +
+    // bounded-heap top-k over the gram table (corpus-linear); the
+    // pairwise sketch compare is sources²·k rows, INDEPENDENT of corpus
+    // size — the property that makes the sketch the 100 TB shape.
+    reap()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val g = big.select(col("doc_id") % 20 as "source",
+          explode(graft.functions.Text.wordNgramsFromText(col("text"), 3)).as("gram"))
+        .distinct()
+      val h = g.select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("gram"))), 1, 8), 16, 10)
+          .cast("long").as("h")).distinct()
+      // Stage.through is EAGER — keep it inside the timed block so the
+      // build cost (gram distinct + bounded-heap top-k) is measured, not
+      // just the staged read-back.
+      var sk: org.apache.spark.sql.DataFrame = null
+      val nSk = time("kmv sketch build (20 sources, k=256)") {
+        sk = graft.sources.Stage.through(graft.operators.Analytics
+          .topKPerGroupNative(h, Seq("source"), Seq(("h", false)), k))
+        sk.count()
+      }
+      val nPairs = time("kmv pairwise compare")(
+        sk.select(col("source").as("sa"), col("h"))
+          .join(sk.select(col("source").as("sb"), col("h")), "h")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("rho")).count())
+      println(s"[scale] kmv sketch rows = $nSk, source pairs = $nPairs")
+    }
     spark.stop()
   }
 }
