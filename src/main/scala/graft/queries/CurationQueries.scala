@@ -354,6 +354,35 @@ object CurationQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split", "lang")
     }),
+    // Temporal train/test split with an EMBARGO window (the purged-split
+    // discipline from de Prado's purged K-fold, one fold): q96 splits by
+    // hash — correct for i.i.d. docs, leaky for time series, where a
+    // model can read the future through events adjacent to the boundary.
+    // Train < T, embargo [T, T+2d) dropped, test >= T+2d; the audit
+    // PROVES the gap — the minimum same-user (test − train) distance in
+    // exact microseconds must be >= the embargo width. Three partition
+    // scans + one per-user min/max join; no windows over raw events.
+    "q226_temporal_split" -> ((s, dir) => {
+      val b0 = lit("2024-01-20 00:00:00").cast("timestamp")
+      val b1 = lit("2024-01-22 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val train = ev.filter(col("ts") < b0)
+      val emb = ev.filter(col("ts") >= b0 && col("ts") < b1)
+      val test = ev.filter(col("ts") >= b1)
+      val gap = train.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("t_max"))
+        .join(test.groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_min")),
+          "user_id")
+        .agg(count(lit(1)).as("n_users_both"),
+          min(col("t_min") - col("t_max")).as("min_cross_gap_us"))
+      train.agg(count(lit(1)).as("n_train"),
+          countDistinct(col("user_id")).as("n_users_train"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_embargo"))))
+        .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"),
+          countDistinct(col("user_id")).as("n_users_test"))))
+        .crossJoin(broadcast(gap))
+        .withColumn("embargo_ok", col("min_cross_gap_us") >= lit(172800000000L))
+    }),
     // The SQL surface end-to-end: a user who only speaks SQL runs the
     // library's native codegen'd expressions through the session's
     // function registry (`graft_simhash60` here) — registered at runtime
@@ -770,6 +799,28 @@ object CurationQueries {
             CAST(sum(n_chars) AS BIGINT) AS n_chars,
             min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM s GROUP BY split, lang ORDER BY split, lang""".replaceAll("\\s+", " "),
+    "q226_temporal_split" ->
+      """WITH tr AS (SELECT user_id, ts FROM events
+                     WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+          em AS (SELECT user_id FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-22 00:00:00'),
+          te AS (SELECT user_id, ts FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n_users_both,
+                  CAST(min(tmin - tmax) AS BIGINT) AS min_cross_gap_us
+                FROM (SELECT user_id, max(epoch_us(ts)) AS tmax FROM tr GROUP BY 1) a
+                JOIN (SELECT user_id, min(epoch_us(ts)) AS tmin FROM te GROUP BY 1) b
+                USING (user_id)),
+          ta AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_train FROM tr),
+          ea AS (SELECT CAST(count(*) AS BIGINT) AS n_embargo FROM em),
+          sa AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_test FROM te)
+          SELECT ta.n_train, ta.n_users_train, ea.n_embargo, sa.n_test,
+            sa.n_users_test, g.n_users_both, g.min_cross_gap_us,
+            g.min_cross_gap_us >= 172800000000 AS embargo_ok
+          FROM ta, ea, sa, g""".replaceAll("\\s+", " "),
     "q98_sql_surface" ->
       raw"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                         FROM documents),

@@ -875,6 +875,43 @@ object SimilarityQueries {
       graft.operators.Search.rrfFuse(lex, sem, "doc_id")
         .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
     }),
+    // Exact retrieval-evaluation metrics for the lexical ranker against
+    // the semantic ground truth (the agreement SCORECARD next to q198's
+    // rank correlation): BM25 top-10 scored against the exact-cosine
+    // top-10 as the relevant set — precision@10, MRR, and a
+    // linear-discount DCG (gain/(rank+1) — the 1/log₂ discount swapped
+    // for 1/(rank+1) so the metric is an EXACT RATIONAL). Every metric
+    // is scaled by lcm(2..11) = 27720, which every rank and rank+1 in a
+    // depth-10 list divides — so reciprocal-rank sums are exact int64,
+    // no floats anywhere. Both lists are ≤10 rows; the corpus is touched
+    // once per ranker.
+    "q227_retrieval_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = 27720L
+      val lex = graft.operators.Search.bm25(
+        Tables.documents(s, dir), Seq("table", "join", "stream"))
+        .orderBy(col("bm25_fp").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("bm25_fp").desc, col("doc_id").asc)).as("rank"))
+      val rel = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", probe(s, dir), "probe_emb", k = 10)
+        .select(col("vec_id").as("doc_id"))
+      val idcg = rel
+        .withColumn("r", row_number().over(Window.orderBy("doc_id")))
+        .agg(count(lit(1)).as("n_rel"),
+          sum(expr(s"$D div (r + 1)")).as("lin_idcg_x27720"))
+      lex.join(rel, "doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          coalesce(min(col("rank")).cast("long"), lit(0L)).as("first_hit_rank"),
+          coalesce(sum(expr(s"$D div (rank + 1)")), lit(0L)).as("lin_dcg_x27720"))
+        .crossJoin(broadcast(idcg))
+        .select(col("n_rel"), col("n_hits"), col("first_hit_rank"),
+          (col("n_hits") * lit(D / 10)).as("prec10_x27720"),
+          when(col("first_hit_rank") > 0, expr(s"$D div first_hit_rank"))
+            .otherwise(lit(0L)).as("mrr_x27720"),
+          col("lin_dcg_x27720"), col("lin_idcg_x27720"))
+    }),
     // Johnson–Lindenstrauss sign projection 64→16 (Achlioptas 2003) with
     // its distortion audit over the (i, i+1) pair family: the md5-derived
     // ±1 matrix is synthesized identically in both engines, the projection
@@ -1188,6 +1225,48 @@ object SimilarityQueries {
             COALESCE(1.0 / (60 + l.rank), 0.0) + COALESCE(1.0 / (60 + s2.rank), 0.0) AS rrf
           FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
           ORDER BY rrf DESC, doc_id ASC LIMIT 20""".replaceAll("\\s+", " "),
+    "q227_retrieval_eval" ->
+      raw"""WITH terms AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+          dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc FROM terms
+                 WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms
+                  WHERE term IN ('table', 'join', 'stream') GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * ((tf.tc * 2.2)
+                        / (tf.tc + 1.2 * (0.25 + 0.75 * (dlen.dl / st.avgdl))))
+                     * 1000000.0) AS BIGINT) AS term_fp
+                 FROM tf JOIN dft USING (term)
+                 JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN st),
+          bm AS (SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS bm25_fp
+                 FROM sc GROUP BY doc_id),
+          lext AS (SELECT doc_id, bm25_fp FROM bm
+                   ORDER BY bm25_fp DESC, doc_id ASC LIMIT 10),
+          lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_fp DESC, doc_id ASC)
+                    AS rank FROM lext),
+          p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+          rel AS (SELECT vec_id AS doc_id FROM (
+                    SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosv
+                    FROM embeddings, p WHERE vec_id <> 0)
+                  ORDER BY cosv DESC, vec_id ASC LIMIT 10),
+          ic AS (SELECT CAST(count(*) AS BIGINT) AS n_rel,
+                   CAST(sum(27720 // (r + 1)) AS BIGINT) AS lin_idcg_x27720
+                 FROM (SELECT row_number() OVER (ORDER BY doc_id) AS r FROM rel)),
+          h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                  CAST(coalesce(min(rank), 0) AS BIGINT) AS first_hit_rank,
+                  CAST(coalesce(sum(27720 // (rank + 1)), 0) AS BIGINT)
+                    AS lin_dcg_x27720
+                FROM lex JOIN rel USING (doc_id))
+          SELECT ic.n_rel, h.n_hits, h.first_hit_rank,
+            h.n_hits * 2772 AS prec10_x27720,
+            CASE WHEN h.first_hit_rank > 0 THEN 27720 // h.first_hit_rank
+                 ELSE 0 END AS mrr_x27720,
+            h.lin_dcg_x27720, ic.lin_idcg_x27720
+          FROM h, ic""".replaceAll("\\s+", " "),
     "q154_jl_distortion" ->
       s"""WITH fp AS (SELECT vec_id, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0) AS BIGINT)) AS v
