@@ -332,6 +332,83 @@ object AnalyticsQueries {
           min(when(col("rn") === expr("(90 * n + 99) div 100"), col("value"))).as("p90"))
         .orderBy("day")
     }),
+    // Deterministic bootstrap CI for total purchase revenue (Efron 1979,
+    // engine-reproducible): B=32 resample replicates whose draws are
+    // md5-uniform indices — j = H32(b:i) mod n — so both engines build
+    // IDENTICAL replicates; replicate sums are exact cents, and the CI
+    // bounds are rank-exact picks from the 32 replicate values (min /
+    // 2nd / median / 31st / max). The 100 TB note: the index-join
+    // formulation needs a global row_number over the measured subset
+    // (bounded here — purchases only); at corpus scale the same md5
+    // device drives a POISSON bootstrap (per-row deterministic weights,
+    // no global index, one pass), which this query's replicate table is
+    // the audit for.
+    "q228_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 32
+      val x = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("idx", row_number().over(Window.orderBy("event_id")) - 1)
+      val n = x.agg(count(lit(1)).as("nn"))
+      val draws = x.select(col("idx").as("i"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("nn"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("j", conv(substring(md5(concat(
+            col("b").cast("string"), lit(":"), col("i").cast("string"))), 1, 8),
+          16, 10).cast("long") % col("nn"))
+      val reps = draws.join(x.select(col("idx").as("j"), col("cents")), "j")
+        .groupBy("b").agg(sum(col("cents")).as("rep_sum"))
+      val ranked = reps.withColumn("r",
+        row_number().over(Window.orderBy(col("rep_sum"), col("b"))))
+      def pick(r: Int, name: String) =
+        broadcast(ranked.filter(col("r") === r).select(col("rep_sum").as(name)))
+      x.agg(count(lit(1)).as("n"), sum(col("cents")).as("obs_sum_c"))
+        .crossJoin(pick(1, "rep_min"))
+        .crossJoin(pick(2, "rep_lo"))
+        .crossJoin(pick(16, "rep_med"))
+        .crossJoin(pick(31, "rep_hi"))
+        .crossJoin(pick(B, "rep_max"))
+    }),
+    // Marketing attribution, first-touch vs last-touch side by side: each
+    // purchase credits (a) the user's most recent PRIOR click's channel
+    // (conditional last_value IGNORE NULLS over the user's time-ordered
+    // stream — the as-of lookup as one window pass, no self-join) and
+    // (b) the user's first click ever; channels derive deterministically
+    // from the event props payload. Per-user windows parallelize across
+    // users at any scale; purchases with no prior click land in 'none'.
+    "q229_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          concat(lit("ch"), (regexp_extract(col("props"), "([0-9]+)", 1)
+            .cast("long") % 5).cast("string")).as("ch"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withLast = ev.withColumn("last_click_ch",
+        last(when(col("event_type") === "click", col("ch")), ignoreNulls = true).over(w))
+      val fc = ev.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ch").as("first_click_ch"))
+      val pur = withLast.filter(col("event_type") === "purchase")
+        .join(fc, Seq("user_id"), "left")
+        .select(col("cents"),
+          coalesce(col("last_click_ch"), lit("none")).as("last_touch"),
+          coalesce(col("first_click_ch"), lit("none")).as("first_touch"))
+      pur.groupBy(col("last_touch").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("value_c"))
+        .select(lit("last_touch").as("model"), col("channel"),
+          col("n_purchases"), col("value_c"))
+        .unionByName(pur.groupBy(col("first_touch").as("channel"))
+          .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("value_c"))
+          .select(lit("first_touch").as("model"), col("channel"),
+            col("n_purchases"), col("value_c")))
+        .orderBy("model", "channel")
+    }),
     // Exact Mann–Whitney U per source (each source's doc-length
     // distribution vs the rest of the corpus): the nonparametric
     // distribution-shift test behind "is src7 sending different content",
@@ -597,6 +674,56 @@ object AnalyticsQueries {
           FROM p JOIN sup sa ON sa.event_type = p.type_a
           JOIN sup sb ON sb.event_type = p.type_b CROSS JOIN ns
           ORDER BY type_a, type_b""".replaceAll("\\s+", " "),
+    "q228_bootstrap_ci" ->
+      """WITH x AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+              row_number() OVER (ORDER BY event_id) - 1 AS idx
+            FROM events WHERE event_type = 'purchase'),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM x),
+          d AS (SELECT u.b, x.idx AS i,
+              ('0x' || substr(md5(CAST(u.b AS VARCHAR) || ':'
+                || CAST(x.idx AS VARCHAR)), 1, 8))::BIGINT % nn.nn AS j
+            FROM x CROSS JOIN nn CROSS JOIN unnest(range(0, 32)) AS u(b)),
+          reps AS (SELECT b, CAST(sum(x.cents) AS BIGINT) AS rep_sum
+                   FROM d JOIN x ON x.idx = d.j GROUP BY b),
+          rk AS (SELECT rep_sum, row_number() OVER (ORDER BY rep_sum, b) AS r
+                 FROM reps),
+          obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(cents) AS BIGINT) AS obs_sum_c FROM x)
+          SELECT obs.n, obs.obs_sum_c,
+            (SELECT rep_sum FROM rk WHERE r = 1) AS rep_min,
+            (SELECT rep_sum FROM rk WHERE r = 2) AS rep_lo,
+            (SELECT rep_sum FROM rk WHERE r = 16) AS rep_med,
+            (SELECT rep_sum FROM rk WHERE r = 31) AS rep_hi,
+            (SELECT rep_sum FROM rk WHERE r = 32) AS rep_max
+          FROM obs""".replaceAll("\\s+", " "),
+    "q229_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+              CAST(floor(value * 100) AS BIGINT) AS cents,
+              'ch' || CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 5
+                AS VARCHAR) AS ch
+            FROM events),
+          wl AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ch END
+                   IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ch
+                 FROM ev),
+          fc AS (SELECT user_id, ch AS first_click_ch FROM (
+                   SELECT user_id, ch, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+                   FROM ev WHERE event_type = 'click') WHERE rn = 1),
+          pur AS (SELECT w.cents,
+                    coalesce(w.last_click_ch, 'none') AS last_touch,
+                    coalesce(fc.first_click_ch, 'none') AS first_touch
+                  FROM wl w LEFT JOIN fc USING (user_id)
+                  WHERE w.event_type = 'purchase')
+          SELECT * FROM (
+            SELECT 'last_touch' AS model, last_touch AS channel,
+              CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(cents) AS BIGINT) AS value_c FROM pur GROUP BY 2
+            UNION ALL
+            SELECT 'first_touch', first_touch,
+              CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+            FROM pur GROUP BY 2)
+          ORDER BY model, channel""".replaceAll("\\s+", " "),
     "q225_mann_whitney" ->
       """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
           bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY v),
