@@ -181,8 +181,8 @@ object Similarity {
         sort_array(collect_list(struct(col("cid"), col("__c")))).as("__cents"))
       val scored = transform(col("__cents"), ct =>
         struct(
-          aggregate(zip_with(col("__v"), ct.getField("__c"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
+          graft.expressions.GraftExtensions
+            .l2sqFpNative(col("__v"), ct.getField("__c")).as("d"),
           ct.getField("cid").as("cid")))
       val best = aggregate(scored,
         struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
@@ -285,8 +285,8 @@ object Similarity {
         sort_array(collect_list(struct(col("sid"), col("__c")))).as("__cents"))
       val scored = transform(col("__cents"), ct =>
         struct(
-          aggregate(zip_with(col("__v"), ct.getField("__c"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
+          graft.expressions.GraftExtensions
+            .l2sqFpNative(col("__v"), ct.getField("__c")).as("d"),
           ct.getField("sid").as("sid")))
       val best = aggregate(scored,
         struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("sid")),
@@ -418,8 +418,7 @@ object Similarity {
     val pairs = a.join(b, "centroid_id")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
-        aggregate(zip_with(col("__va"), col("__vb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("d"))
+        graft.expressions.GraftExtensions.l2sqFpNative(col("__va"), col("__vb")).as("d"))
     val topk = Analytics.topKPerGroupNative(
       pairs, Seq("a_id"), Seq(("d", false), ("b_id", false)), k)
       .select("a_id", "b_id")

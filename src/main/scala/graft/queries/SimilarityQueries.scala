@@ -265,8 +265,7 @@ object SimilarityQueries {
       val fpOf = (c: org.apache.spark.sql.Column) =>
         transform(c, x => floor(x.cast("double") * 1e7).cast("long"))
       val intDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
+        graft.expressions.GraftExtensions.l2sqFpNative(a, b)
       val probes = emb.filter(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
           fpOf(col("embedding")).as("probe_fp"))
