@@ -116,7 +116,10 @@ object Bench {
     // ample for per-query grading; the total keeps centiseconds.
     val qs = results
       .map { case (k, v) =>
-        "\"" + k.stripPrefix("q").takeWhile(_ != '_') + "\":" + Math.round(v * 10)
+        // leading zeros stripped ("q01" -> "1"): every char of the map
+        // counts against the driver's 2000-char tail window
+        val id = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
+        "\"" + (if (id.isEmpty) "0" else id) + "\":" + Math.round(v * 10)
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
