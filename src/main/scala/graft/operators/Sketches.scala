@@ -96,6 +96,21 @@ object Sketches {
     * rows of each key's bucket counters. The sketch is broadcast (≤
     * depth·width rows by construction).
     */
+  /** Join-size estimation by sketch inner product (Alon–Matias–Szegedy
+    * 1996 / Cormode–Muthukrishnan 2005 §4.2): for two relations sketched
+    * over the SAME (depth, width, hash) grid, row j's inner product
+    * Σ_w a_j[w]·b_j[w] upper-bounds the equi-join cardinality
+    * Σ_k f_a(k)·f_b(k); the minimum over rows is the tightest estimate.
+    * This is the cardinality statistic a distributed optimizer keeps per
+    * join column: constant size, mergeable, computed in one pass per
+    * side — no key exchange between the relations at estimation time.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("bucket"), col("c").as("__ca"))
+      .join(b.select(col("j"), col("bucket"), col("c").as("__cb")),
+        Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("__ca") * col("__cb")).as("est"))
+
   def cmsEstimate(
       keys: DataFrame,
       keyCol: String,

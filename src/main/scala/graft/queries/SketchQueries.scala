@@ -133,6 +133,33 @@ object SketchQueries {
           (col("cms_n") - col("exact_n")).as("overestimate"))
         .orderBy(col("exact_n").desc, col("tok").asc)
     }),
+    // Join-size estimation WITHOUT touching either join side's keys
+    // together (AMS / count-min inner product — the cardinality statistic
+    // a distributed optimizer keeps per join column): events.user_id ⋈
+    // orders.o_custkey sketched on a shared 4×64 md5 grid; per depth the
+    // bucket-wise product sum upper-bounds Σ_k f_e(k)·f_o(k), min over
+    // depths is the estimate, and the exact join cardinality (via the
+    // two per-key count tables, never the raw join) rides along with the
+    // signed overestimate. Sketches are one pass per side, constant
+    // size, mergeable — at 100 TB the two relations never co-shuffle to
+    // be estimated.
+    "q230_join_size_sketch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      val ord = Tables.orders(s, dir).select(col("o_custkey").cast("string").as("k"))
+      val cmE = Sketches.countMin(ev, "k", depth = 4, width = 64)
+      val cmO = Sketches.countMin(ord, "k", depth = 4, width = 64)
+      val ests = Sketches.cmsInnerProduct(cmE, cmO)
+        .select(col("j").cast("long").as("j"), col("est"))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("ne"))
+        .join(ord.groupBy("k").agg(count(lit(1)).as("no")), "k")
+        .agg(coalesce(sum(col("ne") * col("no")), lit(0L)).as("exact_join_rows"))
+      ests
+        .crossJoin(broadcast(exact))
+        .crossJoin(broadcast(ests.agg(min(col("est")).as("est_min"))))
+        .select(col("j"), col("est"), col("est_min"), col("exact_join_rows"),
+          (col("est") - col("exact_join_rows")).as("overestimate"))
+        .orderBy("j")
+    }),
     // KMV / bottom-k sketch overlap (Beyer, Haas, Reinwald, Sismanis &
     // Gemulla, SIGMOD 2007): every source pair's shingle-set Jaccard and
     // union size estimated WITHOUT a corpus join — the 100 TB shape for
@@ -272,6 +299,29 @@ object SketchQueries {
           SELECT e.tok, e.exact_n, est.cms_n, est.cms_n - e.exact_n AS overestimate
           FROM ex e JOIN est USING (tok)
           ORDER BY exact_n DESC, tok""".replaceAll("\\s+", " "),
+    "q230_join_size_sketch" ->
+      """WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+          ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+          ejb AS (SELECT u.j, ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || k),
+                    1, 8))::BIGINT % 64 AS bucket
+                  FROM ek CROSS JOIN unnest(range(0, 4)) AS u(j)),
+          ecm AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS ca
+                  FROM ejb GROUP BY 1, 2),
+          ojb AS (SELECT u.j, ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || k),
+                    1, 8))::BIGINT % 64 AS bucket
+                  FROM ok CROSS JOIN unnest(range(0, 4)) AS u(j)),
+          ocm AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cb
+                  FROM ojb GROUP BY 1, 2),
+          est AS (SELECT e.j, CAST(sum(e.ca * o.cb) AS BIGINT) AS est
+                  FROM ecm e JOIN ocm o ON o.j = e.j AND o.bucket = e.bucket
+                  GROUP BY e.j),
+          mn AS (SELECT CAST(min(est) AS BIGINT) AS est_min FROM est),
+          ex AS (SELECT CAST(coalesce(sum(ne * no), 0) AS BIGINT) AS exact_join_rows
+                 FROM (SELECT k, count(*) AS ne FROM ek GROUP BY k) a
+                 JOIN (SELECT k, count(*) AS no FROM ok GROUP BY k) b USING (k))
+          SELECT CAST(est.j AS BIGINT) AS j, est.est, mn.est_min,
+            ex.exact_join_rows, est.est - ex.exact_join_rows AS overestimate
+          FROM est, mn, ex ORDER BY est.j""".replaceAll("\\s+", " "),
     "q219_kmv_overlap" ->
       raw"""WITH gr AS (SELECT DISTINCT source, gram FROM (
               SELECT source, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
