@@ -37,6 +37,26 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(diff == 0, "collision-free sketch must be exact")
   }
 
+  test("cms inner product >= exact join size; exact without collisions") {
+    val a = items((1 to 30).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")))
+    val b = items((15 to 45).flatMap(i => Seq.fill(i % 4 + 1)(s"k$i")))
+    def exactJoin(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.groupBy("k").agg(count(lit(1)).as("na"))
+        .join(y.groupBy("k").agg(count(lit(1)).as("nb")), "k")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head().getLong(0)
+    val exact = exactJoin(a, b)
+    val ests = Sketches.cmsInnerProduct(
+      Sketches.countMin(a, "k", D, W), Sketches.countMin(b, "k", D, W))
+      .select("est").as[Long].collect()
+    assert(ests.length == D)
+    assert(ests.forall(_ >= exact), "inner product must never underestimate")
+    // collision-free width → every depth's estimate is exact
+    val wide = Sketches.cmsInnerProduct(
+      Sketches.countMin(a, "k", D, 1 << 20), Sketches.countMin(b, "k", D, 1 << 20))
+      .select("est").as[Long].collect()
+    assert(wide.forall(_ == exact), "collision-free inner product must be exact")
+  }
+
   test("sketches merge cell-wise: sketch(a ++ b) == sketch(a) + sketch(b)") {
     val a = items(Seq("x", "y", "x", "z"))
     val b = items(Seq("y", "y", "w"))
