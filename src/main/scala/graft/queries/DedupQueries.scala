@@ -481,6 +481,34 @@ object DedupQueries {
           .select("doc_a", "doc_b")),
         "doc_a", "doc_b")
     }),
+    // LOCAL clustering coefficient per node — q178's global census broken
+    // down to where it acts: per doc, its degree, the triangles through
+    // it, and its wedge count (the exact rational lcc = tri/wedges without
+    // the division). A doc with high degree but zero triangles is a CHAIN
+    // hub CC will fuse dissimilar docs through; a doc whose neighbors
+    // interlink is safely inside a clique. Same staged edge list as the
+    // census; canonical a<b<c triangles credit each corner once.
+    "q232_local_clustering" -> ((s, dir) => {
+      val pairs = graft.sources.Stage.through(TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10)
+        .select("doc_a", "doc_b"))
+      val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+      val tpn = tri.select(col("a").as("doc_id"))
+        .unionByName(tri.select(col("b").as("doc_id")))
+        .unionByName(tri.select(col("c").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      e.select(col("u").as("doc_id")).unionByName(e.select(col("v").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .join(tpn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          expr("degree * (degree - 1) div 2").as("n_wedges"))
+        .orderBy("doc_id")
+    }),
     // k-core decomposition of the verified near-dup graph (bulk-synchronous
     // peeling, fixpoint asserted IN the plan): 2-core and 3-core membership
     // next to raw degree. Degree alone can't separate docs embedded in
@@ -1414,6 +1442,25 @@ object DedupQueries {
                   GROUP BY x),
           w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
           SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
+    "q232_local_clustering" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          e AS (SELECT doc_a AS u, doc_b AS v FROM ppairs),
+          tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                  FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+          tpn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT a AS doc_id FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+                  GROUP BY doc_id),
+          deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+                    (SELECT u AS doc_id FROM e UNION ALL SELECT v FROM e)
+                  GROUP BY doc_id)
+          SELECT d.doc_id, d.degree,
+            CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+            CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS n_wedges
+          FROM deg d LEFT JOIN tpn t USING (doc_id)
+          ORDER BY d.doc_id""".replaceAll("\\s+", " "),
     "q221_kcore" -> {
       def peel(k: Int, rounds: Int): String = {
         val init = s"s${k}_0 AS (SELECT DISTINCT src AS id FROM und)"

@@ -133,6 +133,35 @@ object SketchQueries {
           (col("cms_n") - col("exact_n")).as("overestimate"))
         .orderBy(col("exact_n").desc, col("tok").asc)
     }),
+    // AMS second-moment (F₂ / self-join size) sign sketch (Alon, Matias &
+    // Szegedy 1996) — the UNBIASED companion to q230's always-over
+    // count-min bound: depth-4 estimators Z_j = Σ_rows s_j(key) with
+    // s_j = ±1 from an md5 parity bit, est_j = Z_j², summarized by the
+    // lower median; the exact F₂ = Σ_k f(k)² rides along. Each Z is ONE
+    // map-side-combined pass over raw rows (no per-key state at all) —
+    // the sketch a streaming/distributed system keeps when even the key
+    // cardinality is too big to hold.
+    "q231_ams_f2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      def sign(j: Int) = when(
+        conv(substring(md5(concat(lit(s"$j:"), col("k"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+      val zCols = (0 until 4).map(j => sum(sign(j)).as(s"z$j"))
+      val z = ev.agg(zCols.head, zCols.tail: _*)
+      val ests = z.select(explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), col(s"z$j").as("z"))): _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.z").as("z"),
+          (col("e.z") * col("e.z")).as("est"))
+      val med = ests
+        .withColumn("r", row_number().over(Window.orderBy(col("est"), col("j"))))
+        .filter(col("r") === 2).select(col("est").as("est_med"))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      ests.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+        .select("j", "z", "est", "est_med", "f2_exact")
+        .orderBy("j")
+    }),
     // Join-size estimation WITHOUT touching either join side's keys
     // together (AMS / count-min inner product — the cardinality statistic
     // a distributed optimizer keeps per join column): events.user_id ⋈
@@ -299,6 +328,21 @@ object SketchQueries {
           SELECT e.tok, e.exact_n, est.cms_n, est.cms_n - e.exact_n AS overestimate
           FROM ex e JOIN est USING (tok)
           ORDER BY exact_n DESC, tok""".replaceAll("\\s+", " "),
+    "q231_ams_f2" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+          sg AS (SELECT u.j, CASE WHEN ('0x' || substr(md5(CAST(u.j AS VARCHAR)
+                     || ':' || k), 1, 8))::BIGINT % 2 = 0
+                   THEN 1 ELSE -1 END AS s
+                 FROM ev CROSS JOIN unnest(range(0, 4)) AS u(j)),
+          z AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM sg GROUP BY j),
+          e AS (SELECT CAST(j AS BIGINT) AS j, z, z * z AS est FROM z),
+          m AS (SELECT est AS est_med FROM (
+                  SELECT est, row_number() OVER (ORDER BY est, j) AS r FROM e)
+                WHERE r = 2),
+          x AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+                  SELECT CAST(count(*) AS BIGINT) AS f FROM ev GROUP BY k))
+          SELECT e.j, e.z, e.est, m.est_med, x.f2_exact
+          FROM e, m, x ORDER BY e.j""".replaceAll("\\s+", " "),
     "q230_join_size_sketch" ->
       """WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
           ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
