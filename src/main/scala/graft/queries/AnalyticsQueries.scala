@@ -332,6 +332,82 @@ object AnalyticsQueries {
           min(when(col("rn") === expr("(90 * n + 99) div 100"), col("value"))).as("p90"))
         .orderBy("day")
     }),
+    // Sequential pattern mining, the depth-3 special case: top-20 most
+    // frequent 3-step event-type paths across user streams (two lead()
+    // taps on the per-user time-ordered window — no self-joins, no
+    // explosion beyond one row per step). The funnel (q130) asks about
+    // ONE prescribed path; this surfaces which paths exist. Ties break
+    // lexicographically so the top-k is deterministic.
+    "q233_path_mining" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+    // Trimmed mean per event type (robust location next to q187's
+    // median/MAD): drop the exact bottom and top 5% BY RANK, computed on
+    // the aggregated VALUE DOMAIN — per-value counts, one bounded
+    // prefix-sum window per group, and each value row contributes
+    // |[cum−c, cum] ∩ (t, n−t]| rows via clamp arithmetic — so raw rows
+    // are never ranked individually and ties at the cut are handled
+    // exactly. All int64 cents.
+    "q234_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+      val bv = d.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val st = bv
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("event_type").orderBy("v")))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+        .withColumn("t", expr("(n * 5) div 100"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("t"))
+            - greatest(col("cum") - col("c"), col("t"))))
+      st.groupBy("event_type")
+        .agg(max(col("n")).as("n"), max(col("t")).as("n_trim_each"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("v")).as("kept_sum_c"))
+        .withColumn("trimmed_mean_ppm", expr("(kept_sum_c * 1000000) div n_kept"))
+        .orderBy("event_type")
+    }),
+    // Theil–Sen slope per event-type series (robust trend next to q222's
+    // level shift): the median over all pairwise day-slopes — immune to
+    // the outlier days that pull a least-squares fit (q175/q179's
+    // family). Slopes quantize to sign-safe ppm BEFORE ranking (identical
+    // int in both engines, so the argmin/median agree bit-for-bit);
+    // pairs are day²-bounded per series after daily pre-aggregation.
+    "q235_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      val p = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+        .join(daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb")),
+          Seq("event_type"))
+        .filter(col("xa") < col("xb"))
+        .withColumn("num", col("yb") - col("ya"))
+        .withColumn("den", col("xb") - col("xa"))
+        .withColumn("slope_ppm",
+          expr("CASE WHEN num < 0 THEN -(((-num) * 1000000) div den)" +
+            " ELSE (num * 1000000) div den END"))
+      p.withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("r", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("slope_ppm"), col("num"), col("den"))))
+        .filter(col("r") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope_ppm").as("med_slope_ppm"),
+          col("num").as("med_num"), col("den").as("med_den"))
+        .orderBy("event_type")
+    }),
     // Deterministic bootstrap CI for total purchase revenue (Efron 1979,
     // engine-reproducible): B=32 resample replicates whose draws are
     // md5-uniform indices — j = H32(b:i) mod n — so both engines build
@@ -674,6 +750,57 @@ object AnalyticsQueries {
           FROM p JOIN sup sa ON sa.event_type = p.type_a
           JOIN sup sb ON sb.event_type = p.type_b CROSS JOIN ns
           ORDER BY type_a, type_b""".replaceAll("\\s+", " "),
+    "q233_path_mining" ->
+      """WITH s AS (SELECT event_type,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS t1,
+              lead(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS t2
+            FROM events)
+          SELECT event_type || '>' || t1 || '>' || t2 AS path,
+            CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+          GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".replaceAll("\\s+", " "),
+    "q234_trimmed_mean" ->
+      """WITH d AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events),
+          bv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+                 FROM d GROUP BY 1, 2),
+          st AS (SELECT event_type, v, c,
+              sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS n
+            FROM bv),
+          k AS (SELECT event_type, v, c, cum, n, (n * 5) // 100 AS t,
+              greatest(0, least(cum, n - (n * 5) // 100)
+                - greatest(cum - c, (n * 5) // 100)) AS kept
+            FROM st)
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+            CAST(max(t) AS BIGINT) AS n_trim_each,
+            CAST(sum(kept) AS BIGINT) AS n_kept,
+            CAST(sum(kept * v) AS BIGINT) AS kept_sum_c,
+            CAST((sum(kept * v) * 1000000) // sum(kept) AS BIGINT)
+              AS trimmed_mean_ppm
+          FROM k GROUP BY event_type ORDER BY event_type""".replaceAll("\\s+", " "),
+    "q235_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          dx AS (SELECT event_type, y,
+              CAST(day - DATE '2024-01-01' AS BIGINT) AS x FROM daily),
+          p AS (SELECT a.event_type, (b.y - a.y) AS num, (b.x - a.x) AS den,
+              CASE WHEN b.y - a.y < 0
+                THEN -(((a.y - b.y) * 1000000) // (b.x - a.x))
+                ELSE ((b.y - a.y) * 1000000) // (b.x - a.x) END AS slope_ppm
+            FROM dx a JOIN dx b ON a.event_type = b.event_type AND a.x < b.x),
+          r AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS np,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY slope_ppm, num, den) AS r
+            FROM p)
+          SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+            CAST(slope_ppm AS BIGINT) AS med_slope_ppm,
+            CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den
+          FROM r WHERE r = (np + 1) // 2
+          ORDER BY event_type""".replaceAll("\\s+", " "),
     "q228_bootstrap_ci" ->
       """WITH x AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
               row_number() OVER (ORDER BY event_id) - 1 AS idx
