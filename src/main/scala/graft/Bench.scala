@@ -114,18 +114,38 @@ object Bench {
     // decisecond values put the typical entry at 8 chars — ~1.7k for the
     // whole map, with headroom for more queries. 0.1 s resolution is
     // ample for per-query grading; the total keeps centiseconds.
-    val qs = results
+    // The per-query map is built SLOWEST-FIRST under a byte budget: the
+    // surface has outgrown the point where every query fits the driver's
+    // 2000-char tail window (234 queries ≈ 1941 chars vs ~1926 available
+    // after sbt's trailing [success] row). Omission is explicit, never
+    // silent: "qn" = total queries swept, "qomitted" = entries dropped,
+    // "qfloor_ds" = the LARGEST omitted value — so every absent query is
+    // known to have run in <= qfloor_ds deciseconds. Full per-query
+    // sweeps live in BASELINE.md.
+    val entries = results
       .map { case (k, v) =>
-        // leading zeros stripped ("q01" -> "1"): every char of the map
-        // counts against the driver's 2000-char tail window
-        val id = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
-        "\"" + (if (id.isEmpty) "0" else id) + "\":" + Math.round(v * 10)
+        val id0 = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
+        val id = if (id0.isEmpty) "0" else id0
+        (Math.round(v * 10), "\"" + id + "\":" + Math.round(v * 10))
       }
-      .mkString("{", ",", "}")
+      .sortBy { case (ds, s) => (-ds, s) }
+    val MapBudget = 1650
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    var omitted = 0
+    var floorDs = 0L
+    var full = false
+    entries.foreach { case (ds, s) =>
+      // stop at the FIRST non-fitting entry so every kept value >= every
+      // omitted value (qfloor_ds is then a true bound on all absentees)
+      if (!full && used + s.length + 1 <= MapBudget) { kept += s; used += s.length + 1 }
+      else { full = true; omitted += 1; floorDs = math.max(floorDs, ds) }
+    }
+    val qs = kept.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"queries":$qs,"sf":"$sfName"}"""
     System.err.println(s"[bench-diag] json line length: ${jsonLine.length} chars (tail window 2000)")
     System.err.flush(); System.out.flush()
     spark.sparkContext.setLogLevel("OFF")

@@ -133,6 +133,59 @@ object Streaming {
       }
   }
 
+  // ---- Last-touch attribution with explicit per-user state ----
+
+  case class AttrEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, channel: String, cents: Long)
+  case class AttrState(lastClickCh: String, lastClickTs: Long)
+  case class AttrOut(user_id: Long, event_id: Long, cents: Long, channel: String)
+
+  /** Streaming last-touch attribution — the stateful twin of q229's batch
+    * window (`last(click_ch, ignoreNulls) OVER user-ordered rows`): one
+    * (last click channel) cell per live user, written by clicks, read by
+    * purchases, so a purchase attributes at arrival without ever joining
+    * the click history. Rows are applied in (ts, event_id) order inside
+    * each micro-batch, so batch boundaries don't change the attribution
+    * (spec-pinned against the batch formulation across a split feed).
+    * State is one tiny tuple per live user, bounded by the event-time
+    * timeout: a user idle past the horizon is dropped and their next
+    * purchase attributes to 'none' — the documented staleness bound of a
+    * TTL'd serving cache.
+    */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      watermark: String = "1 hour",
+      idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[AttrState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
+            var st = state.getOption
+            sorted.foreach { e =>
+              if (e.event_type == "click")
+                st = Some(AttrState(e.channel, e.ts.getTime))
+              else if (e.event_type == "purchase")
+                out += AttrOut(user, e.event_id, e.cents,
+                  st.map(_.lastClickCh).getOrElse("none"))
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastClickTs + idleTimeoutMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming curation scoring: incoming documents scored against
     * PRECOMPUTED corpus models via a stream-static broadcast join — the
     * production shape for filtering an ingest stream, where global

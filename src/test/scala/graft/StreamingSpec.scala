@@ -134,6 +134,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("attributionStream matches the batch last-touch window across batch splits") {
+    import graft.streaming.Streaming.{AttrEvent, AttrOut}
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      AttrEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click", "ch1", 0L),
+      AttrEvent(1L, ts("2024-01-01 10:05:00"), 2L, "purchase", "", 500L),
+      AttrEvent(1L, ts("2024-01-01 10:10:00"), 3L, "click", "ch2", 0L),
+      AttrEvent(2L, ts("2024-01-01 10:12:00"), 4L, "purchase", "", 300L), // no click ever
+      AttrEvent(1L, ts("2024-01-01 10:20:00"), 5L, "purchase", "", 700L),
+      AttrEvent(1L, ts("2024-01-01 10:25:00"), 6L, "purchase", "", 900L))
+    val mem = MemoryStream[AttrEvent]
+    val q = Streaming.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attr_lt").outputMode("append").start()
+    try {
+      // the click that decides purchases 5/6 arrives in an EARLIER batch
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_lt").as[AttrOut].collect()
+        .map(a => (a.event_id, a.cents, a.channel)).sortBy(_._1).toSeq
+      assert(got == Seq((2L, 500L, "ch1"), (4L, 300L, "none"),
+        (5L, 700L, "ch2"), (6L, 900L, "ch2")))
+      // batch twin: the q229 window formulation over the same rows
+      val df = events.toDF()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val batch = df.withColumn("last_ch",
+          last(when(col("event_type") === "click", col("channel")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          coalesce(col("last_ch"), lit("none")).as("channel"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(g => (g._1, g._3)) == batch)
+    } finally q.stop()
+  }
+
   test("curationScoreStream: stateless stream-static scoring against a static vocab") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
