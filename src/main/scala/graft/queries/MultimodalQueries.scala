@@ -38,6 +38,48 @@ object MultimodalQueries {
             .as("embedding"))
         .orderBy("media_id")
     }),
+    // PERCEPTUAL near-duplicate pairs over media payloads — the dHash
+    // device (gradient hash: 61 byte samples on an even grid, bit i set
+    // iff sample i > sample i+1) on the stub codec's bytes: q121 catches
+    // bit-exact copies only; a re-encoded asset with ONE changed header
+    // byte (the planted perturbation here) defeats md5 but flips only
+    // the hash bits whose samples straddle the change, so it surfaces at
+    // hamming <= 6. Candidates come from the 7×8-bit banding (complete
+    // for hamming<=6, same machinery as SimHash q35) — signatures, never
+    // payloads, cross the wire. dHash over aHash deliberately: the
+    // mean-threshold variant embeds a second fold inside the bit lambda,
+    // and interpreted HOFs re-evaluate it per element (a measured
+    // 99-second query at sf0.1); the gradient form needs only the sample
+    // array, whose 120 references also keep CollapseProject from
+    // inlining it — samples are computed once per row. Byte value ==
+    // code point on this ASCII corpus (the BytesSql convention), all
+    // arithmetic exact int64.
+    "q236_media_phash" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id").as("media_id"), col("text"))
+      val aug = base.unionByName(
+        base.filter(col("media_id") % 13 === 0).select(
+          (col("media_id") + 200000).as("media_id"),
+          concat(lit("X"), expr("substring(text, 2)")).as("text")))
+      // staged barrier: without it CollapseProject inlines the sample
+      // transform into all 120 references of the bit lambda and the
+      // interpreted HOF re-runs 61 substr calls per reference (the
+      // simhashPairs 40x-recompute lesson; measured 104 s at sf0.1)
+      val sampled = graft.sources.Stage.through(aug
+        .withColumn("__s", expr(
+          "transform(sequence(0, 60), i -> CAST(ascii(substr(text," +
+            " CAST(1 + (i * (length(text) - 1)) div 61 AS INT), 1)) AS BIGINT))"))
+        .select(col("media_id"), col("__s")))
+      val hashed = sampled
+        .withColumn("ahash", expr(
+          "aggregate(transform(sequence(0, 59), i ->" +
+            " IF(element_at(__s, i + 1) > element_at(__s, i + 2)," +
+            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))," +
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select("media_id", "ahash")
+      graft.operators.TextDedup.simhashPairs(hashed, "media_id", "ahash", maxHamming = 6)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+        .orderBy("media_a", "media_b")
+    }),
     // Metadata-only scan: never touches the payload column (column
     // pruning keeps 100 TB of media bytes unread).
     // Payload integrity audit: every media row carries the checksum
@@ -119,6 +161,28 @@ object MultimodalQueries {
                 / CAST(997 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)
               for d in range(0, 8)], ',') AS embedding
           FROM b ORDER BY media_id""".replaceAll("\\s+", " "),
+    "q236_media_phash" ->
+      """WITH m AS (
+            SELECT doc_id AS media_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, 'X' || substr(text, 2)
+            FROM documents WHERE doc_id % 13 = 0),
+          sm AS (
+            SELECT media_id,
+              [unicode(text[(1 + (i * (length(text) - 1)) // 61)
+                 :(1 + (i * (length(text) - 1)) // 61)])
+               for i in range(0, 61)] AS s
+            FROM m),
+          h AS (
+            SELECT media_id,
+              CAST(list_sum([CASE WHEN s[i+1] > s[i+2] THEN 1 << i ELSE 0 END
+                for i in range(0, 60)]) AS BIGINT) AS ahash
+            FROM sm)
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+            CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+          FROM h a JOIN h b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+          ORDER BY media_a, media_b""".replaceAll("\\s+", " "),
     "q216_media_integrity" ->
       """WITH m AS (SELECT doc_id AS media_id,
               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
