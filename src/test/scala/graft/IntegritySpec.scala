@@ -12,12 +12,17 @@ class IntegritySpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
   test("Stage.through round-trips values, fresh path per call, no persisted RDDs") {
+    // suites share the session and run in parallel, so assert no NEW
+    // persisted RDDs rather than a globally empty map (another suite's
+    // in-flight localCheckpoint would otherwise flake this test)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     val a = Stage.through(df)
     val b = Stage.through(df)
     assert(a.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
     assert(a.inputFiles.head != b.inputFiles.head, "each call must stage to a fresh path")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, "staging must not persist anything")
   }
 
   test("bucketFingerprints: invariant to partitioning and row order") {
