@@ -481,6 +481,34 @@ object DedupQueries {
           .select("doc_a", "doc_b")),
         "doc_a", "doc_b")
     }),
+    // Single-linkage dendrogram LEVELS: near-dup clustering at a Jaccard
+    // threshold ladder (0.7 / 0.8 / 0.9) — connected components at
+    // threshold t are exactly the t-level cut of the single-linkage
+    // hierarchy, and the loosest level's verified pair list CONTAINS the
+    // stricter ones (J>=0.8 pairs are a filter on the staged J>=0.7
+    // pairs, with common/na/nb already attached — one candidate
+    // generation for all three levels). Per level: pair count, clustered
+    // docs, cluster count, largest cluster — the dial a curator reads to
+    // pick a dedup threshold (q196 scores ONE such cut; this shows the
+    // ladder).
+    "q237_threshold_dendrogram" -> ((s, dir) => {
+      val pairs7 = graft.sources.Stage.through(TextDedup.prefixFilterJaccardPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10))
+      def level(tNum: Int): DataFrame = {
+        val p = pairs7.filter(
+          col("common") * 10 >= lit(tNum) * (col("na") + col("nb") - col("common")))
+          .select("doc_a", "doc_b")
+        val lab = TextDedup.connectedComponentsStar(p, "doc_a", "doc_b")
+        val cs = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(lab.agg(count(lit(1)).as("n_docs"))))
+          .crossJoin(broadcast(cs.agg(count(lit(1)).as("n_clusters"),
+            max(col("csz")).as("max_cluster"))))
+          .select(lit(tNum * 10L).as("thr_pct"), col("n_pairs"),
+            col("n_docs"), col("n_clusters"), col("max_cluster"))
+      }
+      level(7).unionByName(level(8)).unionByName(level(9)).orderBy("thr_pct")
+    }),
     // LOCAL clustering coefficient per node — q178's global census broken
     // down to where it acts: per doc, its degree, the triangles through
     // it, and its wedge count (the exact rational lcc = tri/wedges without
@@ -1442,6 +1470,29 @@ object DedupQueries {
                   GROUP BY x),
           w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
           SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
+    "q237_threshold_dendrogram" -> {
+      def lvl(t: Int): String =
+        s"""p$t AS (SELECT doc_a, doc_b FROM ppairs
+              WHERE 10 * common >= $t * (na + nb - common)),
+            e$t AS (SELECT doc_a AS a, doc_b AS b FROM p$t
+                    UNION SELECT doc_b, doc_a FROM p$t),
+            n$t AS (SELECT DISTINCT a AS id FROM e$t),
+            reach$t(id, lbl) AS (SELECT id, id FROM n$t
+                                 UNION
+                                 SELECT e.b, r.lbl FROM reach$t r
+                                 JOIN e$t e ON e.a = r.id),
+            lab$t AS (SELECT id, min(lbl) AS cluster_id FROM reach$t GROUP BY id),
+            c$t AS (SELECT cluster_id, count(*) AS csz FROM lab$t GROUP BY 1),
+            s$t AS (SELECT CAST(${t}0 AS BIGINT) AS thr_pct,
+              (SELECT CAST(count(*) AS BIGINT) FROM p$t) AS n_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM lab$t) AS n_docs,
+              (SELECT CAST(count(*) AS BIGINT) FROM c$t) AS n_clusters,
+              (SELECT CAST(max(csz) AS BIGINT) FROM c$t) AS max_cluster)"""
+      s"""WITH RECURSIVE $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
+          ${lvl(7)}, ${lvl(8)}, ${lvl(9)}
+          SELECT * FROM s7 UNION ALL SELECT * FROM s8 UNION ALL SELECT * FROM s9
+          ORDER BY thr_pct""".replaceAll("\\s+", " ")
+    },
     "q232_local_clustering" ->
       s"""WITH $AugSql, $ShinglesSql, $HashesSql, $PrefixPairsSql,
           e AS (SELECT doc_a AS u, doc_b AS v FROM ppairs),
