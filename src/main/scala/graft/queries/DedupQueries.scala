@@ -494,20 +494,29 @@ object DedupQueries {
     "q237_threshold_dendrogram" -> ((s, dir) => {
       val pairs7 = graft.sources.Stage.through(TextDedup.prefixFilterJaccardPairs(
         withShingles(augmented(s, dir)), "doc_id", "shash", tNum = 7, tDen = 10))
-      def level(tNum: Int): DataFrame = {
-        val p = pairs7.filter(
-          col("common") * 10 >= lit(tNum) * (col("na") + col("nb") - col("common")))
-          .select("doc_a", "doc_b")
-        val lab = TextDedup.connectedComponentsStar(p, "doc_a", "doc_b")
-        val cs = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
-        p.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(broadcast(lab.agg(count(lit(1)).as("n_docs"))))
-          .crossJoin(broadcast(cs.agg(count(lit(1)).as("n_clusters"),
-            max(col("csz")).as("max_cluster"))))
-          .select(lit(tNum * 10L).as("thr_pct"), col("n_pairs"),
-            col("n_docs"), col("n_clusters"), col("max_cluster"))
-      }
-      level(7).unionByName(level(8)).unionByName(level(9)).orderBy("thr_pct")
+      val lvls = Seq(7, 8, 9)
+      def pl(t: Int): DataFrame = pairs7.filter(
+        col("common") * 10 >= lit(t) * (col("na") + col("nb") - col("common")))
+      // ONE CC run for all three levels: node ids offset by level·10⁷, so
+      // components cannot cross levels and the label table partitions by
+      // level afterwards — a third of three CC runs' materialization cost.
+      val edges = lvls.map(t => pl(t).select(
+        (col("doc_a") + lit(t * 10000000L)).as("a"),
+        (col("doc_b") + lit(t * 10000000L)).as("b")))
+        .reduce(_ unionByName _)
+      val lab = TextDedup.connectedComponentsStar(edges, "a", "b")
+        .select(expr("doc_id div 10000000").as("lvl"), col("cluster_id"))
+      val cs = lab.groupBy("lvl", "cluster_id").agg(count(lit(1)).as("csz"))
+      val perLvl = lab.groupBy("lvl").agg(count(lit(1)).as("n_docs"))
+        .join(cs.groupBy("lvl").agg(count(lit(1)).as("n_clusters"),
+          max(col("csz")).as("max_cluster")), "lvl")
+      val nPairs = lvls.map(t => pl(t).agg(count(lit(1)).as("n_pairs"))
+          .select(lit(t.toLong).as("lvl"), col("n_pairs")))
+        .reduce(_ unionByName _)
+      nPairs.join(perLvl, "lvl")
+        .select((col("lvl") * 10).as("thr_pct"), col("n_pairs"),
+          col("n_docs"), col("n_clusters"), col("max_cluster"))
+        .orderBy("thr_pct")
     }),
     // LOCAL clustering coefficient per node — q178's global census broken
     // down to where it acts: per doc, its degree, the triangles through
