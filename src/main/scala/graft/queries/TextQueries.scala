@@ -16,6 +16,45 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Index-size planning: what would delta + varint encoding save on
+    // the gram inverted index, BEFORE building it — per df bucket:
+    // terms, postings, raw 8-byte cost vs gap-varint cost, savings ppm.
+    // Gaps come from one per-term window (parallel across terms; the
+    // first posting encodes doc_id+1 as its gap from −1); varint bytes
+    // are a 5-branch CASE ladder, exact int64 everywhere. The skew
+    // story this table quantifies: high-df (boilerplate) terms have
+    // dense, small-gap postings that compress hardest — the same terms
+    // a df-cap would drop, so the planner and the cap read one table.
+    "q238_postings_compression" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val post = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.wordNgramsFromText(col("text"), 3)).as("gram"))
+        .distinct()
+      val gaps = post
+        .withColumn("prev", lag(col("doc_id"), 1).over(
+          Window.partitionBy("gram").orderBy("doc_id")))
+        .withColumn("gap", when(col("prev").isNull, col("doc_id") + 1)
+          .otherwise(col("doc_id") - col("prev")))
+        .withColumn("vbytes",
+          when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
+            .when(col("gap") < 2097152L, 3L)
+            .when(col("gap") < 268435456L, 4L).otherwise(5L))
+      gaps.groupBy("gram")
+        .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("vb"))
+        .withColumn("df_bucket",
+          when(col("df") <= 1, 1L).when(col("df") <= 2, 2L)
+            .when(col("df") <= 4, 4L).when(col("df") <= 8, 8L)
+            .when(col("df") <= 16, 16L).when(col("df") <= 32, 32L)
+            .when(col("df") <= 64, 64L).when(col("df") <= 128, 128L)
+            .when(col("df") <= 256, 256L).when(col("df") <= 512, 512L)
+            .otherwise(1024L))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+          (sum(col("df")) * 8).as("raw_bytes"), sum(col("vb")).as("varint_bytes"))
+        .withColumn("savings_ppm",
+          expr("((raw_bytes - varint_bytes) * 1000000) div raw_bytes"))
+        .orderBy("df_bucket")
+    }),
     // Linear quality probe: exact least-squares fit of token count on
     // character count per source — one map-side-combined pass carrying
     // five Gram sums per group, results as exact int64 rationals (plus
@@ -690,6 +729,37 @@ object TextQueries {
   )
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "q238_postings_compression" ->
+      raw"""WITH post AS (SELECT DISTINCT doc_id, gram FROM (
+              SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                     for i in range(1, greatest(len(toks) - 1, 1))]) AS gram
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents))),
+          g AS (SELECT gram, doc_id,
+              coalesce(doc_id - lag(doc_id) OVER (PARTITION BY gram ORDER BY doc_id),
+                doc_id + 1) AS gap
+            FROM post),
+          v AS (SELECT gram, CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                  ELSE 5 END AS vbytes
+                FROM g),
+          t AS (SELECT gram, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(vbytes) AS BIGINT) AS vb
+                FROM v GROUP BY gram),
+          b AS (SELECT CASE WHEN df <= 1 THEN 1 WHEN df <= 2 THEN 2
+                  WHEN df <= 4 THEN 4 WHEN df <= 8 THEN 8 WHEN df <= 16 THEN 16
+                  WHEN df <= 32 THEN 32 WHEN df <= 64 THEN 64
+                  WHEN df <= 128 THEN 128 WHEN df <= 256 THEN 256
+                  WHEN df <= 512 THEN 512 ELSE 1024 END AS df_bucket, df, vb
+                FROM t)
+          SELECT CAST(df_bucket AS BIGINT) AS df_bucket,
+            CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(df) AS BIGINT) AS n_postings,
+            CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+            CAST(sum(vb) AS BIGINT) AS varint_bytes,
+            CAST(((sum(df) * 8 - sum(vb)) * 1000000) // (sum(df) * 8) AS BIGINT)
+              AS savings_ppm
+          FROM b GROUP BY df_bucket ORDER BY df_bucket""".replaceAll("\\s+", " "),
     "q175_linear_probe" ->
       raw"""WITH pts AS (SELECT source,
               CAST(n_chars AS BIGINT) AS x,
