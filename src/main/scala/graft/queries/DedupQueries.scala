@@ -481,6 +481,27 @@ object DedupQueries {
           .select("doc_a", "doc_b")),
         "doc_a", "doc_b")
     }),
+    // Degree assortativity of the near-dup graph (Newman 2002): the exact
+    // fixed-point Pearson correlation of endpoint degrees over every
+    // directed edge — positive r = duplication communities (hubs link to
+    // hubs, CC produces dense same-size clusters), negative r = hub-and-
+    // spoke (templates with one-off copies, where canonical selection
+    // matters most). Reuses the q179 Gram-pass + exact-isqrt machinery;
+    // edges ride the staged pair list, degrees broadcast back.
+    "q239_assortativity" -> ((s, dir) => {
+      val pairs = graft.sources.Stage.through(TextDedup.minhashLshPairs(
+        withShingles(augmented(s, dir)), "doc_id", "shash",
+        k = 8, bandRows = 2, threshold = 0.5).select("doc_a", "doc_b"))
+      val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val xy = und
+        .join(deg.select(col("src"), col("deg").as("dxv")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dyv")), "dst")
+      graft.operators.Regress.pearsonPairsFp(xy,
+        Seq("deg_src" -> col("dxv"), "deg_dst" -> col("dyv")))
+        .orderBy("x_name", "y_name")
+    }),
     // Single-linkage dendrogram LEVELS: near-dup clustering at a Jaccard
     // threshold ladder (0.7 / 0.8 / 0.9) — connected components at
     // threshold t are exactly the t-level cut of the single-linkage
@@ -1479,6 +1500,44 @@ object DedupQueries {
                   GROUP BY x),
           w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
           SELECT tri.n_triangles, w.n_wedges FROM tri, w""".replaceAll("\\s+", " "),
+    "q239_assortativity" ->
+      s"""WITH $AugSql, $ShinglesSql, $HashesSql,
+          sig AS (SELECT doc_id, hs, $SigSql AS mh
+                  FROM hashed WHERE len(hs) > 0),
+          bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR AS bv
+                    FROM sig, unnest(range(0, 4)) AS u(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          vp AS (SELECT doc_a, doc_b
+                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                 WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                     / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5),
+          und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+                  UNION ALL SELECT doc_b, doc_a FROM vp),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+          xy AS (SELECT da.deg AS x, db.deg AS y
+                 FROM und JOIN deg da ON da.src = und.src
+                 JOIN deg db ON db.src = und.dst),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(x) AS s_x, sum(y) AS s_y,
+                  sum(x*x) AS s_xx, sum(y*y) AS s_yy, sum(x*y) AS s_xy FROM xy),
+          p AS (SELECT 'deg_src' AS x_name, 'deg_dst' AS y_name, n,
+                  n*s_xy - s_x*s_y AS num,
+                  n*s_xx - s_x*s_x AS dx, n*s_yy - s_y*s_y AS dy FROM g),
+          p2 AS (SELECT *, CAST(floor(sqrt(CAST(dx AS DOUBLE))) AS BIGINT) AS rx,
+                  CAST(floor(sqrt(CAST(dy AS DOUBLE))) AS BIGINT) AS ry FROM p),
+          i AS (SELECT x_name, y_name, n, num,
+                  rx + (CASE WHEN (rx+1)*(rx+1) <= dx THEN 1 ELSE 0 END)
+                     - (CASE WHEN rx*rx > dx THEN 1 ELSE 0 END) AS sx,
+                  ry + (CASE WHEN (ry+1)*(ry+1) <= dy THEN 1 ELSE 0 END)
+                     - (CASE WHEN ry*ry > dy THEN 1 ELSE 0 END) AS sy FROM p2)
+          SELECT x_name, y_name, n, CAST(num AS BIGINT) AS num,
+            CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+            CAST(CASE WHEN sx * sy = 0 THEN NULL
+                 WHEN num < 0 THEN -least((10000 * (-num)) // (sx * sy), 10000)
+                 ELSE least((10000 * num) // (sx * sy), 10000) END AS BIGINT) AS r_fp
+          FROM i ORDER BY x_name, y_name""".replaceAll("\\s+", " "),
     "q237_threshold_dendrogram" -> {
       def lvl(t: Int): String =
         s"""p$t AS (SELECT doc_a, doc_b FROM ppairs
