@@ -114,14 +114,22 @@ object Bench {
     // decisecond values put the typical entry at 8 chars — ~1.7k for the
     // whole map, with headroom for more queries. 0.1 s resolution is
     // ample for per-query grading; the total keeps centiseconds.
-    // The per-query map is built SLOWEST-FIRST under a byte budget: the
-    // surface has outgrown the point where every query fits the driver's
-    // 2000-char tail window (234 queries ≈ 1941 chars vs ~1926 available
-    // after sbt's trailing [success] row). Omission is explicit, never
-    // silent: "qn" = total queries swept, "qomitted" = entries dropped,
-    // "qfloor_ds" = the LARGEST omitted value — so every absent query is
-    // known to have run in <= qfloor_ds deciseconds. Full per-query
-    // sweeps live in BASELINE.md.
+    // Per-query delivery is TWO complementary encodings, so nothing is
+    // ever silently absent no matter how far past 250 the surface grows:
+    //  1. "qds36" — EVERY query's decisecond time as one base-36 digit, in
+    //     query-NAME-ascending order (the same sort as "qn" counts);
+    //     values >= 35 ds print 'z' and their exact value appears in the
+    //     explicit map. One char per query: 250 queries = 250 chars.
+    //  2. "queries" — the SLOWEST-first explicit {"id":ds} map under
+    //     whatever byte budget remains, so heavy entries keep exact
+    //     (unclamped) values and direct qNN addressing. Omission from this
+    //     map is explicit ("qomitted"/"qfloor_ds" = count and the largest
+    //     omitted ds) and harmless — every omitted query still has its
+    //     digit in qds36. Full per-query sweeps live in BASELINE.md.
+    val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val qds36 = results.map { case (_, v) =>
+      digits.charAt(math.min(Math.round(v * 10), 35L).toInt)
+    }.mkString
     val entries = results
       .map { case (k, v) =>
         val id0 = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
@@ -129,7 +137,14 @@ object Bench {
         (Math.round(v * 10), "\"" + id + "\":" + Math.round(v * 10))
       }
       .sortBy { case (ds, s) => (-ds, s) }
-    val MapBudget = 1650
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // Whole line must land inside the driver's 2000-char tail window with
+    // sbt's trailing "[success]" row (~75 chars) after it; the explicit
+    // map gets whatever the fixed fields + qds36 leave over.
+    def line(qs: String, omitted: Int, floorDs: Long) =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"qds36":"$qds36","qds36_order":"name-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
+    val mapBudget = 1900 - line("{}", 0, 0).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     var omitted = 0
@@ -138,14 +153,10 @@ object Bench {
     entries.foreach { case (ds, s) =>
       // stop at the FIRST non-fitting entry so every kept value >= every
       // omitted value (qfloor_ds is then a true bound on all absentees)
-      if (!full && used + s.length + 1 <= MapBudget) { kept += s; used += s.length + 1 }
+      if (!full && used + s.length + 1 <= mapBudget) { kept += s; used += s.length + 1 }
       else { full = true; omitted += 1; floorDs = math.max(floorDs, ds) }
     }
-    val qs = kept.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"queries":$qs,"sf":"$sfName"}"""
+    val jsonLine = line(kept.mkString("{", ",", "}"), omitted, floorDs)
     System.err.println(s"[bench-diag] json line length: ${jsonLine.length} chars (tail window 2000)")
     System.err.flush(); System.out.flush()
     spark.sparkContext.setLogLevel("OFF")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * Determinism: results are exact RATIONALS (numerator/denominator int64
   * pairs over the shared determinant), not float quotients — bit-identical
   * in any engine, so the whole fit sits under the cross-engine oracle
-  * gate. R² is the exact rational (num², den·(n·Σy²−(Σy)²)) carried in
-  * decimal(38,0) because the squares exceed int64.
+  * gate. Goodness of fit rides the same isqrt fixed-point convention as
+  * [[pearsonPairsFp]] (r on the 10⁻⁴ grid), because the exact R² rational
+  * (num², den·syy_c) exceeds int64 and decimal128 outputs are not
+  * digestible by a typed cross-engine hash.
   */
 object Regress {
 
@@ -68,12 +70,19 @@ object Regress {
   }
 
   /** Per-group exact least-squares fit of `y` on `x` (both integral).
-    * Returns (grp, n, slope_num, den, intercept_num, r2_num, r2_den):
-    * slope = slope_num/den, intercept = intercept_num/den,
-    * R² = r2_num/r2_den; den = 0 marks a degenerate group (constant x).
+    * Returns (grp, n, slope_num, den, intercept_num, r_fp):
+    * slope = slope_num/den, intercept = intercept_num/den; den = 0 marks
+    * a degenerate group (constant x). r_fp is the Pearson r of the fit on
+    * the 10⁻⁴ grid via the [[pearsonPairsFp]] convention —
+    * sign(num)·(10⁴·|num|) div (isqrt(den)·isqrt(syy_c)), clamped to
+    * ±10⁴, NULL when either signal is constant; R² ≈ (r_fp/10⁴)². All
+    * int64 (the exact R² rational would need 128 bits; a typed
+    * cross-engine hash cannot digest decimal128, so the isqrt grid is the
+    * checkable form). Int64-safe while 10⁴·|n·Σxy − ΣxΣy| < 2⁶³ — holds
+    * with huge margin for corpus-scale char/token counts (n ≤ 10⁸ rows
+    * per group at x,y < 10⁴).
     */
   def linearFitExact(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
-    val d38 = "decimal(38,0)"
     df.select(group.as("grp"), x.cast("long").as("x"), y.cast("long").as("y"))
       .groupBy("grp")
       .agg(
@@ -89,9 +98,13 @@ object Regress {
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("intercept_num"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("syy_c"))
+      .withColumn("__sx", Sampling.isqrt(col("den")))
+      .withColumn("__sy", Sampling.isqrt(col("syy_c")))
       .select(
         col("grp"), col("n"), col("slope_num"), col("den"), col("intercept_num"),
-        (col("slope_num").cast(d38) * col("slope_num").cast(d38)).as("r2_num"),
-        (col("den").cast(d38) * col("syy_c").cast(d38)).as("r2_den"))
+        when(col("__sx") * col("__sy") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("slope_num")).cast("long") *
+            least(expr("(10000 * abs(slope_num)) div (__sx * __sy)"), lit(10000L)))
+          .as("r_fp"))
   }
 }

@@ -55,6 +55,55 @@ object AnalyticsQueries {
             .as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // q18 over the BUCKETED layout — the storage-partitioned join SCALE.md
+    // names as the 100 TB fact⋈fact plan, proven end-to-end at every run:
+    // both facts land bucketed+sorted on the join key (8 buckets at test
+    // SF; thousands on a cluster), the join is forced to sort-merge (the
+    // only strategy that exists at 100 TB where neither fact broadcasts),
+    // and a runtime require() on the executed plan FAILS the query if ANY
+    // Exchange appears — scan-to-join with zero shuffles on either side is
+    // asserted, not assumed. The landing write is the honest one-time cost
+    // of the layout (paid per run here, amortized over every downstream
+    // join on a cluster); values replay q18's oracle semantics, plus the
+    // exchange_free contract column the plan assertion backs.
+    "q240_bucketed_fact_join" -> ((s, dir) => {
+      val nb = 8
+      // A fresh session's in-memory catalog doesn't know tables a PREVIOUS
+      // session left in the warehouse dir, and saveAsTable refuses to adopt
+      // an existing location — drop both the entry and the orphan files.
+      for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(loc))
+          java.nio.file.Files.walk(loc)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+      val joined = s.table("graft_bkt_lineitem").hint("merge")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed fact join must sort-merge, got:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"bucketed layout must elide every exchange, got:\n$plan")
+      joined
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Exact.dsumProduct(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+            .as("revenue"))
+        .withColumn("exchange_free", lit(true))
+        .orderBy("o_orderpriority")
+    }),
     // TPC-H Q1 pricing summary: single-table groupBy with partial (map-side)
     // aggregation; the shuffle moves only 6 groups × accumulators.
     "q19_pricing_summary" -> ((s, dir) => {
@@ -961,6 +1010,15 @@ object AnalyticsQueries {
     "q18_fact_join_priority" ->
       s"""SELECT o_orderpriority, count(*) AS n_lines,
           ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    // q240 = q18's values over the bucketed layout; exchange_free is the
+    // contract the Spark-side plan require() backs (an exchange in the
+    // bucketed join fails the query instead of flipping the column).
+    "q240_bucketed_fact_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+          ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          TRUE AS exchange_free
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
     "q19_pricing_summary" ->

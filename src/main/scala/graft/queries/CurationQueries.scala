@@ -571,7 +571,8 @@ object CurationQueries {
                  r + (CASE WHEN (r+1)*(r+1) <= x THEN 1 ELSE 0 END)
                    - (CASE WHEN r*r > x THEN 1 ELSE 0 END) AS w_fp FROM r0),
           tw AS (SELECT sum(w_fp) AS sw FROM w),
-          t AS (SELECT lang, n_rows, w_fp, (200 * w_fp) // sw AS target_rows FROM w, tw),
+          t AS (SELECT lang, n_rows, w_fp,
+                 CAST((200 * w_fp) // sw AS BIGINT) AS target_rows FROM w, tw),
           t2 AS (SELECT *, least(10000, (10000 * target_rows) // n_rows) AS th FROM t),
           s AS (SELECT d.lang, count(*) AS n_sampled
                 FROM documents d JOIN t2 USING (lang)
@@ -592,7 +593,7 @@ object CurationQueries {
                                   / CAST((rf + 1) * (tt + 256) AS DOUBLE))) AS BIGINT) AS w_fp
             FROM bc, tot),
           dc AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
-          sc AS (SELECT doc_id, sum(c * w_fp) AS score_fp
+          sc AS (SELECT doc_id, CAST(sum(c * w_fp) AS BIGINT) AS score_fp
                  FROM dc JOIN w USING (bucket) GROUP BY doc_id),
           th AS (SELECT min(score_fp) AS th FROM
                  (SELECT score_fp FROM sc ORDER BY score_fp DESC, doc_id LIMIT 100))

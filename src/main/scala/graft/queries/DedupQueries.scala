@@ -1028,7 +1028,7 @@ object DedupQueries {
   private val oracleSqlBase: Map[String, String] = Map(
     "q172_pagerank_fp" -> {
       def round(i: Int) =
-        s"""c$i AS (SELECT e.t AS id, sum(r${i - 1}.r // d.deg) AS cs
+        s"""c$i AS (SELECT e.t AS id, CAST(sum(r${i - 1}.r // d.deg) AS BIGINT) AS cs
                FROM edges e JOIN deg d ON d.s = e.s JOIN r${i - 1} ON r${i - 1}.id = e.s
                GROUP BY e.t),
             r$i AS (SELECT r${i - 1}.id,
@@ -1074,7 +1074,7 @@ object DedupQueries {
           runs AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS len
                    FROM r GROUP BY doc_a, doc_b, dg, grp)
           SELECT doc_a, doc_b, max(len) + 4 AS longest_run_tokens,
-                 sum(len) AS n_matching_grams
+                 CAST(sum(len) AS BIGINT) AS n_matching_grams
           FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".replaceAll("\\s+", " "),
     "q161_winnow_overlap" ->
       raw"""WITH $AugSql,

@@ -59,7 +59,9 @@ object PipelineQueries {
       case "WIND" => "COALESCE(w, 0.0) AS \"WIND\""
       case "GENERATION" => "COALESCE(g, 0.0) AS \"GENERATION\""
       case "WIND_perc" => s"""COALESCE($repairedWindPerc, 0.0) AS "WIND_perc""""
-      case other => s"""0.0 AS "$other""""
+      // bare 0.0 would type as DECIMAL(2,1) in DuckDB — the Spark side is
+      // double, and the typed hash treats decimal as a different class
+      case other => s"""0.0::DOUBLE AS "$other""""
     }
     Map(
       "q48_pipeline_end_to_end" ->

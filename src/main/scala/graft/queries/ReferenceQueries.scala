@@ -369,8 +369,10 @@ object ReferenceQueries {
         .withColumn("fp_delta_ok", col("n_differing") === col("n_expected"))
     }),
     // Anti-entropy bucket fingerprints: 64 Merkle-style bucket checksums
-    // of the events table (order-independent exact sums of 60-bit row
-    // hashes) compared against a copy with ONE perturbed row — the diff
+    // of the events table (order-independent XORs of 60-bit row hashes —
+    // int64-closed, so the checksum never widens past what a typed
+    // cross-engine hash can digest) compared against a copy with ONE
+    // perturbed row — the diff
     // localizes to exactly the perturbed key's bucket, which is how two
     // 100 TB replicas are compared with 64 numbers instead of a
     // row-by-row join. Doubles ride on a fixed-point grid (engine float
@@ -599,17 +601,17 @@ object ReferenceQueries {
                   UNION ALL SELECT * FROM inc),
           fpb AS (SELECT
               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
-              CAST(sum(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+              bit_xor(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
                 CAST(user_id AS VARCHAR), event_type,
                 CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT)
-                AS DECIMAL(38,0)) AS fp_before
+                AS fp_before
             FROM ex GROUP BY 1),
           fpa AS (SELECT
               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
-              CAST(sum(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+              bit_xor(('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
                 CAST(user_id AS VARCHAR), event_type,
                 CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT)
-                AS DECIMAL(38,0)) AS fp_after
+                AS fp_after
             FROM aft GROUP BY 1),
           exp0 AS (SELECT CAST(count(DISTINCT
               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 64)
@@ -636,8 +638,8 @@ object ReferenceQueries {
                              AS BIGINT) AS VARCHAR))), 1, 15))::BIGINT AS hm
             FROM rows0),
           g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-              CAST(sum(h) AS DECIMAL(38,0)) AS fp,
-              CAST(sum(hm) AS DECIMAL(38,0)) AS fp_mut
+              bit_xor(h) AS fp,
+              bit_xor(hm) AS fp_mut
             FROM canon GROUP BY bucket)
           SELECT bucket, n_rows, fp, fp_mut, fp IS DISTINCT FROM fp_mut AS differs
           FROM g ORDER BY bucket""".replaceAll("\\s+", " "),

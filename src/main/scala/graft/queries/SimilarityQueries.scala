@@ -554,22 +554,25 @@ object SimilarityQueries {
     // classifier-free check that labels occupy tight, off-origin regions
     // (if within ≫ cnorm the labels carry no geometry and a classifier
     // trained on them will learn noise). One map-side-combined pass over
-    // (label, dim); everything decimal(38,0)-exact on the 10⁻⁵ grid.
+    // (label, dim); everything int64-exact on the 10⁻⁴ grid (unit-norm
+    // components ⇒ |v| ≤ 10⁴, so Σ_d (n·Q_d − S_d²) ≤ 64·n²·10⁸ stays
+    // inside int64 for n ≤ ~10⁵ rows per label; a bigger corpus coarsens
+    // the grid rather than widening past what a typed cross-engine hash
+    // can digest — decimal128 outputs are not hashable).
     "q203_label_compactness" -> ((s, dir) => {
-      val d38 = "decimal(38,0)"
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("label"), col("d"),
-          floor(col("x").cast("double") * 1e5).cast("long").as("v"))
+          floor(col("x").cast("double") * 1e4).cast("long").as("v"))
         .groupBy("label", "d")
         .agg(count(lit(1)).as("n"),
-          sum(col("v")).cast(d38).as("sd"),
-          sum(col("v") * col("v")).cast(d38).as("qd"))
+          sum(col("v")).as("sd"),
+          sum(col("v") * col("v")).as("qd"))
         .groupBy("label")
         .agg(min(col("n")).as("n"),
-          sum(col("n").cast(d38) * col("qd") - col("sd") * col("sd")).as("within_num"),
+          sum(col("n") * col("qd") - col("sd") * col("sd")).as("within_num"),
           sum(col("sd") * col("sd")).as("cnorm_num"))
-        .withColumn("den", (col("n") * col("n")).cast(d38))
+        .withColumn("den", col("n") * col("n"))
         .orderBy("label")
     }),
     // PQ dimension-permutation audit — OPQ's zeroth-order idea (Ge et al.
@@ -1462,18 +1465,17 @@ object SimilarityQueries {
           ORDER BY adc_d ASC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
     "q203_label_compactness" ->
       s"""WITH ex AS (SELECT label, CAST(u.i AS INT) AS d,
-              CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 100000.0) AS BIGINT) AS v
+              CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 10000.0) AS BIGINT) AS v
             FROM embeddings, unnest(range(1, ${Dim + 1})) AS u(i)),
           g AS (SELECT label, d, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(v) AS HUGEINT) AS sd,
-              CAST(sum(v * v) AS HUGEINT) AS qd
+              CAST(sum(v) AS BIGINT) AS sd,
+              CAST(sum(v * v) AS BIGINT) AS qd
             FROM ex GROUP BY 1, 2),
           a AS (SELECT label, min(n) AS n,
-              CAST(sum(n * qd - sd * sd) AS DECIMAL(38,0)) AS within_num,
-              CAST(sum(sd * sd) AS DECIMAL(38,0)) AS cnorm_num
+              CAST(sum(n * qd - sd * sd) AS BIGINT) AS within_num,
+              CAST(sum(sd * sd) AS BIGINT) AS cnorm_num
             FROM g GROUP BY label)
-          SELECT label, n, within_num, cnorm_num,
-            CAST(n * n AS DECIMAL(38,0)) AS den
+          SELECT label, n, within_num, cnorm_num, n * n AS den
           FROM a ORDER BY label""".replaceAll("\\s+", " "),
     "q201_pq_permutation" ->
       s"""WITH afp AS (SELECT vec_id, list_transform(embedding,

@@ -9,12 +9,16 @@ import graft.sources.Tables
 /** Calendar-interval resampling over the multi-year `orders` table plus
   * sketch-based approximate aggregates.
   *
-  * q50 has NO oracle entry on purpose: HLL++ and KLL/GK quantile sketches
-  * are engine-specific algorithms, so cross-engine hash-matching is
-  * impossible by construction — the driver records the weaker rows-only
-  * check. Its exact companions ARE oracle-checked (q61 percentiles, q66
-  * count/countDistinct) and SketchBoundsSpec pins the sketch error against
-  * exact answers. The capability matters at 100 TB: approx_count_distinct
+  * q50's sketch VALUES are engine-specific (HLL++ / GK have no DuckDB
+  * twin), so the raw estimates cannot cross-engine hash-match — instead
+  * q50 outputs the exact cardinality plus sketch-accuracy CONTRACT
+  * booleans computed in-plan (|approx−exact| within the documented bound;
+  * approx percentiles inside an exact quantile band), and the oracle
+  * replays the exact side with literal TRUE for each contract. A sketch
+  * drifting out of bounds therefore hash-FAILS the row — the fixed-seed
+  * accuracy contract made oracle-checkable. Exact companions: q61
+  * percentiles, q66 count/countDistinct; SketchBoundsSpec pins error
+  * magnitudes. The capability matters at 100 TB: approx_count_distinct
   * is one pass + constant memory vs countDistinct's expand-shuffle, and
   * approx_percentile avoids a full sort.
   */
@@ -50,17 +54,33 @@ object SketchQueries {
           max(col("o_totalprice")).as("hi"))
         .orderBy("o_orderpriority")
     }),
-    // Sketches ONLY: HLL++ distinct customers + order-price quantiles per
-    // priority. Every exact column lives in q66 under the real oracle; what
-    // remains here is genuinely engine-specific (rows-only check), and
-    // SketchBoundsSpec pins the sketch error against the exact values.
+    // Sketch-accuracy contract, oracle-gated: HLL++ distinct customers and
+    // GK order-price quantiles per priority, each verified IN-PLAN against
+    // the exact answer computed alongside — the checked output is the
+    // exact cardinality plus three contract booleans (raw sketch values
+    // are engine-specific and cannot hash-match; the booleans can, and a
+    // sketch drifting out of its bound fails the hash gate). rsd=0.01
+    // HLL++ is held to 5% (5σ); accuracy-10000 GK percentiles (rank error
+    // ≤ n/10⁴) are held inside the exact ±0.005-quantile band.
     "q50_approx_stats" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(
-          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))
+          countDistinct(col("o_custkey")).as("n_customers"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("__acd"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__p50a"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("__p99a"),
+          expr("percentile(o_totalprice, 0.495)").as("__p50lo"),
+          expr("percentile(o_totalprice, 0.505)").as("__p50hi"),
+          expr("percentile(o_totalprice, 0.985)").as("__p99lo"),
+          expr("percentile(o_totalprice, 0.995)").as("__p99hi"))
+        .select(col("o_orderpriority"), col("n_customers"),
+          (abs(col("__acd") - col("n_customers")) * 20 <= col("n_customers"))
+            .as("cd_within_5pct"),
+          (col("__p50a") >= col("__p50lo") && col("__p50a") <= col("__p50hi"))
+            .as("p50_in_band"),
+          (col("__p99a") >= col("__p99lo") && col("__p99a") <= col("__p99hi"))
+            .as("p99_in_band"))
         .orderBy("o_orderpriority")
     }),
     // The exact companion to q50, oracle-checked: per-priority cardinalities
@@ -408,7 +428,15 @@ object SketchQueries {
           FROM m JOIN ie ON ie.src_a = m.src_a AND ie.src_b = m.src_b
           JOIN sz sza ON sza.source = m.src_a
           JOIN sz szb ON szb.source = m.src_b
-          ORDER BY m.src_a, m.src_b""".replaceAll("\\s+", " ")
-    // q50 intentionally omitted (sketch values are engine-specific)
+          ORDER BY m.src_a, m.src_b""".replaceAll("\\s+", " "),
+    // q50's exact side replayed; the contract booleans are TRUE literals —
+    // the Spark side computes them from the live sketches, so an
+    // out-of-bounds sketch hash-fails the row (see the header note).
+    "q50_approx_stats" ->
+      """SELECT o_orderpriority,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+          TRUE AS cd_within_5pct, TRUE AS p50_in_band, TRUE AS p99_in_band
+          FROM orders GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""".replaceAll("\\s+", " ")
   )
 }

@@ -57,8 +57,10 @@ object TextQueries {
     }),
     // Linear quality probe: exact least-squares fit of token count on
     // character count per source — one map-side-combined pass carrying
-    // five Gram sums per group, results as exact int64 rationals (plus
-    // the R² rational in decimal(38,0)), no iterative solver, no floats.
+    // five Gram sums per group, results as exact int64 rationals plus
+    // the isqrt fixed-point Pearson r (10⁻⁴ grid — the exact R² rational
+    // needs 128 bits and a typed cross-engine hash can't digest
+    // decimal128), no iterative solver, no floats.
     "q175_linear_probe" -> ((s, dir) => {
       graft.operators.Regress.linearFitExact(
         Tables.documents(s, dir),
@@ -776,11 +778,23 @@ object TextQueries {
               n * sxx - sx * sx AS den,
               sy * sxx - sx * sxy AS intercept_num,
               n * syy - sy * sy AS syy_c
-            FROM g)
+            FROM g),
+          r0 AS (SELECT *,
+              CAST(floor(sqrt(CAST(den AS DOUBLE))) AS BIGINT) AS ra,
+              CAST(floor(sqrt(CAST(syy_c AS DOUBLE))) AS BIGINT) AS rb
+            FROM fit),
+          r1 AS (SELECT *,
+              ra + (CASE WHEN (ra+1)*(ra+1) <= den THEN 1 ELSE 0 END)
+                 - (CASE WHEN ra*ra > den THEN 1 ELSE 0 END) AS sa,
+              rb + (CASE WHEN (rb+1)*(rb+1) <= syy_c THEN 1 ELSE 0 END)
+                 - (CASE WHEN rb*rb > syy_c THEN 1 ELSE 0 END) AS sb
+            FROM r0)
           SELECT source, n, slope_num, den, intercept_num,
-            CAST(CAST(slope_num AS HUGEINT) * slope_num AS DECIMAL(38,0)) AS r2_num,
-            CAST(CAST(den AS HUGEINT) * syy_c AS DECIMAL(38,0)) AS r2_den
-          FROM fit ORDER BY source""".replaceAll("\\s+", " "),
+            CASE WHEN sa * sb = 0 THEN NULL
+                 WHEN slope_num < 0
+                   THEN -least(10000, (10000 * (-slope_num)) // (sa * sb))
+                 ELSE least(10000, (10000 * slope_num) // (sa * sb)) END AS r_fp
+          FROM r1 ORDER BY source""".replaceAll("\\s+", " "),
     "q192_probe_calibration" ->
       raw"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y

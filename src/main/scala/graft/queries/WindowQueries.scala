@@ -148,7 +148,8 @@ object WindowQueries {
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn)
           SELECT event_id, user_id,
-              sum(v * (CAST(1 AS BIGINT) << p)) // ((CAST(1 AS BIGINT) << count(*)) - 1)
+              CAST(sum(v * (CAST(1 AS BIGINT) << p))
+                   // ((CAST(1 AS BIGINT) << count(*)) - 1) AS BIGINT)
                 AS ewma_fp
           FROM f GROUP BY event_id, user_id ORDER BY event_id""".replaceAll("\\s+", " "),
     "q55_rolling_mean" ->

@@ -265,12 +265,19 @@ object Merge {
     * comparing two copies of a table (sink vs re-export, primary vs
     * replica) WITHOUT a row-by-row join: each row hashes to a 60-bit
     * md5 integer over its canonical column string, rows bucket by key
-    * hash, and a bucket's fingerprint is the exact SUM of its row hashes
-    * (order- and partitioning-independent — addition commutes; carried
-    * in decimal(38,0) so it never wraps). Two copies agree iff all
-    * `buckets` fingerprints agree; a diff localizes to its buckets, so
-    * repair reads only those — the Cassandra/DynamoDB anti-entropy idea
-    * as one map-side-combined aggregation.
+    * hash, and a bucket's fingerprint is the exact XOR of its row hashes
+    * (order- and partitioning-independent — xor commutes and stays in
+    * int64, never widening; a sum would silently promote to HUGEINT /
+    * decimal128 in other engines and break typed-value comparison). Two
+    * copies agree iff all `buckets` fingerprints agree; a diff localizes
+    * to its buckets, so repair reads only those — the Cassandra/DynamoDB
+    * anti-entropy idea as one map-side-combined aggregation.
+    *
+    * XOR caveat: a row appearing an EVEN number of times cancels out of
+    * its bucket fingerprint. The canonical string includes the key, so
+    * this only matters for full-row duplicates — which a keyed
+    * (upserted) table does not contain; `n_rows` still catches pure
+    * duplication either way.
     *
     * Columns are canonicalized as strings joined with '|', NULL as a
     * sentinel; callers pass integer/string columns (cast floats to a
@@ -285,10 +292,9 @@ object Merge {
     df.select(
         pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"),
-        conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
-          .cast("decimal(38,0)").as("__h"))
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("__h"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("fp"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("fp"))
   }
 
   def appendMetrics(df: DataFrame, path: String): Unit =

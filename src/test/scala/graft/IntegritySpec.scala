@@ -41,7 +41,7 @@ class IntegritySpec extends AnyFunSuite with SparkFixture {
       when(col("id") === 123L, lit("CHANGED")).otherwise(col("s")))
     def fp(df: org.apache.spark.sql.DataFrame) =
       Merge.bucketFingerprints(df, col("id"), Seq(col("id"), col("s")), 16)
-        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[java.math.BigDecimal]("fp")).toMap
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("fp")).toMap
     val (a, b) = (fp(base), fp(mutated))
     val differing = a.keySet.filter(k => a(k) != b(k))
     assert(differing.size == 1)

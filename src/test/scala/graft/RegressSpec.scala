@@ -11,14 +11,24 @@ import graft.operators.Regress
 class RegressSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
-  test("perfect line y = 2x + 1 fits exactly with R^2 = 1") {
-    val df = Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L)).toDF("g", "x", "y")
-    val r = Regress.linearFitExact(df, col("g"), col("x"), col("y")).head()
-    assert(r.getAs[Long]("n") == 3L)
-    assert(r.getAs[Long]("slope_num") == 12L && r.getAs[Long]("den") == 6L)
-    assert(r.getAs[Long]("intercept_num") == 6L)
-    assert(r.getAs[java.math.BigDecimal]("r2_num").longValueExact == 144L)
-    assert(r.getAs[java.math.BigDecimal]("r2_den").longValueExact == 144L)
+  /** Reference isqrt (floor of the exact square root) for expected values. */
+  private def isqrtL(x: Long): Long = {
+    val r0 = math.sqrt(x.toDouble).floor.toLong
+    val r1 = if ((r0 + 1) * (r0 + 1) <= x) r0 + 1 else r0
+    if (r1 * r1 > x) r1 - 1 else r1
+  }
+
+  test("perfect lines pin r_fp to the grid ends") {
+    val df = Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),
+      ("d", 0L, 9L), ("d", 1L, 7L), ("d", 2L, 5L)).toDF("g", "x", "y")
+    val rows = Regress.linearFitExact(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n") == 3L)
+    assert(a.getAs[Long]("slope_num") == 12L && a.getAs[Long]("den") == 6L)
+    assert(a.getAs[Long]("intercept_num") == 6L)
+    assert(a.getAs[Long]("r_fp") == 10000L)
+    assert(rows("d").getAs[Long]("r_fp") == -10000L)
   }
 
   test("noisy fit is the exact textbook rational; constant x degenerates to den=0") {
@@ -30,10 +40,27 @@ class RegressSpec extends AnyFunSuite with SparkFixture {
     val n = rows("n")
     assert(n.getAs[Long]("slope_num") * 2 == n.getAs[Long]("den"))
     assert(n.getAs[Long]("intercept_num") * 6 == n.getAs[Long]("den"))
-    val r2n = n.getAs[java.math.BigDecimal]("r2_num").longValueExact
-    val r2d = n.getAs[java.math.BigDecimal]("r2_den").longValueExact
-    assert(r2n * 4 == r2d * 3)
     assert(rows("c").getAs[Long]("den") == 0L)
+    assert(rows("c").isNullAt(rows("c").fieldIndex("r_fp")),
+      "constant x must yield NULL r_fp, not divide by zero")
+  }
+
+  test("noisy fit r_fp equals the isqrt-grid reference value") {
+    val pts = (1L to 100L).map(i => (i, 3 * i + (i % 7)))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Regress.linearFitExact(df, col("g"), col("x"), col("y")).head()
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val syyC = n * syy - sy * sy
+    val expected = num.sign * math.min(10000L,
+      (10000L * num.abs) / (isqrtL(den) * isqrtL(syyC)))
+    assert(r.getAs[Long]("r_fp") == expected)
+    assert(expected > 9900L && expected < 10000L, s"r_fp=$expected should be near 1")
   }
 
   test("pearsonPairsFp: perfect +/- correlation hits the grid ends, constant signal is NULL") {
@@ -56,6 +83,6 @@ class RegressSpec extends AnyFunSuite with SparkFixture {
       pts.toDF("g", "x", "y").repartition(13), col("g"), col("x"), col("y")).head()
     assert(one.getAs[Long]("slope_num") == many.getAs[Long]("slope_num"))
     assert(one.getAs[Long]("den") == many.getAs[Long]("den"))
-    assert(one.getAs[java.math.BigDecimal]("r2_num") == many.getAs[java.math.BigDecimal]("r2_num"))
+    assert(one.getAs[Long]("r_fp") == many.getAs[Long]("r_fp"))
   }
 }
