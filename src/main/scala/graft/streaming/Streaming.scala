@@ -137,7 +137,7 @@ object Streaming {
 
   case class AttrEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
       event_type: String, channel: String, cents: Long)
-  case class AttrState(lastClickCh: String, lastClickTs: Long)
+  case class AttrState(lastClickCh: String, lastClickTs: Long, lastClickId: Long)
   case class AttrOut(user_id: Long, event_id: Long, cents: Long, channel: String)
 
   /** Streaming last-touch attribution — the stateful twin of q229's batch
@@ -145,8 +145,16 @@ object Streaming {
     * (last click channel) cell per live user, written by clicks, read by
     * purchases, so a purchase attributes at arrival without ever joining
     * the click history. Rows are applied in (ts, event_id) order inside
-    * each micro-batch, so batch boundaries don't change the attribution
-    * (spec-pinned against the batch formulation across a split feed).
+    * each micro-batch, AND a click only overwrites the state when it is
+    * event-time NEWER than the stored one — so a late click straggling
+    * into a later micro-batch with an older timestamp cannot regress the
+    * state, and batch boundaries don't change which click a FUTURE
+    * purchase attributes to (spec-pinned against the batch formulation
+    * across a split feed, including an out-of-order split). The inherent
+    * streaming limit remains: a purchase already emitted is not
+    * retroactively re-attributed when an older click arrives afterwards —
+    * within-watermark reordering is the guard's job; past-watermark
+    * history rewrites belong to the batch twin (q229).
     * State is one tiny tuple per live user, bounded by the event-time
     * timeout: a user idle past the horizon is dropped and their next
     * purchase attributes to 'none' — the documented staleness bound of a
@@ -171,9 +179,11 @@ object Streaming {
             val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
             var st = state.getOption
             sorted.foreach { e =>
-              if (e.event_type == "click")
-                st = Some(AttrState(e.channel, e.ts.getTime))
-              else if (e.event_type == "purchase")
+              if (e.event_type == "click") {
+                val newer = st.forall(s => Ordering[(Long, Long)].gt(
+                  (e.ts.getTime, e.event_id), (s.lastClickTs, s.lastClickId)))
+                if (newer) st = Some(AttrState(e.channel, e.ts.getTime, e.event_id))
+              } else if (e.event_type == "purchase")
                 out += AttrOut(user, e.event_id, e.cents,
                   st.map(_.lastClickCh).getOrElse("none"))
             }

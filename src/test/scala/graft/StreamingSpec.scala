@@ -173,6 +173,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("attributionStream: a late out-of-order click cannot regress the state") {
+    import graft.streaming.Streaming.{AttrEvent, AttrOut}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[AttrEvent]
+    val q = Streaming.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attr_ooo").outputMode("append").start()
+    try {
+      // batch 1: the NEWER click arrives first
+      mem.addData(AttrEvent(1L, ts("2024-01-01 10:10:00"), 3L, "click", "ch2", 0L))
+      q.processAllAvailable()
+      // batch 2: a STALE click (older event time) straggles in afterwards,
+      // then a purchase — last-touch by event time is still ch2
+      mem.addData(
+        AttrEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click", "ch1", 0L),
+        AttrEvent(1L, ts("2024-01-01 10:20:00"), 5L, "purchase", "", 700L))
+      q.processAllAvailable()
+      val got = spark.table("attr_ooo").as[AttrOut].collect()
+        .map(a => (a.event_id, a.channel)).toSeq
+      assert(got == Seq((5L, "ch2")),
+        "the stale ch1 click must not overwrite the newer ch2 state")
+    } finally q.stop()
+  }
+
   test("curationScoreStream: stateless stream-static scoring against a static vocab") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
