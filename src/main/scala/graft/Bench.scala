@@ -117,8 +117,13 @@ object Bench {
     // Per-query delivery is TWO complementary encodings, so nothing is
     // ever silently absent no matter how far past 250 the surface grows:
     //  1. "qds36" — EVERY query's decisecond time as one base-36 digit, in
-    //     query-NAME-ascending order (the same sort as "qn" counts);
-    //     values >= 35 ds print 'z' and their exact value appears in the
+    //     NUMERIC-id-ascending order (q2 before q18 before q180 — parse the
+    //     digits after 'q'; ties, which cannot currently occur, break by
+    //     full name). A consumer reconstructs the mapping from the sorted
+    //     numeric ids alone, which is how consumers naively read it — the
+    //     previous name-lexicographic order ('q180_x' < 'q18_y') silently
+    //     misattributed times to any consumer assuming id order.
+    //     Values >= 35 ds print 'z' and their exact value appears in the
     //     explicit map. One char per query: 250 queries = 250 chars.
     //  2. "queries" — the SLOWEST-first explicit {"id":ds} map under
     //     whatever byte budget remains, so heavy entries keep exact
@@ -127,7 +132,11 @@ object Bench {
     //     omitted ds) and harmless — every omitted query still has its
     //     digit in qds36. Full per-query sweeps live in BASELINE.md.
     val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
-    val qds36 = results.map { case (_, v) =>
+    def qid(name: String): Int = {
+      val s = name.stripPrefix("q").takeWhile(_.isDigit)
+      if (s.isEmpty) Int.MaxValue else s.toInt
+    }
+    val qds36 = results.sortBy { case (k, _) => (qid(k), k) }.map { case (_, v) =>
       digits.charAt(math.min(Math.round(v * 10), 35L).toInt)
     }.mkString
     val entries = results
@@ -143,7 +152,7 @@ object Bench {
     // sbt's trailing "[success]" row (~75 chars) after it; the explicit
     // map gets whatever the fixed fields + qds36 leave over.
     def line(qs: String, omitted: Int, floorDs: Long) =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"qds36":"$qds36","qds36_order":"name-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
     val mapBudget = 1900 - line("{}", 0, 0).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces

@@ -167,12 +167,19 @@ object Pq {
     // its own subspace's k codewords. Still zero shuffle of the data side.
     val bySub = cents.groupBy("sub").agg(
       sort_array(collect_list(struct(col("cid"), col("c")))).as("__cw"))
-    val scored = transform(col("__cw"), cw =>
-      struct(l2sqFp(col("v"), cw.getField("c")).as("d"), cw.getField("cid").as("cid")))
+    // LEFT join + in-plan raise_error, not an inner join: an inner join
+    // would silently DROP every sub-vector whose subspace has no codeword
+    // (empty-seed misuse would yield an empty "encoding" instead of an
+    // error). The check rides the codegen'd projection — no extra pass.
+    val cw = when(col("__cw").isNull, raise_error(concat(
+      lit("graft.Pq.assignCodes: codebook has no codewords for subspace "),
+      col("sub").cast("string")))).otherwise(col("__cw"))
+    val scored = transform(cw, c0 =>
+      struct(l2sqFp(col("v"), c0.getField("c")).as("d"), c0.getField("cid").as("cid")))
     val best = aggregate(scored,
       struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
       (acc, x) => when(x < acc, x).otherwise(acc)).getField("cid")
-    sv.join(broadcast(bySub), Seq("sub"))
+    sv.join(broadcast(bySub), Seq("sub"), "left")
       .withColumn("code", best)
       .drop("__cw")
   }

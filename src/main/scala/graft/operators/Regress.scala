@@ -78,9 +78,17 @@ object Regress {
     * ±10⁴, NULL when either signal is constant; R² ≈ (r_fp/10⁴)². All
     * int64 (the exact R² rational would need 128 bits; a typed
     * cross-engine hash cannot digest decimal128, so the isqrt grid is the
-    * checkable form). Int64-safe while 10⁴·|n·Σxy − ΣxΣy| < 2⁶³ — holds
-    * with huge margin for corpus-scale char/token counts (n ≤ 10⁸ rows
-    * per group at x,y < 10⁴).
+    * checkable form). Numeric domain (the Gram-sum limit, NOT a
+    * rows-at-scale claim): every Gram term — n·Σx², n·Σxy, (Σx)², ΣxΣy —
+    * is bounded by n²·max(|x|,|y|)² and must stay < 2⁶³, and the centered
+    * moments den/syy_c feed [[Sampling.isqrt]], whose 3-step correction
+    * is exact only for inputs < 2⁵² — so the binding constraint is
+    * n·max(|x|,|y|) < 2²⁶ ≈ 6.7·10⁷ (e.g. n ≲ 6·10³ groups rows at
+    * |x|,|y| < 10⁴, or n ≲ 6·10⁵ at |x|,|y| < 10²), plus
+    * 10⁴·|num| < 2⁶³ which is implied by it. Callers fitting over more
+    * rows per group must pre-aggregate x into coarser units first; the
+    * in-repo callers (per-day/per-bucket fits, ≤ a few hundred rows per
+    * group) sit far inside the domain.
     */
   def linearFitExact(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
     df.select(group.as("grp"), x.cast("long").as("x"), y.cast("long").as("y"))

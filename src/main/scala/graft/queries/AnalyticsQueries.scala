@@ -25,6 +25,19 @@ object AnalyticsQueries {
   private def dsum(sqlExpr: String, scale: Int = 4): String =
     s"CAST(sum(CAST(($sqlExpr) AS DECIMAL(30,$scale))) AS DOUBLE)"
 
+  /** Sign-safe integer division (truncate-toward-zero on BOTH engines).
+    * Spark `div` truncates toward zero while DuckDB `//` floors, so bare
+    * division diverges on negative numerators (-7 div 2 = -3 vs
+    * -7 // 2 = -4). Dividing MAGNITUDES and re-applying the sign makes
+    * both engines compute sign(num)·(|num| div den) — the q235
+    * convention, now shared by every ppm mean that could see a negative
+    * sum. Emit with `div` for the Spark expr() side and `//` for the
+    * oracle side. Denominator must be positive.
+    */
+  private def tzDiv(num: String, den: String, op: String): String =
+    s"CASE WHEN ($num) < 0 THEN -((-($num)) $op ($den)) " +
+      s"ELSE ($num) $op ($den) END"
+
   val queries: Map[String, Q] = Map(
     // Star join: fact `orders` ⋈ broadcast dims customer→nation→region.
     // At 100 TB the three dim joins stay broadcast; only the final groupBy
@@ -75,10 +88,13 @@ object AnalyticsQueries {
         s.sql(s"DROP TABLE IF EXISTS $t")
         val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
         val loc = java.nio.file.Paths.get(wh, t)
-        if (java.nio.file.Files.exists(loc))
-          java.nio.file.Files.walk(loc)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        if (java.nio.file.Files.exists(loc)) {
+          // close the walk stream (it holds directory handles open)
+          val st = java.nio.file.Files.walk(loc)
+          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.delete(f))
+          finally st.close()
+        }
       }
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -424,7 +440,8 @@ object AnalyticsQueries {
         .agg(max(col("n")).as("n"), max(col("t")).as("n_trim_each"),
           sum(col("kept")).as("n_kept"),
           sum(col("kept") * col("v")).as("kept_sum_c"))
-        .withColumn("trimmed_mean_ppm", expr("(kept_sum_c * 1000000) div n_kept"))
+        .withColumn("trimmed_mean_ppm",
+          expr(tzDiv("kept_sum_c * 1000000", "n_kept", "div")))
         .orderBy("event_type")
     }),
     // Theil–Sen slope per event-type series (robust trend next to q222's
@@ -602,8 +619,8 @@ object AnalyticsQueries {
           col("t").as("n_left"), (col("n") - col("t")).as("n_right"),
           col("sl").as("sum_left"), (col("st") - col("sl")).as("sum_right"),
           col("score_q"),
-          expr("(sl * 1000000) div t").as("mean_left_ppm"),
-          expr("((st - sl) * 1000000) div (n - t)").as("mean_right_ppm"))
+          expr(tzDiv("sl * 1000000", "t", "div")).as("mean_left_ppm"),
+          expr(tzDiv("(st - sl) * 1000000", "n - t", "div")).as("mean_right_ppm"))
         .orderBy("event_type")
     }),
     // Robust anomaly detection: q123's mean/σ rule breaks when the
@@ -827,7 +844,9 @@ object AnalyticsQueries {
             CAST(max(t) AS BIGINT) AS n_trim_each,
             CAST(sum(kept) AS BIGINT) AS n_kept,
             CAST(sum(kept * v) AS BIGINT) AS kept_sum_c,
-            CAST((sum(kept * v) * 1000000) // sum(kept) AS BIGINT)
+            CAST(CASE WHEN sum(kept * v) < 0
+              THEN -((-(sum(kept * v) * 1000000)) // sum(kept))
+              ELSE (sum(kept * v) * 1000000) // sum(kept) END AS BIGINT)
               AS trimmed_mean_ppm
           FROM k GROUP BY event_type ORDER BY event_type""".replaceAll("\\s+", " "),
     "q235_theil_sen" ->
@@ -934,8 +953,13 @@ object AnalyticsQueries {
             CAST(t AS BIGINT) AS n_left, CAST(n - t AS BIGINT) AS n_right,
             CAST(sl AS BIGINT) AS sum_left, CAST(st - sl AS BIGINT) AS sum_right,
             CAST(score_q AS BIGINT) AS score_q,
-            CAST((sl * 1000000) // t AS BIGINT) AS mean_left_ppm,
-            CAST(((st - sl) * 1000000) // (n - t) AS BIGINT) AS mean_right_ppm
+            CAST(CASE WHEN (sl * 1000000) < 0
+              THEN -((-(sl * 1000000)) // (t))
+              ELSE (sl * 1000000) // (t) END AS BIGINT) AS mean_left_ppm,
+            CAST(CASE WHEN ((st - sl) * 1000000) < 0
+              THEN -((-((st - sl) * 1000000)) // (n - t))
+              ELSE ((st - sl) * 1000000) // (n - t) END AS BIGINT)
+              AS mean_right_ppm
           FROM b WHERE rn = 1 ORDER BY event_type""".replaceAll("\\s+", " "),
     "q214_daily_bands" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),

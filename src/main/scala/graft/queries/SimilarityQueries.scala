@@ -554,11 +554,14 @@ object SimilarityQueries {
     // classifier-free check that labels occupy tight, off-origin regions
     // (if within ≫ cnorm the labels carry no geometry and a classifier
     // trained on them will learn noise). One map-side-combined pass over
-    // (label, dim); everything int64-exact on the 10⁻⁴ grid (unit-norm
-    // components ⇒ |v| ≤ 10⁴, so Σ_d (n·Q_d − S_d²) ≤ 64·n²·10⁸ stays
-    // inside int64 for n ≤ ~10⁵ rows per label; a bigger corpus coarsens
-    // the grid rather than widening past what a typed cross-engine hash
-    // can digest — decimal128 outputs are not hashable).
+    // (label, dim); everything int64-exact on the 10⁻⁴ grid via the
+    // UNIT-NORM argument (the per-dim bound alone would NOT fit: 64
+    // dims × n²·10⁸ ≈ 6.4·10¹⁹ > 2⁶³−1): each row has Σ_d v_d² ≤ 10⁸
+    // on the grid, so Σ_d Q_d ≤ n·10⁸ ACROSS all dims at once, giving
+    // Σ_d (n·Q_d − S_d²) ≤ n·Σ_d Q_d ≤ n²·10⁸ — inside int64 for
+    // n ≲ 9·10⁴ rows per label; a bigger corpus coarsens the grid
+    // rather than widening past what a typed cross-engine hash can
+    // digest — decimal128 outputs are not hashable).
     "q203_label_compactness" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))

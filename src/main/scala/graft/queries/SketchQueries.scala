@@ -62,24 +62,37 @@ object SketchQueries {
     // sketch drifting out of its bound fails the hash gate). rsd=0.01
     // HLL++ is held to 5% (5σ); accuracy-10000 GK percentiles (rank error
     // ≤ n/10⁴) are held inside the exact ±0.005-quantile band.
+    // PLAN NOTE (r9): countDistinct must NOT share an agg() with the
+    // sketch buffers. Spark's distinct-aggregate rewrite keys the first
+    // partial aggregate on (group, distinct-col) — (priority, custkey),
+    // ~100k groups at sf0.1 — and builds + serializes EVERY
+    // TypedImperativeAggregate buffer per customer group (the rsd=0.01
+    // HLL buffer alone is 1644 longs), pushing ~10M sketch buffers
+    // through two exchanges at 100× scale for a 5-row answer. Isolating
+    // countDistinct in its own 5-group aggregate keeps the sketch agg a
+    // map-side partial over 5 groups, and the array forms collapse
+    // 4 percentile + 2 percentile_approx buffers into one of each
+    // (7 buffers → 3). Measured: 27.2 s → ~1 s at sf0.1, hash unchanged.
     "q50_approx_stats" -> ((s, dir) => {
-      Tables.orders(s, dir)
+      val orders = Tables.orders(s, dir)
+      val sketches = orders
         .groupBy(col("o_orderpriority"))
         .agg(
-          countDistinct(col("o_custkey")).as("n_customers"),
           approx_count_distinct(col("o_custkey"), rsd = 0.01).as("__acd"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__p50a"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("__p99a"),
-          expr("percentile(o_totalprice, 0.495)").as("__p50lo"),
-          expr("percentile(o_totalprice, 0.505)").as("__p50hi"),
-          expr("percentile(o_totalprice, 0.985)").as("__p99lo"),
-          expr("percentile(o_totalprice, 0.995)").as("__p99hi"))
+          expr("percentile_approx(o_totalprice, array(0.5D, 0.99D), 10000)")
+            .as("__pa"),
+          expr("percentile(o_totalprice, array(0.495D, 0.505D, 0.985D, 0.995D))")
+            .as("__pe"))
+      val exact = orders
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      exact.join(sketches, "o_orderpriority")
         .select(col("o_orderpriority"), col("n_customers"),
           (abs(col("__acd") - col("n_customers")) * 20 <= col("n_customers"))
             .as("cd_within_5pct"),
-          (col("__p50a") >= col("__p50lo") && col("__p50a") <= col("__p50hi"))
+          (col("__pa")(0) >= col("__pe")(0) && col("__pa")(0) <= col("__pe")(1))
             .as("p50_in_band"),
-          (col("__p99a") >= col("__p99lo") && col("__p99a") <= col("__p99hi"))
+          (col("__pa")(1) >= col("__pe")(2) && col("__pa")(1) <= col("__pe")(3))
             .as("p99_in_band"))
         .orderBy("o_orderpriority")
     }),

@@ -14,6 +14,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_probe_wh").toString)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -411,6 +413,72 @@ object ScaleProbe {
           .filter(col("sa") < col("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("rho")).count())
       println(s"[scale] kmv sketch rows = $nSk, source pairs = $nPairs")
+    }
+    // r9: storage-partitioned join family — q240's bucketed fact⋈fact
+    // layout probed for GROWTH, not just correctness: both replicated
+    // facts land bucketBy+sortBy on the join key once, then the
+    // exchange-free SMJ (runtime-asserted, same require as q240) races
+    // the plain shuffle join reading the SAME staged parquet. The number
+    // that matters at 100 TB is the amortization ratio: layout-write
+    // seconds ÷ per-join seconds saved = how many downstream joins pay
+    // off the landing, while the bucketed join itself should track the
+    // scan (no exchange to grow super-linearly).
+    reap()
+    locally {
+      val nb = 32 // thousands on a cluster; fixed across mults so the
+                  // per-bucket volume, like a real cluster's, grows with data
+      val shift = 100000000L
+      val liBig = graft.sources.Stage.through {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        (0 until mult).map(r => li.select(
+          (col("l_orderkey") + lit(r * shift)).as("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"))).reduce(_ unionByName _)
+      }
+      val orBig = graft.sources.Stage.through {
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority")
+        (0 until mult).map(r => o.select(
+          (col("o_orderkey") + lit(r * shift)).as("o_orderkey"),
+          col("o_orderpriority"))).reduce(_ unionByName _)
+      }
+      for (t <- Seq("graft_sp_lineitem", "graft_sp_orders"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      val tWrite = {
+        val t0 = System.nanoTime()
+        liBig.write.mode("overwrite").bucketBy(nb, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable("graft_sp_lineitem")
+        orBig.write.mode("overwrite").bucketBy(nb, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable("graft_sp_orders")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale] bucketed layout write (both facts): $tWrite%.1f s")
+      def agg(j: org.apache.spark.sql.DataFrame) = j
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      def timed(name: String)(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $name: $t%.1f s"); (t, n)
+      }
+      val bktJoin = spark.table("graft_sp_lineitem").hint("merge")
+        .join(spark.table("graft_sp_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = bktJoin.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed probe join must sort-merge, got:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"bucketed probe layout must elide every exchange, got:\n$plan")
+      val (tBkt, nBkt) = timed(s"bucketed SMJ (zero exchange asserted, $mult×)")(
+        agg(bktJoin).count())
+      val (tShf, nShf) = timed(s"shuffle SMJ baseline ($mult×)")(
+        agg(liBig.hint("merge")
+          .join(orBig, col("l_orderkey") === col("o_orderkey"))).count())
+      require(nBkt == nShf, s"bucketed vs shuffle group counts differ: $nBkt vs $nShf")
+      val saved = tShf - tBkt
+      println(f"[scale] bucketed join amortization: write $tWrite%.1f s / "
+        + f"saved $saved%.1f s per join ⇒ breakeven ≈ "
+        + (if (saved > 0) f"${tWrite / saved}%.1f joins" else "n/a (no saving at this SF)"))
     }
     spark.stop()
   }

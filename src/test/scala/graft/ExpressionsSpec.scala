@@ -68,6 +68,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     out.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("l2sq natives match the HOF on degenerate inputs: length mismatch and null elements") {
+    // zip_with pads the shorter array with nulls and the null product
+    // poisons aggregate() — the HOF yields NULL; the natives must too
+    // (they are public via GraftExtensions, so the parity claim has to
+    // hold off the happy path, not just on equal-length non-null vectors).
+    val fp = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)), // len mismatch
+      (2L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),   // null element
+      (3L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))     // clean
+      .toDF("id", "a", "b")
+    val outFp = fp.select(col("id"),
+      graft.operators.Pq.l2sqFp(col("a"), col("b")).as("native"),
+      graft.operators.Pq.l2sqFpHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    outFp.foreach { case (_, n, h) => assert(n == h) }
+    assert(outFp.map(_._2).toSeq == Seq(None, None, Some(8L)))
+    val dbl = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (2L, Seq[java.lang.Double](null, 2.0), Seq[java.lang.Double](1.0, 2.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+    val outD = dbl.select(col("id"),
+      Similarity.l2sq(col("a"), col("b")).as("native"),
+      Similarity.l2sqHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    outD.foreach { case (_, n, h) => assert(n == h) }
+    assert(outD.map(_._2).toSeq == Seq(None, None, Some(8.0)))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     // wholestage off forces the interpreted/eval path
     val df = vecs.toDF("id", "a", "b")

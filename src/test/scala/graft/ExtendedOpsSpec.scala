@@ -466,4 +466,32 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkFixture {
       .select("sig").as[Long].collect()
     assert(sigs(0) == sigs(1))
   }
+
+  // -- cross-engine division convention --------------------------------------
+
+  test("sign-safe ppm division matches DuckDB floor-// on negative sums") {
+    // Spark `div` truncates toward zero; DuckDB `//` floors. The repo's
+    // tzDiv convention (q222/q234/q235) divides MAGNITUDES and re-applies
+    // the sign, making both engines compute sign(num)·(|num| div den).
+    // This frame has negative numerators — exactly where bare div would
+    // silently diverge from the oracle.
+    val df = Seq((-7L, 2L), (7L, 2L), (-1000001L, 3L), (0L, 5L), (-5L, 5L))
+      .toDF("num", "den")
+    val safe = df.selectExpr(
+      "CASE WHEN (num) < 0 THEN -((-(num)) div (den)) ELSE (num) div (den) END AS q")
+      .as[Long].collect().toSeq
+    // expected = what DuckDB computes for the SAME CASE written with `//`:
+    // floor on non-negative magnitudes == truncation, so both engines agree.
+    def duckSafe(num: Long, den: Long): Long =
+      if (num < 0) -Math.floorDiv(-num, den) else Math.floorDiv(num, den)
+    assert(safe == Seq((-7L, 2L), (7L, 2L), (-1000001L, 3L), (0L, 5L), (-5L, 5L))
+      .map { case (n, d) => duckSafe(n, d) })
+    assert(safe == Seq(-3L, 3L, -333333L, 0L, -1L))
+    // and the divergence the convention kills: bare Spark div (trunc) vs
+    // DuckDB // (floor) differ on every negative non-exact quotient
+    val bare = df.selectExpr("num div den AS q").as[Long].collect().toSeq
+    assert(bare == Seq(-3L, 3L, -333333L, 0L, -1L)) // Spark truncates
+    assert(Math.floorDiv(-7L, 2L) == -4L)           // DuckDB would floor
+    assert(bare(0) != Math.floorDiv(-7L, 2L))
+  }
 }

@@ -92,6 +92,23 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(cids == Set(0L))
   }
 
+  test("encoding against a codebook missing a subspace ERRORS, never silently drops") {
+    // The assignment join is LEFT + raise_error: an inner join would
+    // silently drop every sub-vector of the uncovered subspace (empty-seed
+    // misuse would yield a truncated "encoding" with no sign of trouble).
+    val df = corpus(8)
+    val cb = Pq.trainCodebooks(df, "vec_id", "embedding", M, D, k = 4, iters = 1)
+    val partial = cb.filter(col("sub") === 0) // subspace 1 has no codewords
+    val ex = intercept[Exception] {
+      Pq.encode(df, "vec_id", "embedding", partial, M, D).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("no codewords for subspace")))
+    // and the full codebook still encodes every (vector, subspace) pair
+    assert(Pq.encode(df, "vec_id", "embedding", cb, M, D).count() == 8L * M)
+  }
+
   private def fpOf(df: org.apache.spark.sql.DataFrame) =
     df.select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast("double") * 1e7).cast("long")).as("v"))

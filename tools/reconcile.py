@@ -14,8 +14,16 @@ Usage:
 import glob, json, re, sys
 
 
+def round_no(path):
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
 def load_newest():
-    arts = sorted(glob.glob("CORRECTNESS_r*.json"))
+    # sort by extracted round NUMBER, not lexicographically — 'r100' would
+    # sort before 'r99' and an unpadded 'r9' before 'r10' otherwise.
+    arts = sorted((a for a in glob.glob("CORRECTNESS_r*.json")
+                   if round_no(a) >= 0), key=round_no)
     if not arts:
         print("no CORRECTNESS_r*.json artifact found")
         sys.exit(1)
@@ -26,8 +34,11 @@ def load_newest():
 def main():
     path, d = load_newest()
     rows = {k: v for k, v in d.items() if isinstance(v, dict)}
+    # a row with a non-empty 'err' is a failure even if no boolean is False
+    # (a driver-side crash carries only the error string, no comparisons)
     failing = {k: v for k, v in rows.items()
-               if any(v.get(c) is False for c in ("rows_match", "schema_match", "hash_match"))}
+               if any(v.get(c) is False for c in ("rows_match", "schema_match", "hash_match"))
+               or v.get("err")}
     no_oracle = {k for k, v in rows.items()
                  if v.get("hash_match") is None and not failing.get(k)}
     print(f"== driver artifact: {path}")
