@@ -96,12 +96,20 @@ object AnalyticsQueries {
           finally st.close()
         }
       }
+      // ONE file per bucket: repartition on the bucket key (same murmur3
+      // hash mod nb as bucket assignment) so each writer task owns exactly
+      // one bucket — without it every writer emits a file per bucket it
+      // sees (tasks × buckets small files) and the read side must merge
+      // several sorted runs per bucket. ScaleProbe's bktjoin family
+      // measures the payoff of this discipline at 8×/16×/32×.
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(nb, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_bkt_lineitem")
       Tables.orders(s, dir)
         .select("o_orderkey", "o_orderpriority")
+        .repartition(nb, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_bkt_orders")
       val joined = s.table("graft_bkt_lineitem").hint("merge")

@@ -24,6 +24,13 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional single-family mode: a 3rd arg names one family to run alone
+    if (args.lift(2).contains("bktjoin")) {
+      bucketedJoinFamily(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val big = (0 until mult).map { r =>
       base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
@@ -424,6 +431,14 @@ object ScaleProbe {
     // off the landing, while the bucketed join itself should track the
     // scan (no exchange to grow super-linearly).
     reap()
+    bucketedJoinFamily(spark, sfDir, mult)
+    spark.stop()
+  }
+
+  /** See the r9 comment in main — runnable ALONE (skipping every earlier
+    * family) via `tools/run.sh graft.tools.ScaleProbe <sfDir> <mult> bktjoin`.
+    */
+  private def bucketedJoinFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     locally {
       val nb = 32 // thousands on a cluster; fixed across mults so the
                   // per-bucket volume, like a real cluster's, grows with data
@@ -444,11 +459,20 @@ object ScaleProbe {
       }
       for (t <- Seq("graft_sp_lineitem", "graft_sp_orders"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
+      // ONE file per bucket: repartition on the bucket key (same murmur3
+      // hash mod nb as the bucket assignment) so each writer task owns
+      // exactly one bucket. Without this, every writer task emits a file
+      // per bucket it sees (tasks × buckets small files — the classic
+      // bucketed-write mistake) and the read side must merge several
+      // sorted files per bucket, paying a per-bucket Sort that erases the
+      // sortBy. This is the layout discipline a 100 TB landing needs too.
       val tWrite = {
         val t0 = System.nanoTime()
-        liBig.write.mode("overwrite").bucketBy(nb, "l_orderkey")
+        liBig.repartition(nb, col("l_orderkey"))
+          .write.mode("overwrite").bucketBy(nb, "l_orderkey")
           .sortBy("l_orderkey").saveAsTable("graft_sp_lineitem")
-        orBig.write.mode("overwrite").bucketBy(nb, "o_orderkey")
+        orBig.repartition(nb, col("o_orderkey"))
+          .write.mode("overwrite").bucketBy(nb, "o_orderkey")
           .sortBy("o_orderkey").saveAsTable("graft_sp_orders")
         (System.nanoTime() - t0) / 1e9
       }
@@ -462,6 +486,13 @@ object ScaleProbe {
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[scale] $name: $t%.1f s"); (t, n)
       }
+      // With ONE file per bucket the sortBy order is the scan order, and
+      // this legacy flag lets the scan REPORT it so the per-bucket Sort
+      // above each FileScan is elided (Spark default-disables it because
+      // multi-file buckets would need a merge; our write discipline
+      // guarantees single files). The true storage-partitioned join:
+      // scan → merge-join, no Sort, no Exchange.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val bktJoin = spark.table("graft_sp_lineitem").hint("merge")
         .join(spark.table("graft_sp_orders"), col("l_orderkey") === col("o_orderkey"))
       val plan = bktJoin.queryExecution.executedPlan.toString
@@ -469,8 +500,20 @@ object ScaleProbe {
         s"bucketed probe join must sort-merge, got:\n$plan")
       require(!plan.contains("Exchange"),
         s"bucketed probe layout must elide every exchange, got:\n$plan")
+      // "Sort [" matches only Sort operators (SortMergeJoin prints with
+      // no space) — single-file sorted buckets + the reported ordering
+      // must elide the per-bucket sorts too: scan → merge-join, nothing
+      // between.
+      require(!plan.contains("Sort ["),
+        s"bucketed probe layout must elide every sort, got:\n$plan")
       val (tBkt, nBkt) = timed(s"bucketed SMJ (zero exchange asserted, $mult×)")(
         agg(bktJoin).count())
+      if (sys.env.contains("GRAFT_PROBE_PLANS")) {
+        println("[scale] bucketed plan:\n" + agg(bktJoin).queryExecution.executedPlan)
+        println("[scale] shuffle plan:\n" + agg(liBig.hint("merge")
+          .join(orBig, col("l_orderkey") === col("o_orderkey")))
+          .queryExecution.executedPlan)
+      }
       val (tShf, nShf) = timed(s"shuffle SMJ baseline ($mult×)")(
         agg(liBig.hint("merge")
           .join(orBig, col("l_orderkey") === col("o_orderkey"))).count())
@@ -480,6 +523,5 @@ object ScaleProbe {
         + f"saved $saved%.1f s per join ⇒ breakeven ≈ "
         + (if (saved > 0) f"${tWrite / saved}%.1f joins" else "n/a (no saving at this SF)"))
     }
-    spark.stop()
   }
 }
