@@ -329,9 +329,11 @@ object Similarity {
     // retire the hot directory (driver-side file op, like compactPartitioned)
     val hotDir = java.nio.file.Paths.get(path, s"centroid_id=$hot")
     if (java.nio.file.Files.exists(hotDir)) {
-      java.nio.file.Files.walk(hotDir)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      // close the walk stream (it holds directory handles open)
+      val st = java.nio.file.Files.walk(hotDir)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
     }
     // the session-level FileStatusCache still lists the retired files;
     // invalidate so post-rebalance reads list the real layout

@@ -38,6 +38,36 @@ object AnalyticsQueries {
     s"CASE WHEN ($num) < 0 THEN -((-($num)) $op ($den)) " +
       s"ELSE ($num) $op ($den) END"
 
+  /** Drop a managed bucketed table AND its orphan warehouse files. A fresh
+    * session's in-memory catalog doesn't know tables a PREVIOUS session
+    * left in the warehouse dir, and saveAsTable refuses to adopt an
+    * existing location — both the entry and the files must go (q240/q241).
+    */
+  private def dropBucketedTable(s: SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, t)
+    if (java.nio.file.Files.exists(loc)) {
+      // close the walk stream (it holds directory handles open)
+      val st = java.nio.file.Files.walk(loc)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+  }
+
+  /** Land `df` as a managed bucketed+sorted table with ONE file per bucket
+    * (repartition on the bucket key first — same murmur3 hash mod nb as
+    * the bucket assignment, so each writer task owns exactly one bucket;
+    * without it every writer emits a file per bucket it sees and the read
+    * side must merge several sorted runs per bucket). ScaleProbe's
+    * bktjoin family measures this discipline's payoff at 8×/16×/32×.
+    */
+  private def landBucketed(df: DataFrame, key: String, nb: Int, table: String): Unit =
+    df.repartition(nb, col(key))
+      .write.mode("overwrite").bucketBy(nb, key).sortBy(key)
+      .saveAsTable(table)
+
   val queries: Map[String, Q] = Map(
     // Star join: fact `orders` ⋈ broadcast dims customer→nation→region.
     // At 100 TB the three dim joins stay broadcast; only the final groupBy
@@ -81,37 +111,14 @@ object AnalyticsQueries {
     // exchange_free contract column the plan assertion backs.
     "q240_bucketed_fact_join" -> ((s, dir) => {
       val nb = 8
-      // A fresh session's in-memory catalog doesn't know tables a PREVIOUS
-      // session left in the warehouse dir, and saveAsTable refuses to adopt
-      // an existing location — drop both the entry and the orphan files.
-      for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-        val loc = java.nio.file.Paths.get(wh, t)
-        if (java.nio.file.Files.exists(loc)) {
-          // close the walk stream (it holds directory handles open)
-          val st = java.nio.file.Files.walk(loc)
-          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally st.close()
-        }
-      }
-      // ONE file per bucket: repartition on the bucket key (same murmur3
-      // hash mod nb as bucket assignment) so each writer task owns exactly
-      // one bucket — without it every writer emits a file per bucket it
-      // sees (tasks × buckets small files) and the read side must merge
-      // several sorted runs per bucket. ScaleProbe's bktjoin family
-      // measures the payoff of this discipline at 8×/16×/32×.
-      Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .repartition(nb, col("l_orderkey"))
-        .write.mode("overwrite").bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bkt_lineitem")
-      Tables.orders(s, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .repartition(nb, col("o_orderkey"))
-        .write.mode("overwrite").bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bkt_orders")
+      for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders"))
+        dropBucketedTable(s, t)
+      landBucketed(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey", nb, "graft_bkt_lineitem")
+      landBucketed(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", nb, "graft_bkt_orders")
       val joined = s.table("graft_bkt_lineitem").hint("merge")
         .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -127,6 +134,49 @@ object AnalyticsQueries {
             .as("revenue"))
         .withColumn("exchange_free", lit(true))
         .orderBy("o_orderpriority")
+    }),
+    // q240's layout exercised DOWNSTREAM — the release-pipeline composition
+    // the storage-partitioned join exists for: the release MANIFEST
+    // (doc_id, split, token budget — q96's assignment convention) and the
+    // content-stats fact (doc_id, chars, 60-bit content fingerprint) land
+    // as SEPARATE doc_id-bucketed tables (the shape a release actually
+    // ships: decisions and content metadata are produced by different
+    // stages and consumed together by every training job), then re-join
+    // scan-to-merge with ZERO Exchange require()d at runtime, rolling up
+    // the per-split training-mix card: doc/token/char totals plus the
+    // xor content fingerprint (q185's int64-closed convention) a consumer
+    // re-derives to prove it read exactly the released bytes. At 100 TB
+    // the manifest⋈content join runs once per training job — the landing
+    // is paid once, every consumer joins exchange-free (ScaleProbe bktjoin:
+    // breakeven ≈ 4-7 joins at probe scale, falling with data size).
+    "q241_bucketed_release_join" -> ((s, dir) => {
+      val nb = 8
+      for (t <- Seq("graft_bkt_manifest", "graft_bkt_docstats"))
+        dropBucketedTable(s, t)
+      val docs = Tables.documents(s, dir)
+      landBucketed(docs.select(col("doc_id"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          graft.operators.Sampling.assignSplit(col("doc_id"),
+            Seq("train" -> 0.90, "val" -> 0.05), last = "test").as("split")),
+        "doc_id", nb, "graft_bkt_manifest")
+      landBucketed(docs.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp60")),
+        "doc_id", nb, "graft_bkt_docstats")
+      val joined = s.table("graft_bkt_manifest").hint("merge")
+        .join(s.table("graft_bkt_docstats"), Seq("doc_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed release join must sort-merge, got:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"bucketed release layout must elide every exchange, got:\n$plan")
+      joined.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(fp60)").as("content_fp"))
+        .withColumn("exchange_free", lit(true))
+        .orderBy("split")
     }),
     // TPC-H Q1 pricing summary: single-table groupBy with partial (map-side)
     // aggregation; the shuffle moves only 6 groups × accumulators.
@@ -1053,6 +1103,25 @@ object AnalyticsQueries {
           TRUE AS exchange_free
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""".replaceAll("\\s+", " "),
+    // q241 = the manifest⋈content release rollup replayed layout-free:
+    // split via the md5-bucket grid (q96's convention), tokens via the
+    // whitespace convention (q27), fp60 via the 60-bit md5 prefix; the
+    // exchange_free contract is backed by q241's runtime plan require().
+    "q241_bucketed_release_join" ->
+      """WITH m AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                 ELSE 'test' END AS split,
+            CAST(n_chars AS BIGINT) AS n_chars,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+          FROM documents)
+          SELECT split, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            bit_xor(fp60) AS content_fp,
+            TRUE AS exchange_free
+          FROM m GROUP BY split ORDER BY split""".replaceAll("\\s+", " "),
     "q19_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,

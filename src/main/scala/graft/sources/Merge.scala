@@ -302,7 +302,10 @@ object Merge {
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      // close the walk stream (it holds directory handles open)
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally st.close()
     }
 }
