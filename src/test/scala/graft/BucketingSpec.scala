@@ -33,4 +33,36 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS b_lines")
     }
   }
+
+  test("repartition-on-bucket-key landing writes exactly ONE file per bucket") {
+    // The q240/q241 landing discipline: repartition(nb, key) uses the same
+    // murmur3-hash-mod-nb as bucketBy's bucket assignment, so each writer
+    // task owns exactly one bucket. Without it a write from k input
+    // partitions emits up to k files PER bucket and the read side must
+    // merge several sorted runs per bucket (ScaleProbe's bktjoin family
+    // measured the join paying for that merge).
+    val nb = 8
+    spark.sql("DROP TABLE IF EXISTS b_onefile")
+    try {
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(16) // simulate a many-partition upstream
+        .repartition(nb, col("k"))
+        .write.bucketBy(nb, "k").sortBy("k").saveAsTable("b_onefile")
+      val loc = java.net.URI.create(
+        spark.sql("DESCRIBE TABLE EXTENDED b_onefile")
+          .filter(col("col_name") === "Location")
+          .head().getString(1)).getPath
+      val files = new java.io.File(loc).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(files.length == nb,
+        s"expected $nb bucket files, got ${files.length}: ${files.map(_.getName).mkString(", ")}")
+      // and every bucket id 0..nb-1 appears exactly once (bucket id is
+      // encoded as _00000_ in the file name)
+      val bucketIds = files.map(_.getName).map { n =>
+        "_(\\d{5})\\.".r.findFirstMatchIn(n).map(_.group(1).toInt)
+          .getOrElse(fail(s"no bucket id in $n"))
+      }.toSet
+      assert(bucketIds == (0 until nb).toSet)
+    } finally spark.sql("DROP TABLE IF EXISTS b_onefile")
+  }
 }
