@@ -53,7 +53,8 @@ object SparkEntry {
     QueryGroup(graft.queries.SketchQueries.queries, graft.queries.SketchQueries.oracleSql),
     QueryGroup(graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracleSql),
     QueryGroup(graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracleSql),
-    QueryGroup(graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracleSql)
+    QueryGroup(graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracleSql),
+    QueryGroup(graft.queries.MaintenanceQueries.queries, graft.queries.MaintenanceQueries.oracleSql)
   )
 
   private case class QueryGroup(

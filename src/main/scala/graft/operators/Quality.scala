@@ -114,6 +114,39 @@ object Quality {
       coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("ok"): _*))
   }
 
+  /** Declarative expectation-suite audit in ONE aggregation pass: each
+    * rule is (name, isViolated); unlike deadLetterTag's first-match row
+    * routing, EVERY rule counts EVERY row it rejects (a row violating
+    * three rules appears in three totals — suite semantics, not
+    * quarantine semantics). One wide aggregate over one scan computes
+    * per-rule violation counts and the smallest offending id (all
+    * map-side combinable — the shuffle carries 2·rules+1 numbers per
+    * partition regardless of data size), then `stack` unpivots the wide
+    * row into the per-rule report with an exact ppm pass rate
+    * (int64 floored division; counts are non-negative so Spark `div`
+    * == DuckDB `//`). At 100 TB this is a single bandwidth-bound scan;
+    * adding a rule adds two accumulators, never a pass.
+    */
+  def expectationReport(
+      df: DataFrame,
+      idCol: Column,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    require(rules.map(_._1).distinct == rules.map(_._1), "rule names must be unique")
+    val aggs = count(lit(1)).as("__n") +: rules.flatMap { case (name, bad) =>
+      val v = coalesce(bad, lit(false)) // a null predicate is "not violated"
+      Seq(count_if(v).as(s"__v_$name"), min(when(v, idCol)).as(s"__m_$name"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stacked = rules.map { case (n, _) => s"'$n', __v_$n, __m_$n" }.mkString(", ")
+    wide
+      .select(col("__n"), expr(
+        s"stack(${rules.size}, $stacked) AS (rule, n_violations, min_offender)"))
+      .select(col("rule"), col("n_violations"), col("min_offender"),
+        col("__n").as("n_rows"),
+        expr("((__n - n_violations) * 1000000) div __n").as("pass_ppm"))
+  }
+
   /** S10: the literal-rows quality summary table. */
   def qualitySummary(
       spark: SparkSession,

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Mv, Quality}
+
+/** Incremental MV state merge and algebraic rollup: merged/rolled-up
+  * state must be bit-identical to aggregating from scratch, including
+  * buckets present on only one side of the merge.
+  */
+class MvSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (id, bucket, v) — bucket 1 base-only, bucket 4 delta-only (ids %10==0
+    // are the delta), bucket 2/3 mixed, negative values exercise min/max
+    (1L, 1L, 5L), (2L, 1L, -3L), (3L, 2L, 7L), (10L, 2L, 100L),
+    (11L, 3L, 0L), (20L, 3L, -50L), (30L, 4L, 9L), (40L, 4L, 1L))
+
+  private def state(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("bucket").agg(
+      count(lit(1)).as("n"), sum("v").as("s"),
+      min("v").as("mn"), max("v").as("mx"))
+
+  test("mergeState(base, delta) == state from scratch") {
+    val df = rows.toDF("id", "bucket", "v")
+    val merged = Mv.mergeState(
+      state(df.filter(col("id") % 10 =!= 0)),
+      state(df.filter(col("id") % 10 === 0)),
+      Seq("bucket"), adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"))
+    val scratch = state(df)
+    assert(merged.orderBy("bucket").collect().toSeq ==
+      scratch.orderBy("bucket").collect().toSeq)
+  }
+
+  test("rollup of fine state == coarse state from scratch") {
+    val df = rows.toDF("id", "bucket", "v")
+    // coarse bucket = bucket div 2 (1,1,2,2 -> 0,0,1,1... fine->coarse 2:1)
+    val rolled = Mv.rollup(state(df), (col("bucket") / 2).cast("long"), "cb",
+      adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"))
+    val scratch = df.withColumn("cb", (col("bucket") / 2).cast("long"))
+      .groupBy("cb").agg(
+        count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    assert(rolled.orderBy("cb").collect().toSeq ==
+      scratch.orderBy("cb").collect().toSeq)
+  }
+
+  test("expectationReport counts every rule per row, suite-style") {
+    val df = Seq(
+      (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))
+      .toDF("id", "t", "v")
+    val rep = Quality.expectationReport(df, col("id"), Seq(
+      "t_nonempty" -> (length(col("t")) === 0),
+      "v_nonneg" -> (col("v") < 0)))
+      .orderBy("rule").collect()
+    // id=2 violates BOTH rules (suite semantics — counted in both totals)
+    val byRule = rep.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(byRule("t_nonempty") == ((2L, 4L, 500000L)))
+    assert(byRule("v_nonneg") == ((2L, 4L, 500000L)))
+    assert(rep.filter(_.getString(0) == "t_nonempty").head.getLong(2) == 2L)
+    assert(rep.filter(_.getString(0) == "v_nonneg").head.getLong(2) == 2L)
+  }
+
+  test("expectationReport: a clean rule reports zero and a null offender") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val r = Quality.expectationReport(df, col("id"),
+      Seq("v_positive" -> (col("v") <= 0))).collect().head
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+    assert(r.getLong(4) == 1000000L)
+  }
+}
