@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming surface — the reference's incremental semantics
   * (SURVEY.md §2.10) re-expressed stream-natively.
   *
@@ -280,6 +282,81 @@ object Streaming {
           .parquet(metricsPath)
       }
       .start()
+
+  /** The MV refresh as a stream: every micro-batch is aggregated to the
+    * state shape (batch-sized work) and folded into the persisted state
+    * table with [[graft.operators.Mv.mergeState]] — O(batch + buckets)
+    * per trigger, never a history rescan. The batch path (q242) and this
+    * stream share the same merge operator, so backfill and live ingest
+    * produce bit-identical state.
+    *
+    * Exactly-once under replay — the part that is NOT free here: additive
+    * state is not idempotent (a replayed batch would double-count), so
+    * each commit writes a `_graft_committed_<batchId>` marker INTO the new
+    * state directory and publishes marker+data together with one atomic
+    * rename (parquet readers skip `_`-prefixed files). A replayed batch id
+    * ≤ the committed marker is a no-op; a crash before the swap leaves the
+    * old state+marker intact and the retry redoes the whole merge.
+    * Single-writer, like every sink in this module.
+    */
+  def mvMaintainStream(
+      events: DataFrame,
+      stateOf: DataFrame => DataFrame,
+      keys: Seq[String],
+      adds: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil,
+      statePath: String = null,
+      checkpointDir: String = null,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(statePath != null && checkpointDir != null)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = Paths.get(statePath)
+        val committed: Long =
+          if (!Files.exists(target)) -1L
+          else {
+            val st = Files.list(target)
+            try st.iterator().asScala
+              .map(_.getFileName.toString)
+              .collect { case s if s.startsWith("_graft_committed_") =>
+                s.stripPrefix("_graft_committed_").toLong }
+              .foldLeft(-1L)(math.max)
+            finally st.close()
+          }
+        if (batchId > committed) {
+          val deltaAgg = stateOf(batch)
+          val merged =
+            if (Files.exists(target))
+              graft.operators.Mv.mergeState(
+                spark.read.parquet(statePath), deltaAgg, keys, adds, mins, maxs)
+            else deltaAgg
+          val tmp = statePath.stripSuffix("/") + ".__graft_tmp"
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+          Files.createFile(Paths.get(tmp, s"_graft_committed_$batchId"))
+          val bak = Paths.get(statePath.stripSuffix("/") + ".__graft_bak")
+          deleteRecursive(bak)
+          if (Files.exists(target))
+            Files.move(target, bak, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursive(bak)
+        }
+      }
+      .start()
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
 
   /** Streaming ingest dedup: each micro-batch of documents is checked for
     * near-dups against a STATIC corpus band index via the batch operator

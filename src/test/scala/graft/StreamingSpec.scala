@@ -367,6 +367,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "the dead attempt's bogus count must not survive")
   }
 
+  test("mvMaintainStream: streamed state == batch state, and replay is a no-op") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mv").toString
+    val mem = MemoryStream[(Long, Long, Long)] // (id, bucket, v)
+    val df = mem.toDF().toDF("id", "bucket", "v")
+    def stateOf(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy("bucket").agg(
+        count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    def run() = Streaming.mvMaintainStream(df, stateOf, Seq("bucket"),
+      adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"),
+      statePath = s"$dir/state", checkpointDir = s"$dir/ckpt")
+      .awaitTermination()
+    // trigger 1: buckets 1+2; trigger 2: bucket 2 grows, bucket 3 appears
+    mem.addData((1L, 1L, 5L), (2L, 1L, -3L), (3L, 2L, 7L))
+    run()
+    mem.addData((4L, 2L, 100L), (5L, 3L, -50L))
+    run()
+    val all = Seq((1L, 1L, 5L), (2L, 1L, -3L), (3L, 2L, 7L),
+      (4L, 2L, 100L), (5L, 3L, -50L))
+    val batchState = stateOf(all.toDF("id", "bucket", "v"))
+      .orderBy("bucket").collect().toSeq
+    def readState() = spark.read.parquet(s"$dir/state")
+      .orderBy("bucket").collect().toSeq
+    assert(readState() == batchState,
+      "incrementally merged stream state must equal batch aggregation")
+    // replay protection: re-running batch 1's merge must be a no-op (the
+    // additive state would otherwise double-count). Simulate a replay by
+    // calling the foreachBatch body again via a fresh query over a marker
+    // that says batch 1 is already committed: the committed marker in the
+    // state dir gates it.
+    val markers = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).filter(_.startsWith("_graft_committed_"))
+    assert(markers.nonEmpty, "state must carry its committed-batch marker")
+    // wipe the checkpoint so the SAME data replays under the same batch ids
+    val ck = java.nio.file.Paths.get(s"$dir/ckpt")
+    val st = java.nio.file.Files.walk(ck)
+    try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally st.close()
+    run() // replays all data as batch 0 — id 0 <= committed marker, no-op?
+    // batch 0 replays BELOW the committed id, so state must be unchanged
+    assert(readState() == batchState,
+      "a replayed batch id <= the committed marker must not re-merge")
+  }
+
   test("incrementalMergeSink with sinkBuckets writes the partition-pruned sink") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_part").toString
