@@ -30,6 +30,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("mv")) {
+      mvFamily(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val big = (0 until mult).map { r =>
@@ -433,6 +438,50 @@ object ScaleProbe {
     reap()
     bucketedJoinFamily(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** MV maintenance probe — runnable ALONE via
+    * `tools/run.sh graft.tools.ScaleProbe <sfDir> <mult> mv` (not part of
+    * the default sweep). Refresh-vs-rescan as history grows. History =
+    * `mult` replicas of events, each shifted 370 days (so the hourly
+    * bucket count grows linearly with history — a real MV's shape);
+    * batch = one more replica. Scratch re-aggregates history+batch from
+    * raw (O(history)); incremental aggregates the batch and merges it
+    * into the PRE-BUILT staged state (O(batch + buckets) — the state
+    * build itself is untimed because in production it already sits on
+    * disk). The gap between the two lines at growing mult IS the MV
+    * claim; equal bucket counts are require()d so the cheap path is
+    * proven to compute the same view.
+    */
+  private def mvFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+    def shifted(r: Int) = base.select(
+      (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+      (col("ts") + expr(s"INTERVAL ${r * 370} DAYS")).as("ts"), col("v6"))
+    val hist = graft.sources.Stage.through(
+      (0 until mult).map(shifted).reduce(_ unionByName _))
+    val batch = graft.sources.Stage.through(shifted(mult))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(date_trunc("hour", col("ts")).as("bucket_h"))
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"),
+          min("v6").as("min_v6"), max("v6").as("max_v6"))
+    val st0 = graft.sources.Stage.through(state(hist)) // the MV on disk
+    println(s"[scale] state size: ${st0.count()} hourly buckets over " +
+      s"${mult}× history (${hist.count()} rows); batch = ${batch.count()} rows")
+    def timed(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); n
+    }
+    val nScratch = timed(s"scratch re-aggregation of history+batch ($mult×)")(
+      state(hist.unionByName(batch)).count())
+    val nMerge = timed("incremental refresh (batch agg + state merge)")(
+      graft.operators.Mv.mergeState(st0, state(batch), Seq("bucket_h"),
+        adds = Seq("n_rows", "sum_v6"),
+        mins = Seq("min_v6"), maxs = Seq("max_v6")).count())
+    require(nScratch == nMerge,
+      s"merged state bucket count must equal scratch: $nMerge vs $nScratch")
   }
 
   /** See the r9 comment in main — runnable ALONE (skipping every earlier
