@@ -67,6 +67,35 @@ object MaintenanceQueries {
         mins = Seq("min_v6"), maxs = Seq("max_v6"))
         .orderBy("bucket_d")
     }),
+    // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
+    // incrementally WITHOUT approximation: distinct is not mergeable at
+    // the view grain, so the persisted state keeps the finer
+    // (bucket, user) grain where the accumulator (hit count) IS additive.
+    // The batch folds in with the same one full-outer merge as q242, just
+    // on the composite key; the view derives distinct_users = count of
+    // state rows per bucket at read time. State size = Σ per-bucket
+    // ACTIVE users — bounded by the fact but collapsing every repeat hit
+    // inside an hour; this is the exact counterpart to an HLL-state MV
+    // (which trades ±1% error for O(1.6 KB)/bucket) for when the
+    // buckets×active-keys product is affordable. At 100 TB the state
+    // lands bucketed on bucket_h (q240's layout) so the derive groupBy
+    // is exchange-free. Oracle: scratch count(DISTINCT) from raw — a
+    // merge that loses or double-counts a (bucket, user) cell hash-fails.
+    "q245_mv_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket_h"),
+        col("user_id"))
+      def grain(df: DataFrame) =
+        df.groupBy("bucket_h", "user_id").agg(count(lit(1)).as("n_hits"))
+      val state0 = Stage.through(grain(ev.filter(col("event_id") % 10 =!= 0)))
+      val deltaAgg = grain(ev.filter(col("event_id") % 10 === 0))
+      Mv.mergeState(state0, deltaAgg, Seq("bucket_h", "user_id"),
+        adds = Seq("n_hits"))
+        .groupBy("bucket_h")
+        .agg(count(lit(1)).as("distinct_users"), sum("n_hits").as("n_rows"))
+        .orderBy("bucket_h")
+    }),
     // Declarative expectation suite over a perturbed feed: five rules
     // audited in ONE aggregation pass over ONE scan (per-rule violation
     // counts + smallest offender + exact ppm pass rate). Suite semantics
@@ -108,6 +137,11 @@ object MaintenanceQueries {
     "q242_mv_maintenance" -> scratchState("hour", "bucket_h"),
     // scratch daily from raw — a lossy state re-aggregation hash-fails
     "q243_mv_rollup" -> scratchState("day", "bucket_d"),
+    // scratch distinct from raw — never sees the (bucket, user) grain
+    "q245_mv_distinct" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(DISTINCT user_id) AS distinct_users, count(*) AS n_rows
+          FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     "q244_expectation_audit" -> {
       val rules = Seq(
         "ts_not_null" -> "ts IS NULL",

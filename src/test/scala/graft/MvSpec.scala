@@ -46,6 +46,28 @@ class MvSpec extends AnyFunSuite with SparkFixture {
       scratch.orderBy("cb").collect().toSeq)
   }
 
+  test("composite-key merge derives exact distinct (non-algebraic MV)") {
+    // distinct users per bucket via (bucket, user) grain state: repeat
+    // hits inside a bucket collapse, a user split across base/delta must
+    // count ONCE, and a delta-only (bucket, user) cell must appear
+    val hits = Seq(
+      // (id, bucket, user) — ids %10==0 are the delta batch
+      (1L, 1L, 7L), (2L, 1L, 7L), (10L, 1L, 7L), // same user both sides
+      (3L, 1L, 8L), (20L, 2L, 7L), (30L, 2L, 9L) // bucket 2 delta-only
+    ).toDF("id", "bucket", "user")
+    def grain(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("bucket", "user").agg(count(lit(1)).as("n_hits"))
+    val merged = Mv.mergeState(
+      grain(hits.filter(col("id") % 10 =!= 0)),
+      grain(hits.filter(col("id") % 10 === 0)),
+      Seq("bucket", "user"), adds = Seq("n_hits"))
+    val view = merged.groupBy("bucket")
+      .agg(count(lit(1)).as("du"), sum("n_hits").as("n"))
+      .orderBy("bucket").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(view.toSeq == Seq((1L, 2L, 4L), (2L, 2L, 2L)))
+  }
+
   test("expectationReport counts every rule per row, suite-style") {
     val df = Seq(
       (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))
