@@ -133,6 +133,9 @@ object Quality {
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty)
     require(rules.map(_._1).distinct == rules.map(_._1), "rule names must be unique")
+    // names are spliced into stack()'s SQL string and accumulator aliases
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      s"rule names must be [A-Za-z0-9_]+, got: ${rules.map(_._1).mkString(", ")}")
     val aggs = count(lit(1)).as("__n") +: rules.flatMap { case (name, bad) =>
       val v = coalesce(bad, lit(false)) // a null predicate is "not violated"
       Seq(count_if(v).as(s"__v_$name"), min(when(v, idCol)).as(s"__m_$name"))

@@ -296,7 +296,12 @@ object Streaming {
     * state directory and publishes marker+data together with one atomic
     * rename (parquet readers skip `_`-prefixed files). A replayed batch id
     * ≤ the committed marker is a no-op; a crash before the swap leaves the
-    * old state+marker intact and the retry redoes the whole merge.
+    * old state+marker intact and the retry redoes the whole merge. The
+    * swap itself is two renames (state→bak, tmp→state), so a crash
+    * BETWEEN them leaves no state dir — each batch therefore first
+    * restores a dangling `.__graft_bak` before reading the committed
+    * marker, closing the window where a replay would rebuild state from
+    * the delta alone and silently drop history.
     * Single-writer, like every sink in this module.
     */
   def mvMaintainStream(
@@ -318,6 +323,12 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val target = Paths.get(statePath)
+        // crash recovery: a dangling bak with no state dir means the
+        // previous run died between the two swap renames — the bak IS
+        // the last committed state (its marker rode along), restore it
+        val bak0 = Paths.get(statePath.stripSuffix("/") + ".__graft_bak")
+        if (!Files.exists(target) && Files.exists(bak0))
+          Files.move(bak0, target, StandardCopyOption.ATOMIC_MOVE)
         val committed: Long =
           if (!Files.exists(target)) -1L
           else {

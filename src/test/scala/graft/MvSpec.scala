@@ -46,6 +46,24 @@ class MvSpec extends AnyFunSuite with SparkFixture {
       scratch.orderBy("cb").collect().toSeq)
   }
 
+  test("mergeState folds are order-independent and equal scratch") {
+    // the property a long-running refresh loop relies on: ANY batch
+    // split, folded in ANY order, lands on the scratch aggregation —
+    // int64 adds commute/associate exactly, least/greatest are
+    // idempotent-commutative
+    val df = (1L to 60L).map(i =>
+      (i, i % 7, ((i * 37) % 23) - 11)).toDF("id", "bucket", "v")
+    val scratch = state(df).orderBy("bucket").collect().toSeq
+    for (k <- Seq(2, 3, 5); rot <- 0 until k) {
+      val parts = (0 until k).map(p => state(df.filter(col("id") % k === p)))
+      val rotated = parts.drop(rot) ++ parts.take(rot)
+      val folded = rotated.reduce((a, b) => Mv.mergeState(a, b,
+        Seq("bucket"), adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx")))
+      assert(folded.orderBy("bucket").collect().toSeq == scratch,
+        s"fold of $k parts rotated by $rot diverged from scratch")
+    }
+  }
+
   test("composite-key merge derives exact distinct (non-algebraic MV)") {
     // distinct users per bucket via (bucket, user) grain state: repeat
     // hits inside a bucket collapse, a user split across base/delta must

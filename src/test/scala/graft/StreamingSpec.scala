@@ -413,6 +413,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "a replayed batch id <= the committed marker must not re-merge")
   }
 
+  test("mvMaintainStream: a crash between the two swap renames recovers") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mvc").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    val df = mem.toDF().toDF("id", "bucket", "v")
+    def stateOf(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy("bucket").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    def run() = Streaming.mvMaintainStream(df, stateOf, Seq("bucket"),
+      adds = Seq("n", "s"),
+      statePath = s"$dir/state", checkpointDir = s"$dir/ckpt")
+      .awaitTermination()
+    mem.addData((1L, 1L, 5L), (2L, 2L, 7L))
+    run()
+    val committed = spark.read.parquet(s"$dir/state")
+      .orderBy("bucket").collect().toSeq
+    // simulate dying AFTER `state -> bak` but BEFORE `tmp -> state`: the
+    // state dir is gone, only the bak (carrying its committed marker)
+    // remains. Without recovery the next batch would see no state, treat
+    // itself as the first, and rebuild from its own delta alone.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/state"),
+      java.nio.file.Paths.get(s"$dir/state.__graft_bak"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    mem.addData((3L, 2L, 100L))
+    run()
+    val after = spark.read.parquet(s"$dir/state")
+      .orderBy("bucket").collect().toSeq
+    val scratch = stateOf(Seq((1L, 1L, 5L), (2L, 2L, 7L), (3L, 2L, 100L))
+      .toDF("id", "bucket", "v")).orderBy("bucket").collect().toSeq
+    assert(after == scratch,
+      s"bak recovery must restore pre-crash state before merging; " +
+        s"pre-crash was $committed")
+  }
+
   test("incrementalMergeSink with sinkBuckets writes the partition-pruned sink") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_part").toString
