@@ -119,7 +119,10 @@ object Analytics {
     * 2^p for the p-th (newest highest), the normalized EWMA collapses to
     * `(Σ x_p·2^p) div (2^m − 1)` — pure integer, no float accumulation
     * order to diverge. Magnitude: |x| ≤ 10^9 fp units keeps the fold
-    * under 2^53 at lags=16.
+    * under 2^53 at lags=16. The final division is sign-safe (divide the
+    * magnitude, re-apply the sign) so a negative weighted sum computes
+    * the same value as DuckDB's floored `//` — Spark's bare `div`
+    * truncates toward zero and would diverge by one fp unit there.
     *
     * Scale shape: one per-key window (hash-partition by key, sort within)
     * + a codegen'd per-row fold over ≤ `lags` elements; nothing global.
@@ -136,7 +139,9 @@ object Analytics {
         (acc, x) => struct(
           (acc.getField("w") * 2).as("w"),
           (acc.getField("s") + x * acc.getField("w")).as("s"))))
-      .withColumn("ewma_fp", expr("__f.s div (__f.w - 1)"))
+      .withColumn("ewma_fp", expr(
+        "CASE WHEN __f.s < 0 THEN -((-__f.s) div (__f.w - 1)) " +
+          "ELSE __f.s div (__f.w - 1) END"))
       .drop("__lst", "__f")
   }
 

@@ -285,7 +285,12 @@ object TextQueries {
           .filter(col("doc_id") % 7 === 0)
           .select((length(col("text")) - 14).as("len"))
           .withColumn("side", lit("inc")))
-      val binned = aug.withColumn("bin", expr("len div 100"))
+      // sign-safe bin (the q235 convention): the -14 shift can push a
+      // hypothetical sub-14-char doc negative, where Spark's div and
+      // DuckDB's // disagree; current corpus min length is 44, so the
+      // branch is dead on real data and the hash is unchanged
+      val binned = aug.withColumn("bin",
+        expr("CASE WHEN len < 0 THEN -((-len) div 100) ELSE len div 100 END"))
         .groupBy("bin")
         .agg(count_if(col("side") === "base").as("n_base"),
           count_if(col("side") === "inc").as("n_inc"))
@@ -897,7 +902,7 @@ object TextQueries {
     "q209_length_psi" ->
       """WITH a AS (SELECT length(text) AS len, 'base' AS side FROM documents
             UNION ALL SELECT length(text) - 14, 'inc' FROM documents WHERE doc_id % 7 = 0),
-          b AS (SELECT len // 100 AS bin,
+          b AS (SELECT CASE WHEN len < 0 THEN -((-len) // 100) ELSE len // 100 END AS bin,
               CAST(count(*) FILTER (side = 'base') AS BIGINT) AS n_base,
               CAST(count(*) FILTER (side = 'inc') AS BIGINT) AS n_inc
             FROM a GROUP BY 1),

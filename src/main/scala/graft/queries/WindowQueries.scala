@@ -146,12 +146,15 @@ object WindowQueries {
           f AS (SELECT a.user_id, a.event_id,
               b.v, b.rn - greatest(a.rn - 15, 1) AS p
             FROM e a JOIN e b
-              ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn)
+              ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn),
+          g AS (SELECT event_id, user_id,
+              CAST(sum(v * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS s,
+              ((CAST(1 AS BIGINT) << count(*)) - 1) AS d
+            FROM f GROUP BY event_id, user_id)
           SELECT event_id, user_id,
-              CAST(sum(v * (CAST(1 AS BIGINT) << p))
-                   // ((CAST(1 AS BIGINT) << count(*)) - 1) AS BIGINT)
+              CAST(CASE WHEN s < 0 THEN -((-s) // d) ELSE s // d END AS BIGINT)
                 AS ewma_fp
-          FROM f GROUP BY event_id, user_id ORDER BY event_id""".replaceAll("\\s+", " "),
+          FROM g ORDER BY event_id""".replaceAll("\\s+", " "),
     "q55_rolling_mean" ->
       """SELECT event_id, user_id,
           CAST(sum(CAST(value AS DECIMAL(30,10)))

@@ -189,14 +189,18 @@ object Merge {
     val root = Paths.get(path)
     require(Files.exists(root), s"no sink at $path")
     val prefix = partCol + "="
-    val toCompact = Files.list(root).iterator().asScala
-      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith(prefix))
-      .filter { d =>
-        Files.list(d).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet")) >= minFilesToCompact
-      }
-      .map(_.getFileName.toString.stripPrefix(prefix).toInt)
-      .toSeq.sorted
+    // both list streams hold directory handles — close them eagerly
+    def listNames(d: java.nio.file.Path): Seq[String] = {
+      val st = Files.list(d)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally st.close()
+    }
+    val toCompact = listNames(root)
+      .filter(n => n.startsWith(prefix) && Files.isDirectory(root.resolve(n)))
+      .filter(n => listNames(root.resolve(n))
+        .count(_.endsWith(".parquet")) >= minFilesToCompact)
+      .map(_.stripPrefix(prefix).toInt)
+      .sorted
     if (toCompact.isEmpty) return Nil
     spark.read.parquet(path)
       .filter(col(partCol).isin(toCompact: _*)) // directory-pruned read

@@ -40,4 +40,15 @@ class EwmaSpec extends AnyFunSuite with SparkFixture {
     val out = run((1L, 1L, 100L), (2L, 1L, 8L))
     assert(out == Seq(100L, 8L))
   }
+
+  test("negative weighted sums divide sign-safely (== DuckDB floored //)") {
+    // row2: s = -10 + 2·(-40) = -90, d = 3 -> sign-safe -(90 div 3) = -30.
+    // A floored // gives -30 too; bare Spark div on (-91,3) would give -30
+    // while // gives -31 — pin a non-exact case: x = -11, -40:
+    // s = -11 - 80 = -91, d = 3 -> sign-safe -(91 div 3) = -30... and
+    // DuckDB -91 // 3 = -31. The repo convention is sign-safe on BOTH
+    // sides (oracle mirrors the CASE), so Spark must emit -30 here.
+    assert(run((1L, 1L, -10L), (1L, 2L, -40L)) == Seq(-10L, -30L))
+    assert(run((2L, 1L, -11L), (2L, 2L, -40L)) == Seq(-11L, -30L))
+  }
 }
