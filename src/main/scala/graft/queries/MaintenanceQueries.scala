@@ -67,6 +67,38 @@ object MaintenanceQueries {
         mins = Seq("min_v6"), maxs = Seq("max_v6"))
         .orderBy("bucket_d")
     }),
+    // PARTITION-PRUNED refresh of a PERSISTED state table — q242 merges
+    // state frames in memory, but a decade-deep MV's state is itself big
+    // while a batch touches only its recent buckets. The state lives
+    // hive-partitioned by day (a function of the bucket key); the
+    // 5-day batch's refresh collects its touched days (6 of 30), reads
+    // ONLY those state directories, merges, and dynamic-overwrites only
+    // them — untouched partitions' files are never rewritten (byte-
+    // identity pinned in MvSpec). Refresh IO is O(batch + touched days),
+    // independent of history depth — the upsertPartitionedBy discipline
+    // applied to accumulator state. Oracle: scratch from the whole raw
+    // table, so a merge that loses, double-counts, or wrongly prunes a
+    // bucket hash-fails.
+    "q246_mv_partitioned" -> ((s, dir) => {
+      val ev = eventsFp(s, dir)
+      def stateP(df: DataFrame) = hourlyState(df)
+        .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
+      val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_mvp").toString + "/state"
+      val keys = Seq("p_day", "bucket_h")
+      Mv.refreshPartitioned(s, statePath, stateP(ev.filter(col("ts") < cut)),
+        "p_day", keys, adds = Seq("n_rows", "sum_v6"),
+        mins = Seq("min_v6"), maxs = Seq("max_v6"))
+      Mv.refreshPartitioned(s, statePath, stateP(ev.filter(col("ts") >= cut)),
+        "p_day", keys, adds = Seq("n_rows", "sum_v6"),
+        mins = Seq("min_v6"), maxs = Seq("max_v6"))
+      s.read.parquet(statePath)
+        .select(col("bucket_h"), col("n_rows"), col("sum_v6"),
+          col("min_v6"), col("max_v6"),
+          col("p_day").cast("long").as("p_day")) // hive inference reads int
+        .orderBy("bucket_h")
+    }),
     // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
     // incrementally WITHOUT approximation: distinct is not mergeable at
     // the view grain, so the persisted state keeps the finer
@@ -137,6 +169,16 @@ object MaintenanceQueries {
     "q242_mv_maintenance" -> scratchState("hour", "bucket_h"),
     // scratch daily from raw — a lossy state re-aggregation hash-fails
     "q243_mv_rollup" -> scratchState("day", "bucket_d"),
+    // scratch from the whole raw table — never sees the history/batch
+    // time split NOR the day partitioning, so wrong pruning hash-fails
+    "q246_mv_partitioned" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(*) AS n_rows,
+          CAST(sum($v6) AS BIGINT) AS sum_v6,
+          min($v6) AS min_v6,
+          max($v6) AS max_v6,
+          CAST(strftime(date_trunc('hour', ts), '%Y%m%d') AS BIGINT) AS p_day
+          FROM events GROUP BY 1, 6 ORDER BY 1""".replaceAll("\\s+", " "),
     // scratch distinct from raw — never sees the (bucket, user) grain
     "q245_mv_distinct" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,

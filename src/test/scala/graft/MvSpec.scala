@@ -86,6 +86,38 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(view.toSeq == Seq((1L, 2L, 4L), (2L, 2L, 2L)))
   }
 
+  test("refreshPartitioned merges only touched partitions, byte-identically") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_mvp_spec").toString + "/state"
+    // state grain (pd, b) with pd = day partition of bucket b (b div 10)
+    def stateOf(rows: Seq[(Long, Long)]) = // (bucket, v)
+      rows.toDF("b", "v").groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .withColumn("pd", col("b") / 10 cast "long")
+    val hist = Seq((11L, 5L), (11L, 7L), (12L, 1L), (21L, 9L)) // days 1+2
+    val batch = Seq((21L, 4L), (22L, 8L)) // touches ONLY day 2
+    Mv.refreshPartitioned(spark, root, stateOf(hist),
+      "pd", Seq("pd", "b"), adds = Seq("n", "s"))
+    def files(pd: Long) =
+      Paths.get(root, s"pd=$pd").toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    val day1Before = files(1L)
+    assert(day1Before.nonEmpty)
+    Mv.refreshPartitioned(spark, root, stateOf(batch),
+      "pd", Seq("pd", "b"), adds = Seq("n", "s"))
+    assert(files(1L) == day1Before,
+      "an untouched partition's files must not be rewritten by a refresh")
+    val merged = spark.read.parquet(root)
+      .select(col("b"), col("n"), col("s"), col("pd").cast("long"))
+      .orderBy("b").collect().toSeq
+    val scratch = stateOf(hist ++ batch)
+      .select(col("b"), col("n"), col("s"), col("pd"))
+      .orderBy("b").collect().toSeq
+    assert(merged == scratch,
+      "partition-pruned refresh must equal scratch aggregation")
+  }
+
   test("expectationReport counts every rule per row, suite-style") {
     val df = Seq(
       (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))
