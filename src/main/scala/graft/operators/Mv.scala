@@ -70,6 +70,19 @@ object Mv {
     * src/main/scala/graft/sources/Merge.scala:130 — applied to
     * accumulator state instead of keyed rows). Refresh IO is
     * O(batch + touched-partition state), independent of history depth.
+    *
+    * Exactly-once trade-off, stated honestly: this commit is an IN-PLACE
+    * dynamic overwrite, so a crash mid-commit can leave SOME touched
+    * partitions replaced and a blind retry would double-count them —
+    * additive state is not idempotent. Use it where the orchestrator
+    * provides run-once semantics (the batch refresh path, q246). The
+    * streaming path ([[graft.streaming.Streaming.mvMaintainStream]])
+    * instead swaps the WHOLE state directory atomically with a
+    * committed-batch marker riding inside — replay-safe, at the cost of
+    * rewriting all of state per batch. Reconciling the two (pruned IO
+    * AND atomic multi-partition commit) is exactly what table formats'
+    * ACID manifests exist for; without one in this environment, the two
+    * variants cover the two deployment shapes.
     */
   def refreshPartitioned(
       spark: SparkSession,

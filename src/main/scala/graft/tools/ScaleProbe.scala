@@ -482,6 +482,45 @@ object ScaleProbe {
         mins = Seq("min_v6"), maxs = Seq("max_v6")).count())
     require(nScratch == nMerge,
       s"merged state bucket count must equal scratch: $nMerge vs $nScratch")
+
+    // PERSISTED-state variant (q246's operator): state on disk partitioned
+    // by day (30·mult day dirs); the batch touches only ITS replica's ~30
+    // days. Full-state rewrite = mergeState over everything + rewrite all
+    // partitions (the atomic-swap streaming shape) — grows with state
+    // depth. Pruned refresh reads + rewrites ONLY touched days — should
+    // stay flat as mult grows. Both paths then hold the same row count.
+    def statePd(df: org.apache.spark.sql.DataFrame) =
+      state(df).withColumn("p_day",
+        date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
+    val keys = Seq("p_day", "bucket_h")
+    val accs = (Seq("n_rows", "sum_v6"), Seq("min_v6"), Seq("max_v6"))
+    def freshStatePath(tag: String) = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_mvp_$tag").toString + "/state"
+      graft.operators.Mv.refreshPartitioned(spark, p, statePd(hist),
+        "p_day", keys, accs._1, accs._2, accs._3)
+      p
+    }
+    val pFull = freshStatePath("full")
+    val pPruned = freshStatePath("pruned")
+    // verification counts run OUTSIDE the timed blocks — listing every
+    // partition to count buckets is a probe artifact, not refresh work
+    timed("full-state rewrite (merge all + rewrite every partition)") {
+      val out = pFull + ".next" // write aside: sources its own input
+      graft.operators.Mv.mergeState(spark.read.parquet(pFull),
+          statePd(batch), keys, accs._1, accs._2, accs._3)
+        .write.partitionBy("p_day")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      1L
+    }
+    timed("pruned refresh (touched days only)") {
+      graft.operators.Mv.refreshPartitioned(spark, pPruned, statePd(batch),
+        "p_day", keys, accs._1, accs._2, accs._3)
+      1L
+    }
+    val nPruned = spark.read.parquet(pPruned).count()
+    require(nPruned == nMerge,
+      s"pruned-refresh bucket count must equal the merge: $nPruned vs $nMerge")
   }
 
   /** See the r9 comment in main — runnable ALONE (skipping every earlier
