@@ -123,6 +123,28 @@ object Mv {
     } finally staged.unpersist(blocking = false)
   }
 
+  /** Backfill: REPLACE a date range of persisted state with a fresh
+    * scratch aggregation of that range — the repair path when a range is
+    * known-bad (late-arriving corrections, a bug in a past refresh, a
+    * partial commit from [[refreshPartitioned]]'s documented crash
+    * window). Where refresh MERGES a delta in, backfill OVERWRITES the
+    * range's partitions wholesale with truth recomputed from raw, and
+    * touches nothing else — repair IO is O(range), not O(history). The
+    * caller scopes the raw scan to the range; this writes whatever
+    * partitions `rangeAgg` contains via dynamic overwrite.
+    */
+  def backfillPartitioned(
+      statePath: String,
+      rangeAgg: DataFrame,
+      partCol: String): Unit = {
+    require(!rangeAgg.schema.fieldNames.isEmpty &&
+      rangeAgg.schema.fieldNames.contains(partCol),
+      s"$partCol must be a column of the backfill aggregation")
+    rangeAgg.write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(statePath)
+  }
+
   /** Re-aggregate state to a coarser bucket (hour→day→month): sums and
     * counts add, bounds take min/max — the rollup reads O(buckets) state
     * rows instead of the fact, which is why a day view over 100 TB costs

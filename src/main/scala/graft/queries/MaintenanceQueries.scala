@@ -99,6 +99,38 @@ object MaintenanceQueries {
           col("p_day").cast("long").as("p_day")) // hive inference reads int
         .orderBy("bucket_h")
     }),
+    // BACKFILL — the repair path: the state is built with a simulated
+    // historical defect (a third of the rows from Jan 25 on never made
+    // it in — late data, a bad past refresh, q246's documented partial-
+    // commit window), then the known-bad range is REPLACED wholesale
+    // with a scratch re-aggregation of raw scoped to that range, via the
+    // same dynamic partition overwrite. Repair IO is O(range): only the
+    // 6 bad days' partitions are rewritten. The oracle aggregates the
+    // whole raw table, so the hash gate proves the repair converges the
+    // state to truth AND that the untouched 24 days were already right.
+    "q247_mv_backfill" -> ((s, dir) => {
+      val ev = eventsFp(s, dir)
+      def stateP(df: DataFrame) = hourlyState(df)
+        .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
+      val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_mvb").toString + "/state"
+      val keys = Seq("p_day", "bucket_h")
+      // state with the defect: recent days under-counted
+      Mv.refreshPartitioned(s, statePath,
+        stateP(ev.filter(col("ts") < cut ||
+          (col("ts") >= cut && col("event_id") % 3 =!= 0))),
+        "p_day", keys, adds = Seq("n_rows", "sum_v6"),
+        mins = Seq("min_v6"), maxs = Seq("max_v6"))
+      // repair: recompute ONLY the bad range from raw and replace it
+      Mv.backfillPartitioned(statePath,
+        stateP(ev.filter(col("ts") >= cut)), "p_day")
+      s.read.parquet(statePath)
+        .select(col("bucket_h"), col("n_rows"), col("sum_v6"),
+          col("min_v6"), col("max_v6"),
+          col("p_day").cast("long").as("p_day"))
+        .orderBy("bucket_h")
+    }),
     // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
     // incrementally WITHOUT approximation: distinct is not mergeable at
     // the view grain, so the persisted state keeps the finer
@@ -172,6 +204,16 @@ object MaintenanceQueries {
     // scratch from the whole raw table — never sees the history/batch
     // time split NOR the day partitioning, so wrong pruning hash-fails
     "q246_mv_partitioned" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(*) AS n_rows,
+          CAST(sum($v6) AS BIGINT) AS sum_v6,
+          min($v6) AS min_v6,
+          max($v6) AS max_v6,
+          CAST(strftime(date_trunc('hour', ts), '%Y%m%d') AS BIGINT) AS p_day
+          FROM events GROUP BY 1, 6 ORDER BY 1""".replaceAll("\\s+", " "),
+    // scratch from the whole raw table — the repair must land exactly on
+    // truth, and the untouched days must already have been true
+    "q247_mv_backfill" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
           count(*) AS n_rows,
           CAST(sum($v6) AS BIGINT) AS sum_v6,

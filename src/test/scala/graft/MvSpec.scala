@@ -118,6 +118,35 @@ class MvSpec extends AnyFunSuite with SparkFixture {
       "partition-pruned refresh must equal scratch aggregation")
   }
 
+  test("backfillPartitioned replaces only the bad range, byte-identically elsewhere") {
+    import java.nio.file.Paths
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvb_spec").toString + "/state"
+    def stateOf(rows: Seq[(Long, Long)]) =
+      rows.toDF("b", "v").groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .withColumn("pd", col("b") / 10 cast "long")
+    val truth = Seq((11L, 5L), (12L, 1L), (21L, 9L), (21L, 4L), (22L, 8L))
+    // defective landing: day 2 lost two rows
+    Mv.refreshPartitioned(spark, root,
+      stateOf(truth.filterNot(r => r._1 >= 20L && r._2 % 2 == 0)),
+      "pd", Seq("pd", "b"), adds = Seq("n", "s"))
+    def day1Files() =
+      Paths.get(root, "pd=1").toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    val before = day1Files()
+    // repair: scratch re-aggregation of day 2's raw rows replaces pd=2
+    Mv.backfillPartitioned(root, stateOf(truth.filter(_._1 >= 20L)), "pd")
+    assert(day1Files() == before,
+      "backfill must not rewrite partitions outside the repaired range")
+    val after = spark.read.parquet(root)
+      .select(col("b"), col("n"), col("s")).orderBy("b").collect().toSeq
+    val scratch = stateOf(truth)
+      .select(col("b"), col("n"), col("s")).orderBy("b").collect().toSeq
+    assert(after == scratch, "repaired state must equal scratch truth")
+  }
+
   test("expectationReport counts every rule per row, suite-style") {
     val df = Seq(
       (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))
