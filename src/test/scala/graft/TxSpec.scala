@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Merge, Tx}
+
+/** TxTable: snapshot isolation, atomic optimistic commits, bucket-scoped
+  * merge with by-reference carry of untouched buckets, and retention.
+  */
+class TxSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_tx").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("merge semantics match Merge.upsert, across commits") {
+    val path = tmp()
+    val b1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val b2 = Seq((2L, 99L), (4L, 40L)).toDF("id", "v") // update 2, insert 4
+    assert(Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 4) == 1L)
+    assert(Tx.commitMerge(spark, path, b2, Seq("id"), nBuckets = 4) == 2L)
+    val expected = rows(Merge.upsert(b1, b2, Seq("id")))
+    assert(rows(Tx.read(spark, path)) == expected)
+  }
+
+  test("snapshot isolation: an old version reads its own file set") {
+    val path = tmp()
+    val b1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 4)
+    Tx.commitMerge(spark, path,
+      Seq((1L, 11L), (3L, 30L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    assert(rows(Tx.read(spark, path, version = 1L)) == rows(b1),
+      "version 1 must still read exactly its committed content")
+    assert(rows(Tx.read(spark, path)).toMap == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("untouched buckets are carried by reference, not rewritten") {
+    val path = tmp()
+    // many keys so several buckets exist; second batch touches ONE key
+    val b1 = (1L to 64L).map(i => (i, i * 10)).toDF("id", "v")
+    Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 8)
+    val s1 = Tx.latest(path).get
+    Tx.commitMerge(spark, path, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8)
+    val s2 = Tx.latest(path).get
+    val changed = s1.dirs.keySet.filter(b => s1.dirs(b) != s2.dirs(b))
+    assert(changed.size == 1,
+      s"exactly the one touched bucket must get a new dir, got $changed")
+    val carried = (s1.dirs.keySet -- changed).head
+    assert(s2.dirs(carried) == s1.dirs(carried),
+      "an untouched bucket's manifest entry must be the SAME path string")
+  }
+
+  test("optimistic CAS: the loser re-derives on the winner's snapshot") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    var raced = false
+    val racingBatch = Seq((2L, 222L), (5L, 50L)).toDF("id", "v")
+    val loserBatch = Seq((1L, 111L), (6L, 60L)).toDF("id", "v")
+    val v = Tx.commitMerge(spark, path, loserBatch, Seq("id"),
+      nBuckets = 4, beforeCas = () => {
+        if (!raced) { // inject ONE racing commit between plan and publish
+          raced = true
+          Tx.commitMerge(spark, path, racingBatch, Seq("id"), nBuckets = 4)
+        }
+      })
+    assert(v == 3L, "the loser must land AFTER the racing winner's v2")
+    assert(rows(Tx.read(spark, path)).toMap ==
+      Map(1L -> 111L, 2L -> 222L, 5L -> 50L, 6L -> 60L),
+      "both batches' effects must survive — no lost update")
+  }
+
+  test("vacuum keeps the newest versions and their files only") {
+    val path = tmp()
+    for (i <- 1 to 3)
+      Tx.commitMerge(spark, path,
+        Seq((i.toLong, i * 100L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    val before = rows(Tx.read(spark, path))
+    Tx.vacuum(path, keepVersions = 1)
+    assert(Tx.versions(path) == Seq(3L))
+    assert(rows(Tx.read(spark, path)) == before,
+      "the kept snapshot must be fully readable after vacuum")
+    intercept[Exception](Tx.read(spark, path, version = 1L).collect())
+    // every surviving data dir is referenced by the kept manifest
+    val referenced = Tx.latest(path).get.dirs.values
+      .map(_.split("/")(1)).toSet
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == referenced, "vacuum must drop unreferenced commit dirs")
+  }
+
+  test("empty batch is a no-op returning the current version") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val v = Tx.commitMerge(spark, path,
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), nBuckets = 4)
+    assert(v == 1L)
+    assert(Tx.versions(path) == Seq(1L))
+  }
+}
