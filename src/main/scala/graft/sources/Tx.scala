@@ -45,9 +45,10 @@ import java.nio.file.{Files, Path, Paths}
   *
   * Honest scope notes (what a real table format adds on top): atomicity
   * relies on one POSIX filesystem (no object-store multi-writer, no
-  * distributed catalog); no schema evolution; conflict granularity is
-  * the whole table (disjoint-bucket commits still serialize through the
-  * version CAS — correctness over availability); deletes are expressible
+  * distributed catalog); no schema evolution; PUBLISHES serialize
+  * through the version CAS, but a loser whose buckets are untouched by
+  * the winner re-links its files onto the new base without re-deriving —
+  * bucket-level effective concurrency; deletes are expressible
   * only as bucket rewrites. At 100 TB the same design holds with
   * manifests in a catalog service and buckets in the thousands — the
   * commit path stays O(touched buckets + manifest).
@@ -55,7 +56,8 @@ import java.nio.file.{Files, Path, Paths}
 object Tx {
 
   final case class Snapshot(
-      version: Long, nBuckets: Int, dirs: Map[Int, String])
+      version: Long, nBuckets: Int, dirs: Map[Int, String],
+      meta: Map[String, String] = Map.empty)
 
   private def vdir(path: String) = Paths.get(path, "_v")
 
@@ -81,12 +83,25 @@ object Tx {
       Files.readAllBytes(vdir(path).resolve(manifestName(version))),
       "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
     val nb = lines.head.stripPrefix("nbuckets=").toInt
-    val dirs = lines.tail.map { l =>
+    val (metaLines, bucketLines) = lines.tail.partition(_.startsWith("meta:"))
+    val meta = metaLines.map { l =>
+      val Array(k, v) = l.stripPrefix("meta:").split("=", 2)
+      k -> v
+    }.toMap
+    val dirs = bucketLines.map { l =>
       val Array(b, dir) = l.split("\t", 2)
       b.toInt -> dir
     }.toMap
-    Snapshot(version, nb, dirs)
+    Snapshot(version, nb, dirs, meta)
   }
+
+  /** Newest value of a metadata key across committed versions (newest
+    * first) — commits that don't carry the key are skipped, so e.g. a
+    * streaming sink's batch-id marker survives interleaved batch commits.
+    */
+  def latestMeta(path: String, key: String): Option[String] =
+    versions(path).reverse.view
+      .flatMap(v => snapshot(path, v).meta.get(key)).headOption
 
   def latest(path: String): Option[Snapshot] =
     versions(path).lastOption.map(snapshot(path, _))
@@ -111,11 +126,17 @@ object Tx {
 
   /** MERGE `batch` into the table (matched keys replaced, others
     * inserted — the reference's ON CONFLICT DO UPDATE), committing a new
-    * snapshot atomically; returns the committed version. Retries
-    * `maxAttempts` times under optimistic conflict, RE-DERIVING the merge
-    * from the winner's snapshot each time. `beforeCas` is a test seam:
-    * invoked between planning and publish so a spec can inject a racing
-    * commit deterministically.
+    * snapshot atomically; returns the committed version. Under optimistic
+    * conflict the loser first checks OVERLAP: if the winner touched none
+    * of the loser's buckets, the already-written files still merge the
+    * current truth of those buckets, so the loser just RE-LINKS them onto
+    * the new base (no re-derive, no data rewrite — bucket-level effective
+    * concurrency); only an overlapping race forces a full re-derive from
+    * the winner's snapshot. Either way lost updates are impossible.
+    * `meta` key=value pairs ride in the manifest (see [[latestMeta]] —
+    * how the streaming sink makes replays exactly-once). `beforeCas` is a
+    * test seam: invoked between planning and publish so a spec can inject
+    * a racing commit deterministically.
     */
   def commitMerge(
       spark: SparkSession,
@@ -124,11 +145,18 @@ object Tx {
       keys: Seq[String],
       nBuckets: Int = 16,
       maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => ()): Long = {
     require(nBuckets > 0)
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\t') },
+      "meta keys must be '='-free and entries newline/tab-free")
     val staged = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a surviving plan from a lost race: (commitDir, touched buckets,
+      // the dirs map of the snapshot it merged against)
+      var plan: Option[(String, Seq[Int], Map[Int, String])] = None
       var attempt = 0
       while (attempt < maxAttempts) {
         attempt += 1
@@ -140,33 +168,47 @@ object Tx {
           return snap.map(_.version).getOrElse {
             commitEmpty(path, nb) // first commit of an empty table
           }
-        val withB = staged.withColumn("__b", bucketOf(keys, nb))
-        val touched = withB.select("__b").distinct()
-          .collect().map(_.getInt(0)).sorted
-        val existingDirs = snap.toSeq.flatMap(s =>
-          touched.flatMap(b => s.dirs.get(b))).map(rel => s"$path/$rel")
-        val existing =
-          if (existingDirs.isEmpty) None
-          else Some(spark.read.parquet(existingDirs: _*)
-            .withColumn("__b", bucketOf(keys, nb)))
-        val merged = existing match {
-          case Some(e) => Merge.upsert(e, withB, keys)
-          case None => withB
+        val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
+        // DISJOINT REBASE: if the racing winner(s) touched none of OUR
+        // buckets, our already-written files still merge the current
+        // truth of those buckets — re-link them onto the new base
+        // without re-deriving or rewriting anything.
+        val reusable = plan.filter { case (_, touched, planBase) =>
+          touched.forall(b => baseDirs.get(b) == planBase.get(b))
         }
-        // one file per bucket: each writer task owns exactly one bucket
-        val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
-        merged.repartition(touched.length.max(1), col("__b"))
-          .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
-          .parquet(s"$path/$commitDir")
-        val newDirs =
-          snap.map(_.dirs).getOrElse(Map.empty) ++
-            touched.map(b => b -> s"$commitDir/__b=$b").toMap
+        val (commitDir, touched) = reusable match {
+          case Some((dir, t, _)) => (dir, t)
+          case None =>
+            plan.foreach { case (dir, _, _) => // overlap: files are stale
+              deleteRecursive(Paths.get(path, dir))
+            }
+            val withB = staged.withColumn("__b", bucketOf(keys, nb))
+            val t = withB.select("__b").distinct()
+              .collect().map(_.getInt(0)).sorted.toSeq
+            val existingDirs = t.flatMap(b => baseDirs.get(b))
+              .map(rel => s"$path/$rel")
+            val merged =
+              if (existingDirs.isEmpty) withB
+              else Merge.upsert(
+                spark.read.parquet(existingDirs: _*)
+                  .withColumn("__b", bucketOf(keys, nb)),
+                withB, keys)
+            // one file per bucket: each writer task owns one bucket
+            val dir = s"data/c-${java.util.UUID.randomUUID()}"
+            merged.repartition(t.length.max(1), col("__b"))
+              .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
+              .parquet(s"$path/$dir")
+            (dir, t)
+        }
+        plan = Some((commitDir, touched, baseDirs))
+        val newDirs = baseDirs ++
+          touched.map(b => b -> s"$commitDir/__b=$b").toMap
         beforeCas()
         val next = snap.map(_.version + 1).getOrElse(1L)
-        if (tryPublish(path, next, nb, newDirs)) return next
-        // conflict: another writer claimed `next` — drop our files and
-        // re-derive against the new snapshot (no manifest references them)
-        deleteRecursive(Paths.get(path, commitDir))
+        if (tryPublish(path, next, nb, newDirs, meta)) return next
+      }
+      plan.foreach { case (dir, _, _) =>
+        deleteRecursive(Paths.get(path, dir)) // nothing references them
       }
       throw new IllegalStateException(
         s"commitMerge lost $maxAttempts CAS races on $path")
@@ -174,17 +216,19 @@ object Tx {
   }
 
   private def commitEmpty(path: String, nb: Int): Long = {
-    require(tryPublish(path, 1L, nb, Map.empty),
+    require(tryPublish(path, 1L, nb, Map.empty, Map.empty),
       s"conflict committing the empty initial version of $path")
     1L
   }
 
   /** Publish version `v` via hard-link CAS; false on conflict. */
   private def tryPublish(
-      path: String, v: Long, nb: Int, dirs: Map[Int, String]): Boolean = {
+      path: String, v: Long, nb: Int, dirs: Map[Int, String],
+      meta: Map[String, String]): Boolean = {
     val d = vdir(path)
     Files.createDirectories(d)
-    val body = (s"nbuckets=$nb" +:
+    val body = ((s"nbuckets=$nb" +:
+      meta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
       dirs.toSeq.sortBy(_._1).map { case (b, dir) => s"$b\t$dir" })
       .mkString("\n")
     val tmp = Files.createTempFile(d, ".tmp-", ".manifest")

@@ -361,6 +361,40 @@ object Streaming {
       .start()
   }
 
+  /** Streaming MERGE into a [[graft.sources.Tx]] table — micro-batches
+    * become atomic table-format commits. Exactly-once under replay rides
+    * the manifest itself: each commit stamps its micro-batch id as
+    * manifest metadata, and a batch id ≤ the newest stamped id is a
+    * no-op. [[graft.sources.Tx.latestMeta]] scans back past interleaved
+    * non-stream commits, so a concurrent backfill writer can't reset the
+    * stream's replay guard. Unlike [[mvMaintainStream]]'s whole-directory
+    * swap, commits here are bucket-scoped and snapshot-isolated — a
+    * reader mid-refresh sees the previous version, never a partial sink.
+    */
+  def txMergeSink(
+      events: DataFrame,
+      keys: Seq[String],
+      tablePath: String,
+      checkpointDir: String,
+      nBuckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val committed = graft.sources.Tx
+          .latestMeta(tablePath, "stream_batch_id")
+          .map(_.toLong).getOrElse(-1L)
+        if (batchId > committed) {
+          graft.sources.Tx.commitMerge(
+            batch.sparkSession, tablePath, batch, keys, nBuckets,
+            meta = Map("stream_batch_id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)

@@ -441,6 +441,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "streamed composite-grain state must derive the exact distinct view")
   }
 
+  test("txMergeSink: micro-batches become atomic table commits, replay-safe") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tx").toString
+    val table = s"$dir/table"
+    val mem = MemoryStream[(Long, Long)] // (id, v)
+    val df = mem.toDF().toDF("id", "v")
+    def run() = Streaming.txMergeSink(df, Seq("id"), table,
+      s"$dir/ckpt", nBuckets = 4).awaitTermination()
+    mem.addData((1L, 10L), (2L, 20L))
+    run()
+    mem.addData((2L, 99L), (3L, 30L)) // update 2, insert 3
+    run()
+    def tableRows() = graft.sources.Tx.read(spark, table)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tableRows() == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
+    val vBefore = graft.sources.Tx.versions(table).max
+    // an interleaved NON-stream commit must not reset the replay guard
+    graft.sources.Tx.commitMerge(spark, table,
+      Seq((7L, 70L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    // wipe the checkpoint: the SAME data replays under the same batch ids
+    val ck = java.nio.file.Paths.get(s"$dir/ckpt")
+    val st = java.nio.file.Files.walk(ck)
+    try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally st.close()
+    run()
+    assert(graft.sources.Tx.versions(table).max == vBefore + 1,
+      "replayed batch ids <= the stamped marker must commit nothing")
+    assert(tableRows() == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 7L -> 70L))
+  }
+
   test("mvMaintainStream: a crash between the two swap renames recovers") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_mvc").toString

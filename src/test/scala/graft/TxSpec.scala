@@ -75,6 +75,59 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "both batches' effects must survive — no lost update")
   }
 
+  test("disjoint race: the loser re-links its files without rewriting") {
+    val path = tmp()
+    // classify ids by the table's own bucket function so the race is
+    // DISJOINT by construction: loser and winner touch different buckets
+    val byBucket = (1L to 40L).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2)).cast("int").as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val bucket0 = byBucket.filter(_._2 == 0).map(_._1)
+    val bucket1 = byBucket.filter(_._2 == 1).map(_._1)
+    assert(bucket0.nonEmpty && bucket1.nonEmpty)
+    Tx.commitMerge(spark, path,
+      Seq((bucket0.head, 10L), (bucket1.head, 20L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    var dirsAtCas = Set.empty[String]
+    var raced = false
+    val loserId = bucket0(1) // loser touches ONLY bucket 0
+    val racerId = bucket1(1) // winner touches ONLY bucket 1
+    val v = Tx.commitMerge(spark, path,
+      Seq((loserId, 111L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2, beforeCas = () => {
+        if (!raced) {
+          raced = true
+          dirsAtCas = new java.io.File(s"$path/data").listFiles()
+            .map(_.getName).toSet // includes the loser's pre-race dir
+          Tx.commitMerge(spark, path,
+            Seq((racerId, 222L)).toDF("id", "v"), Seq("id"), nBuckets = 2)
+        }
+      })
+    assert(v == 3L)
+    val fin = rows(Tx.read(spark, path)).toMap
+    assert(fin(loserId) == 111L && fin(racerId) == 222L &&
+      fin(bucket0.head) == 10L && fin(bucket1.head) == 20L,
+      "no lost update under the disjoint race")
+    // bucket 0's dir in v3 is the LOSER's commit — it must predate the
+    // race resolution: written before the racing commit, then re-LINKED
+    // onto the winner's base, never rewritten
+    val loserCommit = Tx.snapshot(path, 3L).dirs(0).split("/")(1)
+    assert(dirsAtCas.contains(loserCommit),
+      s"loser's commit dir $loserCommit must have existed at CAS time — " +
+        "the disjoint fast path re-links, it does not rewrite")
+  }
+
+  test("manifest meta round-trips and latestMeta survives interleaving") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2, meta = Map("stream_batch_id" -> "7"))
+    Tx.commitMerge(spark, path, Seq((2L, 2L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2) // a non-stream commit carries no marker
+    assert(Tx.latest(path).get.meta.isEmpty)
+    assert(Tx.latestMeta(path, "stream_batch_id").contains("7"),
+      "the marker must survive an interleaved unmarked commit")
+  }
+
   test("vacuum keeps the newest versions and their files only") {
     val path = tmp()
     for (i <- 1 to 3)
