@@ -126,6 +126,27 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // DELETE BY KEY — right-to-be-forgotten from a released corpus
+    // table: every 7th event id removed via Tx.commitDelete (touched
+    // buckets rewritten WITHOUT the keys by anti-join, emptied buckets
+    // leave the manifest, untouched buckets carry by reference). The
+    // deletion is effective-at-version-2 while v1 stays auditable until
+    // vacuum (TxSpec pins both); this query reads the post-deletion
+    // snapshot — the oracle filters raw, so a key that survived the
+    // rewrite, or a non-deleted row lost with its bucket, hash-fails.
+    "q250_tx_delete" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_d").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        existing.filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      Tx.read(s, path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // TIME TRAVEL over the same two commits: per-version row count and
     // fixed-point value sum, read from each PINNED snapshot after both
     // exist. The oracle recomputes v1 (the base) and v2 (the merged
@@ -278,6 +299,10 @@ object MaintenanceQueries {
               (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
             UNION ALL SELECT * FROM incoming)
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    // raw filtered directly — the format's rewrite must be invisible
+    "q250_tx_delete" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 7 <> 0 ORDER BY event_id""".replaceAll("\\s+", " "),
     // v1 = the base table, v2 = the merged composition — each version's
     // card recomputed independently from raw
     "q249_tx_time_travel" ->

@@ -146,7 +146,56 @@ object Tx {
       nBuckets: Int = 16,
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
-      beforeCas: () => Unit = () => ()): Long = {
+      beforeCas: () => Unit = () => ()): Long =
+    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
+      beforeCas, "commitMerge") {
+      case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
+      case (None, withB, _) => withB
+    }
+
+  /** DELETE by key — the right-to-be-forgotten path a released training
+    * corpus needs: `keysBatch` carries the key columns of rows to remove;
+    * touched buckets are rewritten without them (anti-join), a bucket
+    * left EMPTY drops out of the manifest entirely, untouched buckets
+    * carry by reference, and every earlier snapshot still reads the
+    * pre-deletion rows until [[vacuum]] retires it — deletion becomes
+    * effective-at-a-version, auditable, and physically complete only
+    * after retention, exactly the shape GDPR tooling wants. Same CAS /
+    * disjoint-rebase machinery as [[commitMerge]].
+    */
+  def commitDelete(
+      spark: SparkSession,
+      path: String,
+      keysBatch: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => ()): Long =
+    commitRewrite(spark, path, keysBatch.select(keys.map(col): _*),
+      keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete") {
+      case (Some(existing), withB, ks) => existing.join(withB, ks, "left_anti")
+      case (None, withB, _) =>
+        // nothing exists in these buckets — nothing to delete
+        withB.filter(lit(false))
+    }
+
+  /** Shared commit machinery: plan a bucket-scoped rewrite of the
+    * batch's touched buckets via `op(existing, batchWithBucket, keys)`,
+    * publish under CAS, fast-rebase disjoint losers, drop buckets the
+    * rewrite emptied.
+    */
+  private def commitRewrite(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int,
+      maxAttempts: Int,
+      meta: Map[String, String],
+      beforeCas: () => Unit,
+      opName: String)(
+      op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\t') },
@@ -155,8 +204,8 @@ object Tx {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // a surviving plan from a lost race: (commitDir, touched buckets,
-      // the dirs map of the snapshot it merged against)
-      var plan: Option[(String, Seq[Int], Map[Int, String])] = None
+      // buckets the rewrite actually produced, the base dirs it saw)
+      var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String])] = None
       var attempt = 0
       while (attempt < maxAttempts) {
         attempt += 1
@@ -170,16 +219,16 @@ object Tx {
           }
         val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
         // DISJOINT REBASE: if the racing winner(s) touched none of OUR
-        // buckets, our already-written files still merge the current
+        // buckets, our already-written files still reflect the current
         // truth of those buckets — re-link them onto the new base
         // without re-deriving or rewriting anything.
-        val reusable = plan.filter { case (_, touched, planBase) =>
+        val reusable = plan.filter { case (_, touched, _, planBase) =>
           touched.forall(b => baseDirs.get(b) == planBase.get(b))
         }
-        val (commitDir, touched) = reusable match {
-          case Some((dir, t, _)) => (dir, t)
+        val (commitDir, touched, written) = reusable match {
+          case Some((dir, t, w, _)) => (dir, t, w)
           case None =>
-            plan.foreach { case (dir, _, _) => // overlap: files are stale
+            plan.foreach { case (dir, _, _, _) => // overlap: stale files
               deleteRecursive(Paths.get(path, dir))
             }
             val withB = staged.withColumn("__b", bucketOf(keys, nb))
@@ -187,32 +236,41 @@ object Tx {
               .collect().map(_.getInt(0)).sorted.toSeq
             val existingDirs = t.flatMap(b => baseDirs.get(b))
               .map(rel => s"$path/$rel")
-            val merged =
-              if (existingDirs.isEmpty) withB
-              else Merge.upsert(
-                spark.read.parquet(existingDirs: _*)
-                  .withColumn("__b", bucketOf(keys, nb)),
-                withB, keys)
+            val existing =
+              if (existingDirs.isEmpty) None
+              else Some(spark.read.parquet(existingDirs: _*)
+                .withColumn("__b", bucketOf(keys, nb)))
+            val rewritten = op(existing, withB, keys)
             // one file per bucket: each writer task owns one bucket
             val dir = s"data/c-${java.util.UUID.randomUUID()}"
-            merged.repartition(t.length.max(1), col("__b"))
+            rewritten.repartition(t.length.max(1), col("__b"))
               .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
               .parquet(s"$path/$dir")
-            (dir, t)
+            // buckets the rewrite EMPTIED produce no directory — they
+            // must leave the manifest, not point at a missing path
+            val w = listBucketDirs(Paths.get(path, dir))
+            (dir, t, w)
         }
-        plan = Some((commitDir, touched, baseDirs))
-        val newDirs = baseDirs ++
-          touched.map(b => b -> s"$commitDir/__b=$b").toMap
+        plan = Some((commitDir, touched, written, baseDirs))
+        val newDirs = (baseDirs -- touched) ++
+          written.map(b => b -> s"$commitDir/__b=$b").toMap
         beforeCas()
         val next = snap.map(_.version + 1).getOrElse(1L)
         if (tryPublish(path, next, nb, newDirs, meta)) return next
       }
-      plan.foreach { case (dir, _, _) =>
+      plan.foreach { case (dir, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them
       }
       throw new IllegalStateException(
-        s"commitMerge lost $maxAttempts CAS races on $path")
+        s"$opName lost $maxAttempts CAS races on $path")
     } finally staged.unpersist(blocking = false)
+  }
+
+  private def listBucketDirs(commitDir: Path): Set[Int] = {
+    val fs = commitDir.toFile.listFiles()
+    if (fs == null) Set.empty
+    else fs.toSet.filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.startsWith("__b=") => n.stripPrefix("__b=").toInt }
   }
 
   private def commitEmpty(path: String, nb: Int): Long = {

@@ -147,6 +147,39 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(onDisk == referenced, "vacuum must drop unreferenced commit dirs")
   }
 
+  test("commitDelete removes keys, drops emptied buckets, keeps history") {
+    val path = tmp()
+    // find two ids per bucket (nb=2) so one bucket can be fully emptied
+    val byBucket = (1L to 40L).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2)).cast("int").as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b0 = byBucket.filter(_._2 == 0).map(_._1).take(2)
+    val b1 = byBucket.filter(_._2 == 1).map(_._1).take(2)
+    Tx.commitMerge(spark, path,
+      (b0 ++ b1).toSeq.map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    // delete ALL of bucket 0 and ONE row of bucket 1
+    val v = Tx.commitDelete(spark, path,
+      (b0 :+ b1.head).toSeq.toDF("id"), Seq("id"), nBuckets = 2)
+    assert(v == 2L)
+    assert(rows(Tx.read(spark, path)).toMap == Map(b1(1) -> b1(1) * 10))
+    assert(Tx.latest(path).get.dirs.keySet == Set(1),
+      "a fully-emptied bucket must leave the manifest")
+    // deletion is effective-at-a-version: v1 still reads everything
+    assert(rows(Tx.read(spark, path, version = 1L)).size == 4,
+      "the pre-deletion snapshot must survive until vacuum")
+    Tx.vacuum(path, keepVersions = 1)
+    intercept[Exception](Tx.read(spark, path, version = 1L).collect())
+  }
+
+  test("deleting keys that are absent leaves content unchanged") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    Tx.commitDelete(spark, path, Seq(999L).toDF("id"), Seq("id"), nBuckets = 2)
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)))
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
