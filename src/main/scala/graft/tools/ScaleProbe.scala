@@ -35,6 +35,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("tx")) {
+      txFamily(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val big = (0 until mult).map { r =>
@@ -521,6 +526,55 @@ object ScaleProbe {
     val nPruned = spark.read.parquet(pPruned).count()
     require(nPruned == nMerge,
       s"pruned-refresh bucket count must equal the merge: $nPruned vs $nMerge")
+  }
+
+  /** TxTable commit probe — runnable ALONE via
+    * `tools/run.sh graft.tools.ScaleProbe <sfDir> <mult> tx`. The base
+    * table = `mult` shifted replicas of events in ONE commit (untimed —
+    * it sits on disk in production). The measured op: merging a 32-key
+    * update batch. With nBuckets=256 the batch touches ≤32 buckets, so
+    * the Tx commit reads and rewrites ≤ 32/256 ≈ 12% of the table; the
+    * baseline is the reference-shaped full rewrite (anti-join ∪ + write
+    * everything, `Merge.upsertToPath`'s IO). Both lines grow with table
+    * size (a bucket holds table/256), but the Tx line at ~an eighth the
+    * slope — and on a cluster the untouched 224+ buckets cross no
+    * network at all. Row-count equality of the two results is require()d.
+    */
+  private def txFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val nb = 256
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+    val big = graft.sources.Stage.through(
+      (0 until mult).map(r => base.select(
+        (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+        col("user_id"), col("v6"))).reduce(_ unionByName _))
+    val batch = big.filter(col("event_id") % 25013 === 0).limit(32)
+      .select(col("event_id"), col("user_id"), (col("v6") + 1).as("v6"))
+    val nBatch = batch.count()
+    val tablePath = java.nio.file.Files
+      .createTempDirectory("graft_probe_tx").toString + "/t"
+    graft.sources.Tx.commitMerge(spark, tablePath, big, Seq("event_id"), nb)
+    println(s"[scale] table: ${big.count()} rows ($mult×), " +
+      s"batch: $nBatch keys over ≤$nBatch of $nb buckets")
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("Tx commitMerge (touched-bucket rewrite + CAS manifest)") {
+      graft.sources.Tx.commitMerge(spark, tablePath, batch, Seq("event_id"), nb)
+    }
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_txf").toString + "/t"
+    timed("full rewrite baseline (anti-join ∪ + write ALL rows)") {
+      graft.sources.Merge.upsert(big, batch, Seq("event_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fullPath)
+    }
+    // verification OUTSIDE the timed blocks (listing all dirs is probe
+    // artifact, not commit work)
+    val nTx = graft.sources.Tx.read(spark, tablePath).count()
+    val nFull = spark.read.parquet(fullPath).count()
+    require(nTx == nFull, s"row counts must match: $nTx vs $nFull")
   }
 
   /** See the r9 comment in main — runnable ALONE (skipping every earlier
