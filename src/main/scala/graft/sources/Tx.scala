@@ -273,11 +273,10 @@ object Tx {
       .collect { case n if n.startsWith("__b=") => n.stripPrefix("__b=").toInt }
   }
 
-  private def commitEmpty(path: String, nb: Int): Long = {
-    require(tryPublish(path, 1L, nb, Map.empty, Map.empty),
-      s"conflict committing the empty initial version of $path")
-    1L
-  }
+  private def commitEmpty(path: String, nb: Int): Long =
+    if (tryPublish(path, 1L, nb, Map.empty, Map.empty)) 1L
+    else latest(path).map(_.version).getOrElse( // raced: winner's version
+      throw new IllegalStateException(s"v1 exists but unreadable in $path"))
 
   /** Publish version `v` via hard-link CAS; false on conflict. */
   private def tryPublish(
@@ -304,7 +303,13 @@ object Tx {
   /** Retention: keep the newest `keepVersions` manifests, delete older
     * ones plus every commit directory no kept manifest references.
     * Readers pinned to a dropped version break — that is the retention
-    * contract, same as every table format's VACUUM.
+    * contract, same as every table format's VACUUM. Unreferenced dirs
+    * also include crash orphans (a writer that died before its CAS), so
+    * vacuum doubles as crash cleanup. CAVEAT (run from a maintenance
+    * window): a writer IN FLIGHT has written data that no manifest
+    * references yet — vacuum racing that commit would delete its files
+    * before the CAS publishes them. A real format fences this with the
+    * catalog; here the contract is no-writer-during-vacuum.
     */
   def vacuum(path: String, keepVersions: Int): Unit = {
     require(keepVersions >= 1)
