@@ -180,6 +180,30 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)))
   }
 
+  test("model check: random merge/delete sequences land on the Map model") {
+    // deterministic LCG so the sequence is reproducible; the table after
+    // any op sequence must equal the trivial in-memory model
+    val path = tmp()
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    var model = Map.empty[Long, Long]
+    for (step <- 1 to 6) {
+      val ids = (0 until 5).map(_ => math.abs(nxt()) % 12 + 1)
+      if (step % 3 == 0 && model.nonEmpty) {
+        val del = ids.distinct
+        Tx.commitDelete(spark, path, del.toDF("id"), Seq("id"), nBuckets = 4)
+        model = model -- del
+      } else {
+        val batch = ids.distinct.map(i => (i, step * 1000L + i))
+        Tx.commitMerge(spark, path, batch.toDF("id", "v"), Seq("id"), nBuckets = 4)
+        model = model ++ batch
+      }
+      assert(rows(Tx.read(spark, path)).toMap == model,
+        s"table diverged from the model after step $step")
+    }
+    assert(Tx.versions(path).size == 6)
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
