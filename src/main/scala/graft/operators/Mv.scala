@@ -79,10 +79,11 @@ object Mv {
     * streaming path ([[graft.streaming.Streaming.mvMaintainStream]])
     * instead swaps the WHOLE state directory atomically with a
     * committed-batch marker riding inside — replay-safe, at the cost of
-    * rewriting all of state per batch. Reconciling the two (pruned IO
-    * AND atomic multi-partition commit) is exactly what table formats'
-    * ACID manifests exist for; without one in this environment, the two
-    * variants cover the two deployment shapes.
+    * rewriting all of state per batch. [[refreshTx]] reconciles the two
+    * (pruned IO AND an atomic, replay-detectable commit) by keeping the
+    * state in a [[graft.sources.Tx]] table — prefer it when the state
+    * can live in the format; this hive-partitioned variant remains for
+    * state that downstream consumers read as plain partitioned parquet.
     */
   def refreshPartitioned(
       spark: SparkSession,
@@ -121,6 +122,48 @@ object Mv {
         .option("partitionOverwriteMode", "dynamic") // replace ONLY touched
         .parquet(statePath)
     } finally staged.unpersist(blocking = false)
+  }
+
+  /** Refresh a state table that lives in a [[graft.sources.Tx]] table —
+    * the reconciliation [[refreshPartitioned]] documents as needing a
+    * table format: the refresh is PRUNED (the fold reads only the
+    * batch's touched buckets, via the manifest — O(batch + touched
+    * buckets), never O(history)) and ATOMIC (the commit is one manifest
+    * CAS: a crash mid-write leaves only an unreferenced data directory
+    * and the table at its previous version, so a blind retry can never
+    * double-count additive state — the exact failure
+    * `refreshPartitioned`'s in-place dynamic overwrite cannot exclude).
+    * `batchId` (an orchestrator run id / streaming micro-batch id)
+    * stamps the manifest; a replay with an id ≤ the newest stamped id is
+    * a no-op, closing the crash-AFTER-commit window too. Returns the
+    * table version the state is current as of.
+    */
+  def refreshTx(
+      spark: SparkSession,
+      tablePath: String,
+      deltaAgg: DataFrame,
+      keys: Seq[String],
+      adds: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil,
+      nBuckets: Int = 16,
+      batchId: Option[Long] = None,
+      beforeCas: () => Unit = () => ()): Long = {
+    import graft.sources.Tx
+    val committed = batchId.flatMap(_ =>
+      Tx.latestMeta(tablePath, "mv_batch_id").map(_.toLong))
+    batchId match {
+      case Some(id) if committed.exists(id <= _) =>
+        Tx.latest(tablePath).get.version // replayed batch: no-op
+      case _ =>
+        // __b joins too: it's a pure function of the keys, so both sides
+        // agree and the merged row keeps its bucket for the write
+        Tx.commitFold(spark, tablePath, deltaAgg, keys, nBuckets,
+          meta = batchId.map(id => "mv_batch_id" -> id.toString).toMap,
+          beforeCas = beforeCas)(
+          (existing, delta) =>
+            mergeState(existing, delta, keys :+ "__b", adds, mins, maxs))
+    }
   }
 
   /** Backfill: REPLACE a date range of persisted state with a fresh

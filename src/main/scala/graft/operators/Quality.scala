@@ -147,7 +147,13 @@ object Quality {
         s"stack(${rules.size}, $stacked) AS (rule, n_violations, min_offender)"))
       .select(col("rule"), col("n_violations"), col("min_offender"),
         col("__n").as("n_rows"),
-        expr("((__n - n_violations) * 1000000) div __n").as("pass_ppm"))
+        // empty input: a NULL pass rate on both engines (Spark div would
+        // yield NULL here but DuckDB's `//` ERRORS on zero — guard both
+        // sides explicitly so the cross-engine contract is the guard,
+        // not two engines' coincident zero behavior)
+        when(col("__n") === 0, lit(null).cast("long"))
+          .otherwise(expr("((__n - n_violations) * 1000000) div __n"))
+          .as("pass_ppm"))
   }
 
   /** S10: the literal-rows quality summary table. */

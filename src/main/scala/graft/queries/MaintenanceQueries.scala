@@ -206,6 +206,38 @@ object MaintenanceQueries {
           col("p_day").cast("long").as("p_day"))
         .orderBy("bucket_h")
     }),
+    // q246's refresh THROUGH the table format (Mv.refreshTx → Tx
+    // manifests): the same history/batch split folds into Tx-table
+    // state — PRUNED (the fold reads only the batch's touched buckets,
+    // resolved via the manifest) AND ATOMIC (one manifest CAS publishes
+    // the whole refresh; a crash mid-write leaves the previous version
+    // intact, so a retry can never double-count additive state — the
+    // exact window q246's in-place dynamic overwrite documents). The
+    // second batch is then REPLAYED with the same batch id and must be
+    // a no-op (the manifest's mv_batch_id stamp detects it) — a
+    // double-count would hash-fail. SAME oracle as q246: scratch from
+    // the whole raw table, blind to the split, the format, and the
+    // replay.
+    "q251_mv_tx" -> ((s, dir) => {
+      val ev = eventsFp(s, dir)
+      def stateP(df: DataFrame) = hourlyState(df)
+        .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
+      val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mvtx").toString + "/t"
+      val keys = Seq("p_day", "bucket_h")
+      def refresh(df: DataFrame, id: Long) =
+        Mv.refreshTx(s, path, stateP(df), keys,
+          adds = Seq("n_rows", "sum_v6"),
+          mins = Seq("min_v6"), maxs = Seq("max_v6"), batchId = Some(id))
+      refresh(ev.filter(col("ts") < cut), 1L)
+      refresh(ev.filter(col("ts") >= cut), 2L)
+      refresh(ev.filter(col("ts") >= cut), 2L) // replay: must be a no-op
+      Tx.read(s, path)
+        .select(col("bucket_h"), col("n_rows"), col("sum_v6"),
+          col("min_v6"), col("max_v6"), col("p_day"))
+        .orderBy("bucket_h")
+    }),
     // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
     // incrementally WITHOUT approximation: distinct is not mergeable at
     // the view grain, so the persisted state keeps the finer
@@ -233,6 +265,47 @@ object MaintenanceQueries {
         adds = Seq("n_hits"))
         .groupBy("bucket_h")
         .agg(count(lit(1)).as("distinct_users"), sum("n_hits").as("n_rows"))
+        .orderBy("bucket_h")
+    }),
+    // APPROXIMATE distinct-count MV — q245's sketch-state counterpart,
+    // the thing a 100 TB dashboard actually runs: per-bucket HLL
+    // sketches (Datasketches, lgK=14 ≈ 0.8% rsd, ~16 KB/bucket) are
+    // MERGEABLE state, so the 90/10 split folds with one full-outer
+    // join + hll_union — O(buckets) state at any history size, where
+    // q245's exact grain is O(buckets × active users). Oracle-gated via
+    // q50's in-plan accuracy-contract pattern (sketch bytes are
+    // engine-specific; their CONTRACTS are not): `merge_lossless` pins
+    // union(base, delta) == scratch sketch estimate-for-estimate (the
+    // incremental==scratch proof, in-plan), `est_ok` pins the estimate
+    // within 5% of the exact count. The oracle replays the exact
+    // distinct from raw with literal TRUE per contract — a sketch that
+    // drifts or a lossy merge hash-fails the row.
+    "q252_mv_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket_h"),
+        col("user_id"))
+      def sk(df: DataFrame) = df.groupBy("bucket_h")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      // persisted base state (the MV on disk) + the delta batch's state
+      val base = Stage.through(sk(ev.filter(col("event_id") % 10 =!= 0)))
+      val delta = sk(ev.filter(col("event_id") % 10 === 0))
+      val merged = base.select(col("bucket_h"), col("sk").as("__a"))
+        .join(delta.select(col("bucket_h"), col("sk").as("__b")),
+          Seq("bucket_h"), "full_outer")
+        .select(col("bucket_h"),
+          when(col("__a").isNull, col("__b"))
+            .when(col("__b").isNull, col("__a"))
+            .otherwise(expr("hll_union(__a, __b)")).as("sk"))
+      val scratch = sk(ev).select(col("bucket_h"), col("sk").as("sk_s"))
+      val exact = ev.groupBy("bucket_h")
+        .agg(countDistinct("user_id").as("distinct_users"))
+      merged.join(scratch, "bucket_h").join(exact, "bucket_h")
+        .select(col("bucket_h"), col("distinct_users"),
+          (expr("hll_sketch_estimate(sk)") ===
+            expr("hll_sketch_estimate(sk_s)")).as("merge_lossless"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("distinct_users")) * 100
+            <= col("distinct_users") * 5).as("est_ok"))
         .orderBy("bucket_h")
     }),
     // Declarative expectation suite over a perturbed feed: five rules
@@ -334,10 +407,27 @@ object MaintenanceQueries {
           max($v6) AS max_v6,
           CAST(strftime(date_trunc('hour', ts), '%Y%m%d') AS BIGINT) AS p_day
           FROM events GROUP BY 1, 6 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q246's oracle verbatim: scratch from the whole raw table — the
+    // format, the pruning, and the replayed batch must all be invisible
+    "q251_mv_tx" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(*) AS n_rows,
+          CAST(sum($v6) AS BIGINT) AS sum_v6,
+          min($v6) AS min_v6,
+          max($v6) AS max_v6,
+          CAST(strftime(date_trunc('hour', ts), '%Y%m%d') AS BIGINT) AS p_day
+          FROM events GROUP BY 1, 6 ORDER BY 1""".replaceAll("\\s+", " "),
     // scratch distinct from raw — never sees the (bucket, user) grain
     "q245_mv_distinct" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
           count(DISTINCT user_id) AS distinct_users, count(*) AS n_rows
+          FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // exact distinct from raw + literal TRUE per contract — the sketch
+    // values never cross engines, their accuracy/losslessness do
+    "q252_mv_hll" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(DISTINCT user_id) AS distinct_users,
+          TRUE AS merge_lossless, TRUE AS est_ok
           FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     "q244_expectation_audit" -> {
       val rules = Seq(
@@ -352,7 +442,9 @@ object MaintenanceQueries {
       }.mkString(", ")
       val branches = rules.zipWithIndex.map { case ((name, _), i) =>
         s"""SELECT '$name' AS rule, v$i AS n_violations, m$i AS min_offender,
-              n AS n_rows, ((n - v$i) * 1000000) // n AS pass_ppm FROM a"""
+              n AS n_rows,
+              CASE WHEN n = 0 THEN NULL
+                ELSE ((n - v$i) * 1000000) // n END AS pass_ppm FROM a"""
       }.mkString(" UNION ALL ")
       s"""WITH ev AS (
             SELECT event_id,

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
 
 /** TxTable — a minimal filesystem-native table format: snapshot-isolated
@@ -16,7 +17,10 @@ import java.nio.file.{Files, Path, Paths}
   * Layout (all inside the table directory):
   * {{{
   *   _v/v<13-digit-N>.manifest   one text manifest per committed version:
-  *                               header "nbuckets=<n>", then one
+  *                               header "nbuckets=<n>", then "meta:k=v"
+  *                               lines (all meta CARRIES FORWARD from the
+  *                               previous version; a commit's own entries
+  *                               override), then one
   *                               "<bucket>\t<relative data dir>" line per
   *                               bucket that has data in this snapshot
   *   data/c-<uuid>/__b=<k>/  parquet part files: a commit's immutable
@@ -43,9 +47,20 @@ import java.nio.file.{Files, Path, Paths}
   *    REFERENCE. Untouched buckets are byte-identical across versions
   *    structurally — same files, not re-written equal files.
   *
+  * The table SCHEMA is recorded in the manifest (`meta:__schema=` — the
+  * StructType JSON) at the first data commit and carried forward with
+  * all other meta, which buys three real-format behaviors: [[read]]
+  * serves a correctly-typed empty frame when every bucket has been
+  * deleted; every later commit's column TYPES are enforced (the bucket
+  * hash is type-sensitive, so an int batch against a long table would
+  * otherwise land matched keys in the wrong bucket and silently
+  * duplicate them); and NULL merge keys are rejected outright (a null
+  * never equi-joins, so it could only ever duplicate).
+  *
   * Honest scope notes (what a real table format adds on top): atomicity
   * relies on one POSIX filesystem (no object-store multi-writer, no
-  * distributed catalog); no schema evolution; PUBLISHES serialize
+  * distributed catalog); no schema evolution (the recorded schema is
+  * enforced, never migrated); PUBLISHES serialize
   * through the version CAS, but a loser whose buckets are untouched by
   * the winner re-links its files onto the new base without re-deriving —
   * bucket-level effective concurrency; deletes are expressible
@@ -58,6 +73,11 @@ object Tx {
   final case class Snapshot(
       version: Long, nBuckets: Int, dirs: Map[Int, String],
       meta: Map[String, String] = Map.empty)
+
+  /** Reserved manifest-meta key holding the table schema JSON. Caller
+    * meta keys may not start with "__".
+    */
+  val SchemaKey = "__schema"
 
   private def vdir(path: String) = Paths.get(path, "_v")
 
@@ -96,8 +116,11 @@ object Tx {
   }
 
   /** Newest value of a metadata key across committed versions (newest
-    * first) — commits that don't carry the key are skipped, so e.g. a
-    * streaming sink's batch-id marker survives interleaved batch commits.
+    * first). Meta carries forward into every manifest, so the LATEST
+    * manifest normally answers directly — and retiring old manifests
+    * ([[vacuum]]) can never reset e.g. a streaming sink's batch-id
+    * replay guard; the backward scan remains for tables written before
+    * carry-forward.
     */
   def latestMeta(path: String, key: String): Option[String] =
     versions(path).reverse.view
@@ -107,7 +130,10 @@ object Tx {
     versions(path).lastOption.map(snapshot(path, _))
 
   /** Snapshot-isolated read of `version` (default: latest). The returned
-    * frame scans ONLY the files that manifest lists.
+    * frame scans ONLY the files that manifest lists. A snapshot with no
+    * data (every bucket deleted, or a meta-only commit on an empty
+    * table) still serves the TABLE SCHEMA recorded in the manifest —
+    * downstream code keeps its columns through the legal empty state.
     */
   def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val snap =
@@ -115,11 +141,25 @@ object Tx {
       else latest(path).getOrElse(
         throw new IllegalStateException(s"no committed version in $path"))
     val dirs = snap.dirs.values.toSeq.sorted.map(rel => s"$path/$rel")
-    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else snap.meta.get(SchemaKey) match {
+      case Some(js) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(js).asInstanceOf[StructType])
+      case None => spark.emptyDataFrame
+    }
   }
 
+  /** The recorded table schema, if any data commit has established one. */
+  def schemaOf(path: String): Option[StructType] =
+    latest(path).flatMap(_.meta.get(SchemaKey))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
   /** The bucket of a row: fixed hash of the merge keys — rows can never
-    * migrate buckets, which is what makes the bucket-scoped rewrite sound.
+    * migrate buckets, which is what makes the bucket-scoped rewrite
+    * sound. xxhash64 is TYPE-sensitive, which is why commits enforce the
+    * recorded column types: the same logical key as int vs long hashes
+    * to different buckets.
     */
   private def bucketOf(keys: Seq[String], nb: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int")
@@ -148,8 +188,35 @@ object Tx {
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => ()): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitMerge") {
+      beforeCas, "commitMerge", establishSchema = true) {
       case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
+      case (None, withB, _) => withB
+    }
+
+  /** MERGE with caller-supplied combine semantics: matched keys are
+    * FOLDED (`fold(existing, incoming)` — e.g. additive accumulator
+    * merge), unmatched inserted. This is what routes incremental-MV
+    * state through the format ([[graft.operators.Mv.refreshTx]]): the
+    * fold sees only the batch's touched buckets (pruned IO) and the
+    * result commits atomically under the manifest CAS — the two
+    * properties `Mv.refreshPartitioned` documents as mutually exclusive
+    * without a table format. Both frames passed to `fold` carry the
+    * internal `__b` bucket column (a function of the keys — include it
+    * in the fold's join keys or ignore it; it never reaches the files).
+    */
+  def commitFold(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => ())(
+      fold: (DataFrame, DataFrame) => DataFrame): Long =
+    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
+      beforeCas, "commitFold", establishSchema = true) {
+      case (Some(existing), withB, _) => fold(existing, withB)
       case (None, withB, _) => withB
     }
 
@@ -173,17 +240,24 @@ object Tx {
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => ()): Long =
     commitRewrite(spark, path, keysBatch.select(keys.map(col): _*),
-      keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete") {
+      keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete",
+      establishSchema = false) {
       case (Some(existing), withB, ks) => existing.join(withB, ks, "left_anti")
       case (None, withB, _) =>
         // nothing exists in these buckets — nothing to delete
         withB.filter(lit(false))
     }
 
+  private def fieldTypes(st: StructType): Map[String, DataType] =
+    st.fields.map(f => f.name -> f.dataType).toMap
+
   /** Shared commit machinery: plan a bucket-scoped rewrite of the
     * batch's touched buckets via `op(existing, batchWithBucket, keys)`,
     * publish under CAS, fast-rebase disjoint losers, drop buckets the
-    * rewrite emptied.
+    * rewrite emptied. All previous meta carries forward; this commit's
+    * `meta` overrides. `establishSchema`: record the batch schema as the
+    * table schema on the first data commit (merge/fold — their batch IS
+    * table-shaped; a delete batch is keys-only and never establishes).
     */
   private def commitRewrite(
       spark: SparkSession,
@@ -194,15 +268,24 @@ object Tx {
       maxAttempts: Int,
       meta: Map[String, String],
       beforeCas: () => Unit,
-      opName: String)(
+      opName: String,
+      establishSchema: Boolean)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
     require(meta.forall { case (k, v) =>
-      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\t') },
-      "meta keys must be '='-free and entries newline/tab-free")
+      !k.contains("=") && !k.startsWith("__") &&
+        !(k + v).exists(c => c == '\n' || c == '\t') },
+      "meta keys must be '='-free, not start with '__', " +
+        "and entries newline/tab-free")
     val staged = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // NULL merge keys can never equi-join a matched row — they would
+      // only ever duplicate. Reject them before any commit attempt.
+      require(
+        staged.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
+        s"$opName: NULL values in merge key(s) ${keys.mkString(", ")} — " +
+          "a NULL key never matches and would silently duplicate")
       // a surviving plan from a lost race: (commitDir, touched buckets,
       // buckets the rewrite actually produced, the base dirs it saw)
       var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String])] = None
@@ -213,50 +296,86 @@ object Tx {
         val nb = snap.map(_.nBuckets).getOrElse(nBuckets)
         require(nb == nBuckets || snap.isEmpty,
           s"table has nbuckets=$nb, caller asked $nBuckets")
-        if (staged.isEmpty)
-          return snap.map(_.version).getOrElse {
-            commitEmpty(path, nb) // first commit of an empty table
+        val carried = snap.map(_.meta).getOrElse(Map.empty)
+        if (staged.isEmpty) {
+          // empty batch: no data motion, but a caller with meta (e.g. a
+          // streaming sink's batch-id stamp) still gets a stamped
+          // version — "every stream commit is stamped" holds even for
+          // empty micro-batches.
+          snap match {
+            case None => return commitEmpty(path, nb, meta)
+            case Some(sp) if meta.isEmpty => return sp.version
+            case Some(sp) =>
+              if (tryPublish(path, sp.version + 1, nb, sp.dirs,
+                  carried ++ meta)) return sp.version + 1
+            // CAS lost: fall through and retry on the new snapshot
           }
-        val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
-        // DISJOINT REBASE: if the racing winner(s) touched none of OUR
-        // buckets, our already-written files still reflect the current
-        // truth of those buckets — re-link them onto the new base
-        // without re-deriving or rewriting anything.
-        val reusable = plan.filter { case (_, touched, _, planBase) =>
-          touched.forall(b => baseDirs.get(b) == planBase.get(b))
-        }
-        val (commitDir, touched, written) = reusable match {
-          case Some((dir, t, w, _)) => (dir, t, w)
-          case None =>
-            plan.foreach { case (dir, _, _, _) => // overlap: stale files
-              deleteRecursive(Paths.get(path, dir))
+        } else {
+          // enforce the recorded schema: the bucket hash is
+          // type-sensitive, so a type drift would mis-bucket keys and
+          // duplicate instead of match
+          val recorded = carried.get(SchemaKey)
+            .map(DataType.fromJson(_).asInstanceOf[StructType])
+          recorded.foreach { ts =>
+            val t = fieldTypes(ts)
+            val b = fieldTypes(staged.schema)
+            if (establishSchema)
+              require(t == b,
+                s"$opName: batch schema ${staged.schema.simpleString} does " +
+                  s"not match the table schema ${ts.simpleString}")
+            else keys.foreach { k =>
+              require(b.get(k) == t.get(k),
+                s"$opName: key '$k' is ${b.get(k)} in the batch but " +
+                  s"${t.get(k)} in the table — the bucket hash is " +
+                  "type-sensitive")
             }
-            val withB = staged.withColumn("__b", bucketOf(keys, nb))
-            val t = withB.select("__b").distinct()
-              .collect().map(_.getInt(0)).sorted.toSeq
-            val existingDirs = t.flatMap(b => baseDirs.get(b))
-              .map(rel => s"$path/$rel")
-            val existing =
-              if (existingDirs.isEmpty) None
-              else Some(spark.read.parquet(existingDirs: _*)
-                .withColumn("__b", bucketOf(keys, nb)))
-            val rewritten = op(existing, withB, keys)
-            // one file per bucket: each writer task owns one bucket
-            val dir = s"data/c-${java.util.UUID.randomUUID()}"
-            rewritten.repartition(t.length.max(1), col("__b"))
-              .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
-              .parquet(s"$path/$dir")
-            // buckets the rewrite EMPTIED produce no directory — they
-            // must leave the manifest, not point at a missing path
-            val w = listBucketDirs(Paths.get(path, dir))
-            (dir, t, w)
+          }
+          val schemaEntry =
+            if (recorded.isEmpty && establishSchema)
+              Map(SchemaKey -> staged.schema.json)
+            else Map.empty[String, String]
+          val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
+          // DISJOINT REBASE: if the racing winner(s) touched none of OUR
+          // buckets, our already-written files still reflect the current
+          // truth of those buckets — re-link them onto the new base
+          // without re-deriving or rewriting anything.
+          val reusable = plan.filter { case (_, touched, _, planBase) =>
+            touched.forall(b => baseDirs.get(b) == planBase.get(b))
+          }
+          val (commitDir, touched, written) = reusable match {
+            case Some((dir, t, w, _)) => (dir, t, w)
+            case None =>
+              plan.foreach { case (dir, _, _, _) => // overlap: stale files
+                deleteRecursive(Paths.get(path, dir))
+              }
+              val withB = staged.withColumn("__b", bucketOf(keys, nb))
+              val t = withB.select("__b").distinct()
+                .collect().map(_.getInt(0)).sorted.toSeq
+              val existingDirs = t.flatMap(b => baseDirs.get(b))
+                .map(rel => s"$path/$rel")
+              val existing =
+                if (existingDirs.isEmpty) None
+                else Some(spark.read.parquet(existingDirs: _*)
+                  .withColumn("__b", bucketOf(keys, nb)))
+              val rewritten = op(existing, withB, keys)
+              // one file per bucket: each writer task owns one bucket
+              val dir = s"data/c-${java.util.UUID.randomUUID()}"
+              rewritten.repartition(t.length.max(1), col("__b"))
+                .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
+                .parquet(s"$path/$dir")
+              // buckets the rewrite EMPTIED produce no directory — they
+              // must leave the manifest, not point at a missing path
+              val w = listBucketDirs(Paths.get(path, dir))
+              (dir, t, w)
+          }
+          plan = Some((commitDir, touched, written, baseDirs))
+          val newDirs = (baseDirs -- touched) ++
+            written.map(b => b -> s"$commitDir/__b=$b").toMap
+          beforeCas()
+          val next = snap.map(_.version + 1).getOrElse(1L)
+          if (tryPublish(path, next, nb, newDirs, carried ++ schemaEntry ++ meta))
+            return next
         }
-        plan = Some((commitDir, touched, written, baseDirs))
-        val newDirs = (baseDirs -- touched) ++
-          written.map(b => b -> s"$commitDir/__b=$b").toMap
-        beforeCas()
-        val next = snap.map(_.version + 1).getOrElse(1L)
-        if (tryPublish(path, next, nb, newDirs, meta)) return next
       }
       plan.foreach { case (dir, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them
@@ -273,8 +392,9 @@ object Tx {
       .collect { case n if n.startsWith("__b=") => n.stripPrefix("__b=").toInt }
   }
 
-  private def commitEmpty(path: String, nb: Int): Long =
-    if (tryPublish(path, 1L, nb, Map.empty, Map.empty)) 1L
+  private def commitEmpty(
+      path: String, nb: Int, meta: Map[String, String]): Long =
+    if (tryPublish(path, 1L, nb, Map.empty, meta)) 1L
     else latest(path).map(_.version).getOrElse( // raced: winner's version
       throw new IllegalStateException(s"v1 exists but unreadable in $path"))
 
@@ -303,28 +423,42 @@ object Tx {
   /** Retention: keep the newest `keepVersions` manifests, delete older
     * ones plus every commit directory no kept manifest references.
     * Readers pinned to a dropped version break — that is the retention
-    * contract, same as every table format's VACUUM. Unreferenced dirs
-    * also include crash orphans (a writer that died before its CAS), so
-    * vacuum doubles as crash cleanup. CAVEAT (run from a maintenance
-    * window): a writer IN FLIGHT has written data that no manifest
-    * references yet — vacuum racing that commit would delete its files
-    * before the CAS publishes them. A real format fences this with the
-    * catalog; here the contract is no-writer-during-vacuum.
+    * contract, same as every table format's VACUUM.
+    *
+    * Orphan dirs (data no manifest references at all) are crash debris
+    * from writers that died before their CAS — OR the staged files of a
+    * commit IN FLIGHT right now, whose manifest doesn't exist yet. The
+    * two are told apart by AGE: an orphan is deleted only when its last
+    * modification is older than `minOrphanAgeMs` (default 1 h — far
+    * longer than any plan-to-publish window), so a concurrent writer's
+    * staged files survive vacuum. Dirs referenced only by the manifests
+    * this vacuum retires are deleted regardless of age — a published
+    * manifest proves its writer finished. Running vacuum from a
+    * maintenance window remains the stronger (and simpler) contract.
     */
-  def vacuum(path: String, keepVersions: Int): Unit = {
+  def vacuum(
+      path: String, keepVersions: Int,
+      minOrphanAgeMs: Long = 3600L * 1000L): Unit = {
     require(keepVersions >= 1)
     val vs = versions(path)
-    if (vs.size <= keepVersions) return
-    val (drop, keep) = vs.splitAt(vs.size - keepVersions)
-    val referenced = keep.flatMap(v => snapshot(path, v).dirs.values)
-      .map(rel => rel.split("/")(1)) // the c-<uuid> component
-      .toSet
+    if (vs.isEmpty) return
+    val (drop, keep) = vs.splitAt(math.max(vs.size - keepVersions, 0))
+    def commitIds(versions: Seq[Long]): Set[String] =
+      versions.flatMap(v => snapshot(path, v).dirs.values)
+        .map(rel => rel.split("/")(1)) // the c-<uuid> component
+        .toSet
+    val referenced = commitIds(keep)
+    val retired = commitIds(drop) -- referenced
     drop.foreach(v => Files.deleteIfExists(vdir(path).resolve(manifestName(v))))
     val dataDir = Paths.get(path, "data").toFile
     val children = if (dataDir.exists()) dataDir.listFiles() else null
-    if (children != null)
-      children.filter(f => f.isDirectory && !referenced.contains(f.getName))
-        .foreach(f => deleteRecursive(f.toPath))
+    if (children != null) {
+      val cutoff = System.currentTimeMillis() - minOrphanAgeMs
+      children.filter { f =>
+        f.isDirectory && !referenced.contains(f.getName) &&
+          (retired.contains(f.getName) || f.lastModified() < cutoff)
+      }.foreach(f => deleteRecursive(f.toPath))
+    }
   }
 
   private def deleteRecursive(p: Path): Unit =

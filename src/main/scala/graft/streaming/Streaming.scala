@@ -395,6 +395,41 @@ object Streaming {
       }
       .start()
 
+  /** [[mvMaintainStream]] with the state in a [[graft.sources.Tx]]
+    * table — the variant that needs NEITHER the whole-directory swap nor
+    * the full-state rewrite it implies: each micro-batch aggregates to
+    * the state shape and [[graft.operators.Mv.refreshTx]] folds it in,
+    * touching only the batch's buckets (pruned IO) and committing with
+    * one atomic manifest CAS stamped with the micro-batch id (replay =
+    * no-op; a crash mid-write leaves the previous version intact and
+    * unreferenced debris for vacuum). Per-trigger cost is
+    * O(batch + touched buckets); `mvMaintainStream`'s is O(all state).
+    */
+  def mvMaintainTxStream(
+      events: DataFrame,
+      stateOf: DataFrame => DataFrame,
+      keys: Seq[String],
+      adds: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil,
+      tablePath: String = null,
+      checkpointDir: String = null,
+      nBuckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(tablePath != null && checkpointDir != null)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Mv.refreshTx(
+          batch.sparkSession, tablePath, stateOf(batch), keys,
+          adds, mins, maxs, nBuckets, batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)

@@ -575,6 +575,44 @@ object ScaleProbe {
     val nTx = graft.sources.Tx.read(spark, tablePath).count()
     val nFull = spark.read.parquet(fullPath).count()
     require(nTx == nFull, s"row counts must match: $nTx vs $nFull")
+
+    // r10: vacuum + time travel at DEPTH — a long-lived table accretes
+    // one manifest + one commit dir per batch; retention has to retire
+    // them in time O(history) listing + O(retired files) deletes, and a
+    // PINNED read within the kept window must be byte-stable across the
+    // vacuum. Depth scales with mult (4×mult commits — 32/128/512 at
+    // 8×/32×/128×), each commit a small batch on a small table so the
+    // probe times the FORMAT's bookkeeping, not parquet IO.
+    val deepPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_txd").toString + "/t"
+    val depth = 4 * mult
+    val t0 = System.nanoTime()
+    for (i <- 1 to depth) {
+      val b = spark.range(1).select(
+        lit(i % 64).cast("long").as("event_id"),
+        lit(i).cast("long").as("user_id"),
+        lit(i).cast("long").as("v6"))
+      graft.sources.Tx.commitMerge(spark, deepPath, b, Seq("event_id"), 16)
+    }
+    println(f"[scale] deep history: $depth commits in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(${(System.nanoTime() - t0) / 1e6 / depth}%.0f ms/commit)")
+    val pinned = depth - 3L // inside the keep=8 window
+    def pinnedRows() = graft.sources.Tx.read(spark, deepPath, pinned)
+      .orderBy("event_id").collect().toSeq
+    val beforeVac = pinnedRows()
+    timed(s"resolve versions at depth $depth") {
+      require(graft.sources.Tx.versions(deepPath).size == depth)
+    }
+    timed(s"vacuum keep=8 over $depth versions") {
+      graft.sources.Tx.vacuum(deepPath, keepVersions = 8,
+        minOrphanAgeMs = 0L)
+    }
+    require(graft.sources.Tx.versions(deepPath).size == 8)
+    require(pinnedRows() == beforeVac,
+      "a pinned read inside the kept window must be stable across vacuum")
+    println(s"[scale] pinned v$pinned stable across vacuum " +
+      s"(${beforeVac.size} rows)")
   }
 
   /** See the r9 comment in main — runnable ALONE (skipping every earlier

@@ -147,6 +147,74 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(after == scratch, "repaired state must equal scratch truth")
   }
 
+  test("refreshTx: pruned folds through the table format equal scratch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvtx_spec").toString + "/t"
+    val df = rows.toDF("id", "bucket", "v")
+    Mv.refreshTx(spark, root, state(df.filter(col("id") % 10 =!= 0)),
+      Seq("bucket"), adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"),
+      nBuckets = 4, batchId = Some(1L))
+    Mv.refreshTx(spark, root, state(df.filter(col("id") % 10 === 0)),
+      Seq("bucket"), adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"),
+      nBuckets = 4, batchId = Some(2L))
+    val merged = graft.sources.Tx.read(spark, root)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    val scratch = state(df)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    assert(merged == scratch)
+  }
+
+  test("refreshTx: a crash before the CAS leaves state intact; the retry " +
+      "lands exactly once (no double-count)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvtx_crash").toString + "/t"
+    val df = rows.toDF("id", "bucket", "v")
+    val base = state(df.filter(col("id") % 10 =!= 0))
+    val delta = state(df.filter(col("id") % 10 === 0))
+    val args = (Seq("n", "s"), Seq("mn"), Seq("mx"))
+    Mv.refreshTx(spark, root, base, Seq("bucket"),
+      adds = args._1, mins = args._2, maxs = args._3,
+      nBuckets = 4, batchId = Some(1L))
+    val v1 = graft.sources.Tx.latest(root).get.version
+    val v1Rows = graft.sources.Tx.read(spark, root)
+      .orderBy("bucket").collect().toSeq
+    // CRASH INJECTION: the refresh dies AFTER writing its data files but
+    // BEFORE the manifest CAS — the window refreshPartitioned documents
+    // as fatal for in-place overwrites. Here the table must still be at
+    // v1, reading exactly the pre-crash state.
+    intercept[RuntimeException](
+      Mv.refreshTx(spark, root, delta, Seq("bucket"),
+        adds = args._1, mins = args._2, maxs = args._3,
+        nBuckets = 4, batchId = Some(2L),
+        beforeCas = () => throw new RuntimeException("injected crash")))
+    assert(graft.sources.Tx.latest(root).get.version == v1,
+      "a crash before the CAS must leave the table at the old version")
+    assert(graft.sources.Tx.read(spark, root)
+      .orderBy("bucket").collect().toSeq == v1Rows,
+      "readers must still see exactly the pre-crash state")
+    // BLIND RETRY of the same batch — the case the in-place overwrite
+    // double-counts. Through the format it lands exactly once:
+    Mv.refreshTx(spark, root, delta, Seq("bucket"),
+      adds = args._1, mins = args._2, maxs = args._3,
+      nBuckets = 4, batchId = Some(2L))
+    val merged = graft.sources.Tx.read(spark, root)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    val scratch = state(df)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    assert(merged == scratch, "crash + retry must equal scratch exactly")
+    // REPLAY after success (crash-after-commit): stamped id gates it out
+    val vNow = graft.sources.Tx.latest(root).get.version
+    val vRet = Mv.refreshTx(spark, root, delta, Seq("bucket"),
+      adds = args._1, mins = args._2, maxs = args._3,
+      nBuckets = 4, batchId = Some(2L))
+    assert(vRet == vNow && graft.sources.Tx.read(spark, root)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket")
+      .collect().toSeq == merged,
+      "a replayed batch id must commit nothing and change nothing")
+    // the crash's orphaned data dir is debris vacuum may clear once aged
+    // — but it is UNREFERENCED, so correctness never depended on it
+  }
+
   test("expectationReport counts every rule per row, suite-style") {
     val df = Seq(
       (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))
@@ -162,6 +230,18 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(byRule("v_nonneg") == ((2L, 4L, 500000L)))
     assert(rep.filter(_.getString(0) == "t_nonempty").head.getLong(2) == 2L)
     assert(rep.filter(_.getString(0) == "v_nonneg").head.getLong(2) == 2L)
+  }
+
+  test("expectationReport on an empty frame: null pass_ppm, no division") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val rep = Quality.expectationReport(empty, col("id"),
+      Seq("v_positive" -> (col("v") <= 0L))).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    assert(r.getAs[Long]("n_violations") == 0L &&
+      r.getAs[Long]("n_rows") == 0L &&
+      r.isNullAt(r.fieldIndex("pass_ppm")),
+      "an empty input must report a NULL pass rate, not divide by zero")
   }
 
   test("expectationReport: a clean rule reports zero and a null offender") {

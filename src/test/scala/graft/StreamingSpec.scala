@@ -472,6 +472,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tableRows() == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 7L -> 70L))
   }
 
+  test("mvMaintainTxStream: pruned per-batch folds == batch state, replay-safe " +
+      "without the whole-dir swap") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mvtx").toString
+    val table = s"$dir/state"
+    val mem = MemoryStream[(Long, Long, Long)] // (id, bucket, v)
+    val df = mem.toDF().toDF("id", "bucket", "v")
+    def stateOf(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy("bucket").agg(
+        count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    def run() = Streaming.mvMaintainTxStream(df, stateOf, Seq("bucket"),
+      adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"),
+      tablePath = table, checkpointDir = s"$dir/ckpt", nBuckets = 4)
+      .awaitTermination()
+    mem.addData((1L, 1L, 5L), (2L, 1L, -3L), (3L, 2L, 7L))
+    run()
+    mem.addData((4L, 2L, 100L), (5L, 3L, -50L))
+    run()
+    val all = Seq((1L, 1L, 5L), (2L, 1L, -3L), (3L, 2L, 7L),
+      (4L, 2L, 100L), (5L, 3L, -50L))
+    val batchState = stateOf(all.toDF("id", "bucket", "v"))
+      .orderBy("bucket").collect().toSeq
+    def readState() = graft.sources.Tx.read(spark, table)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    assert(readState() == batchState,
+      "per-trigger Tx folds must equal the batch aggregation")
+    val vBefore = graft.sources.Tx.versions(table).max
+    // wipe the checkpoint: the SAME data replays under the same batch ids
+    val ck = java.nio.file.Paths.get(s"$dir/ckpt")
+    val st = java.nio.file.Files.walk(ck)
+    try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally st.close()
+    run()
+    assert(graft.sources.Tx.versions(table).max == vBefore,
+      "replayed batch ids must commit no new version")
+    assert(readState() == batchState,
+      "replayed additive folds must not double-count")
+  }
+
   test("mvMaintainStream: a crash between the two swap renames recovers") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_mvc").toString

@@ -117,15 +117,156 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         "the disjoint fast path re-links, it does not rewrite")
   }
 
-  test("manifest meta round-trips and latestMeta survives interleaving") {
+  test("meta carries forward through unmarked commits AND vacuum") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"), Seq("id"),
       nBuckets = 2, meta = Map("stream_batch_id" -> "7"))
     Tx.commitMerge(spark, path, Seq((2L, 2L)).toDF("id", "v"), Seq("id"),
-      nBuckets = 2) // a non-stream commit carries no marker
-    assert(Tx.latest(path).get.meta.isEmpty)
+      nBuckets = 2) // a non-stream commit carries no marker of its own
+    assert(Tx.latest(path).get.meta.get("stream_batch_id").contains("7"),
+      "meta must carry forward into the unmarked commit's manifest")
+    assert(Tx.latestMeta(path, "stream_batch_id").contains("7"))
+    // vacuum retires the ONLY manifest the marker was originally stamped
+    // on — the carried copy in the kept manifest must keep the streaming
+    // replay guard alive (a reset guard would re-commit old batches)
+    Tx.vacuum(path, keepVersions = 1, minOrphanAgeMs = 0L)
+    assert(Tx.versions(path) == Seq(2L))
     assert(Tx.latestMeta(path, "stream_batch_id").contains("7"),
-      "the marker must survive an interleaved unmarked commit")
+      "vacuum must not reset the carried replay guard")
+  }
+
+  test("a commit's own meta overrides the carried value") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2, meta = Map("stream_batch_id" -> "7"))
+    Tx.commitMerge(spark, path, Seq((2L, 2L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2, meta = Map("stream_batch_id" -> "8"))
+    assert(Tx.latestMeta(path, "stream_batch_id").contains("8"))
+  }
+
+  test("an empty batch with meta stamps a new version over the same data") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val before = rows(Tx.read(spark, path))
+    val v = Tx.commitMerge(spark, path,
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), nBuckets = 2,
+      meta = Map("stream_batch_id" -> "3"))
+    assert(v == 2L, "a stamped empty commit must publish a version")
+    assert(Tx.snapshot(path, 2L).dirs == Tx.snapshot(path, 1L).dirs,
+      "an empty commit carries every bucket by reference")
+    assert(Tx.latestMeta(path, "stream_batch_id").contains("3"))
+    assert(rows(Tx.read(spark, path)) == before)
+  }
+
+  test("the table schema survives deleting every key (typed empty read)") {
+    val path = tmp()
+    val b1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 2)
+    Tx.commitDelete(spark, path, Seq(1L, 2L).toDF("id"), Seq("id"), nBuckets = 2)
+    val empty = Tx.read(spark, path)
+    assert(empty.count() == 0L)
+    assert(empty.schema == b1.schema,
+      "an all-deleted table must serve the recorded schema, not lose it")
+    // and the table stays usable: a subsequent merge round-trips
+    Tx.commitMerge(spark, path, Seq((3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    assert(rows(Tx.read(spark, path)) == Seq((3L, 30L)))
+  }
+
+  test("batches with drifted column types are rejected (merge and delete)") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    // xxhash64 is type-sensitive: an int id=1 hashes to a different
+    // bucket than the table's long id=1 — accepted, it would DUPLICATE
+    // the matched key instead of replacing it
+    val intBatch = Seq((1, 99L)).toDF("id", "v") // id is IntegerType
+    val e1 = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, intBatch, Seq("id"), nBuckets = 2))
+    assert(e1.getMessage.contains("schema"))
+    val e2 = intercept[IllegalArgumentException](
+      Tx.commitDelete(spark, path, Seq(1).toDF("id"), Seq("id"), nBuckets = 2))
+    assert(e2.getMessage.contains("type-sensitive"))
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)), "table unchanged")
+  }
+
+  test("NULL merge keys are rejected (they can never match, only duplicate)") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val withNull = Seq((Some(1L), 99L), (None, 50L))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, withNull, Seq("id"), nBuckets = 2))
+    assert(e.getMessage.contains("NULL"))
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)))
+  }
+
+  test("delete-vs-merge CAS races preserve both effects (model check)") {
+    // overlapping keys, both interleavings: the loser must re-derive on
+    // the winner's snapshot so the final table equals the Map model
+    // applied in commit order.
+    // (a) DELETE loses to a racing MERGE on the same key
+    val p1 = tmp()
+    Tx.commitMerge(spark, p1,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 2)
+    var raced1 = false
+    Tx.commitDelete(spark, p1, Seq(1L, 2L).toDF("id"), Seq("id"),
+      nBuckets = 2, beforeCas = () => {
+        if (!raced1) {
+          raced1 = true // winner updates 2 and inserts 3 mid-delete
+          Tx.commitMerge(spark, p1,
+            Seq((2L, 222L), (3L, 30L)).toDF("id", "v"), Seq("id"), nBuckets = 2)
+        }
+      })
+    // model: {1->10,2->20} ++ {2->222,3->30} -- {1,2} = {3->30}
+    assert(rows(Tx.read(spark, p1)).toMap == Map(3L -> 30L),
+      "the re-derived delete must remove the winner's updated row too")
+    // (b) MERGE loses to a racing DELETE of an overlapping key
+    val p2 = tmp()
+    Tx.commitMerge(spark, p2,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 2)
+    var raced2 = false
+    Tx.commitMerge(spark, p2, Seq((1L, 111L)).toDF("id", "v"), Seq("id"),
+      nBuckets = 2, beforeCas = () => {
+        if (!raced2) {
+          raced2 = true // winner deletes 1 and 2 mid-merge
+          Tx.commitDelete(spark, p2, Seq(1L, 2L).toDF("id"),
+            Seq("id"), nBuckets = 2)
+        }
+      })
+    // model: {1->10,2->20} -- {1,2} ++ {1->111} = {1->111}
+    assert(rows(Tx.read(spark, p2)).toMap == Map(1L -> 111L),
+      "the re-derived merge must land on the post-delete snapshot")
+  }
+
+  test("vacuum age-gates true orphans: fresh staged dirs survive") {
+    val path = tmp()
+    for (i <- 1 to 3)
+      Tx.commitMerge(spark, path,
+        Seq((i.toLong, i * 100L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    // simulate an IN-FLIGHT commit: data written, manifest not yet linked
+    val fresh = java.nio.file.Paths.get(path, "data", "c-inflight", "__b=0")
+    java.nio.file.Files.createDirectories(fresh)
+    // and a CRASH ORPHAN from long ago
+    val stale = java.nio.file.Paths.get(path, "data", "c-stale", "__b=0")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.setLastModifiedTime(stale.getParent,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Tx.vacuum(path, keepVersions = 1) // default 1 h orphan retention
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk.contains("c-inflight"),
+      "a fresh unreferenced dir may be an in-flight commit — must survive")
+    assert(!onDisk.contains("c-stale"), "a stale orphan must be deleted")
+    // retired dirs (referenced only by DROPPED manifests) go regardless
+    // of age: a published manifest proves its writer finished
+    val referenced = Tx.latest(path).get.dirs.values
+      .map(_.split("/")(1)).toSet
+    assert((onDisk - "c-inflight") == referenced,
+      "dirs retired with their manifests must be deleted immediately")
   }
 
   test("vacuum keeps the newest versions and their files only") {
