@@ -137,6 +137,12 @@ object Mv {
     * stamps the manifest; a replay with an id ≤ the newest stamped id is
     * a no-op, closing the crash-AFTER-commit window too. Returns the
     * table version the state is current as of.
+    *
+    * `bucketKeys` is the pruning dial (see [[graft.sources.Tx
+    * .commitMerge]]): for time-keyed state, bucket on the COARSE time
+    * column (the day, not the (day, hour) pair) so a time-local batch
+    * touches only its days' buckets instead of hash-scattering over all
+    * of them — the Tx analogue of q246's hive partition pruning.
     */
   def refreshTx(
       spark: SparkSession,
@@ -148,7 +154,8 @@ object Mv {
       maxs: Seq[String] = Nil,
       nBuckets: Int = 16,
       batchId: Option[Long] = None,
-      beforeCas: () => Unit = () => ()): Long = {
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil): Long = {
     import graft.sources.Tx
     val committed = batchId.flatMap(_ =>
       Tx.latestMeta(tablePath, "mv_batch_id").map(_.toLong))
@@ -160,7 +167,7 @@ object Mv {
         // agree and the merged row keeps its bucket for the write
         Tx.commitFold(spark, tablePath, deltaAgg, keys, nBuckets,
           meta = batchId.map(id => "mv_batch_id" -> id.toString).toMap,
-          beforeCas = beforeCas)(
+          beforeCas = beforeCas, bucketKeys = bucketKeys)(
           (existing, delta) =>
             mergeState(existing, delta, keys :+ "__b", adds, mins, maxs))
     }

@@ -226,10 +226,14 @@ object MaintenanceQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft_mvtx").toString + "/t"
       val keys = Seq("p_day", "bucket_h")
+      // bucketed on the DAY alone (the coarse key), so the 6-day batch
+      // touches only its days' buckets — hashing the full (day, hour)
+      // key would scatter it over every bucket (q246's pruning, in Tx)
       def refresh(df: DataFrame, id: Long) =
         Mv.refreshTx(s, path, stateP(df), keys,
           adds = Seq("n_rows", "sum_v6"),
-          mins = Seq("min_v6"), maxs = Seq("max_v6"), batchId = Some(id))
+          mins = Seq("min_v6"), maxs = Seq("max_v6"), batchId = Some(id),
+          bucketKeys = Seq("p_day"))
       refresh(ev.filter(col("ts") < cut), 1L)
       refresh(ev.filter(col("ts") >= cut), 2L)
       refresh(ev.filter(col("ts") >= cut), 2L) // replay: must be a no-op

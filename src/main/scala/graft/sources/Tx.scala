@@ -79,6 +79,14 @@ object Tx {
     */
   val SchemaKey = "__schema"
 
+  /** Reserved manifest-meta key holding the bucket-key column list (the
+    * columns the bucket hash runs over). Recorded at the first data
+    * commit and enforced on every later one — rows must never migrate
+    * buckets, so the bucketing function is a property of the TABLE, not
+    * of a commit.
+    */
+  val BucketKeysKey = "__bucketkeys"
+
   private def vdir(path: String) = Paths.get(path, "_v")
 
   private def manifestName(v: Long) = f"v$v%013d.manifest"
@@ -177,6 +185,15 @@ object Tx {
     * how the streaming sink makes replays exactly-once). `beforeCas` is a
     * test seam: invoked between planning and publish so a spec can inject
     * a racing commit deterministically.
+    *
+    * `bucketKeys` (default: all of `keys`) selects WHICH key columns the
+    * bucket hash runs over — a SUBSET of the merge keys, so equal merge
+    * keys still always co-locate. Choosing a coarser bucket key is the
+    * format's partition-pruning dial: a time-keyed MV bucketed on its
+    * day column makes a time-local batch touch only its days' buckets,
+    * where hashing the full (day, hour) key would scatter it over every
+    * bucket and turn each refresh into a full-table rewrite. Recorded in
+    * the manifest at the first data commit and enforced afterward.
     */
   def commitMerge(
       spark: SparkSession,
@@ -186,9 +203,10 @@ object Tx {
       nBuckets: Int = 16,
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
-      beforeCas: () => Unit = () => ()): Long =
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitMerge", establishSchema = true) {
+      beforeCas, "commitMerge", establishSchema = true, bucketKeys) {
       case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
       case (None, withB, _) => withB
     }
@@ -212,10 +230,11 @@ object Tx {
       nBuckets: Int = 16,
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
-      beforeCas: () => Unit = () => ())(
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil)(
       fold: (DataFrame, DataFrame) => DataFrame): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitFold", establishSchema = true) {
+      beforeCas, "commitFold", establishSchema = true, bucketKeys) {
       case (Some(existing), withB, _) => fold(existing, withB)
       case (None, withB, _) => withB
     }
@@ -238,10 +257,11 @@ object Tx {
       nBuckets: Int = 16,
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
-      beforeCas: () => Unit = () => ()): Long =
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil): Long =
     commitRewrite(spark, path, keysBatch.select(keys.map(col): _*),
       keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete",
-      establishSchema = false) {
+      establishSchema = false, bucketKeys) {
       case (Some(existing), withB, ks) => existing.join(withB, ks, "left_anti")
       case (None, withB, _) =>
         // nothing exists in these buckets — nothing to delete
@@ -269,9 +289,14 @@ object Tx {
       meta: Map[String, String],
       beforeCas: () => Unit,
       opName: String,
-      establishSchema: Boolean)(
+      establishSchema: Boolean,
+      bucketKeys: Seq[String])(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
+    val bk = if (bucketKeys.isEmpty) keys else bucketKeys
+    require(bk.forall(keys.contains),
+      s"bucket keys ${bk.mkString(",")} must be a subset of the merge " +
+        s"keys ${keys.mkString(",")} (equal merge keys must co-locate)")
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !k.startsWith("__") &&
         !(k + v).exists(c => c == '\n' || c == '\t') },
@@ -330,10 +355,20 @@ object Tx {
                   "type-sensitive")
             }
           }
+          // the bucketing function is a table property: enforce (or
+          // record, on the first data commit) the bucket-key columns
+          carried.get(BucketKeysKey) match {
+            case Some(rec) => require(rec == bk.mkString(","),
+              s"$opName: table is bucketed on ($rec), caller asked " +
+                s"(${bk.mkString(",")}) — rows would migrate buckets")
+            case None => ()
+          }
           val schemaEntry =
-            if (recorded.isEmpty && establishSchema)
+            (if (recorded.isEmpty && establishSchema)
               Map(SchemaKey -> staged.schema.json)
-            else Map.empty[String, String]
+            else Map.empty[String, String]) ++
+              (if (carried.contains(BucketKeysKey)) Map.empty
+              else Map(BucketKeysKey -> bk.mkString(",")))
           val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
           // DISJOINT REBASE: if the racing winner(s) touched none of OUR
           // buckets, our already-written files still reflect the current
@@ -348,7 +383,7 @@ object Tx {
               plan.foreach { case (dir, _, _, _) => // overlap: stale files
                 deleteRecursive(Paths.get(path, dir))
               }
-              val withB = staged.withColumn("__b", bucketOf(keys, nb))
+              val withB = staged.withColumn("__b", bucketOf(bk, nb))
               val t = withB.select("__b").distinct()
                 .collect().map(_.getInt(0)).sorted.toSeq
               val existingDirs = t.flatMap(b => baseDirs.get(b))
@@ -356,7 +391,7 @@ object Tx {
               val existing =
                 if (existingDirs.isEmpty) None
                 else Some(spark.read.parquet(existingDirs: _*)
-                  .withColumn("__b", bucketOf(keys, nb)))
+                  .withColumn("__b", bucketOf(bk, nb)))
               val rewritten = op(existing, withB, keys)
               // one file per bucket: each writer task owns one bucket
               val dir = s"data/c-${java.util.UUID.randomUUID()}"

@@ -415,7 +415,8 @@ object Streaming {
       tablePath: String = null,
       checkpointDir: String = null,
       nBuckets: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      bucketKeys: Seq[String] = Nil): StreamingQuery = {
     require(tablePath != null && checkpointDir != null)
     events.writeStream
       .outputMode(OutputMode.Append)
@@ -424,7 +425,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Mv.refreshTx(
           batch.sparkSession, tablePath, stateOf(batch), keys,
-          adds, mins, maxs, nBuckets, batchId = Some(batchId))
+          adds, mins, maxs, nBuckets, batchId = Some(batchId),
+          bucketKeys = bucketKeys)
         ()
       }
       .start()

@@ -526,6 +526,28 @@ object ScaleProbe {
     val nPruned = spark.read.parquet(pPruned).count()
     require(nPruned == nMerge,
       s"pruned-refresh bucket count must equal the merge: $nPruned vs $nMerge")
+
+    // r10: the Tx-table path (q251's operator) under the same state
+    // depth — refreshTx folds the batch into only its touched buckets
+    // and commits via one manifest CAS, so like the pruned hive refresh
+    // it should stay FLAT as state depth grows, while ALSO being atomic
+    // and replay-detectable (what the in-place overwrite gives up).
+    // bucketed on the DAY alone: the batch's ~30 days prune to ≤30 of
+    // 256 buckets; hashing the full (day, hour) key would scatter the
+    // batch over every bucket and re-read ALL state
+    val pTx = java.nio.file.Files
+      .createTempDirectory("graft_probe_mvtx").toString + "/t"
+    graft.operators.Mv.refreshTx(spark, pTx, statePd(hist), keys,
+      accs._1, accs._2, accs._3, nBuckets = 256, batchId = Some(1L),
+      bucketKeys = Seq("p_day"))
+    timed("Tx refresh (touched day-buckets + manifest CAS)") {
+      graft.operators.Mv.refreshTx(spark, pTx, statePd(batch), keys,
+        accs._1, accs._2, accs._3, nBuckets = 256, batchId = Some(2L),
+        bucketKeys = Seq("p_day"))
+    }
+    val nTx = graft.sources.Tx.read(spark, pTx).count()
+    require(nTx == nMerge,
+      s"Tx-refresh bucket count must equal the merge: $nTx vs $nMerge")
   }
 
   /** TxTable commit probe — runnable ALONE via

@@ -241,6 +241,48 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "the re-derived merge must land on the post-delete snapshot")
   }
 
+  test("coarse bucketKeys prune: a day-local batch touches only its bucket") {
+    val path = tmp()
+    // composite merge key (day, hour); bucket hash on day ALONE, so a
+    // one-day batch rewrites one bucket no matter how many hours it has
+    val mk = Seq("day", "hour")
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("day", "hour", "v")
+    Tx.commitMerge(spark, path,
+      df(Seq((1L, 0L, 10L), (1L, 1L, 11L), (2L, 0L, 20L), (3L, 0L, 30L))),
+      mk, nBuckets = 8, bucketKeys = Seq("day"))
+    val s1 = Tx.latest(path).get
+    // batch: ALL hours of day 1 — would scatter over several buckets if
+    // hashed on (day, hour); on day alone it touches exactly one
+    Tx.commitMerge(spark, path,
+      df(Seq((1L, 0L, 100L), (1L, 1L, 111L), (1L, 2L, 122L))),
+      mk, nBuckets = 8, bucketKeys = Seq("day"))
+    val s2 = Tx.latest(path).get
+    val changed = (s1.dirs.keySet ++ s2.dirs.keySet)
+      .filter(b => s1.dirs.get(b) != s2.dirs.get(b))
+    assert(changed.size == 1,
+      s"a one-day batch must rewrite exactly one day-bucket, got $changed")
+    val fin = Tx.read(spark, path).orderBy("day", "hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fin == Seq((1L, 0L, 100L), (1L, 1L, 111L), (1L, 2L, 122L),
+      (2L, 0L, 20L), (3L, 0L, 30L)),
+      "merge semantics must hold across the coarse bucketing")
+  }
+
+  test("the bucket-key columns are a table property: drift is rejected") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 2L, 3L)).toDF("day", "hour", "v"),
+      Seq("day", "hour"), nBuckets = 8, bucketKeys = Seq("day"))
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 2L, 4L)).toDF("day", "hour", "v"),
+        Seq("day", "hour"), nBuckets = 8)) // defaults to ALL keys — drift
+    assert(e.getMessage.contains("bucketed on"))
+    // and bucket keys outside the merge keys are rejected up front
+    val e2 = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 2L, 4L)).toDF("day", "hour", "v"),
+        Seq("day", "hour"), nBuckets = 8, bucketKeys = Seq("v")))
+    assert(e2.getMessage.contains("subset"))
+  }
+
   test("vacuum age-gates true orphans: fresh staged dirs survive") {
     val path = tmp()
     for (i <- 1 to 3)
