@@ -164,10 +164,16 @@ object Mv {
         Tx.latest(tablePath).get.version // replayed batch: no-op
       case _ =>
         // __b joins too: it's a pure function of the keys, so both sides
-        // agree and the merged row keeps its bucket for the write
+        // agree and the merged row keeps its bucket for the write.
+        // abortIf re-checks the stamp INSIDE the CAS loop: a CONCURRENT
+        // duplicate of this batch (two schedulers firing the same run)
+        // would pass the pre-check above on both sides; the CAS loser
+        // must then see the winner's stamp and abort, not fold twice.
         Tx.commitFold(spark, tablePath, deltaAgg, keys, nBuckets,
           meta = batchId.map(id => "mv_batch_id" -> id.toString).toMap,
-          beforeCas = beforeCas, bucketKeys = bucketKeys)(
+          beforeCas = beforeCas, bucketKeys = bucketKeys,
+          abortIf = snap => batchId.exists(id =>
+            snap.meta.get("mv_batch_id").exists(_.toLong >= id)))(
           (existing, delta) =>
             mergeState(existing, delta, keys :+ "__b", adds, mins, maxs))
     }

@@ -128,11 +128,17 @@ object Tx {
     * manifest normally answers directly — and retiring old manifests
     * ([[vacuum]]) can never reset e.g. a streaming sink's batch-id
     * replay guard; the backward scan remains for tables written before
-    * carry-forward.
+    * carry-forward. A manifest that disappears mid-scan (a concurrent
+    * [[vacuum]] retiring old versions) is skipped, not fatal — the scan
+    * only ever reaches retired versions when the key is absent from
+    * every live one.
     */
   def latestMeta(path: String, key: String): Option[String] =
     versions(path).reverse.view
-      .flatMap(v => snapshot(path, v).meta.get(key)).headOption
+      .flatMap { v =>
+        try snapshot(path, v).meta.get(key)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }.headOption
 
   def latest(path: String): Option[Snapshot] =
     versions(path).lastOption.map(snapshot(path, _))
@@ -194,6 +200,15 @@ object Tx {
     * where hashing the full (day, hour) key would scatter it over every
     * bucket and turn each refresh into a full-table rewrite. Recorded in
     * the manifest at the first data commit and enforced afterward.
+    *
+    * `abortIf(snapshot)` is re-evaluated against the CURRENT snapshot on
+    * every CAS attempt; true makes the whole commit a no-op returning
+    * that snapshot's version. This is how an idempotence guard stays
+    * sound under CONCURRENT duplicates (two schedulers firing the same
+    * batch): checking a batch-id stamp only before the commit is a
+    * TOCTOU — both writers pass, the CAS loser re-derives and applies
+    * the same delta twice; with the guard inside the retry loop the
+    * loser sees the winner's stamp and aborts instead.
     */
   def commitMerge(
       spark: SparkSession,
@@ -204,9 +219,10 @@ object Tx {
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => (),
-      bucketKeys: Seq[String] = Nil): Long =
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitMerge", establishSchema = true, bucketKeys) {
+      beforeCas, "commitMerge", establishSchema = true, bucketKeys, abortIf) {
       case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
       case (None, withB, _) => withB
     }
@@ -231,10 +247,11 @@ object Tx {
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => (),
-      bucketKeys: Seq[String] = Nil)(
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false)(
       fold: (DataFrame, DataFrame) => DataFrame): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitFold", establishSchema = true, bucketKeys) {
+      beforeCas, "commitFold", establishSchema = true, bucketKeys, abortIf) {
       case (Some(existing), withB, _) => fold(existing, withB)
       case (None, withB, _) => withB
     }
@@ -258,10 +275,11 @@ object Tx {
       maxAttempts: Int = 5,
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => (),
-      bucketKeys: Seq[String] = Nil): Long =
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false): Long =
     commitRewrite(spark, path, keysBatch.select(keys.map(col): _*),
       keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete",
-      establishSchema = false, bucketKeys) {
+      establishSchema = false, bucketKeys, abortIf) {
       case (Some(existing), withB, ks) => existing.join(withB, ks, "left_anti")
       case (None, withB, _) =>
         // nothing exists in these buckets — nothing to delete
@@ -290,7 +308,8 @@ object Tx {
       beforeCas: () => Unit,
       opName: String,
       establishSchema: Boolean,
-      bucketKeys: Seq[String])(
+      bucketKeys: Seq[String],
+      abortIf: Snapshot => Boolean)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
     val bk = if (bucketKeys.isEmpty) keys else bucketKeys
@@ -318,6 +337,14 @@ object Tx {
       while (attempt < maxAttempts) {
         attempt += 1
         val snap = latest(path)
+        // idempotence guard INSIDE the retry loop: a CAS loser whose
+        // duplicate already won must abort, not re-apply (see commitMerge)
+        snap.filter(abortIf).foreach { sp =>
+          plan.foreach { case (dir, _, _, _) =>
+            deleteRecursive(Paths.get(path, dir))
+          }
+          return sp.version
+        }
         val nb = snap.map(_.nBuckets).getOrElse(nBuckets)
         require(nb == nBuckets || snap.isEmpty,
           s"table has nbuckets=$nb, caller asked $nBuckets")

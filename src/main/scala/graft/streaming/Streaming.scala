@@ -387,9 +387,14 @@ object Streaming {
           .latestMeta(tablePath, "stream_batch_id")
           .map(_.toLong).getOrElse(-1L)
         if (batchId > committed) {
+          // abortIf closes the TOCTOU the pre-check leaves open: a
+          // zombie attempt of the same micro-batch racing this one
+          // loses the CAS, re-checks the winner's stamp, and no-ops
           graft.sources.Tx.commitMerge(
             batch.sparkSession, tablePath, batch, keys, nBuckets,
-            meta = Map("stream_batch_id" -> batchId.toString))
+            meta = Map("stream_batch_id" -> batchId.toString),
+            abortIf = snap => snap.meta.get("stream_batch_id")
+              .exists(_.toLong >= batchId))
         }
         ()
       }

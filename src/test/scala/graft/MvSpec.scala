@@ -215,6 +215,37 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     // — but it is UNREFERENCED, so correctness never depended on it
   }
 
+  test("refreshTx: a CONCURRENT duplicate of the same batch folds once") {
+    // two schedulers fire the same batch id at once: both pass the
+    // before-commit replay check (neither has committed yet), so the
+    // guard must hold INSIDE the CAS retry — the loser re-reads the
+    // winner's snapshot, sees its own batch id stamped, and aborts
+    // instead of re-deriving (which would double-count additive state).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvtx_dup").toString + "/t"
+    val df = rows.toDF("id", "bucket", "v")
+    val base = state(df.filter(col("id") % 10 =!= 0))
+    val delta = state(df.filter(col("id") % 10 === 0))
+    def refresh(d: org.apache.spark.sql.DataFrame, id: Long,
+        hook: () => Unit = () => ()) =
+      Mv.refreshTx(spark, root, d, Seq("bucket"),
+        adds = Seq("n", "s"), mins = Seq("mn"), maxs = Seq("mx"),
+        nBuckets = 4, batchId = Some(id), beforeCas = hook)
+    refresh(base, 1L)
+    var raced = false
+    val v = refresh(delta, 2L, hook = () => {
+      if (!raced) { raced = true; refresh(delta, 2L) } // the duplicate wins
+    })
+    assert(v == graft.sources.Tx.latest(root).get.version,
+      "the loser must return the winner's version")
+    val merged = graft.sources.Tx.read(spark, root)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    val scratch = state(df)
+      .select("bucket", "n", "s", "mn", "mx").orderBy("bucket").collect().toSeq
+    assert(merged == scratch,
+      "concurrent duplicates of one batch must fold it exactly once")
+  }
+
   test("expectationReport counts every rule per row, suite-style") {
     val df = Seq(
       (1L, "ok", 5.0), (2L, "", -1.0), (3L, "", 3.0), (4L, "x", -9.0))

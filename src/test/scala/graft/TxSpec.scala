@@ -283,6 +283,26 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("subset"))
   }
 
+  test("latestMeta skips a manifest a concurrent vacuum just deleted") {
+    val path = tmp()
+    for (i <- 1 to 3)
+      Tx.commitMerge(spark, path, Seq((i.toLong, i * 10L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 2, meta = Map("m" -> i.toString))
+    // simulate the race (listed by versions(), gone by the time the scan
+    // reads it) deterministically: a dangling symlink IS a directory
+    // entry whose read throws NoSuchFileException — exactly what a
+    // manifest deleted between listing and reading looks like
+    val ghost = java.nio.file.Paths.get(path, "_v", "v0000000000099.manifest")
+    java.nio.file.Files.createSymbolicLink(ghost,
+      java.nio.file.Paths.get(path, "_v", "never-existed"))
+    assert(Tx.versions(path).contains(99L), "the ghost must be listed")
+    assert(Tx.latestMeta(path, "m").contains("3"),
+      "the scan must skip the vanished manifest and find the live value")
+    assert(Tx.latestMeta(path, "nonexistent").isEmpty,
+      "an absent key must scan past the hole without throwing")
+    java.nio.file.Files.delete(ghost)
+  }
+
   test("vacuum age-gates true orphans: fresh staged dirs survive") {
     val path = tmp()
     for (i <- 1 to 3)
