@@ -407,6 +407,41 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.versions(path).size == 6)
   }
 
+  test("model check: random merge/fold/delete sequences land on the Map model") {
+    // commitFold joins the model check: fold = additive accumulator merge
+    // (matched keys SUM, unmatched insert) — the refreshTx combine. The
+    // table after any interleaving of the three ops must equal the
+    // trivial in-memory model.
+    val path = tmp()
+    var seed = 0x5851f42d4c957f2dL
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    var model = Map.empty[Long, Long]
+    for (step <- 1 to 9) {
+      val ids = (0 until 4).map(_ => math.abs(nxt()) % 10 + 1).distinct
+      step % 3 match {
+        case 0 if model.nonEmpty =>
+          Tx.commitDelete(spark, path, ids.toDF("id"), Seq("id"), nBuckets = 4)
+          model = model -- ids
+        case 1 =>
+          val batch = ids.map(i => (i, step * 1000L + i))
+          Tx.commitMerge(spark, path, batch.toDF("id", "v"),
+            Seq("id"), nBuckets = 4)
+          model = model ++ batch
+        case _ =>
+          val batch = ids.map(i => (i, step * 10L + i))
+          Tx.commitFold(spark, path, batch.toDF("id", "v"),
+            Seq("id"), nBuckets = 4)(
+            (existing, delta) => graft.operators.Mv.mergeState(
+              existing, delta, Seq("id", "__b"), adds = Seq("v")))
+          model = batch.foldLeft(model) { case (m, (k, v)) =>
+            m + (k -> (m.getOrElse(k, 0L) + v))
+          }
+      }
+      assert(rows(Tx.read(spark, path)).toMap == model,
+        s"table diverged from the model after step $step")
+    }
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
