@@ -45,7 +45,13 @@ import java.nio.file.{Files, Path, Paths}
   *    buckets on the merge keys; a commit rewrites only its batch's
   *    touched buckets and carries every other bucket's entry FORWARD BY
   *    REFERENCE. Untouched buckets are byte-identical across versions
-  *    structurally — same files, not re-written equal files.
+  *    structurally — same files, not re-written equal files. A useful
+  *    corollary: a bucket never FRAGMENTS — every manifest points at
+  *    exactly one directory per bucket (the last rewrite that touched
+  *    it), so there is no small-file accretion and no compaction step;
+  *    the delete-log formats' read-side merge cost simply doesn't exist
+  *    here, at the price of rewriting a whole bucket per touch (which
+  *    `nBuckets` sizes).
   *
   * The table SCHEMA is recorded in the manifest (`meta:__schema=` — the
   * StructType JSON) at the first data commit and carried forward with
@@ -420,6 +426,18 @@ object Tx {
                 else Some(spark.read.parquet(existingDirs: _*)
                   .withColumn("__b", bucketOf(bk, nb)))
               val rewritten = op(existing, withB, keys)
+              // the rewrite's schema lands in the table's files: a
+              // caller-supplied fold returning the wrong shape would
+              // poison every later read of these buckets — fail the
+              // commit BEFORE any file exists, with the diff named
+              // (merge/delete are table-shaped by construction; this
+              // guards commitFold's user-defined combine)
+              val expect = recorded.map(fieldTypes)
+                .getOrElse(fieldTypes(staged.schema)) + ("__b" -> org.apache.spark.sql.types.IntegerType)
+              require(fieldTypes(rewritten.schema) == expect,
+                s"$opName: the rewrite produced ${rewritten.schema.simpleString}" +
+                  s" but the table (plus __b) needs ${expect.toSeq.sortBy(_._1)
+                    .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
               // one file per bucket: each writer task owns one bucket
               val dir = s"data/c-${java.util.UUID.randomUUID()}"
               rewritten.repartition(t.length.max(1), col("__b"))

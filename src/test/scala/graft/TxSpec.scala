@@ -442,6 +442,28 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a mis-shaped commitFold combine fails before any file is written") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val vBefore = Tx.latest(path).get.version
+    val e = intercept[IllegalArgumentException](
+      Tx.commitFold(spark, path, Seq((1L, 5L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 2)(
+        // a buggy fold: drops v, renames nothing sensibly
+        (existing, delta) => delta.select(col("id"), col("__b"))))
+    assert(e.getMessage.contains("needs"))
+    assert(Tx.latest(path).get.version == vBefore, "no version published")
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)), "table unchanged")
+    // and no orphan data dir was staged by the failed fold
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val referenced = Tx.latest(path).get.dirs.values
+      .map(_.split("/")(1)).toSet
+    assert(onDisk == referenced,
+      "the failed commit must not leave staged files behind")
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
