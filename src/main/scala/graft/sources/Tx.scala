@@ -78,7 +78,8 @@ object Tx {
 
   final case class Snapshot(
       version: Long, nBuckets: Int, dirs: Map[Int, String],
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      stats: Map[Int, String] = Map.empty)
 
   /** Reserved manifest-meta key holding the table schema JSON. Caller
     * meta keys may not start with "__".
@@ -92,6 +93,24 @@ object Tx {
     * of a commit.
     */
   val BucketKeysKey = "__bucketkeys"
+
+  /** Reserved manifest-meta key holding the MERGE-key column list. The
+    * merge keys define what "matched" means, so letting them drift
+    * between commits would silently change the table's identity
+    * semantics — recorded (sorted) at the first data commit and
+    * enforced on every later one, like [[BucketKeysKey]]. Also what
+    * [[changes]] joins on to classify a version diff.
+    */
+  val KeysKey = "__keys"
+
+  /** Reserved manifest-meta key holding the zone-map column list: the
+    * columns whose per-bucket min/max land in the manifest at every
+    * commit (see [[readRange]]). A table property like the other two —
+    * enabling stats later is legal (buckets written before then simply
+    * carry no stats and are never pruned), changing the column SET is
+    * not.
+    */
+  val StatsColsKey = "__statscols"
 
   private def vdir(path: String) = Paths.get(path, "_v")
 
@@ -122,11 +141,15 @@ object Tx {
       val Array(k, v) = l.stripPrefix("meta:").split("=", 2)
       k -> v
     }.toMap
-    val dirs = bucketLines.map { l =>
-      val Array(b, dir) = l.split("\t", 2)
-      b.toInt -> dir
-    }.toMap
-    Snapshot(version, nb, dirs, meta)
+    val parsed = bucketLines.map { l =>
+      l.split("\t", 3) match {
+        case Array(b, dir) => (b.toInt, dir, "")
+        case Array(b, dir, st) => (b.toInt, dir, st)
+      }
+    }
+    val dirs = parsed.map { case (b, dir, _) => b -> dir }.toMap
+    val stats = parsed.collect { case (b, _, st) if st.nonEmpty => b -> st }.toMap
+    Snapshot(version, nb, dirs, meta, stats)
   }
 
   /** Newest value of a metadata key across committed versions (newest
@@ -161,11 +184,17 @@ object Tx {
       else latest(path).getOrElse(
         throw new IllegalStateException(s"no committed version in $path"))
     val dirs = snap.dirs.values.toSeq.sorted.map(rel => s"$path/$rel")
-    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-    else snap.meta.get(SchemaKey) match {
-      case Some(js) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(js).asInstanceOf[StructType])
+    val recorded = snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (dirs.nonEmpty)
+      // read under THIS version's recorded schema: buckets written before
+      // an [[addColumn]] lack the evolved column and must serve nulls for
+      // it — and time travel to a pre-evolution version serves that
+      // version's schema, because the schema rides in its manifest
+      recorded.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+    else recorded match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], st)
       case None => spark.emptyDataFrame
     }
   }
@@ -174,6 +203,257 @@ object Tx {
   def schemaOf(path: String): Option[StructType] =
     latest(path).flatMap(_.meta.get(SchemaKey))
       .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** SCHEMA EVOLUTION — add a nullable column at the end of the recorded
+    * schema, as a metadata-only commit (no data motion: existing files
+    * are never touched; readers fill the new column with null because
+    * every read resolves columns against the manifest schema, not the
+    * parquet footers). The new schema binds FORWARD: later commits must
+    * send the evolved shape, while time travel to earlier versions still
+    * serves THEIR schema — the schema is versioned with the data. Only
+    * additive evolution is supported (rename/drop/retype would need
+    * column ids in the files, stated in the header's honest scope).
+    */
+  def addColumn(
+      path: String, name: String, dataType: DataType,
+      maxAttempts: Int = 5): Long = {
+    require(!name.startsWith("__") &&
+      !name.exists(c => c == '\n' || c == '\t' || c == ','),
+      s"illegal column name '$name'")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"addColumn: no committed version in $path"))
+      val st = sp.meta.get(SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"addColumn: $path has no recorded schema (no data commit yet)"))
+      require(!st.fieldNames.contains(name),
+        s"addColumn: column '$name' already exists")
+      val ns = StructType(st.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (SchemaKey -> ns.json), sp.stats))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"addColumn lost $maxAttempts CAS races on $path")
+  }
+
+  /** CHANGE DATA FEED — the row-level diff between two committed
+    * versions, classified as insert / update / delete in a `_change`
+    * column (updates carry the POST row, deletes the pre row). This is
+    * the primitive an incremental downstream consumer needs at 100 TB:
+    * instead of rescanning the table per refresh, it processes
+    * `changes(lastSeen, latest)` — whose COST is O(changed buckets),
+    * never O(table), because the manifest diff names exactly the buckets
+    * whose data directory changed between the two versions and only
+    * those are read on either side. Rows in a rewritten bucket that came
+    * through BYTE-identical (a merge re-landing the same value) are
+    * compared out (null-safe equality over the non-key columns), so the
+    * feed carries real changes only. Across an [[addColumn]] boundary
+    * both sides read under the NEWER schema (the old side serves nulls
+    * for the evolved column). Derived from the endpoint snapshots, so a
+    * row inserted and deleted strictly between them does not appear —
+    * the feed is the net diff, not the commit log.
+    */
+  def changes(
+      spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
+    val a = snapshot(path, fromVersion)
+    val b = snapshot(path, toVersion)
+    val keys = b.meta.get(KeysKey).map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"changes: $path has no recorded merge keys (no data commit yet)"))
+    val schema = b.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"changes: $path has no recorded schema"))
+    val changed = (a.dirs.keySet ++ b.dirs.keySet)
+      .filter(k => a.dirs.get(k) != b.dirs.get(k))
+    def side(sp: Snapshot) = {
+      val ds = changed.toSeq.sorted.flatMap(sp.dirs.get)
+        .map(rel => s"$path/$rel")
+      if (ds.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(ds: _*)
+    }
+    val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val o = side(a).select(keys.map(col) ++
+      nonKeys.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__in_o"): _*)
+    val n = side(b).select(keys.map(col) ++
+      nonKeys.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__in_n"): _*)
+    val unchanged =
+      if (nonKeys.isEmpty) lit(true)
+      else nonKeys.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    o.join(n, keys, "full_outer")
+      .withColumn("_change",
+        when(col("__in_o").isNull, lit("insert"))
+          .when(col("__in_n").isNull, lit("delete"))
+          .when(unchanged, lit(null))
+          .otherwise(lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(keys.map(col) ++ nonKeys.map(c =>
+        when(col("_change") === "delete", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change"): _*)
+  }
+
+  /** DATA SKIPPING — read only the buckets whose zone map can intersect
+    * `[lo, hi]` on `colName`, then apply the exact range filter. The
+    * zone maps live in the manifest (recorded per touched bucket at
+    * every commit when the table declares `statsCols`), so pruning costs
+    * one manifest read — no file listing, no footer reads: at 100 TB a
+    * time-range query over a day-bucketed table opens the matching
+    * buckets' directories and nothing else. Pruning is an optimization,
+    * never a correctness lever: buckets without stats (written before
+    * stats were enabled) are always kept, and the exact filter runs over
+    * whatever is read. Bounds must be finite, non-null values of a type
+    * comparable to the column.
+    */
+  def readRange(
+      spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    val snap =
+      if (version >= 0) snapshot(path, version)
+      else latest(path).getOrElse(
+        throw new IllegalStateException(s"no committed version in $path"))
+    val kept = pruneBuckets(snap, colName, lo, hi)
+    val dirs = kept.toSeq.sorted.flatMap(snap.dirs.get)
+      .map(rel => s"$path/$rel")
+    val recorded = snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val base =
+      if (dirs.nonEmpty)
+        recorded.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+      else recorded match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], st)
+        case None => spark.emptyDataFrame
+      }
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** (kept buckets, all data-bearing buckets) for a range probe — the
+    * observable behind [[readRange]], exposed so callers and specs can
+    * ASSERT pruning happened rather than assume it.
+    */
+  def pruneInfo(
+      path: String, colName: String, lo: Any, hi: Any,
+      version: Long = -1L): (Set[Int], Set[Int]) = {
+    val snap =
+      if (version >= 0) snapshot(path, version)
+      else latest(path).getOrElse(
+        throw new IllegalStateException(s"no committed version in $path"))
+    (pruneBuckets(snap, colName, lo, hi), snap.dirs.keySet)
+  }
+
+  private def pruneBuckets(
+      snap: Snapshot, colName: String, lo: Any, hi: Any): Set[Int] = {
+    val lb = statBig(lo).getOrElse(throw new IllegalArgumentException(
+      s"readRange: lower bound $lo must be a finite, non-null value"))
+    val ub = statBig(hi).getOrElse(throw new IllegalArgumentException(
+      s"readRange: upper bound $hi must be a finite, non-null value"))
+    snap.dirs.keySet.filter { b =>
+      snap.stats.get(b).flatMap(parseStats(_).get(colName)) match {
+        case None => true // no zone map for this bucket/column: never prune
+        case Some((_, _, true)) => false // all-null: a range never matches
+        case Some((mn, mx, _)) =>
+          // keep unless the zone provably misses: zone entirely above hi
+          // or entirely below lo; an unbounded side (NaN/∞ landed in the
+          // zone) keeps the bucket on that side
+          mn.forall(_ <= ub) && mx.forall(_ >= lb)
+      }
+    }
+  }
+
+  /** Is `t` usable as a zone-map column? (Types with a total order that
+    * encodes losslessly into the manifest's decimal reprs.)
+    */
+  private def statSupported(t: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** One external value → its decimal-comparable stat repr; None for
+    * null and for non-finite floats (an unbounded zone side).
+    */
+  private def statBig(v: Any): Option[BigDecimal] = v match {
+    case null => None
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case t: java.sql.Timestamp => // epoch micros
+      Some(BigDecimal(t.getTime) * 1000 +
+        BigDecimal((t.getNanos % 1000000) / 1000))
+    case i: java.time.Instant =>
+      Some(BigDecimal(i.getEpochSecond) * 1000000 +
+        BigDecimal(i.getNano / 1000))
+    case ldt: java.time.LocalDateTime => // timestamp_ntz: anchor at UTC
+      statBig(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case other => throw new IllegalArgumentException(
+      s"unsupported zone-map value ${other.getClass.getName}")
+  }
+
+  /** Decode one bucket's manifest stats field:
+    * colName -> (min, max, allNull); `*` = unbounded side, `~` = the
+    * bucket has no non-null values for the column.
+    */
+  private def parseStats(
+      enc: String): Map[String, (Option[BigDecimal], Option[BigDecimal], Boolean)] =
+    enc.split(";").iterator.filter(_.nonEmpty).map { e =>
+      val Array(c, spec) = e.split("=", 2)
+      if (spec == "~") c -> ((None, None, true))
+      else {
+        val Array(mn, mx) = spec.split(",", 2)
+        def p(s: String) =
+          if (s == "*") None else Some(BigDecimal(s))
+        c -> ((p(mn), p(mx), false))
+      }
+    }.toMap
+
+  /** Zone maps for a just-written commit directory: one bounded agg over
+    * the commit's own files (touched buckets only), collected as
+    * O(touched buckets) rows.
+    */
+  private def computeBucketStats(
+      spark: SparkSession, commitDir: String, cols: Seq[String],
+      schema: StructType): Map[Int, String] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    spark.read.parquet(commitDir) // fresh homogeneous footers + __b part col
+      .groupBy("__b").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getAs[Number]("__b").intValue()
+        val enc = cols.map { c =>
+          val mn = statBig(r.getAs[Any](s"__mn_$c"))
+          val mx = statBig(r.getAs[Any](s"__mx_$c"))
+          val spec =
+            if (r.isNullAt(r.fieldIndex(s"__mn_$c")) &&
+                r.isNullAt(r.fieldIndex(s"__mx_$c"))) "~"
+            else s"${mn.map(_.toString).getOrElse("*")}," +
+              s"${mx.map(_.toString).getOrElse("*")}"
+          s"$c=$spec"
+        }.mkString(";")
+        b -> enc
+      }.toMap
+  }
 
   /** The bucket of a row: fixed hash of the merge keys — rows can never
     * migrate buckets, which is what makes the bucket-scoped rewrite
@@ -226,9 +506,11 @@ object Tx {
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => (),
       bucketKeys: Seq[String] = Nil,
-      abortIf: Snapshot => Boolean = _ => false): Long =
+      abortIf: Snapshot => Boolean = _ => false,
+      statsCols: Seq[String] = Nil): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitMerge", establishSchema = true, bucketKeys, abortIf) {
+      beforeCas, "commitMerge", establishSchema = true, bucketKeys, abortIf,
+      statsCols) {
       case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
       case (None, withB, _) => withB
     }
@@ -254,10 +536,12 @@ object Tx {
       meta: Map[String, String] = Map.empty,
       beforeCas: () => Unit = () => (),
       bucketKeys: Seq[String] = Nil,
-      abortIf: Snapshot => Boolean = _ => false)(
+      abortIf: Snapshot => Boolean = _ => false,
+      statsCols: Seq[String] = Nil)(
       fold: (DataFrame, DataFrame) => DataFrame): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitFold", establishSchema = true, bucketKeys, abortIf) {
+      beforeCas, "commitFold", establishSchema = true, bucketKeys, abortIf,
+      statsCols) {
       case (Some(existing), withB, _) => fold(existing, withB)
       case (None, withB, _) => withB
     }
@@ -285,7 +569,7 @@ object Tx {
       abortIf: Snapshot => Boolean = _ => false): Long =
     commitRewrite(spark, path, keysBatch.select(keys.map(col): _*),
       keys, nBuckets, maxAttempts, meta, beforeCas, "commitDelete",
-      establishSchema = false, bucketKeys, abortIf) {
+      establishSchema = false, bucketKeys, abortIf, Nil) {
       case (Some(existing), withB, ks) => existing.join(withB, ks, "left_anti")
       case (None, withB, _) =>
         // nothing exists in these buckets — nothing to delete
@@ -315,7 +599,8 @@ object Tx {
       opName: String,
       establishSchema: Boolean,
       bucketKeys: Seq[String],
-      abortIf: Snapshot => Boolean)(
+      abortIf: Snapshot => Boolean,
+      statsCols: Seq[String])(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
     val bk = if (bucketKeys.isEmpty) keys else bucketKeys
@@ -337,8 +622,10 @@ object Tx {
         s"$opName: NULL values in merge key(s) ${keys.mkString(", ")} — " +
           "a NULL key never matches and would silently duplicate")
       // a surviving plan from a lost race: (commitDir, touched buckets,
-      // buckets the rewrite actually produced, the base dirs it saw)
-      var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String])] = None
+      // buckets the rewrite actually produced, the base dirs it saw,
+      // the written buckets' zone-map stats)
+      var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String],
+        Map[Int, String])] = None
       var attempt = 0
       while (attempt < maxAttempts) {
         attempt += 1
@@ -346,7 +633,7 @@ object Tx {
         // idempotence guard INSIDE the retry loop: a CAS loser whose
         // duplicate already won must abort, not re-apply (see commitMerge)
         snap.filter(abortIf).foreach { sp =>
-          plan.foreach { case (dir, _, _, _) =>
+          plan.foreach { case (dir, _, _, _, _) =>
             deleteRecursive(Paths.get(path, dir))
           }
           return sp.version
@@ -365,7 +652,7 @@ object Tx {
             case Some(sp) if meta.isEmpty => return sp.version
             case Some(sp) =>
               if (tryPublish(path, sp.version + 1, nb, sp.dirs,
-                  carried ++ meta)) return sp.version + 1
+                  carried ++ meta, sp.stats)) return sp.version + 1
             // CAS lost: fall through and retry on the new snapshot
           }
         } else {
@@ -396,24 +683,61 @@ object Tx {
                 s"(${bk.mkString(",")}) — rows would migrate buckets")
             case None => ()
           }
+          // so are the MERGE keys: they define what "matched" means, and
+          // [[changes]] relies on them to classify a version diff
+          val keysCanon = keys.sorted.mkString(",")
+          carried.get(KeysKey) match {
+            case Some(rec) => require(rec == keysCanon,
+              s"$opName: table merge keys are ($rec), caller asked " +
+                s"($keysCanon) — key drift would change matched-row " +
+                "semantics mid-table")
+            case None => ()
+          }
+          // zone-map columns: a table property too — recorded stats cols
+          // win; a caller may ENABLE stats on a stat-less table (earlier
+          // buckets simply carry none and are never pruned) but never
+          // change the recorded set
+          val recordedStats = carried.get(StatsColsKey)
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          val effStatsCols =
+            if (recordedStats.nonEmpty) {
+              require(statsCols.isEmpty ||
+                statsCols.sorted == recordedStats,
+                s"$opName: table records zone-map stats on " +
+                  s"(${recordedStats.mkString(",")}), caller asked " +
+                  s"(${statsCols.mkString(",")})")
+              recordedStats
+            } else statsCols.sorted
+          val statsSchema = recorded.getOrElse(staged.schema)
+          effStatsCols.foreach { c =>
+            val t = fieldTypes(statsSchema).get(c)
+            require(t.exists(statSupported),
+              s"$opName: zone-map column '$c' must exist with a " +
+                s"numeric/date/timestamp type, got $t")
+          }
           val schemaEntry =
             (if (recorded.isEmpty && establishSchema)
               Map(SchemaKey -> staged.schema.json)
             else Map.empty[String, String]) ++
               (if (carried.contains(BucketKeysKey)) Map.empty
-              else Map(BucketKeysKey -> bk.mkString(",")))
+              else Map(BucketKeysKey -> bk.mkString(","))) ++
+              (if (carried.contains(KeysKey)) Map.empty
+              else Map(KeysKey -> keysCanon)) ++
+              (if (effStatsCols.nonEmpty && recordedStats.isEmpty)
+                Map(StatsColsKey -> effStatsCols.mkString(","))
+              else Map.empty[String, String])
           val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
           // DISJOINT REBASE: if the racing winner(s) touched none of OUR
           // buckets, our already-written files still reflect the current
           // truth of those buckets — re-link them onto the new base
           // without re-deriving or rewriting anything.
-          val reusable = plan.filter { case (_, touched, _, planBase) =>
+          val reusable = plan.filter { case (_, touched, _, planBase, _) =>
             touched.forall(b => baseDirs.get(b) == planBase.get(b))
           }
-          val (commitDir, touched, written) = reusable match {
-            case Some((dir, t, w, _)) => (dir, t, w)
+          val (commitDir, touched, written, wStats) = reusable match {
+            case Some((dir, t, w, _, st)) => (dir, t, w, st)
             case None =>
-              plan.foreach { case (dir, _, _, _) => // overlap: stale files
+              plan.foreach { case (dir, _, _, _, _) => // overlap: stale
                 deleteRecursive(Paths.get(path, dir))
               }
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
@@ -423,7 +747,12 @@ object Tx {
                 .map(rel => s"$path/$rel")
               val existing =
                 if (existingDirs.isEmpty) None
-                else Some(spark.read.parquet(existingDirs: _*)
+                // read old buckets under the RECORDED schema: buckets
+                // written before an addColumn lack the evolved column
+                // and must serve nulls for it, and mixed-footer dirs
+                // must not leave the column set to parquet inference
+                else Some(recorded.fold(spark.read)(spark.read.schema)
+                  .parquet(existingDirs: _*)
                   .withColumn("__b", bucketOf(bk, nb)))
               val rewritten = op(existing, withB, keys)
               // the rewrite's schema lands in the table's files: a
@@ -446,18 +775,30 @@ object Tx {
               // buckets the rewrite EMPTIED produce no directory — they
               // must leave the manifest, not point at a missing path
               val w = listBucketDirs(Paths.get(path, dir))
-              (dir, t, w)
+              // zone maps for what actually LANDED: one bounded agg over
+              // the commit's own files (touched buckets only, never the
+              // table), collected as O(touched) rows for the manifest
+              val st =
+                if (effStatsCols.isEmpty || w.isEmpty) Map.empty[Int, String]
+                else computeBucketStats(
+                  spark, s"$path/$dir", effStatsCols, statsSchema)
+              (dir, t, w, st)
           }
-          plan = Some((commitDir, touched, written, baseDirs))
+          plan = Some((commitDir, touched, written, baseDirs, wStats))
           val newDirs = (baseDirs -- touched) ++
             written.map(b => b -> s"$commitDir/__b=$b").toMap
+          // untouched buckets keep their stats by reference, exactly like
+          // their data dirs; touched-but-emptied buckets drop both
+          val newStats = (snap.map(_.stats).getOrElse(Map.empty) -- touched) ++
+            wStats
           beforeCas()
           val next = snap.map(_.version + 1).getOrElse(1L)
-          if (tryPublish(path, next, nb, newDirs, carried ++ schemaEntry ++ meta))
+          if (tryPublish(path, next, nb, newDirs,
+              carried ++ schemaEntry ++ meta, newStats))
             return next
         }
       }
-      plan.foreach { case (dir, _, _, _) =>
+      plan.foreach { case (dir, _, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them
       }
       throw new IllegalStateException(
@@ -478,15 +819,23 @@ object Tx {
     else latest(path).map(_.version).getOrElse( // raced: winner's version
       throw new IllegalStateException(s"v1 exists but unreadable in $path"))
 
-  /** Publish version `v` via hard-link CAS; false on conflict. */
+  /** Publish version `v` via hard-link CAS; false on conflict. A bucket
+    * line optionally carries its zone-map stats as a third tab field.
+    */
   private def tryPublish(
       path: String, v: Long, nb: Int, dirs: Map[Int, String],
-      meta: Map[String, String]): Boolean = {
+      meta: Map[String, String],
+      stats: Map[Int, String] = Map.empty): Boolean = {
     val d = vdir(path)
     Files.createDirectories(d)
     val body = ((s"nbuckets=$nb" +:
       meta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
-      dirs.toSeq.sortBy(_._1).map { case (b, dir) => s"$b\t$dir" })
+      dirs.toSeq.sortBy(_._1).map { case (b, dir) =>
+        stats.get(b) match {
+          case Some(st) => s"$b\t$dir\t$st"
+          case None => s"$b\t$dir"
+        }
+      })
       .mkString("\n")
     val tmp = Files.createTempFile(d, ".tmp-", ".manifest")
     try {

@@ -464,6 +464,189 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "the failed commit must not leave staged files behind")
   }
 
+  test("the merge keys are a table property: drift is rejected") {
+    val path = tmp()
+    // bucket on day so a later keys=(day) call keeps the SAME bucket
+    // function and specifically trips the merge-key guard, not the
+    // bucket-key one
+    Tx.commitMerge(spark, path, Seq((1L, 2L, 3L)).toDF("day", "hour", "v"),
+      Seq("day", "hour"), nBuckets = 4, bucketKeys = Seq("day"))
+    // narrowing the keys would change what "matched" means mid-table
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 2L, 4L)).toDF("day", "hour", "v"),
+        Seq("day"), nBuckets = 4, bucketKeys = Seq("day")))
+    assert(e.getMessage.contains("merge keys"))
+    // and commitDelete is held to the same recorded keys
+    val e2 = intercept[IllegalArgumentException](
+      Tx.commitDelete(spark, path, Seq(1L).toDF("day"),
+        Seq("day"), nBuckets = 4, bucketKeys = Seq("day")))
+    assert(e2.getMessage.contains("merge keys"))
+  }
+
+  test("changes: insert/update/delete classified; unchanged rows absent") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    // v2: update 2 (real change), re-land 3 with the SAME value (bucket
+    // rewritten, row unchanged — must NOT appear), insert 4
+    Tx.commitMerge(spark, path,
+      Seq((2L, 222L), (3L, 30L), (4L, 40L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val c12 = Tx.changes(spark, path, 1L, 2L)
+      .select("id", "v", "_change").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(c12 == Seq((2L, 222L, "update"), (4L, 40L, "insert")),
+      "the re-landed identical row must be compared out of the feed")
+    // v3: delete 1 and 4
+    Tx.commitDelete(spark, path, Seq(1L, 4L).toDF("id"), Seq("id"), nBuckets = 2)
+    val c23 = Tx.changes(spark, path, 2L, 3L)
+      .select("id", "v", "_change").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(c23 == Seq((1L, 10L, "delete"), (4L, 40L, "delete")),
+      "deletes must carry the pre-deletion row values")
+    // net diff across the whole span: insert-then-delete (4) vanishes
+    val c13 = Tx.changes(spark, path, 1L, 3L)
+      .select("id", "v", "_change").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(c13 == Seq((1L, 10L, "delete"), (2L, 222L, "update")),
+      "the feed is the net diff of the endpoint snapshots")
+  }
+
+  test("changes: model check against Map diffs over random sequences") {
+    val path = tmp()
+    var seed = 0x2545f4914f6cdd1dL
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    var model = Map.empty[Long, Long]
+    val snaps = scala.collection.mutable.ArrayBuffer(model)
+    for (step <- 1 to 6) {
+      val ids = (0 until 5).map(_ => math.abs(nxt()) % 12 + 1).distinct
+      if (step % 3 == 0 && model.nonEmpty) {
+        Tx.commitDelete(spark, path, ids.toDF("id"), Seq("id"), nBuckets = 4)
+        model = model -- ids
+      } else {
+        val batch = ids.map(i => (i, step * 1000L + i))
+        Tx.commitMerge(spark, path, batch.toDF("id", "v"), Seq("id"), nBuckets = 4)
+        model = model ++ batch
+      }
+      snaps += model
+    }
+    // every version pair must diff exactly like the models do
+    for (i <- 1 until snaps.size; j <- (i + 1) until snaps.size) {
+      val (mi, mj) = (snaps(i), snaps(j))
+      val expect = (
+        (mj.keySet -- mi.keySet).map(k => (k, mj(k), "insert")) ++
+          (mi.keySet -- mj.keySet).map(k => (k, mi(k), "delete")) ++
+          (mi.keySet & mj.keySet).collect {
+            case k if mi(k) != mj(k) => (k, mj(k), "update")
+          }).toSet
+      val got = Tx.changes(spark, path, i.toLong, j.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expect, s"changes($i, $j) diverged from the Map diff")
+    }
+  }
+
+  test("zone maps: recorded per commit, carried by reference, prune soundly") {
+    val path = tmp()
+    // composite key bucketed on day → each bucket holds whole days, so
+    // day zone maps are tight; v6 rides along as a second stats column
+    val mk = Seq("day", "hour")
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("day", "hour", "v6")
+    val all = for (d <- 1L to 8L; h <- 0L to 3L) yield (d, h, d * 100 + h)
+    Tx.commitMerge(spark, path, df(all), mk, nBuckets = 8,
+      bucketKeys = Seq("day"), statsCols = Seq("day", "v6"))
+    val s1 = Tx.latest(path).get
+    assert(s1.meta(Tx.StatsColsKey) == "day,v6")
+    assert(s1.dirs.keySet.forall(s1.stats.contains),
+      "every written bucket must carry its zone map")
+    // a one-day touch recomputes ONE bucket's stats; the rest carry
+    Tx.commitMerge(spark, path, df(Seq((3L, 0L, 999L))), mk, nBuckets = 8,
+      bucketKeys = Seq("day"))
+    val s2 = Tx.latest(path).get
+    val changed = s1.dirs.keySet.filter(b => s1.dirs(b) != s2.dirs(b))
+    assert(changed.size == 1)
+    assert((s1.dirs.keySet -- changed).forall(b => s2.stats(b) == s1.stats(b)),
+      "untouched buckets must carry their stats string by reference")
+    assert(s2.stats(changed.head).contains("999") ||
+      s2.stats(changed.head) != s1.stats(changed.head),
+      "the touched bucket's zone map must be recomputed")
+    // pruning: a narrow day range keeps a strict subset, and the pruned
+    // read equals the full-scan filter for EVERY probed range
+    for ((lo, hi) <- Seq((1L, 1L), (2L, 4L), (7L, 8L), (0L, 99L), (40L, 50L))) {
+      val (kept, total) = Tx.pruneInfo(path, "day", lo, hi)
+      assert(kept.subsetOf(total))
+      val pruned = Tx.readRange(spark, path, "day", lo, hi)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = Tx.read(spark, path)
+        .filter(col("day") >= lo && col("day") <= hi)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pruned == full, s"pruned read diverged on [$lo,$hi]")
+      if (hi < 40) assert(kept.size < total.size,
+        s"a narrow range must prune some of the 8 day-buckets ([$lo,$hi])")
+      else if (lo == 0L) assert(kept == total)
+      else assert(kept.isEmpty, "a fully-out-of-zone range must read nothing")
+    }
+    // second stats column prunes independently of the bucket key
+    val (keptV, totalV) = Tx.pruneInfo(path, "v6", 100L, 103L)
+    assert(keptV.size < totalV.size)
+    // buckets written BEFORE stats were enabled are kept, never pruned
+    val p2 = tmp()
+    Tx.commitMerge(spark, p2, df(Seq((1L, 0L, 10L))), mk, nBuckets = 4,
+      bucketKeys = Seq("day"))
+    Tx.commitMerge(spark, p2, df(Seq((2L, 0L, 20L))), mk, nBuckets = 4,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    val (kept2, total2) = Tx.pruneInfo(p2, "day", 1L, 1L)
+    assert(total2.size == 2 && kept2.size == 1,
+      "the stat-less day-1 bucket must be kept even though its zone is " +
+        "unknown; the stats-bearing day-2 bucket must be pruned")
+    assert(Tx.readRange(spark, p2, "day", 1L, 1L).count() == 1L,
+      "the row living in the stat-less bucket must still be served")
+    // and the recorded stats columns are a table property
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, df(Seq((1L, 0L, 1L))), mk, nBuckets = 8,
+        bucketKeys = Seq("day"), statsCols = Seq("hour")))
+    assert(e.getMessage.contains("zone-map"))
+  }
+
+  test("addColumn: nulls for old rows, versioned schema, forward binding") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val v2 = Tx.addColumn(path, "tag", org.apache.spark.sql.types.StringType)
+    assert(v2 == 2L)
+    // old buckets serve null for the evolved column
+    val now = Tx.read(spark, path).select("id", "v", "tag").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(now.toSeq == Seq((1L, 10L, None), (2L, 20L, None)))
+    // time travel serves the PRE-evolution schema
+    assert(!Tx.read(spark, path, version = 1L).schema.fieldNames.contains("tag"))
+    // the new schema binds forward: an old-shaped batch is rejected
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((3L, 30L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 2))
+    assert(e.getMessage.contains("schema"))
+    // a new-shaped batch merges; untouched old rows keep serving null
+    Tx.commitMerge(spark, path,
+      Seq((2L, 222L, "hot"), (3L, 30L, "new")).toDF("id", "v", "tag"),
+      Seq("id"), nBuckets = 2)
+    val fin = Tx.read(spark, path).select("id", "v", "tag").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(fin.toSeq == Seq((1L, 10L, None), (2L, 222L, Some("hot")),
+      (3L, 30L, Some("new"))))
+    // changes across the evolution boundary: old side nulls the column
+    val c = Tx.changes(spark, path, 1L, 3L)
+      .select("id", "v", "tag", "_change").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getString(3)))
+    assert(c.toSeq == Seq((2L, 222L, Some("hot"), "update"),
+      (3L, 30L, Some("new"), "insert")))
+    // adding a duplicate or reserved name is rejected
+    intercept[IllegalArgumentException](
+      Tx.addColumn(path, "tag", org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException](
+      Tx.addColumn(path, "__b", org.apache.spark.sql.types.LongType))
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
