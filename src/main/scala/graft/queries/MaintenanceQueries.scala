@@ -242,6 +242,95 @@ object MaintenanceQueries {
           col("min_v6"), col("max_v6"), col("p_day"))
         .orderBy("bucket_h")
     }),
+    // CHANGE DATA FEED — the row-level diff between two table versions,
+    // the primitive an incremental downstream consumer needs at 100 TB:
+    // process changes(lastSeen, latest) instead of rescanning the table.
+    // Cost is O(changed buckets): the manifest diff names exactly the
+    // buckets whose directory changed, and only those are read on either
+    // side. Three commits (base / merge of updates+inserts / delete of
+    // every 7th key), then both adjacent feeds unioned: v1→v2 must carry
+    // the inserts and the REAL updates only (rows a rewrite re-landed
+    // byte-identical — value*2 == value for 0/NaN — are compared out),
+    // v2→v3 the deletes with their pre-deletion values. The oracle
+    // derives all three classes from raw, blind to the format — a feed
+    // that leaks an unchanged row, drops a class, or carries post-delete
+    // values hash-fails.
+    "q253_tx_changes" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_c").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      Tx.commitMerge(s, path, updates.unionByName(inserts),
+        Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        Tx.read(s, path).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      Tx.changes(s, path, 1L, 2L).withColumn("span", lit("v1_v2"))
+        .unionByName(
+          Tx.changes(s, path, 2L, 3L).withColumn("span", lit("v2_v3")))
+        .select("span", "_change", "event_id", "user_id", "event_type", "value")
+        .orderBy("span", "_change", "event_id")
+    }),
+    // DATA SKIPPING off the manifest's zone maps: the events table lives
+    // in Tx keyed (p_day, event_id), bucketed on the day, with per-bucket
+    // day min/max recorded at every commit. A 5-day range read prunes to
+    // the buckets whose zone can intersect — asserted in-plan
+    // (require kept < total, q54's asserted-dir-opens discipline) and
+    // surfaced as a hash-gated contract boolean. The second commit
+    // re-lands one day unchanged, so the feed exercises stats RECOMPUTE
+    // on the touched bucket and by-reference carry on the others before
+    // the read. The oracle filter-aggregates raw — a pruned bucket that
+    // held in-range rows, or a kept bucket double-read, hash-fails.
+    "q254_tx_skipread" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_z").toString + "/t"
+      val keys = Seq("p_day", "event_id")
+      // 32 buckets over ~30 days → day zones stay tight enough to prune
+      Tx.commitMerge(s, path, ev, keys, nBuckets = 32,
+        bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
+      Tx.commitMerge(s, path, ev.filter(col("p_day") === 20240105L),
+        keys, nBuckets = 32, bucketKeys = Seq("p_day"))
+      val (kept, total) = Tx.pruneInfo(path, "p_day", 20240110L, 20240114L)
+      require(kept.size < total.size,
+        s"zone maps must prune day-buckets: kept ${kept.size}/${total.size}")
+      Tx.readRange(s, path, "p_day", 20240110L, 20240114L)
+        .groupBy("p_day")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+        .withColumn("pruned_ok", lit(kept.size < total.size))
+        .orderBy("p_day")
+    }),
+    // SCHEMA EVOLUTION — a nullable column added as a metadata-only
+    // commit (no data motion), then a post-evolution merge fills it for
+    // every 10th key. The final read must serve the evolved column from
+    // BOTH bucket generations: null for rows whose files predate the
+    // column, 'hot' for the re-merged rows — proving reads resolve
+    // columns against the manifest schema, not the parquet footers. The
+    // oracle derives the same frame from raw with a CASE — an evolution
+    // that rewrote data, dropped old rows' nulls, or leaked the column
+    // into the pre-evolution snapshot (pinned in TxSpec) hash-fails.
+    "q255_tx_evolve" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "value")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_e").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      Tx.addColumn(path, "tier", org.apache.spark.sql.types.StringType)
+      val upd = Tx.read(s, path).filter(col("event_id") % 10 === 0)
+        .withColumn("tier", lit("hot"))
+      Tx.commitMerge(s, path, upd, Seq("event_id"), nBuckets = 16)
+      Tx.read(s, path)
+        .select("event_id", "user_id", "value", "tier")
+        .orderBy("event_id")
+    }),
     // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
     // incrementally WITHOUT approximation: distinct is not mergeable at
     // the view grain, so the persisted state keeps the finer
@@ -421,6 +510,50 @@ object MaintenanceQueries {
           max($v6) AS max_v6,
           CAST(strftime(date_trunc('hour', ts), '%Y%m%d') AS BIGINT) AS p_day
           FROM events GROUP BY 1, 6 ORDER BY 1""".replaceAll("\\s+", " "),
+    // all three change classes derived from raw, blind to the format:
+    // inserts = the shifted ids, updates = changed-value rows only
+    // (value*2 <> value compares out 0/NaN exactly like the feed's
+    // null-safe equality), deletes = the POST-merge table's every-7th
+    // rows with their pre-deletion values
+    "q253_tx_changes" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50),
+          merged AS (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming),
+          feed AS (
+            SELECT 'v1_v2' AS span, 'insert' AS _change,
+                event_id + 1000000 AS event_id, user_id, event_type, value
+              FROM existing WHERE event_id < 50
+            UNION ALL
+            SELECT 'v1_v2', 'update', event_id, user_id, event_type, value * 2
+              FROM existing WHERE event_id % 10 = 0 AND value * 2 <> value
+            UNION ALL
+            SELECT 'v2_v3', 'delete', event_id, user_id, event_type, value
+              FROM merged WHERE event_id % 7 = 0)
+          SELECT * FROM feed ORDER BY span, _change, event_id"""
+        .replaceAll("\\s+", " "),
+    // filter-aggregate from raw over the probed day range + literal TRUE
+    // for the in-plan pruning contract
+    "q254_tx_skipread" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            TRUE AS pruned_ok
+          FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // the evolved column derived from raw with a CASE: null for rows
+    // whose files predate the column, 'hot' for the re-merged keys
+    "q255_tx_evolve" ->
+      """SELECT event_id, user_id, value,
+          CASE WHEN event_id % 10 = 0 THEN 'hot' ELSE NULL END AS tier
+          FROM events ORDER BY event_id""".replaceAll("\\s+", " "),
     // scratch distinct from raw — never sees the (bucket, user) grain
     "q245_mv_distinct" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
