@@ -598,6 +598,61 @@ object ScaleProbe {
     val nFull = spark.read.parquet(fullPath).count()
     require(nTx == nFull, s"row counts must match: $nTx vs $nFull")
 
+    // r10: CHANGE FEED at scale — the incremental consumer's read. A
+    // small commit (4 keys → ≤4 of 256 buckets) is the realistic shape;
+    // changes(v2, v3) must cost O(those buckets' data), while the
+    // no-format baseline (diff the two snapshots end to end) pays a
+    // full-table full-outer join that grows with mult. Both must agree
+    // on the change count.
+    val tiny = big.filter(col("event_id") % 50021 === 0).limit(4)
+      .select(col("event_id"), col("user_id"), (col("v6") + 2).as("v6"))
+    val nTiny = tiny.count()
+    graft.sources.Tx.commitMerge(spark, tablePath, tiny, Seq("event_id"), nb)
+    timed(s"Tx.changes v2→v3 (manifest-pruned diff, ≤$nTiny buckets)") {
+      val n = graft.sources.Tx.changes(spark, tablePath, 2L, 3L).count()
+      require(n == nTiny, s"feed must carry exactly the tiny batch: $n")
+    }
+    timed("full-diff baseline (full-outer join of both snapshots)") {
+      val a = graft.sources.Tx.read(spark, tablePath, 2L)
+        .select(col("event_id"), col("user_id").as("u_a"), col("v6").as("v6_a"))
+      val b = graft.sources.Tx.read(spark, tablePath, 3L)
+        .select(col("event_id"), col("user_id").as("u_b"), col("v6").as("v6_b"))
+      val n = a.join(b, Seq("event_id"), "full_outer")
+        .filter(!(col("v6_a") <=> col("v6_b")) || !(col("u_a") <=> col("u_b")))
+        .count()
+      require(n == nTiny, s"baseline diff must match the feed: $n")
+    }
+
+    // r10: ZONE-MAP SKIP READ at growing per-day volume — 32 fixed days,
+    // rows per day grow with mult. The pruning decision is O(manifest)
+    // (no file listing, no footer reads) and the read touches only the
+    // matching days' buckets, so the skip read stays ~days/range cheaper
+    // than the full scan at every table size.
+    val zDays = 32
+    val zPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_txz").toString + "/t"
+    val zBig = big.select(
+      pmod(col("event_id"), lit(zDays)).cast("long").as("day"),
+      col("event_id"), col("v6"))
+    timed(s"land day-bucketed table w/ zone maps ($mult× rows, $zDays days)") {
+      graft.sources.Tx.commitMerge(spark, zPath, zBig,
+        Seq("day", "event_id"), 64, bucketKeys = Seq("day"),
+        statsCols = Seq("day"))
+    }
+    val (zKept, zTotal) = graft.sources.Tx.pruneInfo(zPath, "day", 10L, 13L)
+    println(s"[scale] zone maps keep ${zKept.size}/${zTotal.size} buckets " +
+      s"for a 4/$zDays-day range")
+    var nSkip = 0L; var nScan = 0L
+    timed("skip read: 4-day range via readRange") {
+      nSkip = graft.sources.Tx.readRange(spark, zPath, "day", 10L, 13L).count()
+    }
+    timed("full-scan baseline: read every bucket + filter") {
+      nScan = graft.sources.Tx.read(spark, zPath)
+        .filter(col("day").between(10L, 13L)).count()
+    }
+    require(nSkip == nScan && nSkip > 0,
+      s"skip read must equal the full-scan filter: $nSkip vs $nScan")
+
     // r10: vacuum + time travel at DEPTH — a long-lived table accretes
     // one manifest + one commit dir per batch; retention has to retire
     // them in time O(history) listing + O(retired files) deletes, and a
