@@ -179,6 +179,49 @@ object Mv {
     }
   }
 
+  /** Maintain a DOWNSTREAM additive MV from an upstream table's change
+    * feed ([[graft.sources.Tx.changes]] with `emitPre = true`) — the
+    * composition that lets a 100 TB consumer stay current WITHOUT
+    * rescanning the upstream table OR receiving the raw batches: the
+    * feed is O(changed buckets), the delta aggregation is feed-sized,
+    * and the merge is state-sized. Retraction math: inserts and update
+    * POST-images count `+1`, deletes and update PRE-images `-1`, so an
+    * update retracts its old contribution and adds its new one without
+    * the consumer knowing which column changed; a group whose support
+    * (row count) drops to zero leaves the state, matching a from-scratch
+    * aggregation that never saw its rows. Only ADDITIVE accumulators are
+    * retractable — a deleted extremum cannot be recomputed from
+    * state-sized information, so min/max either live at a finer grain
+    * (q245's composite-grain pattern) or are repaired by
+    * [[backfillPartitioned]].
+    *
+    * `feed` must carry `keys` (the state grain, usually derived from
+    * upstream columns by the caller's projection), the upstream columns
+    * the `adds` expressions read, and `_change`; a post-only "update"
+    * row (an `emitPre = false` feed) fails loudly rather than
+    * double-counting. `adds` maps each state accumulator to its
+    * per-upstream-row contribution; `support` names the entry that
+    * counts rows (`lit(1L)`).
+    */
+  def applyChangeFeed(
+      state: DataFrame,
+      feed: DataFrame,
+      keys: Seq[String],
+      adds: Seq[(String, Column)],
+      support: String): DataFrame = {
+    require(adds.exists(_._1 == support),
+      s"support column '$support' must be one of the adds")
+    val sign = when(col("_change").isin("insert", "update_post"), lit(1L))
+      .when(col("_change").isin("delete", "update_pre"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("applyChangeFeed needs a pre/post feed (Tx.changes emitPre=" +
+          "true); got _change="), col("_change"))))
+    val aggs = adds.map { case (n, e) => sum(sign * e).as(n) }
+    val delta = feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    mergeState(state, delta, keys, adds.map(_._1))
+      .filter(col(support) > 0L)
+  }
+
   /** Backfill: REPLACE a date range of persisted state with a fresh
     * scratch aggregation of that range — the repair path when a range is
     * known-bad (late-arriving corrections, a bug in a past refresh, a

@@ -308,6 +308,51 @@ object MaintenanceQueries {
         .withColumn("pruned_ok", lit(kept.size < total.size))
         .orderBy("p_day")
     }),
+    // DOWNSTREAM MV FROM THE CHANGE FEED — the full incremental loop:
+    // an upstream Tx table takes a merge (10% inserts + every-3rd-key
+    // value doubles) and a delete (every 7th key); the downstream hourly
+    // (count, sum) MV bootstraps ONCE from v1, then stays current by
+    // folding ONLY the two change feeds — never rescanning upstream,
+    // never seeing the raw batches. Updates retract via pre/post image
+    // pairs (emitPre): -old +new per changed row; deletes retract their
+    // pre-image; an hour whose support drops to zero leaves the state.
+    // The oracle aggregates the FINAL upstream content from raw, blind
+    // to the feed math — a missed retraction, a double-counted update,
+    // or a lingering zero-support group hash-fails. Cost shape at
+    // 100 TB: bootstrap O(table) once, then O(changed buckets) +
+    // O(state) per refresh.
+    "q256_mv_cdf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_f").toString + "/t"
+      def hour(df: DataFrame) = df.withColumn("bucket_h",
+        date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+      Tx.commitMerge(s, path, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      // downstream bootstrap: the one full scan, at subscription time
+      val state0 = Stage.through(mv(Tx.read(s, path)))
+      val updates = Tx.read(s, path).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, path,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        Tx.read(s, path).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      def feed(fromV: Long, toV: Long) =
+        hour(Tx.changes(s, path, fromV, toV, emitPre = true))
+          .select("bucket_h", "v6", "_change")
+      val adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6"))
+      Mv.applyChangeFeed(
+        Mv.applyChangeFeed(state0, feed(1L, 2L),
+          Seq("bucket_h"), adds, support = "n_rows"),
+        feed(2L, 3L), Seq("bucket_h"), adds, support = "n_rows")
+        .orderBy("bucket_h")
+    }),
     // SCHEMA EVOLUTION — a nullable column added as a metadata-only
     // commit (no data motion), then a post-evolution merge fills it for
     // every 10th key. The final read must serve the evolved column from
@@ -548,6 +593,19 @@ object MaintenanceQueries {
             TRUE AS pruned_ok
           FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
           GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // scratch aggregate of the FINAL upstream content derived from raw:
+    // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
+    // feed math (bootstrap + two retracting folds) must land exactly here
+    "q256_mv_cdf" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     // the evolved column derived from raw with a CASE: null for rows
     // whose files predate the column, 'hot' for the re-merged keys
     "q255_tx_evolve" ->

@@ -257,10 +257,18 @@ object Tx {
     * for the evolved column). Derived from the endpoint snapshots, so a
     * row inserted and deleted strictly between them does not appear —
     * the feed is the net diff, not the commit log.
+    *
+    * `emitPre = true` switches updates to PRE/POST image pairs (two rows,
+    * `_change` = "update_pre" with the old values and "update_post" with
+    * the new) — what a RETRACTING consumer needs: an additive downstream
+    * aggregate subtracts the pre-image and adds the post-image, so it
+    * never has to know WHICH column changed
+    * ([[graft.operators.Mv.applyChangeFeed]]).
     */
   def changes(
       spark: SparkSession, path: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      emitPre: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
     val a = snapshot(path, fromVersion)
@@ -289,16 +297,23 @@ object Tx {
     val unchanged =
       if (nonKeys.isEmpty) lit(true)
       else nonKeys.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    // one pass over the join: each row emits 0 (unchanged), 1
+    // (insert/delete/post-only update) or 2 (pre/post update pair)
+    // struct rows, exploded — never a second execution of the join
+    def img(side: String, label: String) = struct(
+      nonKeys.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(label).as("_change"): _*)
+    val emitted =
+      when(col("__in_o").isNull, array(img("n", "insert")))
+        .when(col("__in_n").isNull, array(img("o", "delete")))
+        .when(unchanged, lit(null)) // explode drops the row
+        .otherwise(
+          if (emitPre) array(img("n", "update_post"), img("o", "update_pre"))
+          else array(img("n", "update")))
     o.join(n, keys, "full_outer")
-      .withColumn("_change",
-        when(col("__in_o").isNull, lit("insert"))
-          .when(col("__in_n").isNull, lit("delete"))
-          .when(unchanged, lit(null))
-          .otherwise(lit("update")))
-      .filter(col("_change").isNotNull)
-      .select(keys.map(col) ++ nonKeys.map(c =>
-        when(col("_change") === "delete", col(s"__o_$c"))
-          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change"): _*)
+      .select(keys.map(col) :+ explode(emitted).as("__e"): _*)
+      .select(keys.map(col) ++ nonKeys.map(c => col(s"__e.$c").as(c)) :+
+        col("__e._change").as("_change"): _*)
   }
 
   /** DATA SKIPPING — read only the buckets whose zone map can intersect

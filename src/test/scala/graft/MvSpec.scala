@@ -9,6 +9,35 @@ import graft.operators.{Mv, Quality}
   * buckets present on only one side of the merge.
   */
 class MvSpec extends AnyFunSuite with SparkFixture {
+
+  test("applyChangeFeed: retraction math and zero-support removal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // state over two groups; feed: an update pair moving g1's row value
+    // 10→25, a delete emptying g2 entirely, an insert opening g3
+    val state0 = Seq(("g1", 2L, 30L), ("g2", 1L, 7L))
+      .toDF("g", "n_rows", "sum_v")
+    val feed = Seq(
+      ("g1", 10L, "update_pre"), ("g1", 25L, "update_post"),
+      ("g2", 7L, "delete"),
+      ("g3", 5L, "insert")).toDF("g", "v", "_change")
+    val out = graft.operators.Mv.applyChangeFeed(state0, feed, Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("g1", 2L, 45L), ("g3", 1L, 5L)),
+      "update retracts old and adds new; the emptied group must LEAVE " +
+        "the state (a scratch aggregation never saw its rows)")
+    // a post-only feed (emitPre=false) must fail loudly, not double-count
+    val postOnly = Seq(("g1", 25L, "update")).toDF("g", "v", "_change")
+    val e = intercept[Exception](
+      graft.operators.Mv.applyChangeFeed(state0, postOnly, Seq("g"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+        support = "n_rows").collect())
+    assert(e.getMessage.contains("emitPre") ||
+      Option(e.getCause).exists(_.getMessage.contains("emitPre")))
+  }
   import spark.implicits._
 
   private val rows = Seq(

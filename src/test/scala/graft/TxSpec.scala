@@ -513,6 +513,21 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "the feed is the net diff of the endpoint snapshots")
   }
 
+  test("changes emitPre: updates become pre/post image pairs") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    Tx.commitMerge(spark, path, Seq((2L, 99L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val feed = Tx.changes(spark, path, 1L, 2L, emitPre = true)
+      .select("id", "v", "_change").orderBy("id", "_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(feed == Seq((2L, 99L, "update_post"), (2L, 20L, "update_pre"),
+      (3L, 30L, "insert")),
+      "an update must emit its old row as update_pre and its new as " +
+        "update_post; inserts/deletes stay single rows")
+  }
+
   test("changes: model check against Map diffs over random sequences") {
     val path = tmp()
     var seed = 0x2545f4914f6cdd1dL
