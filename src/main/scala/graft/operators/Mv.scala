@@ -211,15 +211,89 @@ object Mv {
       support: String): DataFrame = {
     require(adds.exists(_._1 == support),
       s"support column '$support' must be one of the adds")
+    mergeState(state, changeDelta(feed, keys, adds), keys, adds.map(_._1))
+      .filter(col(support) > 0L)
+  }
+
+  /** The signed, feed-sized delta aggregation behind [[applyChangeFeed]]
+    * and [[followChanges]]: +1 for inserts/update-posts, -1 for
+    * deletes/update-pres, loud failure on a post-only "update" row.
+    */
+  private def changeDelta(
+      feed: DataFrame, keys: Seq[String],
+      adds: Seq[(String, Column)]): DataFrame = {
     val sign = when(col("_change").isin("insert", "update_post"), lit(1L))
       .when(col("_change").isin("delete", "update_pre"), lit(-1L))
       .otherwise(raise_error(concat(
         lit("applyChangeFeed needs a pre/post feed (Tx.changes emitPre=" +
           "true); got _change="), col("_change"))))
     val aggs = adds.map { case (n, e) => sum(sign * e).as(n) }
-    val delta = feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    mergeState(state, delta, keys, adds.map(_._1))
-      .filter(col(support) > 0L)
+    feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** FOLLOW an upstream Tx table's change feed into a DOWNSTREAM
+    * Tx-resident MV, exactly-once: the consumption CURSOR (the newest
+    * upstream version folded in) rides in the SAME manifest commit as
+    * the state it produced, so cursor and state can never diverge — a
+    * crash between them is unrepresentable, a replayed call sees the
+    * cursor and no-ops, and a CONCURRENT duplicate loses the CAS and
+    * aborts on the re-checked cursor (the `abortIf` discipline). Each
+    * call advances the state from the recorded cursor to the upstream's
+    * latest version in one fold whose input is the change feed — cost
+    * O(changed upstream buckets) + O(touched state buckets), never
+    * O(either table). The first call BOOTSTRAPS: it requires a fresh
+    * state table (folding a full snapshot into existing state would
+    * double-count) and loads the upstream snapshot as inserts.
+    *
+    * `project` maps feed rows (upstream columns + `_change`) to the
+    * state grain: it must emit `keys`, the columns the `adds`
+    * expressions read, and `_change`. Returns the downstream version the
+    * state is current as of.
+    */
+  def followChanges(
+      spark: SparkSession,
+      upstreamPath: String,
+      statePath: String,
+      keys: Seq[String],
+      adds: Seq[(String, Column)],
+      support: String,
+      project: DataFrame => DataFrame,
+      nBuckets: Int = 16,
+      bucketKeys: Seq[String] = Nil,
+      beforeCas: () => Unit = () => ()): Long = {
+    import graft.sources.Tx
+    require(adds.exists(_._1 == support),
+      s"support column '$support' must be one of the adds")
+    val target = Tx.latest(upstreamPath).getOrElse(
+      throw new IllegalStateException(
+        s"followChanges: upstream $upstreamPath has no committed version"))
+      .version
+    val cursor = Tx.latestMeta(statePath, "cdf_cursor").map(_.toLong)
+    cursor match {
+      case Some(c) if c >= target =>
+        Tx.latest(statePath).get.version // already caught up: no-op
+      case _ =>
+        val feed = cursor match {
+          case Some(c) =>
+            project(Tx.changes(spark, upstreamPath, c, target, emitPre = true))
+          case None =>
+            require(Tx.latest(statePath).isEmpty,
+              "followChanges: bootstrap needs a FRESH state table — " +
+                "folding a full upstream snapshot into existing state " +
+                "would double-count")
+            project(Tx.read(spark, upstreamPath, target)
+              .withColumn("_change", lit("insert")))
+        }
+        Tx.commitFold(spark, statePath, changeDelta(feed, keys, adds),
+          keys, nBuckets,
+          meta = Map("cdf_cursor" -> target.toString),
+          beforeCas = beforeCas, bucketKeys = bucketKeys,
+          abortIf = snap =>
+            snap.meta.get("cdf_cursor").exists(_.toLong >= target))(
+          (existing, delta) =>
+            mergeState(existing, delta, keys :+ "__b", adds.map(_._1))
+              .filter(col(support) > 0L))
+    }
   }
 
   /** Backfill: REPLACE a date range of persisted state with a fresh

@@ -353,6 +353,47 @@ object MaintenanceQueries {
         feed(2L, 3L), Seq("bucket_h"), adds, support = "n_rows")
         .orderBy("bucket_h")
     }),
+    // q256's loop run EXACTLY-ONCE through Tx-resident downstream state
+    // (Mv.followChanges): the consumption cursor rides in the SAME
+    // manifest commit as the state it produced, so a crash between
+    // cursor and state is unrepresentable and a REPLAYED follow (run
+    // in-query after v3) sees the cursor and commits nothing — a
+    // double-fold would hash-fail. Each follow's cost is O(changed
+    // upstream buckets) + O(touched state buckets). SAME oracle as q256:
+    // scratch from the final upstream content, blind to the cursor, the
+    // format, and the replay.
+    "q257_mv_follow" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val up = java.nio.file.Files
+        .createTempDirectory("graft_tx_fu").toString + "/t"
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_tx_fs").toString + "/t"
+      def follow() = Mv.followChanges(s, up, st, Seq("bucket_h"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
+        support = "n_rows",
+        project = df => df.withColumn("bucket_h",
+          date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+          .select("bucket_h", "v6", "_change"))
+      Tx.commitMerge(s, up, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      follow() // bootstrap from v1
+      val updates = Tx.read(s, up).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, up,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      follow() // fold v1→v2 changes
+      Tx.commitDelete(s, up,
+        Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      follow() // fold v2→v3 changes
+      follow() // REPLAY: cursor says caught up — must commit nothing
+      Tx.read(s, st)
+        .select("bucket_h", "n_rows", "sum_v6")
+        .orderBy("bucket_h")
+    }),
     // SCHEMA EVOLUTION — a nullable column added as a metadata-only
     // commit (no data motion), then a post-evolution merge fills it for
     // every 10th key. The final read must serve the evolved column from
@@ -597,6 +638,18 @@ object MaintenanceQueries {
     // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
     // feed math (bootstrap + two retracting folds) must land exactly here
     "q256_mv_cdf" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q256's oracle verbatim — the cursor discipline and the replay must
+    // be invisible to the final state
+    "q257_mv_follow" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0

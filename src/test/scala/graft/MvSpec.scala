@@ -10,6 +10,71 @@ import graft.operators.{Mv, Quality}
   */
 class MvSpec extends AnyFunSuite with SparkFixture {
 
+  test("followChanges: crash before CAS, blind retry, replay, duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val up = java.nio.file.Files.createTempDirectory("graft_fcu").toString + "/t"
+    val st = java.nio.file.Files.createTempDirectory("graft_fcs").toString + "/t"
+    def follow(beforeCas: () => Unit = () => ()) =
+      graft.operators.Mv.followChanges(spark, up, st, Seq("g"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+        support = "n_rows",
+        project = df => df.select(
+          (col("id") % 2).cast("string").as("g"), col("v"), col("_change")),
+        nBuckets = 4, beforeCas = beforeCas)
+    def state() = graft.sources.Tx.read(spark, st)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    follow() // bootstrap: g=0 -> (1, 20), g=1 -> (2, 40)
+    assert(state() == Seq(("0", 1L, 20L), ("1", 2L, 40L)))
+    // upstream moves: update 2 (20->25), delete 3, insert 4
+    graft.sources.Tx.commitMerge(spark, up, Seq((2L, 25L), (4L, 5L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    graft.sources.Tx.commitDelete(spark, up, Seq(3L).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    // CRASH between state write and cursor/state publish: nothing moved
+    val vBefore = graft.sources.Tx.latest(st).get.version
+    intercept[RuntimeException](
+      follow(beforeCas = () => throw new RuntimeException("crash")))
+    assert(graft.sources.Tx.latest(st).get.version == vBefore,
+      "a crash before the CAS must leave the state at its old version")
+    assert(state() == Seq(("0", 1L, 20L), ("1", 2L, 40L)))
+    // blind retry lands the fold exactly once
+    follow()
+    val expect = Seq(("0", 2L, 30L), ("1", 1L, 10L))
+    assert(state() == expect, "g0: +insert(4,5)+update 20->25; g1: -delete(3,30)")
+    // replay: cursor says caught up — no version committed
+    val vAfter = graft.sources.Tx.latest(st).get.version
+    follow()
+    assert(graft.sources.Tx.latest(st).get.version == vAfter)
+    assert(state() == expect)
+    // CONCURRENT duplicate: the loser must abort on the re-checked
+    // cursor, not fold the same feed twice
+    graft.sources.Tx.commitMerge(spark, up, Seq((5L, 100L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    var raced = false
+    follow(beforeCas = () => {
+      if (!raced) { raced = true; follow() } // the duplicate wins the CAS
+    })
+    assert(state() == Seq(("0", 2L, 30L), ("1", 2L, 110L)),
+      "the insert must fold exactly once under the concurrent duplicate")
+    // bootstrap onto a non-fresh state table is refused
+    val st2 = java.nio.file.Files.createTempDirectory("graft_fcs2").toString + "/t"
+    graft.sources.Tx.commitMerge(spark, st2,
+      Seq(("0", 9L, 9L)).toDF("g", "n_rows", "sum_v"), Seq("g"), nBuckets = 4)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Mv.followChanges(spark, up, st2, Seq("g"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+        support = "n_rows",
+        project = df => df.select(
+          (col("id") % 2).cast("string").as("g"), col("v"), col("_change")),
+        nBuckets = 4))
+    assert(e.getMessage.contains("FRESH"))
+  }
+
   test("applyChangeFeed: retraction math and zero-support removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
