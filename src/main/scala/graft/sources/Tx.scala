@@ -642,7 +642,7 @@ object Tx {
       var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String],
         Map[Int, String])] = None
       var attempt = 0
-      while (attempt < maxAttempts) {
+      try while (attempt < maxAttempts) {
         attempt += 1
         val snap = latest(path)
         // idempotence guard INSIDE the retry loop: a CAS loser whose
@@ -812,6 +812,17 @@ object Tx {
               carried ++ schemaEntry ++ meta, newStats))
             return next
         }
+      }
+      catch {
+        // a throw on a RETRY (e.g. the re-read snapshot reveals an
+        // evolved schema the batch no longer matches) must not leave the
+        // earlier attempt's staged files as crash-debris orphans — the
+        // commit failed, so nothing will ever reference them
+        case scala.util.control.NonFatal(t) =>
+          plan.foreach { case (dir, _, _, _, _) =>
+            deleteRecursive(Paths.get(path, dir))
+          }
+          throw t
       }
       plan.foreach { case (dir, _, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them

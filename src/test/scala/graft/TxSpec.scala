@@ -662,6 +662,35 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       Tx.addColumn(path, "__b", org.apache.spark.sql.types.LongType))
   }
 
+  test("a commit losing its race to addColumn fails clean, no staged debris") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    // the old-shaped loser stages its files, then addColumn wins the CAS;
+    // the retry re-reads the evolved schema and must reject the batch —
+    // AND clean up the attempt-1 staged directory (it failed; nothing
+    // will ever reference it)
+    var raced = false
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((2L, 20L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 2, beforeCas = () => {
+          if (!raced) {
+            raced = true
+            Tx.addColumn(path, "tag", org.apache.spark.sql.types.StringType)
+          }
+        }))
+    assert(e.getMessage.contains("schema"))
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val referenced = Tx.versions(path)
+      .flatMap(v => Tx.snapshot(path, v).dirs.values)
+      .map(_.split("/")(1)).toSet
+    assert(onDisk == referenced,
+      "the rejected retry must delete its earlier attempt's staged files")
+    assert(rows(Tx.read(spark, path)
+      .select("id", "v")) == Seq((1L, 10L)), "table content unchanged")
+  }
+
   test("empty batch is a no-op returning the current version") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
