@@ -21,8 +21,11 @@ import java.nio.file.{Files, Path, Paths}
   *                               lines (all meta CARRIES FORWARD from the
   *                               previous version; a commit's own entries
   *                               override), then one
-  *                               "<bucket>\t<relative data dir>" line per
-  *                               bucket that has data in this snapshot
+  *                               "<bucket>\t<relative data dir>[\t<zone
+  *                               maps>]" line per bucket that has data in
+  *                               this snapshot — the optional third field
+  *                               holds the bucket's per-column min/max
+  *                               (see [[readRange]])
   *   data/c-<uuid>/__b=<k>/  parquet part files: a commit's immutable
   *                           file set, one directory per touched bucket
   * }}}
@@ -65,8 +68,9 @@ import java.nio.file.{Files, Path, Paths}
   *
   * Honest scope notes (what a real table format adds on top): atomicity
   * relies on one POSIX filesystem (no object-store multi-writer, no
-  * distributed catalog); no schema evolution (the recorded schema is
-  * enforced, never migrated); PUBLISHES serialize
+  * distributed catalog); schema evolution is ADDITIVE only
+  * ([[addColumn]] — rename/drop/retype would need column ids in the
+  * files); PUBLISHES serialize
   * through the version CAS, but a loser whose buckets are untouched by
   * the winner re-links its files onto the new base without re-deriving —
   * bucket-level effective concurrency; deletes are expressible
