@@ -472,6 +472,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tableRows() == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 7L -> 70L))
   }
 
+  test("streamed ingest + followChanges downstream: the full CDF loop") {
+    // upstream: micro-batches land as stamped Tx commits (txMergeSink);
+    // downstream: an additive MV follows the CHANGE FEED with its cursor
+    // committed atomically with the state (Mv.followChanges). A GDPR
+    // delete interleaves as a non-stream commit and must flow through
+    // the feed as retractions; a final follow with nothing new must
+    // commit nothing.
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_e2e").toString
+    val up = s"$dir/up"
+    val st = s"$dir/state"
+    val mem = MemoryStream[(Long, Long)] // (id, v)
+    val df = mem.toDF().toDF("id", "v")
+    def ingest() = Streaming.txMergeSink(df, Seq("id"), up,
+      s"$dir/ckpt", nBuckets = 4).awaitTermination()
+    def follow() = graft.operators.Mv.followChanges(spark, up, st, Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows",
+      project = d => d.select((col("id") % 2).cast("string").as("g"),
+        col("v"), col("_change")),
+      nBuckets = 4)
+    def state() = graft.sources.Tx.read(spark, st)
+      .select("g", "n_rows", "sum_v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    mem.addData((1L, 10L), (2L, 20L), (3L, 30L))
+    ingest(); follow() // bootstrap: g0={2}, g1={1,3}
+    assert(state() == Seq(("0", 1L, 20L), ("1", 2L, 40L)))
+    mem.addData((2L, 25L), (4L, 5L)) // update 2 (20->25), insert 4
+    ingest(); follow()
+    assert(state() == Seq(("0", 2L, 30L), ("1", 2L, 40L)))
+    // right-to-be-forgotten: a NON-stream delete interleaves upstream
+    graft.sources.Tx.commitDelete(spark, up, Seq(3L).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    follow()
+    val expect = Seq(("0", 2L, 30L), ("1", 1L, 10L))
+    assert(state() == expect,
+      "the delete must flow through the feed as a retraction")
+    // caught up: a further follow must publish NO downstream version
+    val v = graft.sources.Tx.latest(st).get.version
+    follow()
+    assert(graft.sources.Tx.latest(st).get.version == v && state() == expect)
+    // end to end the state equals a scratch aggregation of what is
+    // actually upstream — the property every link preserved
+    val scratch = graft.sources.Tx.read(spark, up)
+      .select((col("id") % 2).cast("string").as("g"), col("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() == scratch)
+  }
+
   test("mvMaintainTxStream: pruned per-batch folds == batch state, replay-safe " +
       "without the whole-dir swap") {
     implicit val sc = spark.sqlContext
