@@ -275,8 +275,20 @@ object Tx {
       emitPre: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
-    val a = snapshot(path, fromVersion)
-    val b = snapshot(path, toVersion)
+    // a consumer that was offline longer than retention hits this: its
+    // cursor's manifest was vacuumed. Name the remedy instead of leaking
+    // a NoSuchFileException from the manifest read.
+    def resolve(v: Long) =
+      try snapshot(path, v)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"changes: version $v of $path has been retired by vacuum " +
+              s"(oldest kept: ${versions(path).headOption.getOrElse(-1L)})" +
+              " — the consumer fell behind retention and must re-bootstrap")
+      }
+    val a = resolve(fromVersion)
+    val b = resolve(toVersion)
     val keys = b.meta.get(KeysKey).map(_.split(",").toSeq)
       .getOrElse(throw new IllegalStateException(
         s"changes: $path has no recorded merge keys (no data commit yet)"))

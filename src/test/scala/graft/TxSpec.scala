@@ -561,6 +561,18 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("changes against a vacuum-retired version names the remedy") {
+    val path = tmp()
+    for (i <- 1 to 3)
+      Tx.commitMerge(spark, path, Seq((i.toLong, i * 10L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 2)
+    Tx.vacuum(path, keepVersions = 1, minOrphanAgeMs = 0L)
+    val e = intercept[IllegalStateException](Tx.changes(spark, path, 1L, 3L))
+    assert(e.getMessage.contains("re-bootstrap") &&
+      e.getMessage.contains("retired"),
+      "a consumer that fell behind retention must get an actionable error")
+  }
+
   test("zone maps: recorded per commit, carried by reference, prune soundly") {
     val path = tmp()
     // composite key bucketed on day → each bucket holds whole days, so
@@ -621,6 +633,18 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       Tx.commitMerge(spark, path, df(Seq((1L, 0L, 1L))), mk, nBuckets = 8,
         bucketKeys = Seq("day"), statsCols = Seq("hour")))
     assert(e.getMessage.contains("zone-map"))
+    // a DELETE's bucket rewrite refreshes the zone map too: after
+    // removing ALL of day 8, a stale zone would still cover day=8 and
+    // keep its bucket — the refreshed (or dropped) zone must not
+    Tx.commitDelete(spark, path,
+      df((0L to 3L).map(h => (8L, h, 0L))).select("day", "hour"),
+      mk, nBuckets = 8, bucketKeys = Seq("day"))
+    val (keptAfter, _) = Tx.pruneInfo(path, "day", 8L, 8L)
+    assert(keptAfter.isEmpty,
+      "after deleting every day-8 row, no zone may still cover day 8")
+    assert(Tx.readRange(spark, path, "day", 8L, 8L).count() == 0L)
+    assert(Tx.readRange(spark, path, "day", 7L, 7L).count() == 4L,
+      "neighbouring days still read through their refreshed zones")
   }
 
   test("addColumn: nulls for old rows, versioned schema, forward binding") {
