@@ -634,6 +634,11 @@ object Tx {
       statsCols: Seq[String])(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
+    // key names land comma-joined in manifest meta — a separator inside
+    // a name would corrupt the recorded property
+    require(keys.nonEmpty && keys.forall(k =>
+      k.nonEmpty && !k.exists(c => c == ',' || c == '\n' || c == '\t')),
+      s"$opName: illegal merge-key name in ${keys.mkString("[", ", ", "]")}")
     val bk = if (bucketKeys.isEmpty) keys else bucketKeys
     require(bk.forall(keys.contains),
       s"bucket keys ${bk.mkString(",")} must be a subset of the merge " +
@@ -741,6 +746,9 @@ object Tx {
             } else statsCols.sorted
           val statsSchema = recorded.getOrElse(staged.schema)
           effStatsCols.foreach { c =>
+            require(!c.exists(ch => ch == ';' || ch == '=' || ch == ','),
+              s"$opName: zone-map column name '$c' contains a stats-" +
+                "encoding separator")
             val t = fieldTypes(statsSchema).get(c)
             require(t.exists(statSupported),
               s"$opName: zone-map column '$c' must exist with a " +
