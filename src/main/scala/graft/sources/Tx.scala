@@ -346,12 +346,25 @@ object Tx {
     */
   def readRange(
       spark: SparkSession, path: String, colName: String,
-      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+      lo: Any, hi: Any, version: Long = -1L): DataFrame =
+    readRanges(spark, path, Seq((colName, lo, hi)), version)
+
+  /** [[readRange]] over a CONJUNCTION of ranges: a bucket is read only
+    * if EVERY probed column's zone can intersect its range — kept sets
+    * intersect, so each extra predicate can only prune further (the
+    * day-range ∧ value-range shape of a real dashboard query). The exact
+    * combined filter still runs over whatever is read.
+    */
+  def readRanges(
+      spark: SparkSession, path: String,
+      ranges: Seq[(String, Any, Any)], version: Long = -1L): DataFrame = {
+    require(ranges.nonEmpty, "readRanges: need at least one (col, lo, hi)")
     val snap =
       if (version >= 0) snapshot(path, version)
       else latest(path).getOrElse(
         throw new IllegalStateException(s"no committed version in $path"))
-    val kept = pruneBuckets(snap, colName, lo, hi)
+    val kept = ranges.map { case (c, lo, hi) => pruneBuckets(snap, c, lo, hi) }
+      .reduce(_ intersect _)
     val dirs = kept.toSeq.sorted.flatMap(snap.dirs.get)
       .map(rel => s"$path/$rel")
     val recorded = snap.meta.get(SchemaKey)
@@ -364,7 +377,8 @@ object Tx {
           spark.sparkContext.emptyRDD[Row], st)
         case None => spark.emptyDataFrame
       }
-    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    base.filter(ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
   }
 
   /** (kept buckets, all data-bearing buckets) for a range probe — the

@@ -616,6 +616,20 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     // second stats column prunes independently of the bucket key
     val (keptV, totalV) = Tx.pruneInfo(path, "v6", 100L, 103L)
     assert(keptV.size < totalV.size)
+    // a CONJUNCTION intersects kept sets: day∈[2,4] ∧ v6∈[100,103] can
+    // only be day 1's values — the joint read must be empty while each
+    // single range alone is not, and must equal the full-scan filter
+    val joint = Tx.readRanges(spark, path,
+      Seq(("day", 2L, 4L), ("v6", 100L, 103L)))
+    assert(joint.count() == 0L)
+    val joint2 = Tx.readRanges(spark, path,
+      Seq(("day", 2L, 4L), ("v6", 300L, 310L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val joint2Full = Tx.read(spark, path)
+      .filter(col("day").between(2L, 4L) && col("v6").between(300L, 310L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(joint2 == joint2Full && joint2.nonEmpty,
+      "the conjunction read must equal the full-scan conjunction filter")
     // buckets written BEFORE stats were enabled are kept, never pruned
     val p2 = tmp()
     Tx.commitMerge(spark, p2, df(Seq((1L, 0L, 10L))), mk, nBuckets = 4,
