@@ -661,6 +661,50 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "neighbouring days still read through their refreshed zones")
   }
 
+  test("zone maps: double NaN/infinity, timestamp, and all-null columns") {
+    val path = tmp()
+    // x: finite/NaN/∞ mix (NaN and ∞ make a zone side UNBOUNDED — the
+    // bucket stays readable, never wrongly pruned); t: timestamp_ntz
+    // (the LocalDateTime encode/probe path); dead: all-null (a finite
+    // range can never match — the whole column skips soundly)
+    val df = Seq(
+      (1L, 1.5, "2024-01-01 00:00:00"),
+      (2L, Double.NaN, "2024-01-02 00:00:00"),
+      (3L, -7.25, "2024-01-03 00:00:00"),
+      (4L, Double.PositiveInfinity, "2024-01-04 00:00:00"),
+      (5L, 2.0, "2024-01-05 00:00:00"))
+      .toDF("id", "x", "ts_s")
+      .select(col("id"), col("x"),
+        col("ts_s").cast("timestamp_ntz").as("t"),
+        lit(null).cast("double").as("dead"))
+    Tx.commitMerge(spark, path, df, Seq("id"), nBuckets = 4,
+      statsCols = Seq("x", "t", "dead"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    // pruned read ≡ full-scan filter on every probed double range —
+    // including ranges a NaN row must never match on either path
+    for ((lo, hi) <- Seq((-10.0, 0.0), (1.0, 1.6), (1.9, 100.0), (50.0, 60.0))) {
+      val pruned = ids(Tx.readRange(spark, path, "x", lo, hi))
+      val full = ids(Tx.read(spark, path)
+        .filter(col("x") >= lo && col("x") <= hi))
+      assert(pruned == full, s"x-range [$lo,$hi] diverged")
+    }
+    assert(ids(Tx.readRange(spark, path, "x", -10.0, 0.0)) == Set(3L))
+    // timestamp bounds probe through the LocalDateTime path
+    val tLo = java.time.LocalDateTime.parse("2024-01-02T00:00:00")
+    val tHi = java.time.LocalDateTime.parse("2024-01-03T12:00:00")
+    assert(ids(Tx.readRange(spark, path, "t", tLo, tHi)) == Set(2L, 3L))
+    val (keptT, totalT) = Tx.pruneInfo(path, "t", tLo, tHi)
+    assert(keptT.subsetOf(totalT) && keptT.nonEmpty)
+    // all-null column: every zone is '~', every bucket skips
+    val (keptD, _) = Tx.pruneInfo(path, "dead", 0.0, 1.0)
+    assert(keptD.isEmpty)
+    assert(Tx.readRange(spark, path, "dead", 0.0, 1.0).count() == 0L)
+    // non-finite probe bounds are rejected up front
+    intercept[IllegalArgumentException](
+      Tx.pruneInfo(path, "x", Double.NaN, 1.0))
+  }
+
   test("addColumn: nulls for old rows, versioned schema, forward binding") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
