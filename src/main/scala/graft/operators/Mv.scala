@@ -236,10 +236,15 @@ object Mv {
     * upstream version folded in) rides in the SAME manifest commit as
     * the state it produced, so cursor and state can never diverge — a
     * crash between them is unrepresentable, a replayed call sees the
-    * cursor and no-ops, and a CONCURRENT duplicate loses the CAS and
-    * aborts on the re-checked cursor (the `abortIf` discipline). Each
-    * call advances the state from the recorded cursor to the upstream's
-    * latest version in one fold whose input is the change feed — cost
+    * cursor and no-ops, and a CONCURRENT writer — a duplicate of this
+    * call OR a slower follow that observed an older upstream target —
+    * makes the loser abort, because the cursor is re-checked INSIDE the
+    * CAS loop against the exact base this feed was derived from (any
+    * movement means the feed's span overlaps what already landed). A
+    * raced call may therefore return before reaching the latest
+    * upstream version; the next follow() catches up from the new
+    * cursor. Each call otherwise advances the state from the recorded
+    * cursor to the upstream's latest version in one fold — cost
     * O(changed upstream buckets) + O(touched state buckets), never
     * O(either table). The first call BOOTSTRAPS: it requires a fresh
     * state table (folding a full snapshot into existing state would
@@ -284,12 +289,20 @@ object Mv {
             project(Tx.read(spark, upstreamPath, target)
               .withColumn("_change", lit("insert")))
         }
+        // abort if the state's cursor MOVED AT ALL from the base this
+        // feed was derived from — not merely if it passed `target`: a
+        // concurrent follow that observed an OLDER upstream target can
+        // advance the cursor to c' with base < c' < target, and folding
+        // this feed (which includes the base→c' span) on top of its
+        // commit would apply that span twice. A raced call returns
+        // without folding; the caller's next follow() catches up from
+        // the new cursor.
         Tx.commitFold(spark, statePath, changeDelta(feed, keys, adds),
           keys, nBuckets,
           meta = Map("cdf_cursor" -> target.toString),
           beforeCas = beforeCas, bucketKeys = bucketKeys,
           abortIf = snap =>
-            snap.meta.get("cdf_cursor").exists(_.toLong >= target))(
+            snap.meta.get("cdf_cursor").map(_.toLong) != cursor)(
           (existing, delta) =>
             mergeState(existing, delta, keys :+ "__b", adds.map(_._1))
               .filter(col(support) > 0L))

@@ -187,16 +187,29 @@ object Tx {
       if (version >= 0) snapshot(path, version)
       else latest(path).getOrElse(
         throw new IllegalStateException(s"no committed version in $path"))
-    val dirs = snap.dirs.values.toSeq.sorted.map(rel => s"$path/$rel")
-    val recorded = snap.meta.get(SchemaKey)
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    // read under THIS version's recorded schema: buckets written before
+    // an [[addColumn]] lack the evolved column and must serve nulls for
+    // it — and time travel to a pre-evolution version serves that
+    // version's schema, because the schema rides in its manifest
+    readDirs(spark, path, snap, snap.dirs.keySet)
+  }
+
+  /** The listed data of `buckets` in `snap`, read under `schemaOverride`
+    * (or the snapshot's recorded schema): the ONE place the read-under-
+    * manifest-schema discipline lives — a correctly-typed EMPTY frame
+    * when the buckets hold nothing.
+    */
+  private def readDirs(
+      spark: SparkSession, path: String, snap: Snapshot,
+      buckets: Iterable[Int],
+      schemaOverride: Option[StructType] = None): DataFrame = {
+    val dirs = buckets.toSeq.sorted.flatMap(snap.dirs.get)
+      .map(rel => s"$path/$rel")
+    val schema = schemaOverride.orElse(snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType]))
     if (dirs.nonEmpty)
-      // read under THIS version's recorded schema: buckets written before
-      // an [[addColumn]] lack the evolved column and must serve nulls for
-      // it — and time travel to a pre-evolution version serves that
-      // version's schema, because the schema rides in its manifest
-      recorded.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
-    else recorded match {
+      schema.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+    else schema match {
       case Some(st) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st)
       case None => spark.emptyDataFrame
@@ -277,15 +290,25 @@ object Tx {
       s"changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
     // a consumer that was offline longer than retention hits this: its
     // cursor's manifest was vacuumed. Name the remedy instead of leaking
-    // a NoSuchFileException from the manifest read.
+    // a NoSuchFileException — but only prescribe the (expensive)
+    // re-bootstrap for genuinely RETIRED versions; a version beyond the
+    // newest, or below 1, never existed and is the caller's bug, not a
+    // retention event.
     def resolve(v: Long) =
       try snapshot(path, v)
       catch {
         case _: java.nio.file.NoSuchFileException =>
-          throw new IllegalStateException(
-            s"changes: version $v of $path has been retired by vacuum " +
-              s"(oldest kept: ${versions(path).headOption.getOrElse(-1L)})" +
-              " — the consumer fell behind retention and must re-bootstrap")
+          val vs = versions(path)
+          if (vs.nonEmpty && v >= 1 && v < vs.head)
+            throw new IllegalStateException(
+              s"changes: version $v of $path has been retired by vacuum " +
+                s"(oldest kept: ${vs.head}) — the consumer fell behind " +
+                "retention and must re-bootstrap")
+          else
+            throw new IllegalStateException(
+              s"changes: version $v does not exist in $path " +
+                s"(committed: ${vs.headOption.getOrElse("none")}.." +
+                s"${vs.lastOption.getOrElse("none")})")
       }
     val a = resolve(fromVersion)
     val b = resolve(toVersion)
@@ -298,13 +321,8 @@ object Tx {
         s"changes: $path has no recorded schema"))
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
       .filter(k => a.dirs.get(k) != b.dirs.get(k))
-    def side(sp: Snapshot) = {
-      val ds = changed.toSeq.sorted.flatMap(sp.dirs.get)
-        .map(rel => s"$path/$rel")
-      if (ds.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(ds: _*)
-    }
+    def side(sp: Snapshot) =
+      readDirs(spark, path, sp, changed, Some(schema))
     val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
     val o = side(a).select(keys.map(col) ++
       nonKeys.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__in_o"): _*)
@@ -365,20 +383,9 @@ object Tx {
         throw new IllegalStateException(s"no committed version in $path"))
     val kept = ranges.map { case (c, lo, hi) => pruneBuckets(snap, c, lo, hi) }
       .reduce(_ intersect _)
-    val dirs = kept.toSeq.sorted.flatMap(snap.dirs.get)
-      .map(rel => s"$path/$rel")
-    val recorded = snap.meta.get(SchemaKey)
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
-    val base =
-      if (dirs.nonEmpty)
-        recorded.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
-      else recorded match {
-        case Some(st) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], st)
-        case None => spark.emptyDataFrame
-      }
-    base.filter(ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
+    readDirs(spark, path, snap, kept)
+      .filter(ranges.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
   }
 
   /** (kept buckets, all data-bearing buckets) for a range probe — the
@@ -760,9 +767,10 @@ object Tx {
             } else statsCols.sorted
           val statsSchema = recorded.getOrElse(staged.schema)
           effStatsCols.foreach { c =>
-            require(!c.exists(ch => ch == ';' || ch == '=' || ch == ','),
+            require(!c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+              ch == '\n' || ch == '\t'),
               s"$opName: zone-map column name '$c' contains a stats-" +
-                "encoding separator")
+                "encoding or manifest separator")
             val t = fieldTypes(statsSchema).get(c)
             require(t.exists(statSupported),
               s"$opName: zone-map column '$c' must exist with a " +
@@ -854,11 +862,20 @@ object Tx {
       catch {
         // a throw on a RETRY (e.g. the re-read snapshot reveals an
         // evolved schema the batch no longer matches) must not leave the
-        // earlier attempt's staged files as crash-debris orphans — the
-        // commit failed, so nothing will ever reference them
+        // earlier attempt's staged files as crash-debris orphans. Belt
+        // and braces: even though no code path publishes and THEN
+        // throws, re-verify no live manifest references the dir before
+        // deleting — deleting published data would be corruption, a
+        // leaked orphan is merely clutter for vacuum.
         case scala.util.control.NonFatal(t) =>
           plan.foreach { case (dir, _, _, _, _) =>
-            deleteRecursive(Paths.get(path, dir))
+            val commitId = dir.split("/").last
+            val referenced = versions(path).exists { v =>
+              try snapshot(path, v).dirs.values
+                .exists(_.split("/")(1) == commitId)
+              catch { case _: java.nio.file.NoSuchFileException => false }
+            }
+            if (!referenced) deleteRecursive(Paths.get(path, dir))
           }
           throw t
       }
@@ -910,7 +927,14 @@ object Tx {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } finally Files.deleteIfExists(tmp)
+    } finally {
+      // best-effort: once the link EXISTS the version is published, so a
+      // transient failure here must not propagate — the caller's error
+      // cleanup would otherwise delete data a live manifest references;
+      // a leaked tmp file is harmless clutter by comparison
+      try Files.deleteIfExists(tmp)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older

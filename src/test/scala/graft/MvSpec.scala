@@ -75,6 +75,64 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("FRESH"))
   }
 
+  test("followChanges: a slower follow with an OLDER target cannot double-fold") {
+    // the race the same-target duplicate case does not cover: B observed
+    // upstream at v2 (A is already folding toward v3) and lands the 1→2
+    // span mid-A. A's feed (1→3) CONTAINS that span — folding it on top
+    // of B's commit would apply 1→2 twice. A must abort because the
+    // cursor moved from the base its feed was derived from.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val up = java.nio.file.Files.createTempDirectory("graft_fso_u").toString + "/t"
+    val st = java.nio.file.Files.createTempDirectory("graft_fso_s").toString + "/t"
+    def follow(beforeCas: () => Unit = () => ()) =
+      graft.operators.Mv.followChanges(spark, up, st, Seq("g"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+        support = "n_rows",
+        project = df => df.select(
+          (col("id") % 2).cast("string").as("g"), col("v"), col("_change")),
+        nBuckets = 4, beforeCas = beforeCas)
+    def state() = graft.sources.Tx.read(spark, st)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    follow() // bootstrap at cursor=1
+    graft.sources.Tx.commitMerge(spark, up, Seq((3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) // v2: insert 3 (g1)
+    graft.sources.Tx.commitMerge(spark, up, Seq((4L, 40L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) // v3: insert 4 (g0)
+    var raced = false
+    follow(beforeCas = () => if (!raced) {
+      raced = true
+      // B, emulated at the Tx level: folds EXACTLY the 1→2 span and
+      // stamps cursor=2 — a follower that resolved upstream before v3
+      val feed12 = graft.sources.Tx.changes(spark, up, 1L, 2L, emitPre = true)
+        .select((col("id") % 2).cast("string").as("g"), col("v"), col("_change"))
+      val sign = when(col("_change").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L))
+      val delta = feed12.groupBy("g").agg(
+        sum(sign * lit(1L)).as("n_rows"), sum(sign * col("v")).as("sum_v"))
+      graft.sources.Tx.commitFold(spark, st, delta, Seq("g"), 4,
+        meta = Map("cdf_cursor" -> "2"))(
+        (ex, d) => graft.operators.Mv.mergeState(ex, d, Seq("g", "__b"),
+          adds = Seq("n_rows", "sum_v")).filter(col("n_rows") > 0L))
+      ()
+    })
+    assert(state() == Seq(("0", 1L, 20L), ("1", 2L, 40L)),
+      "A must abort: B's 1→2 span landed once, A's overlapping 1→3 feed " +
+        "did not fold on top of it")
+    follow() // catches up with ONLY the remaining 2→3 span
+    assert(state() == Seq(("0", 2L, 60L), ("1", 2L, 40L)))
+    // and it equals scratch over what is actually upstream
+    val scratch = graft.sources.Tx.read(spark, up)
+      .select((col("id") % 2).cast("string").as("g"), col("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() == scratch)
+  }
+
   test("applyChangeFeed: retraction math and zero-support removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
