@@ -133,6 +133,53 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(state() == scratch)
   }
 
+  test("followChanges: random upstream merge/delete sequences stay scratch-equal") {
+    // property form of the CDF loop: after ANY interleaving of upstream
+    // merges (inserts+updates) and deletes, a follow brings the
+    // downstream state to exactly the scratch aggregation of the current
+    // upstream content — cumulative retraction errors would accumulate
+    // and surface here even if each single step looked right
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val up = java.nio.file.Files.createTempDirectory("graft_frn_u").toString + "/t"
+    val st = java.nio.file.Files.createTempDirectory("graft_frn_s").toString + "/t"
+    var seed = 0x7f4a7c159e3779b9L
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    def follow() = graft.operators.Mv.followChanges(spark, up, st, Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows",
+      project = df => df.select(
+        (col("id") % 3).cast("string").as("g"), col("v"), col("_change")),
+      nBuckets = 4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 100L), (2L, 200L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    follow() // bootstrap
+    var model = Map(1L -> 100L, 2L -> 200L)
+    for (step <- 1 to 8) {
+      val ids = (0 until 4).map(_ => math.abs(nxt()) % 10 + 1).distinct
+      if (step % 3 == 0 && model.nonEmpty) {
+        graft.sources.Tx.commitDelete(spark, up, ids.toDF("id"),
+          Seq("id"), nBuckets = 4)
+        model = model -- ids
+      } else {
+        val batch = ids.map(i => (i, step * 1000L + i))
+        graft.sources.Tx.commitMerge(spark, up, batch.toDF("id", "v"),
+          Seq("id"), nBuckets = 4)
+        model = model ++ batch
+      }
+      follow()
+      val scratch = model.toSeq.map { case (i, v) => ((i % 3).toString, v) }
+        .groupBy(_._1).toSeq
+        .map { case (g, vs) => (g, vs.size.toLong, vs.map(_._2).sum) }
+        .sortBy(_._1)
+      assert(rows(graft.sources.Tx.read(spark, st)
+        .select("g", "n_rows", "sum_v")) == scratch,
+        s"state diverged from the scratch aggregate after step $step")
+    }
+  }
+
   test("applyChangeFeed: retraction math and zero-support removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
