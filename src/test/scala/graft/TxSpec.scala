@@ -630,6 +630,13 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(joint2 == joint2Full && joint2.nonEmpty,
       "the conjunction read must equal the full-scan conjunction filter")
+    // probing a column that was never declared a stats column keeps
+    // EVERY bucket (no zone ⇒ no pruning) and still filters exactly
+    val (keptH, totalH) = Tx.pruneInfo(path, "hour", 1L, 2L)
+    assert(keptH == totalH,
+      "an undeclared column must never prune")
+    assert(Tx.readRange(spark, path, "hour", 1L, 2L).count() ==
+      Tx.read(spark, path).filter(col("hour").between(1L, 2L)).count())
     // buckets written BEFORE stats were enabled are kept, never pruned
     val p2 = tmp()
     Tx.commitMerge(spark, p2, df(Seq((1L, 0L, 10L))), mk, nBuckets = 4,
