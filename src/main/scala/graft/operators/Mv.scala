@@ -275,7 +275,16 @@ object Mv {
       .version
     val cursor = Tx.latestMeta(statePath, "cdf_cursor").map(_.toLong)
     cursor match {
-      case Some(c) if c >= target =>
+      case Some(c) if c > target =>
+        // a cursor BEYOND the upstream's newest version means the
+        // upstream table was deleted and re-created (its version counter
+        // reset) — silently no-oping would serve stale state forever
+        // with no signal; the consumer must re-bootstrap deliberately
+        throw new IllegalStateException(
+          s"followChanges: state cursor $c is ahead of upstream " +
+            s"$upstreamPath's newest version $target — probable upstream " +
+            "reset/re-create; wipe the state table and re-bootstrap")
+      case Some(c) if c == target =>
         Tx.latest(statePath).get.version // already caught up: no-op
       case _ =>
         val feed = cursor match {

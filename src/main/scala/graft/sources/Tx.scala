@@ -234,7 +234,7 @@ object Tx {
   def addColumn(
       path: String, name: String, dataType: DataType,
       maxAttempts: Int = 5): Long = {
-    require(!name.startsWith("__") &&
+    require(!name.startsWith("__") && name != "_change" &&
       !name.exists(c => c == '\n' || c == '\t' || c == ','),
       s"illegal column name '$name'")
     var attempt = 0
@@ -319,6 +319,13 @@ object Tx {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"changes: $path has no recorded schema"))
+    // commits now reject these names at schema establishment; a table
+    // written before that guard still must not yield ambiguous feed
+    // fields silently
+    schema.fieldNames.filter(n => n == "_change" || n.startsWith("__"))
+      .foreach(n => throw new IllegalStateException(
+        s"changes: table column '$n' collides with the feed's internal " +
+          "names ('_change', '__'-prefixed) — rewrite the table without it"))
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
       .filter(k => a.dirs.get(k) != b.dirs.get(k))
     def side(sp: Snapshot) =
@@ -404,6 +411,26 @@ object Tx {
 
   private def pruneBuckets(
       snap: Snapshot, colName: String, lo: Any, hi: Any): Set[Int] = {
+    // the zone comparison happens in an untyped decimal domain, so a
+    // probe whose ENCODING mismatches the stat encoding (a raw Long
+    // epoch against a timestamp column) would prune on wrong math before
+    // the exact filter could object — validate the bounds' runtime type
+    // against the column's declared DataType first, so pruning stays an
+    // optimization and never a correctness lever
+    snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType]).foreach { st =>
+        val dt = st.fields.find(_.name == colName).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"readRange: column '$colName' is not in the table schema " +
+              st.fieldNames.mkString("(", ", ", ")")))
+        Seq(lo, hi).foreach { v =>
+          require(probeMatches(dt, v),
+            s"readRange: bound $v (${if (v == null) "null"
+              else v.getClass.getName}) does not encode like the " +
+              s"$dt column '$colName' — comparing mismatched encodings " +
+              "would prune on wrong math")
+        }
+      }
     val lb = statBig(lo).getOrElse(throw new IllegalArgumentException(
       s"readRange: lower bound $lo must be a finite, non-null value"))
     val ub = statBig(hi).getOrElse(throw new IllegalArgumentException(
@@ -418,6 +445,28 @@ object Tx {
           // zone) keeps the bucket on that side
           mn.forall(_ <= ub) && mx.forall(_ >= lb)
       }
+    }
+  }
+
+  /** Does probe value `v`'s runtime class match `dt`'s stat encoding?
+    * (null is rejected later by statBig's finite/non-null gate.)
+    */
+  private def probeMatches(dt: DataType, v: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (_, null) => true // statBig rejects with its own message
+      case (ByteType, _: Byte) => true
+      case (ShortType, _: Short) => true
+      case (IntegerType, _: Int) => true
+      case (LongType, _: Long) => true
+      case (FloatType, _: Float) => true
+      case (DoubleType, _: Double) => true
+      case (_: DecimalType, _: BigDecimal | _: java.math.BigDecimal) => true
+      case (DateType, _: java.sql.Date | _: java.time.LocalDate) => true
+      case (TimestampType,
+        _: java.sql.Timestamp | _: java.time.Instant) => true
+      case (TimestampNTZType, _: java.time.LocalDateTime) => true
+      case _ => false
     }
   }
 
@@ -683,6 +732,11 @@ object Tx {
       // the written buckets' zone-map stats)
       var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String],
         Map[Int, String])] = None
+      // the table version the surviving plan was derived against: no
+      // manifest at or below it can reference the plan's staged dir
+      // (the dir did not exist yet), so failure cleanup only needs to
+      // scan NEWER manifests — O(races since planning), not O(history)
+      var planBaseV = 0L
       var attempt = 0
       try while (attempt < maxAttempts) {
         attempt += 1
@@ -776,6 +830,17 @@ object Tx {
               s"$opName: zone-map column '$c' must exist with a " +
                 s"numeric/date/timestamp type, got $t")
           }
+          // the change feed reserves '_change' and the '__o_'/'__n_'
+          // prefixes (and '__b' is the bucket column everywhere) — a
+          // table whose OWN schema used them would yield ambiguous feed
+          // fields later, so reject them at schema establishment, the
+          // same place addColumn already does
+          if (recorded.isEmpty && establishSchema)
+            staged.schema.fieldNames.foreach { n =>
+              require(n != "_change" && !n.startsWith("__"),
+                s"$opName: column name '$n' is reserved (the change feed " +
+                  "uses '_change' and '__'-prefixed internals)")
+            }
           val schemaEntry =
             (if (recorded.isEmpty && establishSchema)
               Map(SchemaKey -> staged.schema.json)
@@ -843,6 +908,7 @@ object Tx {
                 if (effStatsCols.isEmpty || w.isEmpty) Map.empty[Int, String]
                 else computeBucketStats(
                   spark, s"$path/$dir", effStatsCols, statsSchema)
+              planBaseV = snap.map(_.version).getOrElse(0L)
               (dir, t, w, st)
           }
           plan = Some((commitDir, touched, written, baseDirs, wStats))
@@ -870,7 +936,9 @@ object Tx {
         case scala.util.control.NonFatal(t) =>
           plan.foreach { case (dir, _, _, _, _) =>
             val commitId = dir.split("/").last
-            val referenced = versions(path).exists { v =>
+            // only manifests NEWER than the plan's base could reference
+            // the staged dir — older ones predate its existence
+            val referenced = versions(path).filter(_ > planBaseV).exists { v =>
               try snapshot(path, v).dirs.values
                 .exists(_.split("/")(1) == commitId)
               catch { case _: java.nio.file.NoSuchFileException => false }

@@ -604,9 +604,22 @@ object ScaleProbe {
     // no-format baseline (diff the two snapshots end to end) pays a
     // full-table full-outer join that grows with mult. Both must agree
     // on the change count.
-    val tiny = big.filter(col("event_id") % 50021 === 0).limit(4)
+    // materialize the four rows ONCE (ordered take) — an unordered
+    // limit re-executed for the count and the commit could pick
+    // different rows each time
+    val tinyRows = big.filter(col("event_id") % 50021 === 0)
       .select(col("event_id"), col("user_id"), (col("v6") + 2).as("v6"))
-    val nTiny = tiny.count()
+      .orderBy("event_id").limit(4).collect().toSeq
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(tinyRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v6",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val nTiny = tinyRows.size.toLong
     graft.sources.Tx.commitMerge(spark, tablePath, tiny, Seq("event_id"), nb)
     timed(s"Tx.changes v2→v3 (manifest-pruned diff, ≤$nTiny buckets)") {
       val n = graft.sources.Tx.changes(spark, tablePath, 2L, 3L).count()

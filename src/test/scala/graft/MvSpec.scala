@@ -482,4 +482,36 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(2))
     assert(r.getLong(4) == 1000000L)
   }
+
+  test("followChanges: an upstream reset fails loudly, never stale no-ops") {
+    import spark.implicits._
+    val up = java.nio.file.Files.createTempDirectory("graft_fru").toString + "/t"
+    val st = java.nio.file.Files.createTempDirectory("graft_frs").toString + "/t"
+    def follow() = graft.operators.Mv.followChanges(spark, up, st, Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows",
+      project = df => df.select(
+        (col("id") % 2).cast("string").as("g"), col("v"), col("_change")),
+      nBuckets = 4)
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 10L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    follow() // cursor = 2
+    // the upstream table is deleted and RE-CREATED: its version counter
+    // resets to 1, now BELOW the state's cursor — every follow would be
+    // a permanent silent no-op serving stale state unless it throws
+    def rmrf(p: String): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+    rmrf(up)
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((9L, 90L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    val e = intercept[IllegalStateException](follow())
+    assert(e.getMessage.contains("reset"),
+      s"cursor-ahead-of-upstream must name the probable reset: ${e.getMessage}")
+  }
 }

@@ -789,4 +789,50 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(v == 1L)
     assert(Tx.versions(path) == Seq(1L))
   }
+
+  test("range probes are type-checked against the recorded schema") {
+    val path = tmp()
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"))
+      .toDF("day", "ts_s")
+      .select(col("day"), col("ts_s").cast("timestamp_ntz").as("t"))
+    Tx.commitMerge(spark, path, df, Seq("day"), nBuckets = 2,
+      statsCols = Seq("day", "t"))
+    // a Double probe against a long column would compare in the decimal
+    // domain and happen to "work" — but the CONTRACT is that mismatched
+    // encodings are rejected before any pruning math runs
+    val e1 = intercept[IllegalArgumentException](
+      Tx.pruneInfo(path, "day", 1.0, 2.0))
+    assert(e1.getMessage.contains("encode"))
+    // the advisor's exact scenario: a raw epoch Long against a
+    // timestamp column prunes on wrong math unless rejected
+    val e2 = intercept[IllegalArgumentException](
+      Tx.pruneInfo(path, "t", 1704067200L, 1704153600L))
+    assert(e2.getMessage.contains("encode"))
+    // a column that is not in the schema at all is a caller bug, named
+    val e3 = intercept[IllegalArgumentException](
+      Tx.pruneInfo(path, "nope", 1L, 2L))
+    assert(e3.getMessage.contains("not in the table schema"))
+    // matched encodings still probe fine
+    val (kept, total) = Tx.pruneInfo(path, "day", 1L, 1L)
+    assert(kept.subsetOf(total) && kept.size < total.size)
+  }
+
+  test("feed-internal column names are rejected at schema establishment") {
+    // '_change' and '__'-prefixed names would collide with the change
+    // feed's own fields — reject them before the table exists
+    val e1 = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, tmp(), Seq((1L, "x")).toDF("id", "_change"),
+        Seq("id"), nBuckets = 2))
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, tmp(), Seq((1L, 2L)).toDF("id", "__shadow"),
+        Seq("id"), nBuckets = 2))
+    assert(e2.getMessage.contains("reserved"))
+    // and addColumn can't smuggle one in later
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    intercept[IllegalArgumentException](
+      Tx.addColumn(path, "_change", org.apache.spark.sql.types.StringType))
+  }
 }
