@@ -435,6 +435,16 @@ object Tx {
       s"readRange: lower bound $lo must be a finite, non-null value"))
     val ub = statBig(hi).getOrElse(throw new IllegalArgumentException(
       s"readRange: upper bound $hi must be a finite, non-null value"))
+    pruneZones(snap, colName, Some(lb), Some(ub))
+  }
+
+  /** The kept buckets for `colName ∈ [lb, ub]` in the encoded stat
+    * domain; an absent side is unbounded. Shared by the strict
+    * [[readRange]] path and the lenient DSv2 pushdown path.
+    */
+  private def pruneZones(
+      snap: Snapshot, colName: String,
+      lb: Option[BigDecimal], ub: Option[BigDecimal]): Set[Int] =
     snap.dirs.keySet.filter { b =>
       snap.stats.get(b).flatMap(parseStats(_).get(colName)) match {
         case None => true // no zone map for this bucket/column: never prune
@@ -442,10 +452,29 @@ object Tx {
         case Some((mn, mx, _)) =>
           // keep unless the zone provably misses: zone entirely above hi
           // or entirely below lo; an unbounded side (NaN/∞ landed in the
-          // zone) keeps the bucket on that side
-          mn.forall(_ <= ub) && mx.forall(_ >= lb)
+          // zone, or a one-sided probe) keeps the bucket on that side
+          ub.forall(u => mn.forall(_ <= u)) && lb.forall(l => mx.forall(_ >= l))
       }
     }
+
+  /** DSv2 pruning hook ([[graft.sources.tx.TxSource]]): kept buckets for
+    * a pushed `colName ∈ [lo, hi]` range (either side optional). Unlike
+    * [[readRange]] this NEVER throws — a bound whose runtime type
+    * mismatches the column's stat encoding, or a table without a
+    * recorded schema, simply does not bound that side. Sound because
+    * pushdown pruning is purely advisory: Spark re-applies the exact
+    * filter over whatever the scan serves.
+    */
+  private[sources] def pruneLenient(
+      snap: Snapshot, colName: String,
+      lo: Option[Any], hi: Option[Any]): Set[Int] = {
+    val dt = snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+    def enc(side: Option[Any]): Option[BigDecimal] = for {
+      d <- dt; v <- side; if probeMatches(d, v); b <- statBig(v)
+    } yield b
+    pruneZones(snap, colName, enc(lo), enc(hi))
   }
 
   /** Does probe value `v`'s runtime class match `dt`'s stat encoding?
