@@ -155,7 +155,36 @@ object Mv {
       nBuckets: Int = 16,
       batchId: Option[Long] = None,
       beforeCas: () => Unit = () => (),
-      bucketKeys: Seq[String] = Nil): Long = {
+      bucketKeys: Seq[String] = Nil): Long =
+    // __b joins too: it's a pure function of the keys, so both sides
+    // agree and the merged row keeps its bucket for the write
+    refreshTxWith(spark, tablePath, deltaAgg, keys, nBuckets, batchId,
+      beforeCas, bucketKeys)((existing, delta) =>
+      mergeState(existing, delta, keys :+ "__b", adds, mins, maxs))
+
+  /** [[refreshTx]] with a CALLER-SUPPLIED state merge — for accumulator
+    * types [[mergeState]] cannot express: HLL sketch unions (q259's
+    * binary sketch column), bitmap ors, custom monoids. The stamp /
+    * replay / concurrent-duplicate discipline is identical; only the
+    * fold differs. `fold(existing, delta)` sees both frames carrying the
+    * internal `__b` bucket column (a pure function of the keys — join on
+    * `keys :+ "__b"` or ignore it; the commit validates the fold returns
+    * exactly the table schema plus `__b` BEFORE any file is written, so
+    * a shape-drifting fold fails the commit, not later reads). State
+    * stays O(buckets) at any history size — the whole point of sketch
+    * accumulators: a 100 TB dashboard's distinct-count MV folds ~16 KB
+    * per bucket instead of the (bucket × user) exact grain.
+    */
+  def refreshTxWith(
+      spark: SparkSession,
+      tablePath: String,
+      deltaAgg: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      batchId: Option[Long] = None,
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil)(
+      fold: (DataFrame, DataFrame) => DataFrame): Long = {
     import graft.sources.Tx
     val committed = batchId.flatMap(_ =>
       Tx.latestMeta(tablePath, "mv_batch_id").map(_.toLong))
@@ -163,8 +192,6 @@ object Mv {
       case Some(id) if committed.exists(id <= _) =>
         Tx.latest(tablePath).get.version // replayed batch: no-op
       case _ =>
-        // __b joins too: it's a pure function of the keys, so both sides
-        // agree and the merged row keeps its bucket for the write.
         // abortIf re-checks the stamp INSIDE the CAS loop: a CONCURRENT
         // duplicate of this batch (two schedulers firing the same run)
         // would pass the pre-check above on both sides; the CAS loser
@@ -173,9 +200,7 @@ object Mv {
           meta = batchId.map(id => "mv_batch_id" -> id.toString).toMap,
           beforeCas = beforeCas, bucketKeys = bucketKeys,
           abortIf = snap => batchId.exists(id =>
-            snap.meta.get("mv_batch_id").exists(_.toLong >= id)))(
-          (existing, delta) =>
-            mergeState(existing, delta, keys :+ "__b", adds, mins, maxs))
+            snap.meta.get("mv_batch_id").exists(_.toLong >= id)))(fold)
     }
   }
 

@@ -524,6 +524,55 @@ object MaintenanceQueries {
             <= col("distinct_users") * 5).as("est_ok"))
         .orderBy("bucket_h")
     }),
+    // q252's HLL-state MV made TX-RESIDENT (Mv.refreshTxWith): the
+    // per-bucket sketch accumulators live in a Tx table and each refresh
+    // folds the batch's sketches in via hll_union inside commitFold's
+    // caller-supplied combine — so the approximate MV now gets exactly
+    // what q251 gives additive state: PRUNED fold IO (only the batch's
+    // touched buckets are read) and an ATOMIC, REPLAY-SAFE commit (the
+    // mv_batch_id stamp makes the in-query replay of batch 2 a no-op; a
+    // lossy double-union would shift the estimate and hash-fail the
+    // contracts). Contracts as in q252: merge_lossless pins the
+    // Tx-resident union == scratch sketch estimate-for-estimate, est_ok
+    // pins the estimate within 5% of exact. Oracle: exact distinct from
+    // raw + literal TRUE per contract, blind to the format, the split,
+    // and the replay.
+    "q259_mv_hll_tx" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket_h"),
+        col("user_id"))
+      def sk(df: DataFrame) = df.groupBy("bucket_h")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mvhll").toString + "/t"
+      val unionFold = (existing: DataFrame, delta: DataFrame) =>
+        existing.select(col("bucket_h"), col("__b"), col("sk").as("__x"))
+          .join(delta.select(col("bucket_h"), col("__b"), col("sk").as("__y")),
+            Seq("bucket_h", "__b"), "full_outer")
+          .select(col("bucket_h"),
+            when(col("__x").isNull, col("__y"))
+              .when(col("__y").isNull, col("__x"))
+              .otherwise(expr("hll_union(__x, __y)")).as("sk"),
+            col("__b"))
+      def refresh(df: DataFrame, id: Long) =
+        Mv.refreshTxWith(s, path, sk(df), Seq("bucket_h"),
+          batchId = Some(id))(unionFold)
+      refresh(ev.filter(col("event_id") % 10 =!= 0), 1L)
+      refresh(ev.filter(col("event_id") % 10 === 0), 2L)
+      refresh(ev.filter(col("event_id") % 10 === 0), 2L) // replay: no-op
+      val merged = Tx.read(s, path)
+      val scratch = sk(ev).select(col("bucket_h"), col("sk").as("sk_s"))
+      val exact = ev.groupBy("bucket_h")
+        .agg(countDistinct("user_id").as("distinct_users"))
+      merged.join(scratch, "bucket_h").join(exact, "bucket_h")
+        .select(col("bucket_h"), col("distinct_users"),
+          (expr("hll_sketch_estimate(sk)") ===
+            expr("hll_sketch_estimate(sk_s)")).as("merge_lossless"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("distinct_users")) * 100
+            <= col("distinct_users") * 5).as("est_ok"))
+        .orderBy("bucket_h")
+    }),
     // Declarative expectation suite over a perturbed feed: five rules
     // audited in ONE aggregation pass over ONE scan (per-rule violation
     // counts + smallest offender + exact ppm pass rate). Suite semantics
@@ -722,6 +771,13 @@ object MaintenanceQueries {
     // exact distinct from raw + literal TRUE per contract — the sketch
     // values never cross engines, their accuracy/losslessness do
     "q252_mv_hll" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+          count(DISTINCT user_id) AS distinct_users,
+          TRUE AS merge_lossless, TRUE AS est_ok
+          FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q252's oracle verbatim — the Tx residency, the stamp, and the
+    // replay must all be estimate-invisible
+    "q259_mv_hll_tx" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
           count(DISTINCT user_id) AS distinct_users,
           TRUE AS merge_lossless, TRUE AS est_ok

@@ -483,6 +483,47 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(4) == 1000000L)
   }
 
+  test("refreshTxWith: custom fold rides the stamp/replay/crash discipline") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_rtw").toString + "/t"
+    // a NON-mergeState monoid: per-key set union carried as a sorted
+    // csv string — stands in for any sketch-like accumulator
+    val fold = (existing: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame) =>
+      existing.select(col("k"), col("__b"), col("members").as("__x"))
+        .join(delta.select(col("k"), col("__b"), col("members").as("__y")),
+          Seq("k", "__b"), "full_outer")
+        .select(col("k"),
+          array_join(array_sort(array_distinct(array_remove(concat(
+            split(coalesce(col("__x"), lit("")), ","),
+            split(coalesce(col("__y"), lit("")), ",")), ""))), ",")
+            .as("members"),
+          col("__b"))
+    def refresh(rows: Seq[(String, String)], id: Long,
+        beforeCas: () => Unit = () => ()) =
+      graft.operators.Mv.refreshTxWith(spark, path,
+        rows.toDF("k", "members"), Seq("k"), nBuckets = 4,
+        batchId = Some(id), beforeCas = beforeCas)(fold)
+    def state() = graft.sources.Tx.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    refresh(Seq(("a", "1"), ("b", "2")), 1L)
+    // crash before the CAS: state unmoved; blind retry folds ONCE
+    intercept[RuntimeException](refresh(Seq(("a", "3")), 2L,
+      beforeCas = () => throw new RuntimeException("crash")))
+    assert(state() == Seq(("a", "1"), ("b", "2")),
+      "bootstrap state unmoved by the crashed refresh")
+    refresh(Seq(("a", "3")), 2L)
+    val expect = Seq(("a", "1,3"), ("b", "2"))
+    assert(state() == expect)
+    // replay of batch 2: the stamp makes it a no-op — a double-union of
+    // a set monoid would be invisible, so fold a FRESH value instead and
+    // assert nothing landed
+    val v = graft.sources.Tx.latest(path).get.version
+    refresh(Seq(("a", "9")), 2L)
+    assert(graft.sources.Tx.latest(path).get.version == v && state() == expect,
+      "a replayed batch id must commit nothing, even with new content")
+  }
+
   test("followChanges: an upstream reset fails loudly, never stale no-ops") {
     import spark.implicits._
     val up = java.nio.file.Files.createTempDirectory("graft_fru").toString + "/t"
