@@ -240,6 +240,72 @@ object Mv {
       .filter(col(support) > 0L)
   }
 
+  /** [[applyChangeFeed]] extended to MIN/MAX accumulators with AUTOMATED
+    * scoped repair — closing the one edge the additive-only form
+    * documents: a deleted extremum cannot be recomputed from state-sized
+    * information. The feed itself knows which groups are at risk: a
+    * retraction row (delete / update_pre) whose value REACHES a stored
+    * bound (>= the max or <= the min — equality is conservative, the
+    * bound may have had other support) marks its group DIRTY; everything
+    * else merges algebraically (adds signed, bounds extended outward by
+    * insert/update_post images via least/greatest, which is always
+    * sound — new data can only push a true bound outward). Dirty groups
+    * are then REPLACED wholesale by `rescan(dirtyKeys)` — the caller
+    * re-aggregates ONLY those groups from the upstream snapshot (scope
+    * the raw scan with a semi-join on the dirty keys; against a Tx
+    * upstream bucketed compatibly with the state grain that scan is
+    * bucket-pruned). A dirty group that vanished upstream simply gets no
+    * truth row and leaves the state, like any zero-support group.
+    *
+    * Cost shape at 100 TB: the dirty set is FEED-sized (only retractions
+    * touching a bound), so repair IO is O(dirty groups' raw), never
+    * O(table) — q247's backfill machinery scoped automatically by the
+    * feed instead of manually by an operator who noticed a wrong bound.
+    */
+  def applyChangeFeedWithBounds(
+      state: DataFrame,
+      feed: DataFrame,
+      keys: Seq[String],
+      adds: Seq[(String, Column)],
+      support: String,
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)],
+      rescan: DataFrame => DataFrame): DataFrame = {
+    require(adds.exists(_._1 == support),
+      s"support column '$support' must be one of the adds")
+    require(mins.nonEmpty || maxs.nonEmpty,
+      "applyChangeFeedWithBounds without bounds IS applyChangeFeed — " +
+        "use that")
+    val isPost = col("_change").isin("insert", "update_post")
+    val isPre = col("_change").isin("delete", "update_pre")
+    val guard = raise_error(concat(
+      lit("applyChangeFeedWithBounds needs a pre/post feed (Tx.changes " +
+        "emitPre=true); got _change="), col("_change")))
+    val sign = when(isPost, lit(1L)).when(isPre, lit(-1L)).otherwise(guard)
+    // one feed-sized aggregation: signed adds + outward bound candidates
+    // (post images only — retractions never move a bound algebraically)
+    val aggs = adds.map { case (n, e) => sum(sign * e).as(n) } ++
+      mins.map { case (n, e) => min(when(isPost, e)).as(n) } ++
+      maxs.map { case (n, e) => max(when(isPost, e)).as(n) }
+    val delta = feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = mergeState(state, delta, keys,
+      adds.map(_._1), mins.map(_._1), maxs.map(_._1))
+    // dirty = groups where a retraction's image reaches a stored bound
+    val bounds = mins.map(_._1) ++ maxs.map(_._1)
+    val stBounds = state.select(keys.map(col) ++
+      bounds.map(n => col(n).as(s"__st_$n")): _*)
+    val touches = (mins.map { case (n, e) => e <= col(s"__st_$n") } ++
+      maxs.map { case (n, e) => e >= col(s"__st_$n") }).reduce(_ || _)
+    val dirty = feed.filter(isPre)
+      .join(stBounds, keys) // inner: a group absent from state has no bound to lose
+      .filter(touches)
+      .select(keys.map(col): _*).distinct()
+    val cols = merged.columns.map(col).toSeq
+    merged.join(dirty, keys, "left_anti")
+      .filter(col(support) > 0L)
+      .unionByName(rescan(dirty).select(cols: _*))
+  }
+
   /** The signed, feed-sized delta aggregation behind [[applyChangeFeed]]
     * and [[followChanges]]: +1 for inserts/update-posts, -1 for
     * deletes/update-pres, loud failure on a post-only "update" row.

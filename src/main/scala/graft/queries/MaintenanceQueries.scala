@@ -390,6 +390,60 @@ object MaintenanceQueries {
         feed(2L, 3L), Seq("bucket_h"), adds, support = "n_rows")
         .orderBy("bucket_h")
     }),
+    // q256's retracting loop extended to NON-RETRACTABLE accumulators
+    // (hourly min/max) with AUTOMATED scoped repair — the r10 verdict's
+    // "operator would get burned" edge: a deleted extremum cannot be
+    // recomputed from state-sized information, so applyChangeFeed was
+    // additive-only and a delete touching a stored bound forced a MANUAL
+    // backfill. applyChangeFeedWithBounds detects in the feed the groups
+    // whose retraction image reaches a stored bound and re-aggregates
+    // ONLY those from the upstream snapshot (the rescan is semi-joined
+    // to the dirty hours — O(dirty groups' raw), never O(table)); all
+    // other groups merge algebraically (bounds extend outward via post
+    // images, adds stay signed). The oracle recomputes count/sum/min/max
+    // from the FINAL upstream content raw — a stale bound a delete
+    // should have lowered, a wrongly-repaired group, or an over-wide
+    // rescan changing untouched groups all hash-fail.
+    "q260_mv_cdf_bounds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_b").toString + "/t"
+      def hour(df: DataFrame) = df.withColumn("bucket_h",
+        date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"),
+          min("v6").as("min_v6"), max("v6").as("max_v6"))
+      Tx.commitMerge(s, path, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      val state0 = Stage.through(mv(Tx.read(s, path)))
+      val updates = Tx.read(s, path).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, path,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        Tx.read(s, path).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      def feed(fromV: Long, toV: Long) =
+        hour(Tx.changes(s, path, fromV, toV, emitPre = true))
+          .select("bucket_h", "v6", "_change")
+      // the repair scan is scoped to the feed's TARGET version (the
+      // snapshot the state is converging to) and to the dirty hours only
+      def rescan(toV: Long)(dirtyKeys: DataFrame) =
+        mv(hour(Tx.read(s, path, toV)).join(dirtyKeys, Seq("bucket_h"),
+          "left_semi"))
+      val adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6"))
+      def step(st: DataFrame, fromV: Long, toV: Long) =
+        Mv.applyChangeFeedWithBounds(st, feed(fromV, toV),
+          Seq("bucket_h"), adds, support = "n_rows",
+          mins = Seq("min_v6" -> col("v6")),
+          maxs = Seq("max_v6" -> col("v6")),
+          rescan = rescan(toV))
+      step(Stage.through(step(state0, 1L, 2L)), 2L, 3L)
+        .orderBy("bucket_h")
+    }),
     // q256's loop run EXACTLY-ONCE through Tx-resident downstream state
     // (Mv.followChanges): the consumption cursor rides in the SAME
     // manifest commit as the state it produced, so a crash between
@@ -744,6 +798,20 @@ object MaintenanceQueries {
             FROM events WHERE event_id % 7 <> 0)
           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q256's oracle widened with the bounds: min/max recomputed from the
+    // final upstream content raw — the feed math AND the scoped repair
+    // must land exactly here
+    "q260_mv_cdf_bounds" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            min(v6) AS min_v6, max(v6) AS max_v6
           FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     // q256's oracle verbatim — the cursor discipline and the replay must
     // be invisible to the final state

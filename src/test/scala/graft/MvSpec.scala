@@ -483,6 +483,63 @@ class MvSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(4) == 1000000L)
   }
 
+  test("applyChangeFeedWithBounds: a deleted max repairs ONLY its group") {
+    import spark.implicits._
+    // two groups; g=a's max (30) is deleted, g=b sees an insert only
+    val state = Seq(("a", 2L, 40L, 10L, 30L), ("b", 1L, 5L, 5L, 5L))
+      .toDF("g", "n_rows", "sum_v", "min_v", "max_v")
+    val feed = Seq(
+      ("a", 30L, "delete"), // retracts g=a's stored max → dirty
+      ("b", 7L, "insert")) //  extends g=b's bounds outward → clean
+      .toDF("g", "v", "_change")
+    // upstream truth AFTER the delete: g=a keeps only v=10
+    val upstream = Seq(("a", 10L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    var rescanned: Seq[String] = null
+    val out = graft.operators.Mv.applyChangeFeedWithBounds(
+      state, feed, Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows",
+      mins = Seq("min_v" -> col("v")), maxs = Seq("max_v" -> col("v")),
+      rescan = dirty => {
+        rescanned = dirty.collect().map(_.getString(0)).toSeq
+        upstream.join(dirty, Seq("g"), "left_semi").groupBy("g")
+          .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+            min("v").as("min_v"), max("v").as("max_v"))
+      })
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rescanned == Seq("a"),
+      s"only the bound-touching group may be rescanned, got $rescanned")
+    assert(out == Seq(("a", 1L, 10L, 10L, 10L), ("b", 2L, 12L, 5L, 7L)),
+      "a lands on scratch via the scoped repair; b merges algebraically")
+
+    // a retraction NOT touching a bound stays algebraic (no rescan) —
+    // and a dirty group that vanished upstream leaves the state
+    var calls = 0
+    val out2 = graft.operators.Mv.applyChangeFeedWithBounds(
+      state,
+      Seq(("a", 20L, "delete"), ("b", 5L, "delete")).toDF("g", "v", "_change"),
+      Seq("g"),
+      adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+      support = "n_rows",
+      mins = Seq("min_v" -> col("v")), maxs = Seq("max_v" -> col("v")),
+      rescan = dirty => {
+        calls += 1
+        rescanned = dirty.collect().map(_.getString(0)).toSeq
+        // b's group is now EMPTY upstream: truth has no row for it
+        Seq(("zzz", 0L)).toDF("g", "v").join(dirty, Seq("g"), "left_semi")
+          .groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+            min("v").as("min_v"), max("v").as("max_v"))
+      })
+      .orderBy("g").collect().map(_.getString(0)).toSeq
+    // a's delete of 20 (strictly inside [10,30]) is NOT dirty; b's
+    // delete of 5 hits BOTH its bounds → dirty, vanishes upstream → gone
+    assert(rescanned == Seq("b") && calls == 1)
+    assert(out2 == Seq("a"),
+      "b must leave the state when its repaired group has no truth rows")
+  }
+
   test("refreshTxWith: custom fold rides the stamp/replay/crash discipline") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_rtw").toString + "/t"
