@@ -345,6 +345,36 @@ object MaintenanceQueries {
         .withColumn("pushed_ok", lit(kept.size < total.size))
         .orderBy("p_day")
     }),
+    // STRING zone maps end to end — the corpus-table axis (q70's
+    // dataset-card dimensions are source/lang, both strings) that
+    // numeric-only stats couldn't prune: documents land in Tx keyed
+    // (source, doc_id), bucketed on source, with truncated UTF-8 string
+    // bounds recorded per bucket (lower = byte prefix, upper = prefix
+    // rounded up — truncation only ever WIDENS a zone). A BETWEEN over
+    // the standard DSv2 read pushes the string range into scan planning;
+    // the in-plan require()s assert real pruning and partitions ==
+    // kept buckets. Oracle: filter-aggregate from raw — a pruned bucket
+    // holding in-range sources, or a kept bucket double-read, hash-fails.
+    "q261_tx_string_skip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("source", "doc_id", "lang", "n_chars")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_s").toString + "/t"
+      Tx.commitMerge(s, path, docs, Seq("source", "doc_id"), nBuckets = 32,
+        bucketKeys = Seq("source"), statsCols = Seq("source"))
+      val scan = s.read.format("graft-tx").load(path)
+        .filter(col("source").between("src12", "src14"))
+      val (kept, total) = Tx.pruneInfo(path, "source", "src12", "src14")
+      require(kept.size < total.size,
+        s"string zones must prune source-buckets: ${kept.size}/${total.size}")
+      require(scan.rdd.getNumPartitions == kept.size,
+        s"one partition per kept bucket: ${scan.rdd.getNumPartitions} " +
+          s"vs ${kept.size}")
+      scan.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("pruned_ok", lit(kept.size < total.size))
+        .orderBy("source", "lang")
+    }),
     // DOWNSTREAM MV FROM THE CHANGE FEED — the full incremental loop:
     // an upstream Tx table takes a merge (10% inserts + every-3rd-key
     // value doubles) and a delete (every 7th key); the downstream hourly
@@ -786,6 +816,13 @@ object MaintenanceQueries {
             TRUE AS pushed_ok
           FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
           GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // filter-aggregate from raw over the probed source range + literal
+    // TRUE for the in-plan pruning contract
+    "q261_tx_string_skip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS pruned_ok
+          FROM documents WHERE source BETWEEN 'src12' AND 'src14'
+          GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " "),
     // scratch aggregate of the FINAL upstream content derived from raw:
     // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
     // feed math (bootstrap + two retracting folds) must land exactly here

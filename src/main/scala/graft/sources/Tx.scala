@@ -431,10 +431,12 @@ object Tx {
               "would prune on wrong math")
         }
       }
-    val lb = statBig(lo).getOrElse(throw new IllegalArgumentException(
-      s"readRange: lower bound $lo must be a finite, non-null value"))
-    val ub = statBig(hi).getOrElse(throw new IllegalArgumentException(
-      s"readRange: upper bound $hi must be a finite, non-null value"))
+    val lb = statVal(lo).getOrElse(throw new IllegalArgumentException(
+      s"readRange: lower bound $lo must be a finite, non-null, " +
+        "encodable value"))
+    val ub = statVal(hi).getOrElse(throw new IllegalArgumentException(
+      s"readRange: upper bound $hi must be a finite, non-null, " +
+        "encodable value"))
     pruneZones(snap, colName, Some(lb), Some(ub))
   }
 
@@ -444,7 +446,7 @@ object Tx {
     */
   private def pruneZones(
       snap: Snapshot, colName: String,
-      lb: Option[BigDecimal], ub: Option[BigDecimal]): Set[Int] =
+      lb: Option[StatV], ub: Option[StatV]): Set[Int] =
     snap.dirs.keySet.filter { b =>
       snap.stats.get(b).flatMap(parseStats(_).get(colName)) match {
         case None => true // no zone map for this bucket/column: never prune
@@ -453,9 +455,31 @@ object Tx {
           // keep unless the zone provably misses: zone entirely above hi
           // or entirely below lo; an unbounded side (NaN/∞ landed in the
           // zone, or a one-sided probe) keeps the bucket on that side
-          ub.forall(u => mn.forall(_ <= u)) && lb.forall(l => mx.forall(_ >= l))
+          ub.forall(u => mn.forall(statLe(_, u))) &&
+            lb.forall(l => mx.forall(statGe(_, l)))
       }
     }
+
+  /** A zone-map stat value: numeric types encode into a total-ordered
+    * decimal domain; strings into UTF-8 byte arrays compared unsigned-
+    * lexicographically (Spark's own binary string order). The two
+    * variants never meet — probe types are validated against the column
+    * — but a mixed compare conservatively keeps the bucket.
+    */
+  private[sources] sealed trait StatV
+  private final case class NumV(v: BigDecimal) extends StatV
+  private final case class StrV(b: Array[Byte]) extends StatV
+
+  private def statLe(a: StatV, b: StatV): Boolean = (a, b) match {
+    case (NumV(x), NumV(y)) => x <= y
+    case (StrV(x), StrV(y)) => java.util.Arrays.compareUnsigned(x, y) <= 0
+    case _ => true // mixed encodings: never prune on them
+  }
+  private def statGe(a: StatV, b: StatV): Boolean = (a, b) match {
+    case (NumV(x), NumV(y)) => x >= y
+    case (StrV(x), StrV(y)) => java.util.Arrays.compareUnsigned(x, y) >= 0
+    case _ => true
+  }
 
   /** DSv2 pruning hook ([[graft.sources.tx.TxSource]]): kept buckets for
     * a pushed `colName ∈ [lo, hi]` range (either side optional). Unlike
@@ -471,8 +495,8 @@ object Tx {
     val dt = snap.meta.get(SchemaKey)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
-    def enc(side: Option[Any]): Option[BigDecimal] = for {
-      d <- dt; v <- side; if probeMatches(d, v); b <- statBig(v)
+    def enc(side: Option[Any]): Option[StatV] = for {
+      d <- dt; v <- side; if probeMatches(d, v); b <- statVal(v)
     } yield b
     pruneZones(snap, colName, enc(lo), enc(hi))
   }
@@ -495,22 +519,82 @@ object Tx {
       case (TimestampType,
         _: java.sql.Timestamp | _: java.time.Instant) => true
       case (TimestampNTZType, _: java.time.LocalDateTime) => true
+      case (StringType, _: String) => true
       case _ => false
     }
   }
 
   /** Is `t` usable as a zone-map column? (Types with a total order that
-    * encodes losslessly into the manifest's decimal reprs.)
+    * encodes into the manifest's stat reprs — decimals for numerics,
+    * truncated UTF-8 byte bounds for strings.)
     */
   private def statSupported(t: DataType): Boolean = {
     import org.apache.spark.sql.types._
     t match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | DateType | TimestampType | TimestampNTZType => true
+           DoubleType | DateType | TimestampType | TimestampNTZType |
+           StringType => true
       case _: DecimalType => true
       case _ => false
     }
   }
+
+  /** One PROBE value → its stat-domain repr; None for null, non-finite
+    * floats, and strings that don't strictly encode to UTF-8 (unpaired
+    * surrogates — their byte order is undefined, so they never bound a
+    * probe). Probe strings are NOT truncated: the exact bytes compare
+    * against the stored truncated bounds, which were rounded outward.
+    */
+  private def statVal(v: Any): Option[StatV] = v match {
+    case s: String => utf8Strict(s).map(StrV)
+    case other => statBig(other).map(NumV)
+  }
+
+  /** Bytes a string's stats/probe compare in — STRICT UTF-8: a string
+    * with unpaired surrogates has no well-defined byte order, so it
+    * yields None and that zone side goes unbounded (never wrongly
+    * prunes).
+    */
+  private def utf8Strict(s: String): Option[Array[Byte]] =
+    try {
+      val bb = java.nio.charset.StandardCharsets.UTF_8.newEncoder()
+        .encode(java.nio.CharBuffer.wrap(s))
+      val a = new Array[Byte](bb.remaining())
+      bb.get(a)
+      Some(a)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+    }
+
+  /** Max bytes a string bound keeps in the manifest — long values are
+    * truncated with Iceberg's truncate-transform semantics: the LOWER
+    * bound is a plain byte prefix (≤ every value it summarizes), the
+    * UPPER bound is the prefix rounded UP (rightmost incrementable byte
+    * +1, tail dropped — ≥ every value; valid UTF-8 never contains 0xFF,
+    * so an unincrementable prefix cannot arise from real text, but the
+    * unbounded fallback exists anyway).
+    */
+  private val StatStrBytes = 16
+
+  private def strLoStat(s: String): Option[Array[Byte]] =
+    utf8Strict(s).map(_.take(StatStrBytes))
+
+  private def strHiStat(s: String): Option[Array[Byte]] =
+    utf8Strict(s).flatMap { b =>
+      if (b.length <= StatStrBytes) Some(b)
+      else {
+        val p = b.take(StatStrBytes)
+        val i = p.lastIndexWhere(x => (x & 0xFF) < 0xFF)
+        if (i < 0) None // all-0xFF prefix: no finite upper bound
+        else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
+      }
+    }
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02x").mkString
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   /** One external value → its decimal-comparable stat repr; None for
     * null and for non-finite floats (an unbounded zone side).
@@ -543,17 +627,20 @@ object Tx {
 
   /** Decode one bucket's manifest stats field:
     * colName -> (min, max, allNull); `*` = unbounded side, `~` = the
-    * bucket has no non-null values for the column.
+    * bucket has no non-null values for the column, `x<hex>` = a string
+    * bound's (truncated) UTF-8 bytes, bare decimal = a numeric bound.
     */
   private def parseStats(
-      enc: String): Map[String, (Option[BigDecimal], Option[BigDecimal], Boolean)] =
+      enc: String): Map[String, (Option[StatV], Option[StatV], Boolean)] =
     enc.split(";").iterator.filter(_.nonEmpty).map { e =>
       val Array(c, spec) = e.split("=", 2)
       if (spec == "~") c -> ((None, None, true))
       else {
         val Array(mn, mx) = spec.split(",", 2)
-        def p(s: String) =
-          if (s == "*") None else Some(BigDecimal(s))
+        def p(s: String): Option[StatV] =
+          if (s == "*") None
+          else if (s.startsWith("x")) Some(StrV(unhex(s.drop(1))))
+          else Some(NumV(BigDecimal(s)))
         c -> ((p(mn), p(mx), false))
       }
     }.toMap
@@ -567,18 +654,26 @@ object Tx {
       schema: StructType): Map[Int, String] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    // a side's manifest repr: numerics encode exactly; string LOWER
+    // bounds keep a byte prefix (≤ the true min), string UPPER bounds
+    // round the prefix up (≥ the true max) — truncation can only WIDEN
+    // a zone, never narrow it, so pruning stays sound
+    def encSide(v: Any, isUpper: Boolean): Option[String] = v match {
+      case s: String =>
+        (if (isUpper) strHiStat(s) else strLoStat(s)).map("x" + hex(_))
+      case other => statBig(other).map(_.toString)
+    }
     spark.read.parquet(commitDir) // fresh homogeneous footers + __b part col
       .groupBy("__b").agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val b = r.getAs[Number]("__b").intValue()
         val enc = cols.map { c =>
-          val mn = statBig(r.getAs[Any](s"__mn_$c"))
-          val mx = statBig(r.getAs[Any](s"__mx_$c"))
+          val mn = encSide(r.getAs[Any](s"__mn_$c"), isUpper = false)
+          val mx = encSide(r.getAs[Any](s"__mx_$c"), isUpper = true)
           val spec =
             if (r.isNullAt(r.fieldIndex(s"__mn_$c")) &&
                 r.isNullAt(r.fieldIndex(s"__mx_$c"))) "~"
-            else s"${mn.map(_.toString).getOrElse("*")}," +
-              s"${mx.map(_.toString).getOrElse("*")}"
+            else s"${mn.getOrElse("*")},${mx.getOrElse("*")}"
           s"$c=$spec"
         }.mkString(";")
         b -> enc
@@ -857,7 +952,7 @@ object Tx {
             val t = fieldTypes(statsSchema).get(c)
             require(t.exists(statSupported),
               s"$opName: zone-map column '$c' must exist with a " +
-                s"numeric/date/timestamp type, got $t")
+                s"numeric/date/timestamp/string type, got $t")
           }
           // the change feed reserves '_change' and the '__o_'/'__n_'
           // prefixes (and '__b' is the bucket column everywhere) — a

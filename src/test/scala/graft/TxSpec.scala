@@ -862,6 +862,80 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Set(null, "hot"))
   }
 
+  test("string zone maps: truncated bounds prune soundly") {
+    val path = tmp()
+    // 6 source-buckets, bucketed on the string key, stats on it
+    val srcs = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val df = srcs.zipWithIndex.flatMap { case (s, i) =>
+      (0L to 2L).map(j => (s, i * 10L + j, (i * 100 + j).toLong)) }
+      .toDF("src", "id", "v")
+    Tx.commitMerge(spark, path, df, Seq("src", "id"), nBuckets = 12,
+      bucketKeys = Seq("src"), statsCols = Seq("src"))
+    def t3(d: org.apache.spark.sql.DataFrame) =
+      d.select("src", "id", "v").orderBy("src", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // pruned read ≡ full-scan filter on EVERY probed range, and narrow
+    // ranges actually prune
+    for ((lo, hi) <- Seq(("bravo", "delta"), ("a", "b"), ("echo", "echo"),
+        ("a", "z"), ("golf", "zulu"))) {
+      val (kept, total) = Tx.pruneInfo(path, "src", lo, hi)
+      assert(kept.subsetOf(total))
+      assert(t3(Tx.readRange(spark, path, "src", lo, hi)) ==
+        t3(Tx.read(spark, path).filter(col("src") >= lo && col("src") <= hi)),
+        s"string range [$lo,$hi] diverged")
+      if (lo == "golf") assert(kept.isEmpty,
+        "a fully-above-every-zone range must read nothing")
+      if (lo == "echo") assert(kept.size < total.size)
+    }
+    // DSv2 pushdown prunes on the string column too
+    val dsv2 = spark.read.format("graft-tx").load(path)
+      .filter(col("src").between("bravo", "delta"))
+    val (keptS, _) = Tx.pruneInfo(path, "src", "bravo", "delta")
+    assert(dsv2.rdd.getNumPartitions == keptS.size)
+    assert(t3(dsv2) ==
+      t3(Tx.read(spark, path).filter(col("src").between("bravo", "delta"))))
+    // probe-type validation covers strings both ways
+    intercept[IllegalArgumentException](Tx.pruneInfo(path, "src", 1L, 2L))
+    intercept[IllegalArgumentException](Tx.pruneInfo(path, "v", "a", "b"))
+  }
+
+  test("string zone maps: the 16-byte truncation boundary stays sound") {
+    val path = tmp()
+    val p16 = "A" * 16 // exactly the kept prefix
+    // one bucket whose values all share a >16-byte prefix (its stored
+    // zone is [p16, p16+1) — wider than the true values), one plain
+    val df = Seq(
+      (p16 + "zebra", 1L), (p16 + "yak", 2L), // truncated bounds
+      ("short", 3L))
+      .toDF("src", "id")
+    Tx.commitMerge(spark, path, df, Seq("src", "id"), nBuckets = 4,
+      bucketKeys = Seq("src"), statsCols = Seq("src"))
+    def got(lo: String, hi: String) =
+      Tx.readRange(spark, path, "src", lo, hi)
+        .select("id").collect().map(_.getLong(0)).toSet
+    def want(lo: String, hi: String) =
+      Tx.read(spark, path).filter(col("src") >= lo && col("src") <= hi)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // probes straddling the truncation boundary: a matching value must
+    // NEVER be pruned away, whatever the probe's relation to the kept
+    // prefix — the exact filter decides, pruning only widens
+    for ((lo, hi) <- Seq(
+        (p16, p16 + "zz"), //          spans both truncated values
+        (p16 + "ya", p16 + "yb"), //   hits exactly one
+        (p16 + "za", "Z"), //          upper bound beyond the zone
+        ("A", p16), //                 ends exactly AT the kept prefix
+        (p16 + "zz", p16 + "zzz"))) // above true max, below rounded-up bound
+      assert(got(lo, hi) == want(lo, hi), s"[$lo,$hi] diverged")
+    // a probe strictly above the ROUNDED-UP upper bound prunes the
+    // truncated bucket (the increment bound is still a real bound)
+    val (kept, total) = Tx.pruneInfo(path, "src",
+      "A" * 15 + "C", "A" * 15 + "D")
+    assert(kept.size < total.size,
+      "the truncated bucket's rounded-up bound must still prune probes " +
+        "beyond it")
+    assert(got("A" * 15 + "C", "A" * 15 + "D") == Set.empty)
+  }
+
   test("range probes are type-checked against the recorded schema") {
     val path = tmp()
     val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"))
