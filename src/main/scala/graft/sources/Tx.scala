@@ -357,6 +357,44 @@ object Tx {
         col("__e._change").as("_change"): _*)
   }
 
+  /** [[changes]] per COMMIT, with version attribution: the diff from
+    * `fromVersion` to `toVersion` split pairwise over the committed
+    * versions between them, every row stamped `_commit_version` = the
+    * commit that produced it — what a downstream audit table needs to
+    * attribute a change to its run. Semantics differ from the endpoint
+    * diff exactly as a commit log differs from a net: a row inserted and
+    * deleted strictly BETWEEN the endpoints appears here (once per
+    * commit that touched it) while [[changes]] nets it away; summing the
+    * stamped spans therefore reproduces the endpoint diff modulo that
+    * intermediate churn (spec-pinned). Each span costs O(its changed
+    * buckets), so the whole call is O(total churn), never
+    * O(spans × table). Every intermediate manifest must still be live —
+    * a consumer that outslept retention gets [[changes]]'s re-bootstrap
+    * error, not a silently coarser feed.
+    */
+  def changesStamped(
+      spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      emitPre: Boolean = false): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesStamped: need fromVersion < toVersion, got " +
+        s"$fromVersion, $toVersion")
+    val vs = versions(path).filter(v => v >= fromVersion && v <= toVersion)
+    // versions increment by 1 and vacuum retires only prefixes, so a
+    // live fromVersion implies the whole span is live — but say WHICH
+    // endpoint broke when it isn't
+    require(vs.headOption.contains(fromVersion) &&
+      vs.lastOption.contains(toVersion),
+      s"changesStamped: span [$fromVersion, $toVersion] is not fully " +
+        s"live in $path (kept: ${vs.mkString(",")}) — a retired " +
+        "intermediate means the consumer fell behind retention and " +
+        "must re-bootstrap")
+    vs.sliding(2).map { case Seq(a, b) =>
+      changes(spark, path, a, b, emitPre)
+        .withColumn("_commit_version", lit(b))
+    }.reduce(_ unionByName _)
+  }
+
   /** DATA SKIPPING — read only the buckets whose zone map can intersect
     * `[lo, hi]` on `colName`, then apply the exact range filter. The
     * zone maps live in the manifest (recorded per touched bucket at

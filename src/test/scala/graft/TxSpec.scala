@@ -862,6 +862,44 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Set(null, "hot"))
   }
 
+  test("changesStamped: per-commit attribution, endpoint diff modulo churn") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                         v1: base
+    Tx.commitMerge(spark, path, Seq((2L, 25L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                         v2: update 2, insert 3 (churn key)
+    Tx.commitDelete(spark, path, Seq(3L).toDF("id"),
+      Seq("id"), nBuckets = 4) //                         v3: delete 3
+    Tx.commitMerge(spark, path, Seq((4L, 40L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                         v4: insert 4
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "_change").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    val stamped = Tx.changesStamped(spark, path, 1L, 4L)
+    // every span's rows equal that span's own changes(), stamp correct
+    for (v <- 2L to 4L)
+      assert(rowsOf(stamped.filter(col("_commit_version") === v)) ==
+        rowsOf(Tx.changes(spark, path, v - 1, v)),
+        s"span v${v - 1}->v$v must match its own endpoint diff")
+    // the churn key (3: inserted v2, deleted v3) appears per commit in
+    // the stamped feed and NOT AT ALL in the endpoint diff
+    assert(stamped.filter(col("id") === 3L).count() == 2L)
+    assert(Tx.changes(spark, path, 1L, 4L).filter(col("id") === 3L).isEmpty)
+    // modulo that churn, the stamped concatenation IS the endpoint diff
+    assert(rowsOf(stamped.filter(col("id") =!= 3L)) ==
+      rowsOf(Tx.changes(spark, path, 1L, 4L)))
+    // a retired intermediate is a named retention failure, not a
+    // silently coarser feed
+    Tx.vacuum(path, keepVersions = 2)
+    val e = intercept[IllegalArgumentException](
+      Tx.changesStamped(spark, path, 1L, 4L))
+    assert(e.getMessage.contains("re-bootstrap"))
+    // a still-live span keeps working after the vacuum
+    assert(rowsOf(Tx.changesStamped(spark, path, 3L, 4L)) ==
+      rowsOf(Tx.changes(spark, path, 3L, 4L)))
+  }
+
   test("string zone maps: truncated bounds prune soundly") {
     val path = tmp()
     // 6 source-buckets, bucketed on the string key, stats on it
