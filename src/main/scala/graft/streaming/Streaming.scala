@@ -437,6 +437,56 @@ object Streaming {
       .start()
   }
 
+  /** CONTINUOUS change-feed follower — the streaming twin of
+    * [[graft.operators.Mv.followChanges]], closing the loop
+    * [[mvMaintainTxStream]] closes for raw batches: a downstream
+    * Tx-resident MV tails an upstream Tx table's versions and folds each
+    * new span's change feed, exactly-once, without ever receiving the
+    * raw batches. The source is [[graft.sources.tx.TxTicks]] — a
+    * micro-batch stream whose OFFSETS are upstream versions (the keyset
+    * source's offset discipline applied to manifests), so a trigger
+    * fires only when the upstream actually committed and probing costs
+    * one manifest-directory listing.
+    *
+    * Exactly-once WITHOUT trusting the checkpoint: followChanges keeps
+    * its consumption cursor in the SAME manifest commit as the state it
+    * produced, so the tick's span is merely a wake-up — a wiped
+    * checkpoint replays old spans and the cursor no-ops them; a span the
+    * checkpoint thinks is new but the cursor already folded (this
+    * process raced another follower) aborts inside the CAS loop. The
+    * cursor, not the checkpoint, is the truth (spec-pinned). Per-trigger
+    * cost: O(changed upstream buckets) + O(touched state buckets).
+    */
+  def followChangesStream(
+      spark: SparkSession,
+      upstreamPath: String,
+      statePath: String,
+      keys: Seq[String],
+      adds: Seq[(String, org.apache.spark.sql.Column)],
+      support: String,
+      project: DataFrame => DataFrame,
+      checkpointDir: String,
+      nBuckets: Int = 16,
+      bucketKeys: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("graft.sources.tx.TxTicks")
+      .option("path", upstreamPath).load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch row names a span, but followChanges derives its own
+        // from the durable cursor — the tick is only the wake-up
+        batch.sparkSession.sparkContext.setJobDescription(
+          s"followChangesStream $upstreamPath -> $statePath")
+        graft.operators.Mv.followChanges(
+          batch.sparkSession, upstreamPath, statePath, keys, adds,
+          support, project, nBuckets, bucketKeys)
+        ()
+      }
+      .start()
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)

@@ -616,4 +616,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val expected = (1L to 21L).map(i => (i, if (i == 7L) 700.0 else i * 1.0))
     assert(out == expected)
   }
+
+  test("followChangesStream: version-offset ticks, cursor beats checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fcs2").toString
+    val up = s"$dir/up"
+    val stStream = s"$dir/st_stream"
+    val stBatch = s"$dir/st_batch"
+    val adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v"))
+    val project = (df: org.apache.spark.sql.DataFrame) => df.select(
+      (col("id") % 2).cast("string").as("g"), col("v"), col("_change"))
+    def runStream() = Streaming.followChangesStream(spark, up, stStream,
+      Seq("g"), adds, support = "n_rows", project = project,
+      checkpointDir = s"$dir/ckpt", nBuckets = 4).awaitTermination()
+    def batchFollow() = graft.operators.Mv.followChanges(spark, up, stBatch,
+      Seq("g"), adds, support = "n_rows", project = project, nBuckets = 4)
+    def state(path: String) = graft.sources.Tx.read(spark, path)
+      .select("g", "n_rows", "sum_v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // v1: bootstrap through the stream
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    runStream(); batchFollow()
+    assert(state(stStream) == state(stBatch))
+    // a SPLIT commit sequence: merge then delete, one stream run each
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((2L, 25L), (4L, 5L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    runStream()
+    graft.sources.Tx.commitDelete(spark, up, Seq(3L).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    runStream()
+    batchFollow() // batch twin catches up v1 -> v3 in one fold
+    assert(state(stStream) == state(stBatch),
+      "split stream follows must equal the batch follows' final state")
+    assert(state(stStream) == Seq(("0", 2L, 30L), ("1", 1L, 10L)))
+    // no upstream movement: an idle trigger commits nothing
+    val vIdle = graft.sources.Tx.latest(stStream).get.version
+    runStream()
+    assert(graft.sources.Tx.latest(stStream).get.version == vIdle)
+    // WIPE the checkpoint: the tick replays the whole (0, latest] span,
+    // but the CURSOR in the state manifest is the truth — nothing folds
+    val ck = java.nio.file.Paths.get(s"$dir/ckpt")
+    val walked = java.nio.file.Files.walk(ck)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walked.close()
+    runStream()
+    assert(graft.sources.Tx.latest(stStream).get.version == vIdle &&
+      state(stStream) == Seq(("0", 2L, 30L), ("1", 1L, 10L)),
+      "a wiped checkpoint must not re-fold anything — the cursor is " +
+        "the truth, not the checkpoint")
+    // and the stream keeps working after the wipe
+    graft.sources.Tx.commitMerge(spark, up, Seq((5L, 100L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    runStream(); batchFollow()
+    assert(state(stStream) == state(stBatch))
+  }
 }
