@@ -515,6 +515,57 @@ object MaintenanceQueries {
         .select("bucket_h", "n_rows", "sum_v6")
         .orderBy("bucket_h")
     }),
+    // q257's follow loop driven by the CONTINUOUS follower
+    // (Streaming.followChangesStream): a micro-batch stream whose
+    // offsets are upstream Tx VERSIONS wakes per commit and folds the
+    // span's change feed — the downstream MV stays current without
+    // receiving raw batches, and the mid-sequence CHECKPOINT WIPE proves
+    // delivery rides the manifest cursor, not the checkpoint (the
+    // replayed span folds nothing; a double-fold would hash-fail). SAME
+    // oracle as q256/q257: scratch from the final upstream content,
+    // blind to the stream, the offsets, and the wipe.
+    "q262_mv_follow_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_fss").toString
+      val up = s"$base/up"
+      val st = s"$base/st"
+      def stream() = graft.streaming.Streaming.followChangesStream(
+        s, up, st, Seq("bucket_h"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
+        support = "n_rows",
+        project = df => df.withColumn("bucket_h",
+          date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+          .select("bucket_h", "v6", "_change"),
+        checkpointDir = s"$base/ckpt").awaitTermination()
+      Tx.commitMerge(s, up, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      stream() // bootstrap from v1
+      val updates = Tx.read(s, up).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, up,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      stream() // fold v1→v2
+      // checkpoint wipe: the next run replays the whole span; the
+      // cursor must no-op it (a double-fold hash-fails the oracle)
+      val ck = java.nio.file.Paths.get(s"$base/ckpt")
+      val walked = java.nio.file.Files.walk(ck)
+      try walked
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walked.close()
+      stream() // replay under a fresh checkpoint: cursor says caught up
+      Tx.commitDelete(s, up,
+        Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      stream() // fold v2→v3
+      Tx.read(s, st)
+        .select("bucket_h", "n_rows", "sum_v6")
+        .orderBy("bucket_h")
+    }),
     // SCHEMA EVOLUTION — a nullable column added as a metadata-only
     // commit (no data motion), then a post-evolution merge fills it for
     // every 10th key. The final read must serve the evolved column from
@@ -853,6 +904,18 @@ object MaintenanceQueries {
     // q256's oracle verbatim — the cursor discipline and the replay must
     // be invisible to the final state
     "q257_mv_follow" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q257's oracle verbatim — the stream, the version offsets, and the
+    // checkpoint wipe must all be invisible to the final state
+    "q262_mv_follow_stream" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.Tx
@@ -71,12 +71,27 @@ case class TxVersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-class TxTicksStream(path: String) extends MicroBatchStream {
+class TxTicksStream(path: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def newest(): Long = Tx.latest(path).map(_.version).getOrElse(0L)
+
+  // Trigger.AvailableNow pins the target version at prepare time: the
+  // run drains up to it and stops, even if more commits land meanwhile
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(newest())
 
   override def initialOffset(): Offset = TxVersionOffset(0L)
 
   override def latestOffset(): Offset =
-    TxVersionOffset(Tx.latest(path).map(_.version).getOrElse(0L))
+    TxVersionOffset(availableNowCap.getOrElse(newest()))
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     TxVersionOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
