@@ -620,13 +620,37 @@ object Tx {
   private def strHiStat(s: String): Option[Array[Byte]] =
     utf8Strict(s).flatMap { b =>
       if (b.length <= StatStrBytes) Some(b)
-      else {
-        val p = b.take(StatStrBytes)
-        val i = p.lastIndexWhere(x => (x & 0xFF) < 0xFF)
-        if (i < 0) None // all-0xFF prefix: no finite upper bound
-        else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
-      }
+      else bytesIncrement(b.take(StatStrBytes))
     }
+
+  /** The smallest byte string strictly greater than every string with
+    * prefix `b`: rightmost incrementable byte +1, tail dropped. None
+    * when every byte is 0xFF (unreachable from valid UTF-8).
+    */
+  private def bytesIncrement(b: Array[Byte]): Option[Array[Byte]] = {
+    val i = b.lastIndexWhere(x => (x & 0xFF) < 0xFF)
+    if (i < 0) None
+    else Some(b.take(i + 1).updated(i, (b(i) + 1).toByte))
+  }
+
+  /** DSv2 pruning hook for `colName LIKE 'prefix%'`: every matching
+    * value lies in `[prefix, increment(prefix))` byte-wise, so the zone
+    * probe uses that range. Lenient like [[pruneLenient]] — a non-string
+    * column or an unencodable prefix keeps every bucket.
+    */
+  private[sources] def prunePrefixLenient(
+      snap: Snapshot, colName: String, prefix: String): Set[Int] = {
+    val isStr = snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == colName))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (!isStr) snap.dirs.keySet
+    else utf8Strict(prefix) match {
+      case None => snap.dirs.keySet
+      case Some(p) => pruneZones(snap, colName,
+        Some(StrV(p)), bytesIncrement(p).map(StrV))
+    }
+  }
 
   private def hex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xFF}%02x").mkString

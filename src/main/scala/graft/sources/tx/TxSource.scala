@@ -128,26 +128,39 @@ class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
   private var required: StructType = tableSchema
   private var prunable: Array[Filter] = Array.empty
 
-  /** A pushed filter's pruning contribution: (column, lo, hi) with
-    * either side optional. Strict bounds are relaxed to inclusive —
-    * conservative (keeps possibly-extra buckets, never wrongly prunes),
-    * and exactness is Spark's job anyway.
+  /** A pushed filter's kept-bucket contribution. Strict bounds relax to
+    * inclusive — conservative (keeps possibly-extra buckets, never
+    * wrongly prunes), and exactness is Spark's job anyway. `In` is the
+    * union of its values' equality prunes; `LIKE 'p%'` is the byte-range
+    * `[p, increment(p))` over a string column's zones.
     */
-  private def boundsOf(f: Filter): Option[(String, Option[Any], Option[Any])] =
-    f match {
-      case EqualTo(c, v) => Some((c, Some(v), Some(v)))
-      case GreaterThan(c, v) => Some((c, Some(v), None))
-      case GreaterThanOrEqual(c, v) => Some((c, Some(v), None))
-      case LessThan(c, v) => Some((c, None, Some(v)))
-      case LessThanOrEqual(c, v) => Some((c, None, Some(v)))
-      case _ => None
-    }
+  private def keptFor(f: Filter): Option[Set[Int]] = f match {
+    case EqualTo(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), Some(v)))
+    case GreaterThan(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), None))
+    case GreaterThanOrEqual(c, v) =>
+      Some(Tx.pruneLenient(snap, c, Some(v), None))
+    case LessThan(c, v) => Some(Tx.pruneLenient(snap, c, None, Some(v)))
+    case LessThanOrEqual(c, v) =>
+      Some(Tx.pruneLenient(snap, c, None, Some(v)))
+    case In(c, vs) if vs.nonEmpty =>
+      Some(vs.map(v => Tx.pruneLenient(snap, c, Some(v), Some(v)))
+        .reduce(_ union _))
+    case StringStartsWith(c, p) => Some(Tx.prunePrefixLenient(snap, c, p))
+    case _ => None
+  }
+
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: StringStartsWith => true
+    case In(_, vs) => vs.nonEmpty
+    case _ => false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter "prunes" only if it names a column with recorded stats
     // AND its bound actually narrows the kept set's math — pruneLenient
     // decides both; here we only keep the shapes it can consume
-    prunable = filters.filter(boundsOf(_).isDefined)
+    prunable = filters.filter(supported)
     filters // ALL residual: pruning is advisory, Spark re-applies exactly
   }
 
@@ -160,9 +173,8 @@ class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
     required = requiredSchema
 
   override def build(): Scan = {
-    val kept = prunable.flatMap(boundsOf).foldLeft(snap.dirs.keySet) {
-      case (acc, (c, lo, hi)) => acc intersect Tx.pruneLenient(snap, c, lo, hi)
-    }
+    val kept = prunable.flatMap(keptFor)
+      .foldLeft(snap.dirs.keySet)(_ intersect _)
     new TxScan(path, snap, required, kept, prunable)
   }
 }

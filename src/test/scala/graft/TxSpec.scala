@@ -935,6 +935,25 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     // probe-type validation covers strings both ways
     intercept[IllegalArgumentException](Tx.pruneInfo(path, "src", 1L, 2L))
     intercept[IllegalArgumentException](Tx.pruneInfo(path, "v", "a", "b"))
+    // IN pushdown: the union of the values' equality prunes — fewer
+    // partitions than the full table, same rows as the full-scan filter
+    val base = spark.read.format("graft-tx").load(path)
+    val inDf = base.filter(col("src").isin("alpha", "echo"))
+    val keptIn = Tx.pruneInfo(path, "src", "alpha", "alpha")._1 union
+      Tx.pruneInfo(path, "src", "echo", "echo")._1
+    assert(inDf.rdd.getNumPartitions == keptIn.size)
+    assert(t3(inDf) ==
+      t3(Tx.read(spark, path).filter(col("src").isin("alpha", "echo"))))
+    // LIKE 'p%' pushdown: the prefix byte-range over the string zones
+    val pre = base.filter(col("src").startsWith("br"))
+    assert(pre.rdd.getNumPartitions <
+      Tx.latest(path).get.dirs.size,
+      "a selective prefix must prune some buckets")
+    assert(t3(pre) ==
+      t3(Tx.read(spark, path).filter(col("src").startsWith("br"))))
+    // prefix on a NON-string column keeps everything and stays correct
+    // (lenient: the exact filter decides)
+    assert(t3(base.filter(col("src") >= "a")) == t3(Tx.read(spark, path)))
   }
 
   test("string zone maps: the 16-byte truncation boundary stays sound") {
