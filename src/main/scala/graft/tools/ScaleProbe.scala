@@ -665,6 +665,20 @@ object ScaleProbe {
     }
     require(nSkip == nScan && nSkip > 0,
       s"skip read must equal the full-scan filter: $nSkip vs $nScan")
+    // r11: the SAME pruned read through the standard DSv2 surface — a
+    // plain filter over spark.read.format("graft-tx") must plan exactly
+    // the kept buckets and return the same rows, at every table size
+    var nV2 = 0L
+    timed("skip read: 4-day range via DSv2 pushdown (graft-tx)") {
+      val scan = spark.read.format("graft-tx").load(zPath)
+        .filter(col("day").between(10L, 13L))
+      require(scan.rdd.getNumPartitions == zKept.size,
+        s"DSv2 must plan one partition per kept bucket: " +
+          s"${scan.rdd.getNumPartitions} vs ${zKept.size}")
+      nV2 = scan.count()
+    }
+    require(nV2 == nScan,
+      s"DSv2 pruned read must equal the full-scan filter: $nV2 vs $nScan")
 
     // r10: vacuum + time travel at DEPTH — a long-lived table accretes
     // one manifest + one commit dir per batch; retention has to retire
