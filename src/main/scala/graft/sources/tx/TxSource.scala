@@ -120,13 +120,34 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
 
 class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // resolve ONE manifest for the whole scan — snapshot isolation: a
   // commit racing this query can't shear the bucket set mid-plan
   private val snap = TxSource.snapshotAt(path, version)
   private var required: StructType = tableSchema
   private var prunable: Array[Filter] = Array.empty
+  private var countStar = false
+
+  /** A bare, ungrouped COUNT(*) is answered from parquet footer row
+    * counts — one partial count row per bucket, no column materialized.
+    * Soundness is enforced by Spark itself: every filter here is
+    * residual, and V2ScanRelationPushDown never offers an aggregate
+    * across a residual Filter node, so a filtered count always takes
+    * the row path. Partial pushdown only (Spark sums the per-bucket
+    * rows), so AQE and grouping stay Spark's business.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countStar = true
+    ok
+  }
 
   /** A pushed filter's kept-bucket contribution. Strict bounds relax to
     * inclusive — conservative (keeps possibly-extra buckets, never
@@ -175,18 +196,21 @@ class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
   override def build(): Scan = {
     val kept = prunable.flatMap(keptFor)
       .foldLeft(snap.dirs.keySet)(_ intersect _)
-    new TxScan(path, snap, required, kept, prunable)
+    new TxScan(path, snap, required, kept, prunable, countStar)
   }
 }
 
 class TxScan(
     path: String, snap: Tx.Snapshot, required: StructType,
-    kept: Set[Int], pushed: Array[Filter]) extends Scan with Batch {
+    kept: Set[Int], pushed: Array[Filter],
+    countStar: Boolean = false) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStar) TxScan.CountSchema else required
   override def description(): String =
     s"TxScan($path v${snap.version}, buckets=${kept.size}/" +
-      s"${snap.dirs.size}, pushed=${pushed.mkString("[", ", ", "]")})"
+      s"${snap.dirs.size}, pushed=${pushed.mkString("[", ", ", "]")}" +
+      s"${if (countStar) ", pushedAggregation=[COUNT(*)]" else ""})"
   override def toBatch: Batch = this
 
   /** One InputPartition per KEPT bucket — `df.rdd.getNumPartitions ==
@@ -200,7 +224,13 @@ class TxScan(
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxReaderFactory
+    new TxReaderFactory(countStar)
+}
+
+object TxScan {
+  /** The partial-count row shape a pushed COUNT(*) scan serves. */
+  val CountSchema: StructType = StructType(Seq(
+    StructField("count(*)", LongType, nullable = false)))
 }
 
 /** A kept bucket's data directory plus the projected schema, as plain
@@ -209,12 +239,44 @@ class TxScan(
 case class TxBucketPartition(dir: String, schemaJson: String)
     extends InputPartition
 
-class TxReaderFactory extends PartitionReaderFactory {
+class TxReaderFactory(countStar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[TxBucketPartition]
-    new TxBucketReader(part.dir,
+    if (countStar) new TxBucketCountReader(part.dir)
+    else new TxBucketReader(part.dir,
       DataType.fromJson(part.schemaJson).asInstanceOf[StructType])
   }
+}
+
+/** A pushed COUNT(*): one partial-count row per bucket, summed from the
+  * bucket's parquet footers — no column data is ever materialized.
+  */
+class TxBucketCountReader(dir: String)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var count = 0L
+
+  override def next(): Boolean =
+    if (done) false
+    else {
+      val conf = new Configuration()
+      val fs = new java.io.File(dir).listFiles()
+      val files =
+        if (fs == null) Seq.empty
+        else fs.toSeq.filter(f => f.isFile &&
+          f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      count = files.map { f =>
+        val pf = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try pf.getRecordCount finally pf.close()
+      }.sum
+      done = true
+      true
+    }
+
+  override def get(): InternalRow = InternalRow(count)
+  override def close(): Unit = ()
 }
 
 /** Decodes one bucket directory's parquet files into InternalRows under

@@ -835,6 +835,20 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     // count(*)-style empty projection serves from footer row counts
     assert(dsv2.count() == 32L)
     assert(dsv2.filter(col("day") === 3L).count() == 4L)
+    // an UNFILTERED bare count is aggregate-pushed (footer counts, no
+    // rows materialized) — visible in the executed plan's scan
+    // description; a FILTERED count must NOT be (filters are residual,
+    // so the count must run over real rows)
+    val bare = dsv2.groupBy().count()
+    assert(bare.queryExecution.executedPlan.toString
+      .contains("pushedAggregation=[COUNT(*)]"),
+      "a bare count(*) must push to footer row counts")
+    assert(bare.collect().head.getLong(0) == 32L)
+    val filteredCount = dsv2.filter(col("day") === 3L).groupBy().count()
+    assert(!filteredCount.queryExecution.executedPlan.toString
+      .contains("pushedAggregation"),
+      "a filtered count must take the row path — pruning is advisory")
+    assert(filteredCount.collect().head.getLong(0) == 4L)
   }
 
   test("DSv2 read: time travel option and evolved-column nulls") {
