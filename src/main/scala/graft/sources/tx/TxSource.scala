@@ -115,10 +115,13 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, version, tableSchema)
+    new TxScanBuilder(path, version, tableSchema,
+      options.getBoolean("vectorized", true))
 }
 
-class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
+class TxScanBuilder(
+    path: String, version: Long, tableSchema: StructType,
+    vectorized: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -196,14 +199,15 @@ class TxScanBuilder(path: String, version: Long, tableSchema: StructType)
   override def build(): Scan = {
     val kept = prunable.flatMap(keptFor)
       .foldLeft(snap.dirs.keySet)(_ intersect _)
-    new TxScan(path, snap, required, kept, prunable, countStar)
+    new TxScan(path, snap, required, kept, prunable, countStar, vectorized)
   }
 }
 
 class TxScan(
     path: String, snap: Tx.Snapshot, required: StructType,
     kept: Set[Int], pushed: Array[Filter],
-    countStar: Boolean = false) extends Scan with Batch {
+    countStar: Boolean = false,
+    vectorized: Boolean = true) extends Scan with Batch {
 
   override def readSchema(): StructType =
     if (countStar) TxScan.CountSchema else required
@@ -224,7 +228,7 @@ class TxScan(
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxReaderFactory(countStar)
+    new TxReaderFactory(countStar, vectorized)
 }
 
 object TxScan {
@@ -239,14 +243,116 @@ object TxScan {
 case class TxBucketPartition(dir: String, schemaJson: String)
     extends InputPartition
 
-class TxReaderFactory(countStar: Boolean = false)
+class TxReaderFactory(
+    countStar: Boolean = false, vectorized: Boolean = true)
     extends PartitionReaderFactory {
+
+  /** Columnar whenever the scan reads real columns: Spark's vectorized
+    * parquet reader decodes straight into ColumnVectors and the plan
+    * stays inside whole-stage codegen via ColumnarToRow — the 100 TB
+    * scan path. The row readers remain for the pushed COUNT(*) (one
+    * partial row per bucket) and the empty projection, and behind
+    * option("vectorized", false) as the always-works fallback the specs
+    * hold equal.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val part = p.asInstanceOf[TxBucketPartition]
+    vectorized && !countStar &&
+      DataType.fromJson(part.schemaJson).asInstanceOf[StructType].nonEmpty
+  }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[TxBucketPartition]
+    new TxBucketColumnarReader(part.dir,
+      DataType.fromJson(part.schemaJson).asInstanceOf[StructType])
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[TxBucketPartition]
     if (countStar) new TxBucketCountReader(part.dir)
     else new TxBucketReader(part.dir,
       DataType.fromJson(part.schemaJson).asInstanceOf[StructType])
   }
+}
+
+/** Columnar decode of one bucket directory via Spark's OWN vectorized
+  * parquet reader, driven under the MANIFEST schema: the requested
+  * Catalyst schema rides the task conf
+  * (`ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA`), so column order
+  * is the scan's, types are the manifest's, and a requested column a
+  * file predates comes back as the reader's own constant-null vector —
+  * evolution needs no special casing. Rebase modes are CORRECTED (these
+  * files are written by modern Spark).
+  */
+class TxBucketColumnarReader(dir: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val files: Iterator[java.io.File] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Iterator.empty
+    else fs.iterator.filter(f =>
+      f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+  }
+
+  private var reader: VectorizedParquetRecordReader = _
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (!files.hasNext) return false
+    val f = files.next()
+    val conf = new Configuration()
+    // the stable key ParquetReadSupport reads the requested Catalyst
+    // schema from (public constant, but its object is sql-private)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      required.json)
+    // what ParquetInputFormat.setReadSupportClass(job, ...) sets
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    // the schema converter requires these present (it toBooleans them);
+    // values are the stock session defaults — the requested schema above
+    // decides the actual Catalyst types either way
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    // the base reader casts to the OLD mapred FileSplit (which extends
+    // the mapreduce one) — construct that
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), 0, f.length(),
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    r.initialize(split, ctx)
+    r.initBatch(new StructType(), InternalRow.empty)
+    r.enableReturningBatches()
+    reader = r
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader != null) {
+        if (reader.nextKeyValue()) return true
+        reader.close(); reader = null
+      }
+      if (!openNext()) return false
+    }
+    false // unreachable
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
 }
 
 /** A pushed COUNT(*): one partial-count row per bucket, summed from the

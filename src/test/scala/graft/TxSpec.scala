@@ -876,6 +876,40 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Set(null, "hot"))
   }
 
+  test("DSv2 read: columnar and row paths decode identically") {
+    val path = tmp()
+    val df = Seq(
+      (1L, 1.5, "a", "2024-01-01 01:02:03", "2024-01-01", true),
+      (2L, Double.NaN, null, "2024-02-02 23:59:59", "2024-06-15", false))
+      .toDF("id", "x", "s", "ts_s", "d_s", "b")
+      .select(col("id"), col("x"), col("s"),
+        col("ts_s").cast("timestamp_ntz").as("tntz"),
+        col("ts_s").cast("timestamp").as("tutc"),
+        col("d_s").cast("date").as("d"), col("b"),
+        col("id").cast("decimal(20,2)").as("dec"))
+    Tx.commitMerge(spark, path, df, Seq("id"), nBuckets = 2)
+    Tx.addColumn(path, "tag", org.apache.spark.sql.types.StringType)
+    Tx.commitMerge(spark, path,
+      Tx.read(spark, path).filter(col("id") === 2L)
+        .withColumn("tag", lit("hot")),
+      Seq("id"), nBuckets = 2)
+    def rows(vectorized: Boolean) =
+      spark.read.format("graft-tx")
+        .option("vectorized", vectorized).load(path)
+        .orderBy("id").collect().map(_.toString).toSeq
+    val viaTx = Tx.read(spark, path).orderBy("id").collect()
+      .map(_.toString).toSeq
+    assert(rows(vectorized = true) == viaTx,
+      "the columnar path must decode every supported type like Tx.read")
+    assert(rows(vectorized = false) == viaTx,
+      "the row fallback must agree too")
+    // the default is columnar: the executed plan carries ColumnarToRow
+    val plan = spark.read.format("graft-tx").load(path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar scan in:\n$plan")
+  }
+
   test("changesStamped: per-commit attribution, endpoint diff modulo churn") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
