@@ -152,13 +152,38 @@ class TxScanBuilder(
     ok
   }
 
-  /** A pushed filter's kept-bucket contribution. Strict bounds relax to
-    * inclusive — conservative (keeps possibly-extra buckets, never
-    * wrongly prunes), and exactness is Spark's job anyway. `In` is the
-    * union of its values' equality prunes; `LIKE 'p%'` is the byte-range
-    * `[p, increment(p))` over a string column's zones.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a filter "prunes" only if it names a column with recorded stats
+    // AND its bound actually narrows the kept set's math — pruneLenient
+    // decides both; here we only keep the shapes it can consume
+    prunable = filters.filter(TxPrune.supported)
+    filters // ALL residual: pruning is advisory, Spark re-applies exactly
+  }
+
+  /** What explain() shows as PushedFilters — the predicates the scan
+    * consults for bucket pruning (still re-applied by Spark above).
     */
-  private def keptFor(f: Filter): Option[Set[Int]] = f match {
+  override def pushedFilters(): Array[Filter] = prunable
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val kept = prunable.flatMap(TxPrune.keptFor(snap, _))
+      .foldLeft(snap.dirs.keySet)(_ intersect _)
+    new TxScan(path, snap, required, kept, prunable, countStar, vectorized)
+  }
+}
+
+/** A pushed filter's kept-bucket contribution — shared by compile-time
+  * pushdown (ScanBuilder) and runtime filtering (DPP on the Scan).
+  * Strict bounds relax to inclusive — conservative (keeps possibly-extra
+  * buckets, never wrongly prunes), and exactness is Spark's job anyway.
+  * `In` is the union of its values' equality prunes; `LIKE 'p%'` is the
+  * byte-range `[p, increment(p))` over a string column's zones.
+  */
+private[tx] object TxPrune {
+  def keptFor(snap: Tx.Snapshot, f: Filter): Option[Set[Int]] = f match {
     case EqualTo(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), Some(v)))
     case GreaterThan(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), None))
     case GreaterThanOrEqual(c, v) =>
@@ -173,33 +198,11 @@ class TxScanBuilder(
     case _ => None
   }
 
-  private def supported(f: Filter): Boolean = f match {
+  def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
          _: LessThan | _: LessThanOrEqual | _: StringStartsWith => true
     case In(_, vs) => vs.nonEmpty
     case _ => false
-  }
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // a filter "prunes" only if it names a column with recorded stats
-    // AND its bound actually narrows the kept set's math — pruneLenient
-    // decides both; here we only keep the shapes it can consume
-    prunable = filters.filter(supported)
-    filters // ALL residual: pruning is advisory, Spark re-applies exactly
-  }
-
-  /** What explain() shows as PushedFilters — the predicates the scan
-    * consults for bucket pruning (still re-applied by Spark above).
-    */
-  override def pushedFilters(): Array[Filter] = prunable
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = {
-    val kept = prunable.flatMap(keptFor)
-      .foldLeft(snap.dirs.keySet)(_ intersect _)
-    new TxScan(path, snap, required, kept, prunable, countStar, vectorized)
   }
 }
 
@@ -207,25 +210,68 @@ class TxScan(
     path: String, snap: Tx.Snapshot, required: StructType,
     kept: Set[Int], pushed: Array[Filter],
     countStar: Boolean = false,
-    vectorized: Boolean = true) extends Scan with Batch {
+    vectorized: Boolean = true) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // RUNTIME (DPP) pruning: Spark hands the scan the join-key values it
+  // learned from the other side's selective filter, and the kept set
+  // shrinks again — the Tx analogue of dynamic partition pruning. Only
+  // zone-mapped columns are offered; anything else would cost a
+  // broadcast subquery and prune nothing.
+  private var runtimeKept: Set[Int] = kept
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snap.meta.get(Tx.StatsColsKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeKept = filters.flatMap(TxPrune.keptFor(snap, _))
+      .foldLeft(kept)(_ intersect _)
 
   override def readSchema(): StructType =
     if (countStar) TxScan.CountSchema else required
+
+  /** Size of the KEPT buckets' files — what lets Catalyst broadcast a
+    * small Tx dimension (or a heavily-pruned scan of a big one) instead
+    * of shuffling both join sides. Cost: one directory listing per kept
+    * bucket, computed lazily once per scan and only when the optimizer
+    * asks. Row count is served only for a pushed COUNT(*) shape (exact
+    * from footers would cost footer IO; absent beats wrong).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long =
+      kept.toSeq.flatMap(snap.dirs.get).map { rel =>
+        val fs = new java.io.File(s"$path/$rel").listFiles()
+        if (fs == null) 0L
+        else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"TxScan($path v${snap.version}, buckets=${kept.size}/" +
       s"${snap.dirs.size}, pushed=${pushed.mkString("[", ", ", "]")}" +
       s"${if (countStar) ", pushedAggregation=[COUNT(*)]" else ""})"
   override def toBatch: Batch = this
 
-  /** One InputPartition per KEPT bucket — `df.rdd.getNumPartitions ==
-    * kept-bucket count` is the in-plan observable queries assert on.
-    * Partitions carry only strings (dir path + schema JSON); the
-    * executor task lists and decodes its own immutable directory.
+  /** One InputPartition per KEPT bucket (compile-time pushdown ∩ any
+    * runtime DPP filter) — `df.rdd.getNumPartitions == kept-bucket
+    * count` is the in-plan observable queries assert on. Partitions
+    * carry only strings (dir path + schema JSON); the executor task
+    * lists and decodes its own immutable directory.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    kept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
+  override def planInputPartitions(): Array[InputPartition] = {
+    TxScan.recordPlanned(path, runtimeKept.size, snap.dirs.size)
+    runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
       .map(rel => TxBucketPartition(s"$path/$rel", required.json): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TxReaderFactory(countStar, vectorized)
@@ -235,6 +281,19 @@ object TxScan {
   /** The partial-count row shape a pushed COUNT(*) scan serves. */
   val CountSchema: StructType = StructType(Seq(
     StructField("count(*)", LongType, nullable = false)))
+
+  /** Last (planned, total) bucket counts per table path — the
+    * observable for RUNTIME pruning, which happens after the plan
+    * strings are rendered (specs and queries read it after an action).
+    */
+  private val planned =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[tx] def recordPlanned(path: String, kept: Int, total: Int): Unit =
+    planned.put(path, (kept, total))
+
+  def lastPlanned(path: String): Option[(Int, Int)] =
+    Option(planned.get(path))
 }
 
 /** A kept bucket's data directory plus the projected schema, as plain

@@ -876,6 +876,59 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Set(null, "hot"))
   }
 
+  test("DSv2 read: reported statistics let Catalyst broadcast a Tx dim") {
+    val dimPath = tmp()
+    Tx.commitMerge(spark, dimPath,
+      (1L to 20L).map(i => (i, s"name_$i")).toDF("id", "name"),
+      Seq("id"), nBuckets = 4)
+    val fact = (1L to 5000L).map(i => (i % 20 + 1, i)).toDF("id", "fact_v")
+    val joined = fact.join(
+      spark.read.format("graft-tx").load(dimPath), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a tiny Tx dim with reported sizeInBytes must broadcast:\n$plan")
+    assert(joined.count() == 5000L)
+  }
+
+  test("DSv2 read: runtime (DPP) filtering prunes fact buckets via a join") {
+    val factPath = tmp()
+    // 8 day-buckets of fact rows, zone-mapped on day
+    val fact = (1L to 8L).flatMap(d => (0L to 199L).map(i =>
+      (d, d * 1000 + i, i))).toDF("day", "fid", "v")
+    Tx.commitMerge(spark, factPath, fact, Seq("day", "fid"), nBuckets = 8,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    // the dim must be a REAL source with a surviving Filter node — a
+    // LocalRelation's filter is folded away and DPP sees no selective
+    // predicate to propagate
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_dppdim").toString
+    Seq((2L, "a"), (3L, "b"), (2L, "c"), (7L, "zzz"))
+      .toDF("day", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") =!= "zzz")
+    val scan = spark.read.format("graft-tx").load(factPath)
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = scan.join(dim, "day")
+      val n = joined.count()
+      assert(n == 600L, s"2 dim days × 200 rows × (a,c twice for day 2)")
+      val (kept, total) = graft.sources.tx.TxScan.lastPlanned(factPath)
+        .getOrElse(fail("the scan never recorded its planned buckets"))
+      assert(kept < total,
+        s"runtime filtering must prune fact buckets: planned $kept/$total")
+      // and the pruned result is still exactly the full join
+      val expect = fact.join(dim, "day").count()
+      assert(n == expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None => spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("DSv2 read: columnar and row paths decode identically") {
     val path = tmp()
     val df = Seq(
