@@ -375,6 +375,63 @@ object MaintenanceQueries {
         .withColumn("pruned_ok", lit(kept.size < total.size))
         .orderBy("source", "lang")
     }),
+    // RUNTIME (DPP) pruning through the Tx scan — the join-side story:
+    // the events fact lives in Tx day-bucketed with day zone maps; a
+    // SELECTIVE parquet dim (5 of ~30 days tagged 'keep') joins on day,
+    // and Spark's dynamic partition pruning hands the scan the dim's
+    // surviving day values at runtime — the scan re-prunes to those
+    // days' buckets (recorded by the scan, require()d below), so the
+    // fact's other buckets are never opened even though NO static
+    // filter mentions a day. Catalyst also broadcasts the dim off the
+    // scan's reported statistics. Oracle: the same join derived in SQL
+    // with the dim inlined — a bucket wrongly pruned (missing rows) or
+    // kept-and-double-read hash-fails.
+    "q263_tx_dpp_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_dpp").toString
+      val factPath = s"$base/fact"
+      Tx.commitMerge(s, factPath, ev, Seq("p_day", "event_id"),
+        nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
+      // a REAL source dim with a surviving selective Filter (a local
+      // relation's filter folds away and DPP sees nothing to propagate)
+      val dimPath = s"$base/dim"
+      ev.select("p_day").distinct()
+        .withColumn("tag",
+          when(col("p_day").between(20240110L, 20240114L), lit("keep"))
+            .otherwise(lit("drop")))
+        .write.parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("tag") === "keep")
+      val prev = s.conf.getOption(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      try {
+        val joined = s.read.format("graft-tx").load(factPath)
+          .join(dim, "p_day")
+          .groupBy("p_day")
+          .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+        val out = joined.orderBy("p_day") // plan fully; then act
+        val rows = out.collect()
+        val (kept, total) = graft.sources.tx.TxScan.lastPlanned(factPath)
+          .getOrElse(throw new IllegalStateException(
+            "the Tx scan never recorded its planned buckets"))
+        require(kept < total,
+          s"DPP must prune fact buckets at runtime: planned $kept/$total")
+        import s.implicits._
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("p_day", "n_rows", "sum_v6")
+          .withColumn("dpp_ok", lit(kept < total))
+      } finally prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+        case None => s.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      }
+    }),
     // DOWNSTREAM MV FROM THE CHANGE FEED — the full incremental loop:
     // an upstream Tx table takes a merge (10% inserts + every-3rd-key
     // value doubles) and a delete (every 7th key); the downstream hourly
@@ -874,6 +931,17 @@ object MaintenanceQueries {
             CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS pruned_ok
           FROM documents WHERE source BETWEEN 'src12' AND 'src14'
           GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " "),
+    // the join derived in SQL with the dim inlined (the kept tag is
+    // exactly the probed day range) + literal TRUE for the DPP contract
+    "q263_tx_dpp_join" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            TRUE AS dpp_ok
+          FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     // scratch aggregate of the FINAL upstream content derived from raw:
     // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
     // feed math (bootstrap + two retracting folds) must land exactly here
