@@ -276,34 +276,53 @@ object Mv {
     require(mins.nonEmpty || maxs.nonEmpty,
       "applyChangeFeedWithBounds without bounds IS applyChangeFeed — " +
         "use that")
-    val isPost = col("_change").isin("insert", "update_post")
-    val isPre = col("_change").isin("delete", "update_pre")
+    val delta = boundedDelta(feed, keys, adds, mins, maxs)
+    val merged = mergeState(state, delta, keys,
+      adds.map(_._1), mins.map(_._1), maxs.map(_._1))
+    val dirty = dirtyKeys(state, feed, keys, mins, maxs)
+    val cols = merged.columns.map(col).toSeq
+    merged.join(dirty, keys, "left_anti")
+      .filter(col(support) > 0L)
+      .unionByName(rescan(dirty).select(cols: _*))
+  }
+
+  private def isPost = col("_change").isin("insert", "update_post")
+  private def isPre = col("_change").isin("delete", "update_pre")
+
+  /** The feed-sized delta for a bounded state shape: signed adds +
+    * OUTWARD bound candidates (post images only — retractions never
+    * move a bound algebraically); loud failure on post-only feeds.
+    */
+  private def boundedDelta(
+      feed: DataFrame, keys: Seq[String],
+      adds: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)]): DataFrame = {
     val guard = raise_error(concat(
-      lit("applyChangeFeedWithBounds needs a pre/post feed (Tx.changes " +
+      lit("bounded change-feed folds need a pre/post feed (Tx.changes " +
         "emitPre=true); got _change="), col("_change")))
     val sign = when(isPost, lit(1L)).when(isPre, lit(-1L)).otherwise(guard)
-    // one feed-sized aggregation: signed adds + outward bound candidates
-    // (post images only — retractions never move a bound algebraically)
     val aggs = adds.map { case (n, e) => sum(sign * e).as(n) } ++
       mins.map { case (n, e) => min(when(isPost, e)).as(n) } ++
       maxs.map { case (n, e) => max(when(isPost, e)).as(n) }
-    val delta = feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val merged = mergeState(state, delta, keys,
-      adds.map(_._1), mins.map(_._1), maxs.map(_._1))
-    // dirty = groups where a retraction's image reaches a stored bound
+    feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Groups whose retraction image REACHES a stored bound (equality is
+    * conservatively dirty — the bound may have had other support); a
+    * group absent from `state` has no bound to lose.
+    */
+  private def dirtyKeys(
+      state: DataFrame, feed: DataFrame, keys: Seq[String],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)]): DataFrame = {
     val bounds = mins.map(_._1) ++ maxs.map(_._1)
     val stBounds = state.select(keys.map(col) ++
       bounds.map(n => col(n).as(s"__st_$n")): _*)
     val touches = (mins.map { case (n, e) => e <= col(s"__st_$n") } ++
       maxs.map { case (n, e) => e >= col(s"__st_$n") }).reduce(_ || _)
-    val dirty = feed.filter(isPre)
-      .join(stBounds, keys) // inner: a group absent from state has no bound to lose
-      .filter(touches)
+    feed.filter(isPre).join(stBounds, keys).filter(touches)
       .select(keys.map(col): _*).distinct()
-    val cols = merged.columns.map(col).toSeq
-    merged.join(dirty, keys, "left_anti")
-      .filter(col(support) > 0L)
-      .unionByName(rescan(dirty).select(cols: _*))
   }
 
   /** The signed, feed-sized delta aggregation behind [[applyChangeFeed]]
@@ -357,9 +376,83 @@ object Mv {
       nBuckets: Int = 16,
       bucketKeys: Seq[String] = Nil,
       beforeCas: () => Unit = () => ()): Long = {
-    import graft.sources.Tx
     require(adds.exists(_._1 == support),
       s"support column '$support' must be one of the adds")
+    followCore(spark, upstreamPath, statePath, keys, project, nBuckets,
+      bucketKeys, beforeCas)(
+      feed => changeDelta(feed, keys, adds))(
+      (existing, delta, _, _) =>
+        mergeState(existing, delta, keys :+ "__b", adds.map(_._1))
+          .filter(col(support) > 0L))
+  }
+
+  /** [[followChanges]] for state that ALSO carries min/max bounds — the
+    * exactly-once composition of the cursor discipline with
+    * [[applyChangeFeedWithBounds]]'s automated scoped repair: the
+    * consumption cursor, the algebraic merge, AND the dirty-group
+    * re-aggregation all land in ONE manifest commit, so a crash anywhere
+    * leaves the previous state+cursor intact, a replay no-ops, and a
+    * raced follow aborts — while deleted extremums are repaired from
+    * `rescan(dirtyKeys, targetVersion)` (caller scopes the upstream scan
+    * to the dirty groups AT the feed's target version, so the repair is
+    * O(dirty raw) and reads the same snapshot the cursor advances to).
+    */
+  def followChangesBounded(
+      spark: SparkSession,
+      upstreamPath: String,
+      statePath: String,
+      keys: Seq[String],
+      adds: Seq[(String, Column)],
+      support: String,
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)],
+      project: DataFrame => DataFrame,
+      rescan: (DataFrame, Long) => DataFrame,
+      nBuckets: Int = 16,
+      bucketKeys: Seq[String] = Nil,
+      beforeCas: () => Unit = () => ()): Long = {
+    require(adds.exists(_._1 == support),
+      s"support column '$support' must be one of the adds")
+    require(mins.nonEmpty || maxs.nonEmpty,
+      "followChangesBounded without bounds IS followChanges — use that")
+    followCore(spark, upstreamPath, statePath, keys, project, nBuckets,
+      bucketKeys, beforeCas)(
+      feed => boundedDelta(feed, keys, adds, mins, maxs))(
+      (existing, delta, feed, target) => {
+        val merged = mergeState(existing, delta, keys :+ "__b",
+          adds.map(_._1), mins.map(_._1), maxs.map(_._1))
+        val dirty = dirtyKeys(existing, feed, keys, mins, maxs)
+        // dirty groups exist in `existing` by construction, so their
+        // bucket ids come from there — rescan rows re-enter the fold's
+        // touched buckets, never anyone else's
+        val bmap = existing.select((keys :+ "__b").map(col): _*).distinct()
+        val cols = merged.columns.map(col).toSeq
+        merged.join(dirty, keys, "left_anti")
+          .filter(col(support) > 0L)
+          .unionByName(rescan(dirty, target).join(bmap, keys)
+            .select(cols: _*))
+      })
+  }
+
+  /** The shared cursor discipline behind [[followChanges]] and
+    * [[followChangesBounded]]: resolve the upstream target, no-op when
+    * caught up, fail loudly on an upstream reset, bootstrap a FRESH
+    * state table from the snapshot as inserts, and otherwise fold
+    * `batchOf(feed)` under the cursor-stamped CAS. `fold` receives
+    * (existing-with-__b, delta-with-__b, the feed, the target version).
+    */
+  private def followCore(
+      spark: SparkSession,
+      upstreamPath: String,
+      statePath: String,
+      keys: Seq[String],
+      project: DataFrame => DataFrame,
+      nBuckets: Int,
+      bucketKeys: Seq[String],
+      beforeCas: () => Unit)(
+      batchOf: DataFrame => DataFrame)(
+      fold: (DataFrame, DataFrame, DataFrame, Long) => DataFrame): Long = {
+    import graft.sources.Tx
     val target = Tx.latest(upstreamPath).getOrElse(
       throw new IllegalStateException(
         s"followChanges: upstream $upstreamPath has no committed version"))
@@ -397,15 +490,13 @@ object Mv {
         // commit would apply that span twice. A raced call returns
         // without folding; the caller's next follow() catches up from
         // the new cursor.
-        Tx.commitFold(spark, statePath, changeDelta(feed, keys, adds),
+        Tx.commitFold(spark, statePath, batchOf(feed),
           keys, nBuckets,
           meta = Map("cdf_cursor" -> target.toString),
           beforeCas = beforeCas, bucketKeys = bucketKeys,
           abortIf = snap =>
             snap.meta.get("cdf_cursor").map(_.toLong) != cursor)(
-          (existing, delta) =>
-            mergeState(existing, delta, keys :+ "__b", adds.map(_._1))
-              .filter(col(support) > 0L))
+          (existing, delta) => fold(existing, delta, feed, target))
     }
   }
 

@@ -531,6 +531,54 @@ object MaintenanceQueries {
       step(Stage.through(step(state0, 1L, 2L)), 2L, 3L)
         .orderBy("bucket_h")
     }),
+    // q260's bounded loop run EXACTLY-ONCE (Mv.followChangesBounded):
+    // the cursor, the algebraic merge, AND the dirty-group repair land
+    // in ONE manifest commit per follow — a crash anywhere leaves the
+    // previous state+cursor, the in-query replay no-ops, and the rescan
+    // reads the upstream AT the feed's target version scoped to the
+    // dirty hours. SAME oracle as q260: count/sum/min/max recomputed
+    // from the final upstream content raw, blind to the cursor, the
+    // repair scope, and the replay.
+    "q264_mv_follow_bounds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_fb").toString
+      val up = s"$base/up"
+      val st = s"$base/st"
+      def hour(df: DataFrame) = df.withColumn("bucket_h",
+        date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"),
+          min("v6").as("min_v6"), max("v6").as("max_v6"))
+      def follow() = Mv.followChangesBounded(s, up, st, Seq("bucket_h"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
+        support = "n_rows",
+        mins = Seq("min_v6" -> col("v6")),
+        maxs = Seq("max_v6" -> col("v6")),
+        project = df => hour(df).select("bucket_h", "v6", "_change"),
+        rescan = (dirty, toV) =>
+          mv(hour(Tx.read(s, up, toV))
+            .join(dirty, Seq("bucket_h"), "left_semi")))
+      Tx.commitMerge(s, up, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      follow() // bootstrap: boundedDelta of an insert-only feed IS scratch
+      val updates = Tx.read(s, up).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, up,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      follow() // v1→v2: update pre-images may displace stored bounds
+      Tx.commitDelete(s, up,
+        Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      follow() // v2→v3: deletes of extremums force the scoped repair
+      follow() // REPLAY: cursor says caught up — must commit nothing
+      Tx.read(s, st)
+        .select("bucket_h", "n_rows", "sum_v6", "min_v6", "max_v6")
+        .orderBy("bucket_h")
+    }),
     // q256's loop run EXACTLY-ONCE through Tx-resident downstream state
     // (Mv.followChanges): the consumption cursor rides in the SAME
     // manifest commit as the state it produced, so a crash between
@@ -959,6 +1007,19 @@ object MaintenanceQueries {
     // final upstream content raw — the feed math AND the scoped repair
     // must land exactly here
     "q260_mv_cdf_bounds" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            min(v6) AS min_v6, max(v6) AS max_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q260's oracle verbatim — cursor, repair scope, and replay must all
+    // be invisible to the final bounded state
+    "q264_mv_follow_bounds" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0

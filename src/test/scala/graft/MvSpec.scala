@@ -540,6 +540,60 @@ class MvSpec extends AnyFunSuite with SparkFixture {
       "b must leave the state when its repaired group has no truth rows")
   }
 
+  test("followChangesBounded: exactly-once cursor + scoped bound repair") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fcb").toString
+    val up = s"$base/up"
+    val st = s"$base/st"
+    var rescanned: Seq[String] = Seq.empty
+    def follow(beforeCas: () => Unit = () => ()) =
+      graft.operators.Mv.followChangesBounded(spark, up, st, Seq("g"),
+        adds = Seq("n_rows" -> lit(1L), "sum_v" -> col("v")),
+        support = "n_rows",
+        mins = Seq("min_v" -> col("v")), maxs = Seq("max_v" -> col("v")),
+        project = df => df.select(
+          (col("id") % 2).cast("string").as("g"), col("v"), col("_change")),
+        rescan = (dirty, toV) => {
+          rescanned = dirty.collect().map(_.getString(0)).toSeq.sorted
+          graft.sources.Tx.read(spark, up, toV)
+            .select((col("id") % 2).cast("string").as("g"), col("v"))
+            .join(dirty, Seq("g"), "left_semi")
+            .groupBy("g").agg(count(lit(1)).as("n_rows"),
+              sum("v").as("sum_v"), min("v").as("min_v"),
+              max("v").as("max_v"))
+        },
+        nBuckets = 4, beforeCas = beforeCas)
+    def state() = graft.sources.Tx.read(spark, st)
+      .select("g", "n_rows", "sum_v", "min_v", "max_v").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // g=0: ids 2,4 (v 20, 40); g=1: ids 1,3 (v 10, 30)
+    graft.sources.Tx.commitMerge(spark, up,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    follow() // bootstrap is scratch
+    assert(state() == Seq(("0", 2L, 60L, 20L, 40L), ("1", 2L, 40L, 10L, 30L)))
+    assert(rescanned.isEmpty, "bootstrap never rescans")
+    // delete g=0's max (id 4, v 40) and g=1's NON-extremum? g=1 has only
+    // two values; delete id 4 only — g=0 dirty, g=1 untouched
+    graft.sources.Tx.commitDelete(spark, up, Seq(4L).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    // crash BEFORE the CAS: state+cursor unmoved, retry lands once
+    intercept[RuntimeException](
+      follow(beforeCas = () => throw new RuntimeException("crash")))
+    assert(state() == Seq(("0", 2L, 60L, 20L, 40L), ("1", 2L, 40L, 10L, 30L)))
+    rescanned = Seq.empty
+    follow()
+    assert(rescanned == Seq("0"),
+      s"only the bound-touching group may be rescanned, got $rescanned")
+    val expect = Seq(("0", 1L, 20L, 20L, 20L), ("1", 2L, 40L, 10L, 30L))
+    assert(state() == expect, "g=0 lands on scratch; g=1 never repaired")
+    // replay: caught up — commits nothing
+    val v = graft.sources.Tx.latest(st).get.version
+    follow()
+    assert(graft.sources.Tx.latest(st).get.version == v && state() == expect)
+  }
+
   test("refreshTxWith: custom fold rides the stamp/replay/crash discipline") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_rtw").toString + "/t"
