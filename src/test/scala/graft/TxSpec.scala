@@ -407,6 +407,57 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.versions(path).size == 6)
   }
 
+  test("model check: schema evolution interleaved with merges and deletes") {
+    // addColumn joins the random walk: the table after any interleaving
+    // of merge/delete/evolve must equal a Map model over (v, tag) pairs,
+    // with pre-evolution rows serving null tags and time travel serving
+    // each version's own schema.
+    val path = tmp()
+    var seed = 0x853c49e6748fea9bL
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    var model = Map.empty[Long, (Long, Option[String])]
+    var evolved = false
+    var preEvolutionV = -1L
+    for (step <- 1 to 10) {
+      val ids = (0 until 4).map(_ => math.abs(nxt()) % 10 + 1).distinct
+      step match {
+        case 4 => // evolve mid-walk, exactly once
+          preEvolutionV = Tx.latest(path).get.version
+          Tx.addColumn(path, "tag", org.apache.spark.sql.types.StringType)
+          evolved = true
+        case s if s % 3 == 0 && model.nonEmpty =>
+          Tx.commitDelete(spark, path, ids.toDF("id"), Seq("id"), nBuckets = 4)
+          model = model -- ids
+        case s =>
+          if (!evolved) {
+            val batch = ids.map(i => (i, s * 1000L + i))
+            Tx.commitMerge(spark, path, batch.toDF("id", "v"),
+              Seq("id"), nBuckets = 4)
+            model = model ++ batch.map { case (k, v) => k -> ((v, None)) }
+          } else {
+            // post-evolution commits must send the evolved shape
+            val batch = ids.map(i => (i, s * 1000L + i, s"t$s"))
+            Tx.commitMerge(spark, path, batch.toDF("id", "v", "tag"),
+              Seq("id"), nBuckets = 4)
+            model = model ++ batch.map { case (k, v, t) =>
+              k -> ((v, Some(t))) }
+          }
+      }
+      val got = Tx.read(spark, path).select(col("id"), col("v"),
+        (if (evolved) col("tag") else lit(null).cast("string")).as("tag"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.getString(2))))).toMap
+      assert(got == model, s"table diverged from the model after step $step")
+    }
+    // time travel to the pre-evolution version serves ITS schema
+    assert(Tx.read(spark, path, preEvolutionV).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // and the post-evolution shape is enforced: an old-shape batch fails
+    intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 4))
+  }
+
   test("model check: random merge/fold/delete sequences land on the Map model") {
     // commitFold joins the model check: fold = additive accumulator merge
     // (matched keys SUM, unmatched insert) — the refreshTx combine. The
@@ -1055,6 +1106,78 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     // prefix on a NON-string column keeps everything and stays correct
     // (lenient: the exact filter decides)
     assert(t3(base.filter(col("src") >= "a")) == t3(Tx.read(spark, path)))
+  }
+
+  test("string zone maps: property check over adversarial random strings") {
+    // deterministic LCG; values mix long shared prefixes straddling the
+    // 16-byte truncation, multi-byte UTF-8 (2/3/4-byte sequences), the
+    // empty string, and one UNPAIRED surrogate (whose zone side must go
+    // unbounded rather than compare undefined bytes). The reference for
+    // every probe is Spark's own filter over the full scan — binary
+    // UTF8String order, exactly what the byte-domain zones claim to
+    // summarize.
+    var seed = 0x2545f4914f6cdd1dL
+    def nxt(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L; seed
+    }
+    val alphabet = Vector("a", "b", "z", "é", "中", "😀", "0", "~")
+    def randStr(): String = {
+      val base = math.abs(nxt()) % 4 match {
+        case 0 => "shared_prefix_longer_than_16_" // forces truncation
+        case 1 => "sp_"
+        case 2 => ""
+        case _ => "zz_"
+      }
+      base + (0 until (math.abs(nxt()) % 5).toInt)
+        .map(_ => alphabet((math.abs(nxt()) % alphabet.size).toInt))
+        .mkString
+    }
+    val values = ((1 to 40).map(_ => randStr()) :+ "" :+
+      ("shared_prefix_longer_than_16_" + "\uD800")).distinct // lone surrogate
+    val path = tmp()
+    val df = values.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("s", "id")
+    Tx.commitMerge(spark, path, df, Seq("s", "id"), nBuckets = 6,
+      bucketKeys = Seq("s"), statsCols = Seq("s"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    // probe bounds come from ENCODABLE values only — the strict API
+    // rejects an unencodable probe by design (asserted below); the
+    // surrogate value stays in the DATA, where its zone side must go
+    // unbounded
+    val probeVals = values.filterNot(_.exists(Character.isSurrogate))
+    val probes = (1 to 30).map { _ =>
+      val a = probeVals((math.abs(nxt()) % probeVals.size).toInt)
+      val b = probeVals((math.abs(nxt()) % probeVals.size).toInt) +
+        (if (nxt() % 2 == 0) "m" else "")
+      if (a <= b) (a, b) else (b, a)
+    } :+ ("", "￿￿") :+ ("shared_prefix_longer_than_16_",
+      "shared_prefix_longer_than_16_￿")
+    for ((lo, hi) <- probes) {
+      val pruned = ids(Tx.readRange(spark, path, "s", lo, hi))
+      val full = ids(Tx.read(spark, path)
+        .filter(col("s") >= lo && col("s") <= hi))
+      assert(pruned == full,
+        s"string range [$lo,$hi] diverged: pruned $pruned vs full $full")
+    }
+    // and the DSv2 pushdown path agrees on a truncation-straddling range
+    val dsv2 = spark.read.format("graft-tx").load(path)
+      .filter(col("s") >= "shared_prefix_longer_than_16_" &&
+        col("s") <= "shared_prefix_longer_than_16_z")
+    assert(ids(dsv2) == ids(Tx.read(spark, path)
+      .filter(col("s") >= "shared_prefix_longer_than_16_" &&
+        col("s") <= "shared_prefix_longer_than_16_z")))
+    // an UNENCODABLE probe: the strict API rejects it by design; the
+    // lenient DSv2 path keeps every bucket and serves Spark's own
+    // filter semantics
+    // the genuinely unencodable value: a TRAILING lone high surrogate
+    // (😀's paired surrogates are valid UTF-8 and encode fine)
+    val surr = "shared_prefix_longer_than_16_" + "\uD800"
+    intercept[IllegalArgumentException](
+      Tx.pruneInfo(path, "s", surr, surr))
+    val viaDsv2 = ids(spark.read.format("graft-tx").load(path)
+      .filter(col("s") === surr))
+    assert(viaDsv2 == ids(Tx.read(spark, path).filter(col("s") === surr)))
   }
 
   test("string zone maps: the 16-byte truncation boundary stays sound") {
