@@ -91,7 +91,17 @@ object TxSource {
     Option(options.get("version")).map(_.toLong).getOrElse(-1L)
 
   private[tx] def snapshotAt(path: String, version: Long): Tx.Snapshot =
-    if (version >= 0) Tx.snapshot(path, version)
+    if (version >= 0)
+      try Tx.snapshot(path, version)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          val vs = Tx.versions(path)
+          throw new IllegalStateException(
+            s"graft-tx: version $version does not exist in $path " +
+              s"(committed: ${vs.headOption.getOrElse("none")}.." +
+              s"${vs.lastOption.getOrElse("none")}) — older versions may " +
+              "have been retired by vacuum")
+      }
     else Tx.latest(path).getOrElse(throw new IllegalStateException(
       s"graft-tx: no committed version in $path"))
 

@@ -925,6 +925,11 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       .select("tag").collect().map(r =>
         if (r.isNullAt(0)) null else r.getString(0)).toSet
     assert(tags == Set(null, "hot"))
+    // a nonexistent (or vacuumed) version is a NAMED error
+    val e = intercept[IllegalStateException](
+      spark.read.format("graft-tx").option("version", 99L).load(path))
+    assert(e.getMessage.contains("does not exist") &&
+      e.getMessage.contains("vacuum"))
   }
 
   test("DSv2 read: reported statistics let Catalyst broadcast a Tx dim") {
