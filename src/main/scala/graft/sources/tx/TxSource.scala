@@ -53,14 +53,16 @@ import graft.sources.Tx
   *    manifest, so a concurrent commit can't shear a running query.
   *
   * The per-task reader decodes the bucket's immutable parquet files with
-  * the parquet-mr column reader under the MANIFEST schema (files written
-  * before an [[Tx.addColumn]] lack the evolved column and serve nulls —
-  * same rule as `Tx.read`). Supported column types are the Tx surface:
-  * integral/floating/boolean/string/binary/date/timestamp/timestamp_ntz
-  * and int-backed decimals; nested types would need the vectorized
-  * reader and are rejected loudly. Batch read only — streaming
-  * consumers use [[graft.operators.Mv.followChanges]] over the change
-  * feed instead, which is version-incremental rather than scan-shaped.
+  * Spark's OWN vectorized reader into ColumnarBatches under the MANIFEST
+  * schema (files written before an [[Tx.addColumn]] lack the evolved
+  * column and serve nulls — same rule as `Tx.read`; arrays/structs ride
+  * the reader's nested support, so embedding tables read through this
+  * surface too). A parquet-mr row fallback remains behind
+  * `option("vectorized", false)` — flat primitives only, named error on
+  * nested — and serves the pushed COUNT(*) / empty-projection shapes
+  * from footer row counts. Batch read only — streaming consumers use
+  * [[graft.operators.Mv.followChanges]] over the change feed instead,
+  * which is version-incremental rather than scan-shaped.
   */
 class TxSource extends TableProvider with DataSourceRegister {
 
@@ -372,22 +374,14 @@ class TxBucketColumnarReader(dir: String, required: StructType)
     if (reader != null) { reader.close(); reader = null }
     if (!files.hasNext) return false
     val f = files.next()
-    val conf = new Configuration()
+    // copy-construct from the class template: a fresh Configuration
+    // loads XML resources every time; the copy is cheap and each reader
+    // still gets its own mutable instance (tasks run concurrently)
+    val conf = new Configuration(TxBucketColumnarReader.template)
     // the stable key ParquetReadSupport reads the requested Catalyst
     // schema from (public constant, but its object is sql-private)
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       required.json)
-    // what ParquetInputFormat.setReadSupportClass(job, ...) sets
-    conf.set("parquet.read.support.class",
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    // the schema converter requires these present (it toBooleans them);
-    // values are the stock session defaults — the requested schema above
-    // decides the actual Catalyst types either way
-    conf.set("spark.sql.parquet.binaryAsString", "false")
-    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
-    conf.set("spark.sql.caseSensitive", "false")
-    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
@@ -422,6 +416,26 @@ class TxBucketColumnarReader(dir: String, required: StructType)
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }
+}
+
+object TxBucketColumnarReader {
+  /** The constant part of every reader's conf — built once per JVM.
+    * The schema-converter keys must be PRESENT (it toBooleans them);
+    * values are the stock session defaults — the requested schema set
+    * per file decides the actual Catalyst types either way.
+    */
+  private lazy val template: Configuration = {
+    val c = new Configuration()
+    // what ParquetInputFormat.setReadSupportClass(job, ...) sets
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("spark.sql.parquet.binaryAsString", "false")
+    c.set("spark.sql.parquet.int96AsTimestamp", "true")
+    c.set("spark.sql.caseSensitive", "false")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    c
+  }
 }
 
 /** A pushed COUNT(*): one partial-count row per bucket, summed from the
@@ -505,8 +519,12 @@ class TxBucketReader(dir: String, required: StructType)
       if (!present(fd.name)) (_: Group) => null
       else {
         val idx = projection.getFieldIndex(fd.name)
-        val pt = projection.getFields.get(idx).asPrimitiveType()
-        TxDecode.decoder(fd.name, fd.dataType, pt, idx)
+        val raw = projection.getFields.get(idx)
+        if (!raw.isPrimitive) throw new UnsupportedOperationException(
+          s"graft-tx: column '${fd.name}' is nested — the row fallback " +
+            "decodes flat primitives only; use the default vectorized " +
+            "path (drop option(\"vectorized\", false))")
+        TxDecode.decoder(fd.name, fd.dataType, raw.asPrimitiveType(), idx)
       }
     }
     emptyRowsLeft = 0L

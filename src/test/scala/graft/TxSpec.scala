@@ -1019,6 +1019,24 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       s"expected a columnar scan in:\n$plan")
   }
 
+  test("DSv2 read: array columns decode through the columnar path") {
+    // embedding-style payloads: array<float> rides the vectorized
+    // reader's nested support; the row fallback names its flat-only
+    // limitation instead of crashing
+    val path = tmp()
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)))
+      .toDF("id", "emb")
+    Tx.commitMerge(spark, path, df, Seq("id"), nBuckets = 2)
+    val got = spark.read.format("graft-tx").load(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(got == Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f))))
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("graft-tx").option("vectorized", false).load(path)
+        .collect())
+    assert(e.getMessage.contains("nested") ||
+      Option(e.getCause).exists(_.getMessage.contains("nested")))
+  }
+
   test("changesStamped: per-commit attribution, endpoint diff modulo churn") {
     val path = tmp()
     Tx.commitMerge(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
