@@ -63,6 +63,24 @@ object SimilarityQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", probe(s, dir), "probe_emb", k = 10)
     }),
+    // q37 with the corpus RESIDENT IN THE TABLE FORMAT: embeddings land
+    // in a Tx table (merge-keyed on vec_id — the corpus now gets atomic
+    // upserts, deletes, time travel, and the change feed like any other
+    // table) and are read back through the standard DSv2 surface, whose
+    // vectorized columnar path decodes the array<float> column natively.
+    // SAME oracle as q37 — the format and the read path must be
+    // result-invisible to the similarity surface.
+    "q265_tx_embeddings" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_emb").toString + "/t"
+      graft.sources.Tx.commitMerge(s, path,
+        Tables.embeddings(s, dir).select("vec_id", "embedding", "label"),
+        Seq("vec_id"), nBuckets = 16)
+      val corpus = s.read.format("graft-tx").load(path)
+        .filter(col("vec_id") =!= 0)
+      Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", probe(s, dir), "probe_emb", k = 10)
+    }),
     // Hard-negative mining for contrastive training: for each anchor
     // (every 50th vector), the 3 most-similar vectors with a DIFFERENT
     // label — the negatives that actually move a contrastive loss.
@@ -1517,6 +1535,13 @@ object SimilarityQueries {
                  (SELECT count(*) FROM adct) AS n_adc,
                  (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS n_hits""".replaceAll("\\s+", " "),
     "q37_cosine_topk" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
+          FROM embeddings, p WHERE vec_id <> 0
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10""".replaceAll("\\s+", " "),
+    // q37's oracle verbatim — the Tx residency and the columnar DSv2
+    // decode of the array column must be result-invisible
+    "q265_tx_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, ${duckCosine("embedding", "pe")} AS cosine
           FROM embeddings, p WHERE vec_id <> 0
