@@ -276,6 +276,39 @@ object MaintenanceQueries {
         .select("span", "_change", "event_id", "user_id", "event_type", "value")
         .orderBy("span", "_change", "event_id")
     }),
+    // q253's feed read through the DSv2 CDF surface
+    // (option("readChangeFeed") over format("graft-tx")) — and with a
+    // BETTER distribution shape than the programmatic Tx.changes: each
+    // changed bucket diffs bucket-locally in its own task (both versions
+    // of a bucket hold the same key partition), so the whole feed is one
+    // scan stage with ZERO exchange where changes()'s full-outer join
+    // shuffles both sides (contrast pinned in TxSpec). SAME oracle as
+    // q253: all three change classes derived from raw, blind to the
+    // format and the read path.
+    "q266_tx_cdf_scan" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_cs").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      Tx.commitMerge(s, path, updates.unionByName(inserts),
+        Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        Tx.read(s, path).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      def feed(fromV: Long, toV: Long) = s.read.format("graft-tx")
+        .option("readChangeFeed", true)
+        .option("fromVersion", fromV).option("toVersion", toV)
+        .load(path)
+      feed(1L, 2L).withColumn("span", lit("v1_v2"))
+        .unionByName(feed(2L, 3L).withColumn("span", lit("v2_v3")))
+        .select("span", "_change", "event_id", "user_id", "event_type", "value")
+        .orderBy("span", "_change", "event_id")
+    }),
     // DATA SKIPPING off the manifest's zone maps: the events table lives
     // in Tx keyed (p_day, event_id), bucketed on the day, with per-bucket
     // day min/max recorded at every commit. A 5-day range read prunes to
@@ -928,6 +961,30 @@ object MaintenanceQueries {
     // null-safe equality), deletes = the POST-merge table's every-7th
     // rows with their pre-deletion values
     "q253_tx_changes" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50),
+          merged AS (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming),
+          feed AS (
+            SELECT 'v1_v2' AS span, 'insert' AS _change,
+                event_id + 1000000 AS event_id, user_id, event_type, value
+              FROM existing WHERE event_id < 50
+            UNION ALL
+            SELECT 'v1_v2', 'update', event_id, user_id, event_type, value * 2
+              FROM existing WHERE event_id % 10 = 0 AND value * 2 <> value
+            UNION ALL
+            SELECT 'v2_v3', 'delete', event_id, user_id, event_type, value
+              FROM merged WHERE event_id % 7 = 0)
+          SELECT * FROM feed ORDER BY span, _change, event_id"""
+        .replaceAll("\\s+", " "),
+    // q253's oracle verbatim — the DSv2 read path and its bucket-local
+    // diff must be result-invisible
+    "q266_tx_cdf_scan" ->
       """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
           incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
               FROM existing WHERE event_id % 10 = 0

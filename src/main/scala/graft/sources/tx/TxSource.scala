@@ -69,14 +69,24 @@ class TxSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tx"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TxSource.schemaAt(TxSource.pathOf(options), TxSource.versionOf(options))
+    if (TxSource.isChangeFeed(options))
+      TxChanges.feedSchema(
+        TxSource.schemaAt(TxSource.pathOf(options),
+          options.get("toVersion").toLong))
+    else
+      TxSource.schemaAt(TxSource.pathOf(options), TxSource.versionOf(options))
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new TxTableV2(TxSource.pathOf(opts), TxSource.versionOf(opts), schema)
+    if (TxSource.isChangeFeed(opts))
+      new TxChangesTable(TxSource.pathOf(opts),
+        opts.get("fromVersion").toLong, opts.get("toVersion").toLong,
+        opts.getBoolean("emitPre", false), schema)
+    else
+      new TxTableV2(TxSource.pathOf(opts), TxSource.versionOf(opts), schema)
   }
 }
 
@@ -91,6 +101,22 @@ object TxSource {
 
   private[tx] def versionOf(options: CaseInsensitiveStringMap): Long =
     Option(options.get("version")).map(_.toLong).getOrElse(-1L)
+
+  /** `option("readChangeFeed", true)` + from/to versions switches the
+    * source from snapshot reads to the CDF (see [[TxChangesTable]]).
+    */
+  private[tx] def isChangeFeed(options: CaseInsensitiveStringMap): Boolean = {
+    val on = options.getBoolean("readChangeFeed", false)
+    if (on) {
+      require(options.get("fromVersion") != null &&
+        options.get("toVersion") != null,
+        "graft-tx: readChangeFeed needs option(\"fromVersion\", a) and " +
+          "option(\"toVersion\", b)")
+      require(options.get("version") == null,
+        "graft-tx: readChangeFeed and version (time travel) are exclusive")
+    }
+    on
+  }
 
   private[tx] def snapshotAt(path: String, version: Long): Tx.Snapshot =
     if (version >= 0)

@@ -1019,6 +1019,49 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       s"expected a columnar scan in:\n$plan")
   }
 
+  test("DSv2 change feed: bucket-local diff == Tx.changes, zero exchange") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 40L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8)
+    Tx.commitMerge(spark, path,
+      Seq((2L, 222L), (41L, 410L), (3L, 30L)).toDF("id", "v"), // 3 re-lands unchanged
+      Seq("id"), nBuckets = 8)
+    Tx.commitDelete(spark, path, Seq(5L, 41L).toDF("id"),
+      Seq("id"), nBuckets = 8)
+    def viaDsv2(fromV: Long, toV: Long, emitPre: Boolean = false) =
+      spark.read.format("graft-tx")
+        .option("readChangeFeed", true)
+        .option("fromVersion", fromV).option("toVersion", toV)
+        .option("emitPre", emitPre).load(path)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "_change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // row-for-row equality with the programmatic feed, both modes
+    for ((f, t) <- Seq((1L, 2L), (2L, 3L), (1L, 3L));
+         pre <- Seq(false, true))
+      assert(rowsOf(viaDsv2(f, t, pre)) ==
+        rowsOf(Tx.changes(spark, path, f, t, emitPre = pre)),
+        s"DSv2 CDF diverged on v$f->v$t (emitPre=$pre)")
+    // one partition per CHANGED bucket, and the plan carries NO exchange
+    // — the bucket-local diff is the whole point vs changes()'s join
+    val feed = viaDsv2(1L, 2L)
+    val s1 = Tx.snapshot(path, 1L); val s2 = Tx.snapshot(path, 2L)
+    val changed = (s1.dirs.keySet ++ s2.dirs.keySet)
+      .count(k => s1.dirs.get(k) != s2.dirs.get(k))
+    assert(feed.rdd.getNumPartitions == changed)
+    assert(!feed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the DSv2 feed must not shuffle")
+    assert(Tx.changes(spark, path, 1L, 2L)
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "(the programmatic feed's join does — that's the contrast)")
+    // unchanged re-landed rows are compared out on this path too
+    assert(!rowsOf(viaDsv2(1L, 2L)).exists(_._1 == 3L))
+    // option validation
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-tx").option("readChangeFeed", true).load(path))
+  }
+
   test("DSv2 read: array columns decode through the columnar path") {
     // embedding-style payloads: array<float> rides the vectorized
     // reader's nested support; the row fallback names its flat-only
