@@ -473,7 +473,15 @@ object Mv {
       case _ =>
         val feed = cursor match {
           case Some(c) =>
-            project(Tx.changes(spark, upstreamPath, c, target, emitPre = true))
+            // the DSv2 feed diffs each changed bucket LOCALLY in its
+            // task (zero exchange) where Tx.changes' full-outer join
+            // shuffles both sides — the delta aggregation downstream is
+            // then the refresh's ONLY shuffle (semantics are pinned
+            // row-for-row equal in TxSpec)
+            project(spark.read.format("graft-tx")
+              .option("readChangeFeed", true)
+              .option("fromVersion", c).option("toVersion", target)
+              .option("emitPre", true).load(upstreamPath))
           case None =>
             require(Tx.latest(statePath).isEmpty,
               "followChanges: bootstrap needs a FRESH state table — " +

@@ -67,8 +67,15 @@ class TxChangesScan(
   require(fromV < toV,
     s"graft-tx: readChangeFeed needs fromVersion < toVersion, " +
       s"got $fromV, $toV")
-  private val a = TxSource.snapshotAt(path, fromV)
-  private val b = TxSource.snapshotAt(path, toV)
+  private def resolve(v: Long) =
+    try TxSource.snapshotAt(path, v)
+    catch {
+      case e: IllegalStateException => throw new IllegalStateException(
+        e.getMessage + " — a change-feed consumer this far behind " +
+          "retention must re-bootstrap")
+    }
+  private val a = resolve(fromV)
+  private val b = resolve(toV)
   private val keys = b.meta.get(Tx.KeysKey).map(_.split(",").toSeq)
     .getOrElse(throw new IllegalStateException(
       s"graft-tx: $path has no recorded merge keys (no data commit yet)"))
