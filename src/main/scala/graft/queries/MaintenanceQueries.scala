@@ -443,13 +443,18 @@ object MaintenanceQueries {
       s.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
       try {
-        val joined = s.read.format("graft-tx").load(factPath)
+        // a unique scanTag makes the recorded (planned, total) a property
+        // of THIS scan — no concurrent scan of the same path can
+        // overwrite it between the action and the require()
+        val tag = s"q263-${java.util.UUID.randomUUID()}"
+        val joined = s.read.format("graft-tx").option("scanTag", tag)
+          .load(factPath)
           .join(dim, "p_day")
           .groupBy("p_day")
           .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
         val out = joined.orderBy("p_day") // plan fully; then act
         val rows = out.collect()
-        val (kept, total) = graft.sources.tx.TxScan.lastPlanned(factPath)
+        val (kept, total) = graft.sources.tx.TxScan.lastPlanned(tag)
           .getOrElse(throw new IllegalStateException(
             "the Tx scan never recorded its planned buckets"))
         require(kept < total,

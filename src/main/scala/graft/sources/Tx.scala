@@ -80,10 +80,19 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Tx {
 
+  /** One manifest, resolved. `stats` are the optional per-bucket zone
+    * maps; `sizes` the optional per-bucket total data bytes, stamped at
+    * commit time from the touched buckets' just-written files and
+    * carried by reference otherwise — what lets a scan report its size
+    * to the optimizer from the MANIFEST alone, with no directory
+    * listing (buckets written before sizes existed simply have none and
+    * fall back to listing).
+    */
   final case class Snapshot(
       version: Long, nBuckets: Int, dirs: Map[Int, String],
       meta: Map[String, String] = Map.empty,
-      stats: Map[Int, String] = Map.empty)
+      stats: Map[Int, String] = Map.empty,
+      sizes: Map[Int, Long] = Map.empty)
 
   /** Reserved manifest-meta key holding the table schema JSON. Caller
     * meta keys may not start with "__".
@@ -145,15 +154,20 @@ object Tx {
       val Array(k, v) = l.stripPrefix("meta:").split("=", 2)
       k -> v
     }.toMap
+    // bucket line: "<b>\t<dir>[\t<zone maps>[\t<bytes>]]" — the stats
+    // field may be empty when only the byte size is recorded
     val parsed = bucketLines.map { l =>
-      l.split("\t", 3) match {
-        case Array(b, dir) => (b.toInt, dir, "")
-        case Array(b, dir, st) => (b.toInt, dir, st)
+      l.split("\t", 4) match {
+        case Array(b, dir) => (b.toInt, dir, "", None)
+        case Array(b, dir, st) => (b.toInt, dir, st, None)
+        case Array(b, dir, st, sz) => (b.toInt, dir, st, Some(sz.toLong))
       }
     }
-    val dirs = parsed.map { case (b, dir, _) => b -> dir }.toMap
-    val stats = parsed.collect { case (b, _, st) if st.nonEmpty => b -> st }.toMap
-    Snapshot(version, nb, dirs, meta, stats)
+    val dirs = parsed.map { case (b, dir, _, _) => b -> dir }.toMap
+    val stats =
+      parsed.collect { case (b, _, st, _) if st.nonEmpty => b -> st }.toMap
+    val sizes = parsed.collect { case (b, _, _, Some(sz)) => b -> sz }.toMap
+    Snapshot(version, nb, dirs, meta, stats, sizes)
   }
 
   /** Newest value of a metadata key across committed versions (newest
@@ -251,7 +265,7 @@ object Tx {
       val ns = StructType(st.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta + (SchemaKey -> ns.json), sp.stats))
+          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -539,20 +553,25 @@ object Tx {
     pruneZones(snap, colName, enc(lo), enc(hi))
   }
 
-  /** Does probe value `v`'s runtime class match `dt`'s stat encoding?
-    * (null is rejected later by statBig's finite/non-null gate.)
+  /** Does probe value `v`'s runtime class share `dt`'s stat ENCODING?
+    * The validation groups by encoding, not by exact class: every plain
+    * numeric type encodes exactly into the same decimal domain
+    * ([[statBig]]), so an Int probe against a Long column — or a Float
+    * against Double — compares on sound math and is accepted. What it
+    * rejects is CROSS-encoding probes, where the math silently goes
+    * wrong: a raw epoch Long against a timestamp column (whose stats are
+    * epoch MICROS), an epoch-day Int against a date column, a string
+    * against anything non-string. (null is rejected later by statBig's
+    * finite/non-null gate.)
     */
   private def probeMatches(dt: DataType, v: Any): Boolean = {
     import org.apache.spark.sql.types._
     (dt, v) match {
       case (_, null) => true // statBig rejects with its own message
-      case (ByteType, _: Byte) => true
-      case (ShortType, _: Short) => true
-      case (IntegerType, _: Int) => true
-      case (LongType, _: Long) => true
-      case (FloatType, _: Float) => true
-      case (DoubleType, _: Double) => true
-      case (_: DecimalType, _: BigDecimal | _: java.math.BigDecimal) => true
+      case (ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | _: DecimalType,
+            _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+            _: BigDecimal | _: java.math.BigDecimal) => true
       case (DateType, _: java.sql.Date | _: java.time.LocalDate) => true
       case (TimestampType,
         _: java.sql.Timestamp | _: java.time.Instant) => true
@@ -864,7 +883,25 @@ object Tx {
     }
 
   private def fieldTypes(st: StructType): Map[String, DataType] =
-    st.fields.map(f => f.name -> f.dataType).toMap
+    st.fields.map(f => f.name -> denull(f.dataType)).toMap
+
+  /** Strip nullability recursively (containsNull / valueContainsNull /
+    * struct-field nullable) before schema comparison: a union inside a
+    * merge or a caller's fold legitimately WIDENS containsNull, and the
+    * property the checks protect — the bucket hash's type sensitivity —
+    * is nullability-blind.
+    */
+  private def denull(dt: DataType): DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(denull(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(denull(k), denull(v),
+        valueContainsNull = true)
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, denull(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** Shared commit machinery: plan a bucket-scoped rewrite of the
     * batch's touched buckets via `op(existing, batchWithBucket, keys)`,
@@ -915,9 +952,9 @@ object Tx {
           "a NULL key never matches and would silently duplicate")
       // a surviving plan from a lost race: (commitDir, touched buckets,
       // buckets the rewrite actually produced, the base dirs it saw,
-      // the written buckets' zone-map stats)
+      // the written buckets' zone-map stats, their data byte sizes)
       var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String],
-        Map[Int, String])] = None
+        Map[Int, String], Map[Int, Long])] = None
       // the table version the surviving plan was derived against: no
       // manifest at or below it can reference the plan's staged dir
       // (the dir did not exist yet), so failure cleanup only needs to
@@ -930,7 +967,7 @@ object Tx {
         // idempotence guard INSIDE the retry loop: a CAS loser whose
         // duplicate already won must abort, not re-apply (see commitMerge)
         snap.filter(abortIf).foreach { sp =>
-          plan.foreach { case (dir, _, _, _, _) =>
+          plan.foreach { case (dir, _, _, _, _, _) =>
             deleteRecursive(Paths.get(path, dir))
           }
           return sp.version
@@ -949,7 +986,7 @@ object Tx {
             case Some(sp) if meta.isEmpty => return sp.version
             case Some(sp) =>
               if (tryPublish(path, sp.version + 1, nb, sp.dirs,
-                  carried ++ meta, sp.stats)) return sp.version + 1
+                  carried ++ meta, sp.stats, sp.sizes)) return sp.version + 1
             // CAS lost: fall through and retry on the new snapshot
           }
         } else {
@@ -1043,13 +1080,13 @@ object Tx {
           // buckets, our already-written files still reflect the current
           // truth of those buckets — re-link them onto the new base
           // without re-deriving or rewriting anything.
-          val reusable = plan.filter { case (_, touched, _, planBase, _) =>
+          val reusable = plan.filter { case (_, touched, _, planBase, _, _) =>
             touched.forall(b => baseDirs.get(b) == planBase.get(b))
           }
-          val (commitDir, touched, written, wStats) = reusable match {
-            case Some((dir, t, w, _, st)) => (dir, t, w, st)
+          val (commitDir, touched, written, wStats, wSizes) = reusable match {
+            case Some((dir, t, w, _, st, sz)) => (dir, t, w, st, sz)
             case None =>
-              plan.foreach { case (dir, _, _, _, _) => // overlap: stale
+              plan.foreach { case (dir, _, _, _, _, _) => // overlap: stale
                 deleteRecursive(Paths.get(path, dir))
               }
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
@@ -1094,20 +1131,27 @@ object Tx {
                 if (effStatsCols.isEmpty || w.isEmpty) Map.empty[Int, String]
                 else computeBucketStats(
                   spark, s"$path/$dir", effStatsCols, statsSchema)
+              // stamp each written bucket's data bytes into the manifest
+              // (O(touched) listings of just-written dirs), so a later
+              // scan's size estimate is a pure manifest read
+              val sz = bucketByteSizes(Paths.get(path, dir), w)
               planBaseV = snap.map(_.version).getOrElse(0L)
-              (dir, t, w, st)
+              (dir, t, w, st, sz)
           }
-          plan = Some((commitDir, touched, written, baseDirs, wStats))
+          plan = Some((commitDir, touched, written, baseDirs, wStats, wSizes))
           val newDirs = (baseDirs -- touched) ++
             written.map(b => b -> s"$commitDir/__b=$b").toMap
-          // untouched buckets keep their stats by reference, exactly like
-          // their data dirs; touched-but-emptied buckets drop both
+          // untouched buckets keep their stats and byte sizes by
+          // reference, exactly like their data dirs; touched-but-emptied
+          // buckets drop all three
           val newStats = (snap.map(_.stats).getOrElse(Map.empty) -- touched) ++
             wStats
+          val newSizes = (snap.map(_.sizes).getOrElse(Map.empty) -- touched) ++
+            wSizes
           beforeCas()
           val next = snap.map(_.version + 1).getOrElse(1L)
           if (tryPublish(path, next, nb, newDirs,
-              carried ++ schemaEntry ++ meta, newStats))
+              carried ++ schemaEntry ++ meta, newStats, newSizes))
             return next
         }
       }
@@ -1120,7 +1164,7 @@ object Tx {
         // deleting — deleting published data would be corruption, a
         // leaked orphan is merely clutter for vacuum.
         case scala.util.control.NonFatal(t) =>
-          plan.foreach { case (dir, _, _, _, _) =>
+          plan.foreach { case (dir, _, _, _, _, _) =>
             val commitId = dir.split("/").last
             // only manifests NEWER than the plan's base could reference
             // the staged dir — older ones predate its existence
@@ -1133,13 +1177,27 @@ object Tx {
           }
           throw t
       }
-      plan.foreach { case (dir, _, _, _, _) =>
+      plan.foreach { case (dir, _, _, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them
       }
       throw new IllegalStateException(
         s"$opName lost $maxAttempts CAS races on $path")
     } finally staged.unpersist(blocking = false)
   }
+
+  /** Total parquet bytes per bucket of a just-written commit directory —
+    * recorded in the manifest so `estimateStatistics` never lists.
+    */
+  private def bucketByteSizes(
+      commitDir: Path, buckets: Set[Int]): Map[Int, Long] =
+    buckets.map { b =>
+      val fs = commitDir.resolve(s"__b=$b").toFile.listFiles()
+      val sz =
+        if (fs == null) 0L
+        else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      b -> sz
+    }.toMap
 
   private def listBucketDirs(commitDir: Path): Set[Int] = {
     val fs = commitDir.toFile.listFiles()
@@ -1155,20 +1213,25 @@ object Tx {
       throw new IllegalStateException(s"v1 exists but unreadable in $path"))
 
   /** Publish version `v` via hard-link CAS; false on conflict. A bucket
-    * line optionally carries its zone-map stats as a third tab field.
+    * line optionally carries its zone-map stats as a third tab field
+    * and its total data bytes as a fourth (an empty third field keeps
+    * positions stable when only the size is recorded).
     */
   private def tryPublish(
       path: String, v: Long, nb: Int, dirs: Map[Int, String],
       meta: Map[String, String],
-      stats: Map[Int, String] = Map.empty): Boolean = {
+      stats: Map[Int, String] = Map.empty,
+      sizes: Map[Int, Long] = Map.empty): Boolean = {
     val d = vdir(path)
     Files.createDirectories(d)
     val body = ((s"nbuckets=$nb" +:
       meta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
       dirs.toSeq.sortBy(_._1).map { case (b, dir) =>
-        stats.get(b) match {
-          case Some(st) => s"$b\t$dir\t$st"
-          case None => s"$b\t$dir"
+        (stats.get(b), sizes.get(b)) match {
+          case (Some(st), Some(sz)) => s"$b\t$dir\t$st\t$sz"
+          case (Some(st), None) => s"$b\t$dir\t$st"
+          case (None, Some(sz)) => s"$b\t$dir\t\t$sz"
+          case (None, None) => s"$b\t$dir"
         }
       })
       .mkString("\n")

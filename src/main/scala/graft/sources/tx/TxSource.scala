@@ -154,12 +154,14 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, version, tableSchema,
-      options.getBoolean("vectorized", true))
+      options.getBoolean("vectorized", true),
+      Option(options.get("scanTag")))
 }
 
 class TxScanBuilder(
     path: String, version: Long, tableSchema: StructType,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true,
+    scanTag: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -209,7 +211,8 @@ class TxScanBuilder(
   override def build(): Scan = {
     val kept = prunable.flatMap(TxPrune.keptFor(snap, _))
       .foldLeft(snap.dirs.keySet)(_ intersect _)
-    new TxScan(path, snap, required, kept, prunable, countStar, vectorized)
+    new TxScan(path, snap, required, kept, prunable, countStar, vectorized,
+      scanTag)
   }
 }
 
@@ -218,11 +221,19 @@ class TxScanBuilder(
   * Strict bounds relax to inclusive — conservative (keeps possibly-extra
   * buckets, never wrongly prunes), and exactness is Spark's job anyway.
   * `In` is the union of its values' equality prunes; `LIKE 'p%'` is the
-  * byte-range `[p, increment(p))` over a string column's zones.
+  * byte-range `[p, increment(p))` over a string column's zones;
+  * `Or(a, b)` the UNION of its children's kept sets (both children must
+  * be consumable, else the whole disjunct keeps everything — a row
+  * could satisfy the branch we can't bound); `IsNotNull` prunes only
+  * the `~` all-null zones; `EqualNullSafe` with a non-null value IS
+  * EqualTo (with null it would need null counts the manifest doesn't
+  * record — keep all).
   */
 private[tx] object TxPrune {
   def keptFor(snap: Tx.Snapshot, f: Filter): Option[Set[Int]] = f match {
     case EqualTo(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), Some(v)))
+    case EqualNullSafe(c, v) if v != null =>
+      Some(Tx.pruneLenient(snap, c, Some(v), Some(v)))
     case GreaterThan(c, v) => Some(Tx.pruneLenient(snap, c, Some(v), None))
     case GreaterThanOrEqual(c, v) =>
       Some(Tx.pruneLenient(snap, c, Some(v), None))
@@ -233,13 +244,20 @@ private[tx] object TxPrune {
       Some(vs.map(v => Tx.pruneLenient(snap, c, Some(v), Some(v)))
         .reduce(_ union _))
     case StringStartsWith(c, p) => Some(Tx.prunePrefixLenient(snap, c, p))
+    case IsNotNull(c) => Some(Tx.pruneLenient(snap, c, None, None))
+    case Or(l, r) =>
+      for (kl <- keptFor(snap, l); kr <- keptFor(snap, r))
+        yield kl union kr
     case _ => None
   }
 
   def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: StringStartsWith => true
+         _: LessThan | _: LessThanOrEqual | _: StringStartsWith |
+         _: IsNotNull => true
+    case EqualNullSafe(_, v) => v != null
     case In(_, vs) => vs.nonEmpty
+    case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 }
@@ -248,7 +266,8 @@ class TxScan(
     path: String, snap: Tx.Snapshot, required: StructType,
     kept: Set[Int], pushed: Array[Filter],
     countStar: Boolean = false,
-    vectorized: Boolean = true) extends Scan with Batch
+    vectorized: Boolean = true,
+    scanTag: Option[String] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // RUNTIME (DPP) pruning: Spark hands the scan the join-key values it
@@ -274,21 +293,29 @@ class TxScan(
 
   /** Size of the KEPT buckets' files — what lets Catalyst broadcast a
     * small Tx dimension (or a heavily-pruned scan of a big one) instead
-    * of shuffling both join sides. Cost: one directory listing per kept
-    * bucket, computed lazily once per scan and only when the optimizer
-    * asks. Row count is served only for a pushed COUNT(*) shape (exact
-    * from footers would cost footer IO; absent beats wrong).
+    * of shuffling both join sides. Commits stamp each bucket's data
+    * bytes into the manifest, so for current tables this is a pure
+    * manifest-map sum — NO directory listing, however often the
+    * optimizer asks; only buckets written before sizes existed fall
+    * back to one listing each, memoized per scan. Row count is served
+    * only for a pushed COUNT(*) shape (exact from footers would cost
+    * footer IO; absent beats wrong).
     */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes: Long =
-      kept.toSeq.flatMap(snap.dirs.get).map { rel =>
-        val fs = new java.io.File(s"$path/$rel").listFiles()
+  private lazy val keptBytes: Long =
+    kept.toSeq.map { b =>
+      snap.sizes.getOrElse(b, {
+        val fs = snap.dirs.get(b)
+          .map(rel => new java.io.File(s"$path/$rel").listFiles())
+          .orNull
         if (fs == null) 0L
         else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(_.length()).sum
-      }.sum
+      })
+    }.sum
+
+  override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(keptBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -305,7 +332,8 @@ class TxScan(
     * lists and decodes its own immutable directory.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    TxScan.recordPlanned(path, runtimeKept.size, snap.dirs.size)
+    TxScan.recordPlanned(scanTag.getOrElse(path),
+      runtimeKept.size, snap.dirs.size)
     runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
       .map(rel => TxBucketPartition(s"$path/$rel", required.json): InputPartition)
       .toArray
@@ -320,18 +348,23 @@ object TxScan {
   val CountSchema: StructType = StructType(Seq(
     StructField("count(*)", LongType, nullable = false)))
 
-  /** Last (planned, total) bucket counts per table path — the
+  /** Last (planned, total) bucket counts per RECORDING KEY — the
     * observable for RUNTIME pruning, which happens after the plan
     * strings are rendered (specs and queries read it after an action).
+    * The key is the table path by default, but a caller who needs the
+    * counts to be a property of ONE scan — not of whatever scan of the
+    * same path ran last (a concurrent reader, a verification re-run) —
+    * passes a unique `option("scanTag", ...)` and reads that key: only
+    * scans carrying the tag ever write it.
     */
   private val planned =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-  private[tx] def recordPlanned(path: String, kept: Int, total: Int): Unit =
-    planned.put(path, (kept, total))
+  private[tx] def recordPlanned(key: String, kept: Int, total: Int): Unit =
+    planned.put(key, (kept, total))
 
-  def lastPlanned(path: String): Option[(Int, Int)] =
-    Option(planned.get(path))
+  def lastPlanned(key: String): Option[(Int, Int)] =
+    Option(planned.get(key))
 }
 
 /** A kept bucket's data directory plus the projected schema, as plain

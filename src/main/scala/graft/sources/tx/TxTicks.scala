@@ -71,6 +71,25 @@ case class TxVersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
+object TxVersionOffset {
+  private val Shape = """\s*\{\s*"version"\s*:\s*(\d+)\s*\}\s*""".r
+
+  /** Strict parse of a checkpointed offset. A malformed offset means a
+    * corrupted checkpoint — fail LOUDLY with the file's actual content
+    * instead of silently defaulting to version 0 and replaying from
+    * scratch (harmless where a downstream cursor no-ops replays, but a
+    * silent full replay is still the wrong default for a consumer
+    * without one).
+    */
+  def parse(json: String, source: String): Long = json match {
+    case Shape(v) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$source: malformed checkpoint offset '$json' — expected " +
+        """{"version":N}; the checkpoint is corrupted and must be """ +
+        "repaired or wiped deliberately, not silently replayed from 0")
+  }
+}
+
 class TxTicksStream(path: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -94,7 +113,7 @@ class TxTicksStream(path: String)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
-    TxVersionOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+    TxVersionOffset(TxVersionOffset.parse(json, "TxTicks"))
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {

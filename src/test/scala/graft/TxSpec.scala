@@ -1290,14 +1290,17 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       .select(col("day"), col("ts_s").cast("timestamp_ntz").as("t"))
     Tx.commitMerge(spark, path, df, Seq("day"), nBuckets = 2,
       statsCols = Seq("day", "t"))
-    // a Double probe against a long column would compare in the decimal
-    // domain and happen to "work" — but the CONTRACT is that mismatched
-    // encodings are rejected before any pruning math runs
-    val e1 = intercept[IllegalArgumentException](
-      Tx.pruneInfo(path, "day", 1.0, 2.0))
-    assert(e1.getMessage.contains("encode"))
-    // the advisor's exact scenario: a raw epoch Long against a
-    // timestamp column prunes on wrong math unless rejected
+    // the validation groups probes by ENCODING, not exact class: every
+    // plain numeric type encodes exactly into the stat decimal domain,
+    // so numeric widenings (Int against a Long column — and Double too)
+    // probe on sound math and are ACCEPTED
+    val (kw, tw) = Tx.pruneInfo(path, "day", 1, 2)
+    assert(kw == tw, "an all-covering Int probe keeps every bucket")
+    val (kd, _) = Tx.pruneInfo(path, "day", 0.5, 1.5)
+    assert(kd.size < tw.size,
+      "a fractional Double probe prunes the day=2 bucket on exact math")
+    // what stays rejected is CROSS-encoding: a raw epoch Long against a
+    // timestamp column (stats are epoch micros) prunes on wrong math
     val e2 = intercept[IllegalArgumentException](
       Tx.pruneInfo(path, "t", 1704067200L, 1704153600L))
     assert(e2.getMessage.contains("encode"))
@@ -1327,5 +1330,140 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       Seq("id"), nBuckets = 2)
     intercept[IllegalArgumentException](
       Tx.addColumn(path, "_change", org.apache.spark.sql.types.StringType))
+  }
+
+  test("manifest byte sizes: stats from the manifest, no listing needed") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 64L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8)
+    Tx.commitMerge(spark, path, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8)
+    val snap = Tx.latest(path).get
+    // every data-bearing bucket carries a recorded byte size, and it
+    // equals the actual parquet bytes on disk
+    assert(snap.sizes.keySet == snap.dirs.keySet)
+    snap.dirs.foreach { case (b, rel) =>
+      val actual = new java.io.File(s"$path/$rel").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+      assert(snap.sizes(b) == actual, s"bucket $b size drifted from disk")
+    }
+    // untouched buckets carried their size by reference across commits
+    val s1 = Tx.snapshot(path, 1L)
+    val carried = snap.dirs.keySet.filter(b => s1.dirs.get(b) == snap.dirs.get(b))
+    assert(carried.nonEmpty && carried.forall(b => snap.sizes(b) == s1.sizes(b)))
+    // the DSv2 scan's reported size == the manifest sum (pure map read)
+    val df = spark.read.format("graft-tx").load(path)
+    val reported = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+          .asInstanceOf[org.apache.spark.sql.connector.read
+            .SupportsReportStatistics]
+          .estimateStatistics().sizeInBytes().getAsLong
+    }.get
+    assert(reported == snap.sizes.values.sum,
+      "reported sizeInBytes must equal the manifest-recorded sum")
+    // a manifest written BEFORE sizes existed (4th field stripped) still
+    // estimates correctly via the per-bucket listing fallback
+    val mPath = java.nio.file.Paths.get(path, "_v")
+      .resolve(f"v${snap.version}%013d.manifest")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .split("\n").map { l =>
+        if (l.startsWith("nbuckets=") || l.startsWith("meta:")) l
+        else l.split("\t", 4).take(3).mkString("\t").stripSuffix("\t")
+      }.mkString("\n")
+    java.nio.file.Files.delete(mPath)
+    java.nio.file.Files.write(mPath, legacy.getBytes("UTF-8"))
+    val snapLegacy = Tx.latest(path).get
+    assert(snapLegacy.sizes.isEmpty, "the stripped manifest has no sizes")
+    val reportedLegacy = spark.read.format("graft-tx").load(path)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+            .asInstanceOf[org.apache.spark.sql.connector.read
+              .SupportsReportStatistics]
+            .estimateStatistics().sizeInBytes().getAsLong
+      }.get
+    assert(reportedLegacy == reported,
+      "the listing fallback must agree with the recorded sizes")
+  }
+
+  test("DSv2 pruning shapes: Or unions, IsNotNull prunes all-null zones") {
+    val path = tmp()
+    // 32 day-buckets; x is NULL except on days 1 and 2 — day zones prune
+    // ranges, x zones record `~` (all-null) for the other days' buckets
+    val df = (1L to 32L).flatMap(d => (0L to 3L).map { h =>
+      (d, h, if (d <= 2) Some(d * 100 + h) else None)
+    }).toDF("day", "hour", "x")
+    Tx.commitMerge(spark, path, df, Seq("day", "hour"), nBuckets = 32,
+      bucketKeys = Seq("day"), statsCols = Seq("day", "x"))
+    val total = Tx.latest(path).get.dirs.size
+    val scan = spark.read.format("graft-tx").load(path)
+    def parts(f: org.apache.spark.sql.Column) =
+      scan.filter(f).rdd.getNumPartitions
+    // Or: the union of the children's kept sets — computed, not assumed
+    // (hash collisions can co-locate days)
+    val expectOr = Tx.pruneInfo(path, "day", -999L, 2L)._1 union
+      Tx.pruneInfo(path, "day", 31L, 999L)._1
+    assert(parts(col("day") < 2L || col("day") > 31L) == expectOr.size,
+      "a disjunctive range must plan the union of its children's kept sets")
+    assert(expectOr.size < total, "and it must actually prune here")
+    assert(scan.filter(col("day") < 2L || col("day") > 31L).count() ==
+      df.filter(col("day") < 2L || col("day") > 31L).count())
+    // a disjunct with an unconsumable branch keeps everything — a row
+    // could satisfy the branch we cannot bound
+    assert(parts(col("day") < 2L || col("hour") === 99L) == total)
+    // IsNotNull prunes exactly the all-null `~` zones
+    val nn = scan.filter(col("x").isNotNull)
+    assert(nn.rdd.getNumPartitions < total,
+      "IsNotNull must prune buckets whose x-zone is all-null")
+    assert(nn.count() == df.filter(col("x").isNotNull).count())
+    // EqualNullSafe with a non-null value prunes like EqualTo
+    val expectEq = Tx.pruneInfo(path, "day", 3L, 3L)._1
+    assert(parts(col("day") <=> 3L) == expectEq.size)
+    assert(scan.filter(col("day") <=> 3L).count() == 4L)
+  }
+
+  test("DSv2 change feed: nested columns diff through the columnar path") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)), (3L, Seq(9.0f)))
+        .toDF("id", "emb"),
+      Seq("id"), nBuckets = 4)
+    Tx.commitMerge(spark, path,
+      Seq((2L, Seq(3.5f, 4.5f)), (4L, Seq(7.0f)), (3L, Seq(9.0f)))
+        .toDF("id", "emb"), // 3 re-lands unchanged: compared out
+      Seq("id"), nBuckets = 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "emb", "_change").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2))).toSet
+    for (pre <- Seq(false, true)) {
+      val feed = spark.read.format("graft-tx")
+        .option("readChangeFeed", true)
+        .option("fromVersion", 1L).option("toVersion", 2L)
+        .option("emitPre", pre).load(path)
+      assert(rowsOf(feed) ==
+        rowsOf(Tx.changes(spark, path, 1L, 2L, emitPre = pre)),
+        s"array-column CDF diverged from Tx.changes (emitPre=$pre)")
+    }
+  }
+
+  test("CDF diff heap budget: a too-big bucket is a NAMED error, not OOM") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    Tx.commitMerge(spark, path, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("graft-tx")
+        .option("readChangeFeed", true)
+        .option("fromVersion", 1L).option("toVersion", 2L)
+        .option("maxDiffBucketBytes", 64L).load(path).collect())
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("nBuckets") && msg.contains("maxDiffBucketBytes"),
+      s"the budget error must name both dials, got: $msg")
   }
 }
