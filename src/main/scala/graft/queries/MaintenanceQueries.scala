@@ -126,6 +126,36 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // q248's upsert THROUGH THE DSv2 WRITE PATH — the reference's load
+    // (serve/load.py:14-51, an ON CONFLICT upsert per batch) in its
+    // fully idiomatic Spark form: batch.write.format("graft-tx")
+    // .mode("append").save(path). Each task stages its partition as one
+    // parquet file; commit() runs the NORMAL bucket-scoped merge over
+    // the staged batch and publishes in one manifest CAS — so the
+    // landed version is exactly what Tx.commitMerge produces (TxSpec
+    // pins bucket-for-bucket equality and a CAS race through this
+    // path). Keys, nBuckets, bucket keys, and stats columns all come
+    // from the MANIFEST, none re-supplied. SAME oracle as q248/q15:
+    // anti-join ∪ on raw — a write path that dropped, duplicated, or
+    // mis-bucketed a row hash-fails.
+    "q267_tx_dsv2_write" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_w").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      updates.unionByName(inserts)
+        .write.format("graft-tx").mode("append").save(path)
+      require(Tx.latest(path).get.version == 2L,
+        "the DSv2 append must have landed exactly one commit")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // DELETE BY KEY — right-to-be-forgotten from a released corpus
     // table: every 7th event id removed via Tx.commitDelete (touched
     // buckets rewritten WITHOUT the keys by anti-join, emptied buckets
@@ -905,6 +935,19 @@ object MaintenanceQueries {
     // q15's exact oracle composition — the table format must be
     // semantically invisible: anti-join ∪ on the raw frames
     "q248_tx_merge" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50)
+          SELECT * FROM (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
+    // q248's oracle VERBATIM — the write path must be as semantically
+    // invisible as the side API it routes through
+    "q267_tx_dsv2_write" ->
       """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
           incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
               FROM existing WHERE event_id % 10 = 0

@@ -852,6 +852,85 @@ object Tx {
       case (None, withB, _) => withB
     }
 
+  /** OVERWRITE the table with `batch` — every existing bucket is
+    * touched, buckets absent from the batch drop out of the manifest,
+    * and the publish is the same manifest CAS as a merge: readers
+    * pinned to earlier versions keep them until vacuum. This is the
+    * DSv2 write path's `mode("overwrite")` / TRUNCATE semantics
+    * ([[graft.sources.tx.TxSource]]); an EMPTY batch truncates.
+    */
+  def commitOverwrite(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false,
+      statsCols: Seq[String] = Nil): Long =
+    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
+      beforeCas, "commitOverwrite", establishSchema = true, bucketKeys,
+      abortIf, statsCols, touchAll = true) {
+      case (_, withB, _) => withB // existing content is replaced wholesale
+    }
+
+  /** CREATE an empty table with its properties pinned up front — the
+    * manifest-only commit the SQL catalog's `CREATE TABLE` maps to
+    * ([[graft.sources.tx.TxCatalog]]): schema, merge keys, bucket keys,
+    * and zone-map columns are recorded at v1, so the FIRST data commit
+    * (side API or the DSv2 write path, which reads the keys from the
+    * manifest) is already property-checked instead of establishing.
+    */
+  def createTable(
+      path: String,
+      schema: StructType,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      bucketKeys: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
+    require(nBuckets > 0)
+    require(versions(path).isEmpty,
+      s"createTable: $path already has committed versions")
+    require(keys.nonEmpty && keys.forall(k =>
+      k.nonEmpty && !k.exists(c => c == ',' || c == '\n' || c == '\t')),
+      s"createTable: illegal merge-key name in ${keys.mkString("[", ", ", "]")}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"createTable: merge key '$k' is not in the schema " +
+        schema.fieldNames.mkString("(", ", ", ")")))
+    schema.fieldNames.foreach { n =>
+      require(n != "_change" && !n.startsWith("__"),
+        s"createTable: column name '$n' is reserved (the change feed " +
+          "uses '_change' and '__'-prefixed internals)")
+    }
+    val bk = if (bucketKeys.isEmpty) keys else bucketKeys
+    require(bk.forall(keys.contains),
+      s"bucket keys ${bk.mkString(",")} must be a subset of the merge " +
+        s"keys ${keys.mkString(",")} (equal merge keys must co-locate)")
+    val sc = statsCols.sorted
+    sc.foreach { c =>
+      require(!c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+        ch == '\n' || ch == '\t'),
+        s"createTable: zone-map column name '$c' contains a separator")
+      val t = schema.fields.find(_.name == c).map(_.dataType)
+      require(t.exists(statSupported),
+        s"createTable: zone-map column '$c' must exist with a " +
+          s"numeric/date/timestamp/string type, got $t")
+    }
+    val meta = Map(
+      SchemaKey -> schema.json,
+      KeysKey -> keys.sorted.mkString(","),
+      BucketKeysKey -> bk.mkString(",")) ++
+      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty)
+    if (!tryPublish(path, 1L, nBuckets, Map.empty, meta))
+      throw new IllegalStateException(
+        s"createTable: lost the v1 race on $path — another writer " +
+          "created the table first")
+    1L
+  }
+
   /** DELETE by key — the right-to-be-forgotten path a released training
     * corpus needs: `keysBatch` carries the key columns of rows to remove;
     * touched buckets are rewritten without them (anti-join), a bucket
@@ -910,6 +989,9 @@ object Tx {
     * `meta` overrides. `establishSchema`: record the batch schema as the
     * table schema on the first data commit (merge/fold — their batch IS
     * table-shaped; a delete batch is keys-only and never establishes).
+    * `touchAll` widens the touched set to EVERY existing bucket (an
+    * overwrite replaces the whole table, so buckets the batch misses
+    * must drop, and an empty batch truncates instead of no-oping).
     */
   private def commitRewrite(
       spark: SparkSession,
@@ -924,7 +1006,8 @@ object Tx {
       establishSchema: Boolean,
       bucketKeys: Seq[String],
       abortIf: Snapshot => Boolean,
-      statsCols: Seq[String])(
+      statsCols: Seq[String],
+      touchAll: Boolean = false)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(nBuckets > 0)
     // key names land comma-joined in manifest meta — a separator inside
@@ -980,9 +1063,14 @@ object Tx {
           // empty batch: no data motion, but a caller with meta (e.g. a
           // streaming sink's batch-id stamp) still gets a stamped
           // version — "every stream commit is stamped" holds even for
-          // empty micro-batches.
+          // empty micro-batches. An empty OVERWRITE (touchAll) instead
+          // TRUNCATES: every bucket drops, schema/meta carry forward.
           snap match {
             case None => return commitEmpty(path, nb, meta)
+            case Some(sp) if touchAll =>
+              beforeCas()
+              if (tryPublish(path, sp.version + 1, nb, Map.empty,
+                  carried ++ meta)) return sp.version + 1
             case Some(sp) if meta.isEmpty => return sp.version
             case Some(sp) =>
               if (tryPublish(path, sp.version + 1, nb, sp.dirs,
@@ -1090,10 +1178,16 @@ object Tx {
                 deleteRecursive(Paths.get(path, dir))
               }
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
-              val t = withB.select("__b").distinct()
-                .collect().map(_.getInt(0)).sorted.toSeq
-              val existingDirs = t.flatMap(b => baseDirs.get(b))
-                .map(rel => s"$path/$rel")
+              val batchBuckets = withB.select("__b").distinct()
+                .collect().map(_.getInt(0)).toSet
+              // an overwrite touches EVERY existing bucket too: the ones
+              // the batch misses must drop out of the manifest
+              val t = (if (touchAll) baseDirs.keySet ++ batchBuckets
+                else batchBuckets).toSeq.sorted
+              // an overwrite never reads what it replaces
+              val existingDirs =
+                if (touchAll) Nil
+                else t.flatMap(b => baseDirs.get(b)).map(rel => s"$path/$rel")
               val existing =
                 if (existingDirs.isEmpty) None
                 // read old buckets under the RECORDED schema: buckets
@@ -1295,7 +1389,7 @@ object Tx {
     }
   }
 
-  private def deleteRecursive(p: Path): Unit =
+  private[sources] def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       val st = Files.walk(p)
       try st.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -144,18 +144,25 @@ object TxSource {
 }
 
 class TxTableV2(path: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"graft-tx($path${if (version >= 0) s"@v$version" else ""})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, version, tableSchema,
       options.getBoolean("vectorized", true),
       Option(options.get("scanTag")))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TxWriteBuilder(path, version, info)
 }
 
 class TxScanBuilder(

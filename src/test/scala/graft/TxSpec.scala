@@ -1449,6 +1449,128 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("DSv2 write: append == commitMerge, property-for-property") {
+    val viaApi = tmp(); val viaDsv2 = tmp()
+    val base = (1L to 64L).map(i => (i, i * 10)).toDF("id", "v")
+    val batch = Seq((2L, 999L), (70L, 700L)).toDF("id", "v")
+    for (p <- Seq(viaApi, viaDsv2))
+      Tx.commitMerge(spark, p, base, Seq("id"), nBuckets = 8,
+        statsCols = Seq("id"))
+    Tx.commitMerge(spark, viaApi, batch, Seq("id"), nBuckets = 8)
+    // the idiomatic form of the same commit — keys/buckets/stats all
+    // come from the manifest, none re-supplied
+    batch.write.format("graft-tx").mode("append").save(viaDsv2)
+    assert(rows(Tx.read(spark, viaDsv2)) == rows(Tx.read(spark, viaApi)),
+      "the DSv2 append must land exactly commitMerge's content")
+    val sa = Tx.latest(viaApi).get; val sd = Tx.latest(viaDsv2).get
+    assert(sd.version == 2L && sa.version == 2L)
+    // same touched-bucket discipline: identical bucket sets change
+    def changed(p: String) = {
+      val s1 = Tx.snapshot(p, 1L); val s2 = Tx.snapshot(p, 2L)
+      s2.dirs.keySet.filter(b => s1.dirs.get(b) != s2.dirs.get(b))
+    }
+    assert(changed(viaDsv2) == changed(viaApi),
+      "the write path must touch exactly the buckets commitMerge touches")
+    // zone maps and byte sizes recorded through the write path too
+    assert(sd.stats.keySet == sa.stats.keySet &&
+      sd.sizes.keySet == sd.dirs.keySet)
+    // and the staging directory is gone after the commit
+    val staged = new java.io.File(s"$viaDsv2/data").listFiles()
+      .filter(_.getName.startsWith("w-"))
+    assert(staged.isEmpty, "staged write files must be cleaned up")
+  }
+
+  test("DSv2 write: overwrite replaces; an empty overwrite truncates") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 40L).map(i => (i, i)).toDF("id", "v"), Seq("id"), nBuckets = 8)
+    Seq((100L, 1L), (101L, 2L)).toDF("id", "v")
+      .write.format("graft-tx").mode("overwrite").save(path)
+    assert(rows(Tx.read(spark, path)) == Seq((100L, 1L), (101L, 2L)),
+      "overwrite must replace the whole table")
+    assert(rows(Tx.read(spark, path, version = 1L)).size == 40,
+      "the pre-overwrite snapshot stays readable until vacuum")
+    // empty overwrite = TRUNCATE: zero rows, schema intact
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row],
+      Tx.schemaOf(path).get)
+      .write.format("graft-tx").mode("overwrite").save(path)
+    val t = Tx.read(spark, path)
+    assert(t.count() == 0L && t.schema.fieldNames.toSeq == Seq("id", "v"))
+    // and the table still accepts appends afterwards
+    Seq((7L, 77L)).toDF("id", "v")
+      .write.format("graft-tx").mode("append").save(path)
+    assert(rows(Tx.read(spark, path)) == Seq((7L, 77L)))
+  }
+
+  test("DSv2 write: a CAS race re-derives on the winner's snapshot") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 32L).map(i => (i, i)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    // the seam fires INSIDE the write's CAS loop: a concurrent merge
+    // lands first, so the DSv2 commit must lose v2 and re-derive on v2's
+    // snapshot — both effects must survive, in commit order
+    val seamId = s"race-${java.util.UUID.randomUUID()}"
+    var fired = false
+    graft.sources.tx.TxWriteSeams.register(seamId) { () =>
+      if (!fired) { // the retry's seam must not recurse
+        fired = true
+        Tx.commitMerge(spark, path, Seq((1L, -1L)).toDF("id", "v"),
+          Seq("id"), nBuckets = 4)
+      }
+    }
+    try {
+      Seq((1L, 111L), (40L, 400L)).toDF("id", "v")
+        .write.format("graft-tx").option("commitSeam", seamId)
+        .mode("append").save(path)
+    } finally graft.sources.tx.TxWriteSeams.clear(seamId)
+    assert(fired, "the injected race must have fired")
+    assert(Tx.latest(path).get.version == 3L,
+      "loser lands at v3 after re-deriving on the winner's v2")
+    val m = rows(Tx.read(spark, path)).toMap
+    assert(m(1L) == 111L, "the DSv2 batch committed AFTER the racer wins key 1")
+    assert(m(40L) == 400L && m(2L) == 2L)
+  }
+
+  test("DSv2 write: createTable pins properties; bootstrap errors are named") {
+    val path = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    assert(Tx.createTable(path, schema, Seq("id"), nBuckets = 4,
+      statsCols = Seq("id")) == 1L)
+    // the DSv2 write reads keys/buckets/stats from the created manifest
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft-tx").mode("append").save(path)
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L), (2L, 20L)))
+    assert(Tx.latest(path).get.stats.nonEmpty,
+      "createTable's statsCols must drive zone maps from the first commit")
+    // a later side-API commit with DRIFTED keys is rejected by the
+    // recorded property, same as always
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 1L)).toDF("id", "v"),
+        Seq("id", "v"), nBuckets = 4))
+    assert(e.getMessage.contains("bucketed on") ||
+      e.getMessage.contains("merge keys"),
+      s"drifted keys must hit a recorded-property rejection: ${e.getMessage}")
+    // writing to a never-created path names the bootstrap routes
+    val fresh = tmp()
+    val e2 = intercept[Exception](
+      Seq((1L, 1L)).toDF("id", "v")
+        .write.format("graft-tx").mode("append").save(fresh))
+    assert(e2.getMessage.contains("no committed version"))
+    // a time-travel write is rejected up front
+    Tx.commitMerge(spark, path, Seq((3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val e3 = intercept[Exception](
+      Seq((9L, 9L)).toDF("id", "v").write.format("graft-tx")
+        .option("version", 1L).mode("append").save(path))
+    assert(e3.getMessage.contains("time-travel") ||
+      Option(e3.getCause).exists(_.getMessage.contains("time-travel")))
+  }
+
   test("CDF diff heap budget: a too-big bucket is a NAMED error, not OOM") {
     val path = tmp()
     Tx.commitMerge(spark, path,
