@@ -408,6 +408,44 @@ object MaintenanceQueries {
         .withColumn("pushed_ok", lit(kept.size < total.size))
         .orderBy("p_day")
     }),
+    // q254/q258's PRUNED READ FROM PURE SQL TEXT — the last boilerplate
+    // removed: a TableCatalog (spark.sql.catalog.<name> = TxCatalog)
+    // resolves <cat>.ev to the Tx table, so a plain
+    // "SELECT ... WHERE p_day BETWEEN ..." plans the SAME zone-map-
+    // pruned DSv2 scan with no load(path) or view registration; the
+    // kept-bucket count is asserted from the scan's recorded planning
+    // (the path is this invocation's unique temp dir, so the recording
+    // is this query's own). The catalog name is per-invocation unique
+    // because Spark caches catalog instances by name. SAME oracle as
+    // q254: filter-aggregate from raw.
+    "q268_tx_sql_catalog" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_cat").toString
+      Tx.commitMerge(s, s"$base/ev", ev, Seq("p_day", "event_id"),
+        nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
+      val cat = "txq" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val rows = s.sql(
+        s"""SELECT p_day, count(*) AS n_rows, sum(v6) AS sum_v6
+            FROM $cat.ev WHERE p_day BETWEEN 20240110 AND 20240114
+            GROUP BY p_day ORDER BY p_day""").collect()
+      val (kept, total) = graft.sources.tx.TxScan.lastPlanned(s"$base/ev")
+        .getOrElse(throw new IllegalStateException(
+          "the catalog scan never recorded its planned buckets"))
+      require(kept < total,
+        s"the SQL text must plan the pruned scan: kept $kept/$total")
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("p_day", "n_rows", "sum_v6")
+        .withColumn("pruned_ok", lit(kept < total))
+    }),
     // STRING zone maps end to end — the corpus-table axis (q70's
     // dataset-card dimensions are source/lang, both strings) that
     // numeric-only stats couldn't prune: documents land in Tx keyed
@@ -437,6 +475,40 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .withColumn("pruned_ok", lit(kept.size < total.size))
         .orderBy("source", "lang")
+    }),
+    // DISJUNCTIVE pruning shapes — the r11 verdict's gap: `day < a OR
+    // day > b` kept every bucket because Or was not a consumable
+    // pushdown shape. Now Or prunes to the UNION of its children's kept
+    // sets (both children must be consumable, else keep-all), asserted
+    // in-plan: partitions == the computed union (collisions computed,
+    // not assumed) AND strictly fewer than the data-bearing buckets.
+    // The month-edge shape (first 3 days OR last 3 days) is the real
+    // dashboard query this unlocks. Oracle: the same disjunction
+    // filter-aggregated from raw — a wrongly-pruned middle bucket
+    // holding edge rows, or a kept bucket double-read, hash-fails.
+    "q270_tx_or_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_or").toString + "/t"
+      Tx.commitMerge(s, path, ev, Seq("p_day", "event_id"), nBuckets = 32,
+        bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
+      val scan = s.read.format("graft-tx").load(path)
+        .filter(col("p_day") < 20240104L || col("p_day") > 20240128L)
+      val expect = Tx.pruneInfo(path, "p_day", 0L, 20240104L)._1 union
+        Tx.pruneInfo(path, "p_day", 20240128L, 99999999L)._1
+      val total = Tx.latest(path).get.dirs.size
+      require(scan.rdd.getNumPartitions == expect.size,
+        s"the Or must plan its children's kept-set union: " +
+          s"${scan.rdd.getNumPartitions} vs ${expect.size}")
+      require(expect.size < total,
+        s"the month-edge disjunction must prune: ${expect.size}/$total")
+      scan.groupBy("p_day")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+        .withColumn("pruned_ok", lit(expect.size < total))
+        .orderBy("p_day")
     }),
     // RUNTIME (DPP) pruning through the Tx scan — the join-side story:
     // the events fact lives in Tx day-bucketed with day zone maps; a
@@ -544,6 +616,62 @@ object MaintenanceQueries {
           Seq("bucket_h"), adds, support = "n_rows"),
         feed(2L, 3L), Seq("bucket_h"), adds, support = "n_rows")
         .orderBy("bucket_h")
+    }),
+    // q256's LOOP DRIVEN BY THE FIRST-CLASS STREAMING CDF SOURCE — the
+    // change feed as a real MicroBatchStream (offsets are table
+    // versions, each micro-batch plans the bucket-local span partitions
+    // of its commits, rows arrive _commit_version-stamped), so ANY
+    // streaming query consumes change rows — not just the Mv follows
+    // that ride the TxTicks wake-up. maxVersionsPerTrigger=1 makes each
+    // commit its own micro-batch; foreachBatch folds the retracting
+    // feed into the state exactly like q256's two applyChangeFeed
+    // calls (per-fold parquet staging, the iteration discipline). SAME
+    // oracle as q256: the final upstream content aggregated from raw —
+    // a replayed span, a missed retraction, or a miscounted trigger
+    // hash-fails.
+    "q269_mv_stream_cdf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_sc").toString
+      val path = s"$base/t"
+      def hour(df: DataFrame) = df.withColumn("bucket_h",
+        date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+      Tx.commitMerge(s, path, ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_id"), nBuckets = 16)
+      var state = Stage.through(mv(Tx.read(s, path))) // bootstrap at v1
+      val updates = Tx.read(s, path).filter(col("event_id") % 3 === 0)
+        .withColumn("v6", col("v6") * 2)
+      Tx.commitMerge(s, path,
+        ev.filter(col("event_id") % 10 === 0).unionByName(updates),
+        Seq("event_id"), nBuckets = 16)
+      Tx.commitDelete(s, path,
+        Tx.read(s, path).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      val adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6"))
+      var triggers = 0
+      val q = s.readStream.format("graft-tx")
+        .option("readChangeFeed", true).option("emitPre", true)
+        .option("startingVersion", 1L)
+        .option("maxVersionsPerTrigger", 1L)
+        .load(path)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          triggers += 1
+          state = Stage.through(Mv.applyChangeFeed(state,
+            hour(batch).select("bucket_h", "v6", "_change"),
+            Seq("bucket_h"), adds, support = "n_rows"))
+          ()
+        }.start()
+      q.awaitTermination()
+      require(triggers == 2,
+        s"one micro-batch per upstream commit: expected 2, got $triggers")
+      state.orderBy("bucket_h")
     }),
     // q256's retracting loop extended to NON-RETRACTABLE accumulators
     // (hourly min/max) with AUTOMATED scoped repair — the r10 verdict's
@@ -1056,6 +1184,28 @@ object MaintenanceQueries {
         .replaceAll("\\s+", " "),
     // filter-aggregate from raw over the probed day range + literal TRUE
     // for the in-plan pruning contract
+    // the same disjunction filter-aggregated from raw — pruning must be
+    // an optimization only
+    "q270_tx_or_prune" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            TRUE AS pruned_ok
+          FROM ev WHERE p_day < 20240104 OR p_day > 20240128
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // q254's oracle verbatim — the catalog and the SQL text must be as
+    // invisible as the side API
+    "q268_tx_sql_catalog" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            TRUE AS pruned_ok
+          FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     "q254_tx_skipread" ->
       """WITH ev AS (
             SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
@@ -1098,6 +1248,18 @@ object MaintenanceQueries {
     // scratch aggregate of the FINAL upstream content derived from raw:
     // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
     // feed math (bootstrap + two retracting folds) must land exactly here
+    // q256's oracle verbatim — the streaming source, the trigger
+    // batching, and the checkpoint must all be invisible
+    "q269_mv_stream_cdf" ->
+      """WITH fin AS (
+            SELECT event_id, ts,
+              CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
+                THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
+                ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
+            FROM events WHERE event_id % 7 <> 0)
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+            count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     "q256_mv_cdf" ->
       """WITH fin AS (
             SELECT event_id, ts,

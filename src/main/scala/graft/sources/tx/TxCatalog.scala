@@ -1,0 +1,166 @@
+package graft.sources.tx
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.Tx
+
+/** SQL catalog over a directory of [[graft.sources.Tx]] tables — the
+  * piece that removes the last `load(path)` boilerplate:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.tx", classOf[TxCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.tx.root", "/data/tx")
+  *
+  *   spark.sql("SELECT * FROM tx.events WHERE day BETWEEN 10 AND 14")
+  *   spark.sql("SELECT * FROM tx.events VERSION AS OF 3")   // time travel
+  *   spark.sql("INSERT INTO tx.events SELECT ...")          // MERGE commit
+  *   spark.sql("""CREATE TABLE tx.mv (day BIGINT, n BIGINT)
+  *                TBLPROPERTIES ('keys'='day', 'nbuckets'='32')""")
+  *   df.writeTo("tx.events").append()
+  * }}}
+  *
+  * Identifiers map to subdirectories of `root` (one level of namespace
+  * allowed, also a subdirectory); every read plans the SAME pruned DSv2
+  * scan as `spark.read.format("graft-tx")` — zone-map pushdown, DPP,
+  * statistics, vectorized decode — because `loadTable` returns the same
+  * [[TxTableV2]]. CREATE TABLE maps to [[Tx.createTable]] (schema +
+  * properties pinned in an empty v1 manifest: `keys` required,
+  * `nbuckets` / `bucketkeys` / `statscols` optional); ALTER TABLE ADD
+  * COLUMN maps to the format's additive [[Tx.addColumn]] evolution;
+  * DROP/RENAME are directory operations (a rename is NOT atomic against
+  * concurrent writers — maintenance-window semantics, like vacuum).
+  */
+class TxCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"TxCatalog: spark.sql.catalog.$name.root = <directory> is required")
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  private def checkPart(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+      p != "." && p != ".." && !p.startsWith("."),
+      s"TxCatalog: illegal identifier part '$p'")
+    p
+  }
+
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace().length <= 1,
+      s"TxCatalog: at most one namespace level, got " +
+        ident.namespace().mkString("."))
+    ((root +: ident.namespace().toSeq) :+ ident.name())
+      .map {
+        case p if p == root => p
+        case p => checkPart(p)
+      }.mkString("/")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new java.io.File((root +: namespace.toSeq).mkString("/"))
+    val fs = dir.listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isDirectory &&
+        new java.io.File(f, "_v").isDirectory)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Tx.versions(pathOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (Tx.versions(p).isEmpty)
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    new TxTableV2(p, -1L, TxSource.schemaAt(p, -1L))
+  }
+
+  /** `SELECT ... FROM tx.t VERSION AS OF v` — the option("version")
+    * time travel, reachable from pure SQL.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"TxCatalog: VERSION AS OF takes a numeric Tx version, got '$version'"))
+    new TxTableV2(p, v, TxSource.schemaAt(p, v))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "TxCatalog: Tx tables bucket on their merge keys — declare them " +
+        "via TBLPROPERTIES ('keys'='a,b'[, 'bucketkeys'='a']...), not " +
+        "PARTITIONED BY")
+    val p = pathOf(ident)
+    if (Tx.versions(p).nonEmpty)
+      throw new TableAlreadyExistsException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val props = properties.asScala
+    val keys = props.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "TxCatalog: CREATE TABLE needs TBLPROPERTIES ('keys'='a[,b]') — " +
+          "the merge keys define what a matched row means"))
+    Tx.createTable(p, schema, keys,
+      nBuckets = props.get("nbuckets").map(_.toInt).getOrElse(16),
+      bucketKeys = props.get("bucketkeys")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      statsCols = props.get("statscols")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+    loadTable(ident)
+  }
+
+  /** Only the format's own evolution is expressible: ADD COLUMN (at the
+    * end, nullable). Everything else needs column ids the files don't
+    * carry — same honest scope as [[Tx.addColumn]].
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "TxCatalog: ADD COLUMN supports top-level columns only")
+        Tx.addColumn(p, add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"TxCatalog: unsupported ALTER ($other) — the format's " +
+          "evolution is additive ADD COLUMN only")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = java.nio.file.Paths.get(pathOf(ident))
+    if (!java.nio.file.Files.exists(p)) false
+    else { Tx.deleteRecursive(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = java.nio.file.Paths.get(pathOf(oldIdent))
+    val to = java.nio.file.Paths.get(pathOf(newIdent))
+    if (!java.nio.file.Files.exists(from))
+      throw new NoSuchTableException(
+        (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
+    if (java.nio.file.Files.exists(to))
+      throw new TableAlreadyExistsException(
+        (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(from, to)
+    ()
+  }
+}

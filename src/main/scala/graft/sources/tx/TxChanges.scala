@@ -123,8 +123,8 @@ class TxChangesScan(
 }
 
 object TxChangesScan {
-  /** The changed-bucket partitions of one (a → b) span — shared by the
-    * batch CDF scan and the streaming source's per-commit batches.
+  /** The changed-bucket partitions of one (a → b) span, diffed under
+    * the span's own (newer) schema — the batch CDF scan's shape.
     */
   private[tx] def spanPartitions(
       path: String, a: Tx.Snapshot, b: Tx.Snapshot, keys: Seq[String],
@@ -134,6 +134,18 @@ object TxChangesScan {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"graft-tx: $path has no recorded schema (no data commit yet)"))
+    spanPartitionsUnder(path, a, b, schema, keys, emitPre, maxDiffBytes,
+      stampVersion)
+  }
+
+  /** [[spanPartitions]] under an EXPLICIT schema — the streaming source
+    * pins the schema it resolved at start, so a mid-stream addColumn's
+    * extra column is projected away instead of widening rows mid-query.
+    */
+  private[tx] def spanPartitionsUnder(
+      path: String, a: Tx.Snapshot, b: Tx.Snapshot, schema: StructType,
+      keys: Seq[String], emitPre: Boolean, maxDiffBytes: Long,
+      stampVersion: Option[Long]): Array[InputPartition] = {
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
       .filter(k => a.dirs.get(k) != b.dirs.get(k))
     changed.toSeq.sorted.map { k =>

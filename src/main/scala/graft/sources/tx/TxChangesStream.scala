@@ -1,0 +1,146 @@
+package graft.sources.tx
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.Tx
+
+/** The change data feed as a FIRST-CLASS streaming source —
+  *
+  * {{{
+  *   spark.readStream.format("graft-tx")
+  *     .option("readChangeFeed", true)        // no from/to: streaming
+  *     .option("emitPre", true)               // retraction pairs
+  *     .load(path)                            // rows + _change + _commit_version
+  * }}}
+  *
+  * — so ANY streaming query consumes change rows, not just the Mv
+  * follows that ride the wake-up-shaped [[TxTicks]]. OFFSETS ARE TABLE
+  * VERSIONS (the keyset offset discipline on manifests); each
+  * micro-batch covers a `(fromVersion, toVersion]` span and plans the
+  * bucket-local [[TxDiffPartition]]s of every ADJACENT COMMIT PAIR in
+  * the span, each row stamped `_commit_version` — so whatever the
+  * trigger batching, the streamed rows are EXACTLY
+  * [[Tx.changesStamped]] over the covered span (spec-pinned), one scan
+  * stage, zero exchange, O(total churn).
+  *
+  * Semantics and scope:
+  *  - `startingVersion` (default: the OLDEST live version) is the
+  *    version changes are emitted AFTER — the stream carries no initial
+  *    snapshot; bootstrap consumers load it separately (the
+  *    [[graft.operators.Mv.followChanges]] discipline).
+  *  - Exactly-once is the CHECKPOINT's (offsets are versions; Spark
+  *    replays an uncommitted batch after a crash) — consumers folding
+  *    into non-idempotent state should keep a cursor like
+  *    `followChangesStream` does; consumers writing idempotent sinks
+  *    need nothing.
+  *  - The stream serves the schema RESOLVED AT START; a mid-stream
+  *    addColumn's extra column is projected away until restart (only
+  *    additive evolution exists, so this is always well-defined).
+  *  - A consumer that outsleeps retention gets the named re-bootstrap
+  *    error, never a silently coarser feed.
+  */
+class TxChangesStreamTable(
+    path: String, emitPre: Boolean, stamped: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-tx-cdf-stream($path)"
+  override def schema(): StructType = stamped
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = stamped
+        override def description(): String = s"TxChangesStreamScan($path)"
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new TxChangesStream(path, emitPre,
+            StructType(stamped.fields.dropRight(2)), // table schema
+            Option(options.get("startingVersion")).map(_.toLong),
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            TxChanges.maxDiffBytesOf(options))
+      }
+    }
+}
+
+class TxChangesStream(
+    path: String, emitPre: Boolean, tableSchema: StructType,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long],
+    maxDiffBytes: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"graft-tx: maxVersionsPerTrigger must be positive, got $m"))
+
+  private def newest(): Long = Tx.latest(path).map(_.version).getOrElse(0L)
+
+  // Trigger.AvailableNow pins the drain target at prepare time
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(newest())
+
+  override def initialOffset(): Offset = {
+    val vs = Tx.versions(path)
+    require(vs.nonEmpty,
+      s"graft-tx: cannot stream the change feed of $path — no committed " +
+        "version")
+    val v0 = startingVersion.getOrElse(vs.head)
+    require(vs.contains(v0),
+      s"graft-tx: startingVersion $v0 is not live in $path " +
+        s"(kept: ${vs.head}..${vs.last}) — changes are emitted AFTER it, " +
+        "so it must be a live version")
+    TxVersionOffset(v0)
+  }
+
+  override def latestOffset(): Offset =
+    TxVersionOffset(availableNowCap.getOrElse(newest()))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[TxVersionOffset].version
+    val hi = availableNowCap.getOrElse(newest())
+    TxVersionOffset(maxVersionsPerTrigger
+      .map(m => math.min(hi, lo + m)).getOrElse(hi).max(lo))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset =
+    TxVersionOffset(TxVersionOffset.parse(json, "graft-tx change stream"))
+
+  /** One [[TxDiffPartition]] set per ADJACENT live-version pair in the
+    * span — version-stamped, so stream rows == [[Tx.changesStamped]]
+    * regardless of how triggers batch the versions.
+    */
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TxVersionOffset].version
+    val hi = end.asInstanceOf[TxVersionOffset].version
+    if (hi <= lo) return Array.empty
+    val vs = Tx.versions(path).filter(v => v >= lo && v <= hi)
+    require(vs.headOption.contains(lo) && vs.lastOption.contains(hi),
+      s"graft-tx: change-stream span [$lo, $hi] is not fully live in " +
+        s"$path (kept: ${vs.mkString(",")}) — the consumer fell behind " +
+        "retention and must re-bootstrap")
+    val keys = Tx.snapshot(path, hi).meta.get(Tx.KeysKey)
+      .map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-tx: $path has no recorded merge keys"))
+    vs.sliding(2).flatMap { case Seq(a, b) =>
+      TxChangesScan.spanPartitionsUnder(path,
+        Tx.snapshot(path, a), Tx.snapshot(path, b), tableSchema, keys,
+        emitPre, maxDiffBytes, stampVersion = Some(b))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxChangesScan.readerFactory
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
+}

@@ -69,7 +69,10 @@ class TxSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tx"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (TxSource.isChangeFeed(options))
+    if (TxSource.isStreamingFeed(options))
+      TxChanges.stampedSchema(
+        TxSource.schemaAt(TxSource.pathOf(options), -1L))
+    else if (TxSource.isChangeFeed(options))
       TxChanges.feedSchema(
         TxSource.schemaAt(TxSource.pathOf(options),
           options.get("toVersion").toLong))
@@ -81,7 +84,10 @@ class TxSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    if (TxSource.isChangeFeed(opts))
+    if (TxSource.isStreamingFeed(opts))
+      new TxChangesStreamTable(TxSource.pathOf(opts),
+        opts.getBoolean("emitPre", false), schema, opts)
+    else if (TxSource.isChangeFeed(opts))
       new TxChangesTable(TxSource.pathOf(opts),
         opts.get("fromVersion").toLong, opts.get("toVersion").toLong,
         opts.getBoolean("emitPre", false), schema)
@@ -103,20 +109,26 @@ object TxSource {
     Option(options.get("version")).map(_.toLong).getOrElse(-1L)
 
   /** `option("readChangeFeed", true)` + from/to versions switches the
-    * source from snapshot reads to the CDF (see [[TxChangesTable]]).
+    * source from snapshot reads to the batch CDF ([[TxChangesTable]]);
+    * with NEITHER bound it is the STREAMING feed
+    * ([[TxChangesStreamTable]] — offsets are versions, rows are
+    * `_commit_version`-stamped). Exactly one bound is a caller bug.
     */
   private[tx] def isChangeFeed(options: CaseInsensitiveStringMap): Boolean = {
     val on = options.getBoolean("readChangeFeed", false)
     if (on) {
-      require(options.get("fromVersion") != null &&
-        options.get("toVersion") != null,
-        "graft-tx: readChangeFeed needs option(\"fromVersion\", a) and " +
-          "option(\"toVersion\", b)")
+      require((options.get("fromVersion") != null) ==
+        (options.get("toVersion") != null),
+        "graft-tx: readChangeFeed takes BOTH option(\"fromVersion\", a) " +
+          "and option(\"toVersion\", b) (batch), or NEITHER (streaming)")
       require(options.get("version") == null,
         "graft-tx: readChangeFeed and version (time travel) are exclusive")
     }
     on
   }
+
+  private[tx] def isStreamingFeed(options: CaseInsensitiveStringMap): Boolean =
+    isChangeFeed(options) && options.get("fromVersion") == null
 
   private[tx] def snapshotAt(path: String, version: Long): Tx.Snapshot =
     if (version >= 0)

@@ -672,4 +672,76 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     runStream(); batchFollow()
     assert(state(stStream) == state(stBatch))
   }
+
+  test("graft-tx change stream: rows == changesStamped at any batching") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cds").toString
+    val up = s"$dir/up"
+    import graft.sources.Tx
+    Tx.commitMerge(spark, up, (1L to 20L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                          v1
+    Tx.commitMerge(spark, up, Seq((2L, 222L), (30L, 300L), (3L, 30L))
+      .toDF("id", "v"), Seq("id"), nBuckets = 4) //        v2 (3 unchanged)
+    Tx.commitDelete(spark, up, Seq(5L, 30L).toDF("id"),
+      Seq("id"), nBuckets = 4) //                          v3
+    Tx.commitMerge(spark, up, Seq((40L, 400L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                          v4
+    def drain(ckpt: String, emitPre: Boolean = false,
+        extra: Map[String, String] = Map.empty) = {
+      val buf = collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+      var reader = spark.readStream.format("graft-tx")
+        .option("readChangeFeed", true).option("emitPre", emitPre)
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(up).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) -1L else r.getLong(1),
+              r.getString(2), r.getLong(3)))
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    def stamped(fromV: Long, toV: Long, emitPre: Boolean = false) =
+      Tx.changesStamped(spark, up, fromV, toV, emitPre).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getString(2), r.getLong(3))).toSet
+    // one trigger covering the whole span == changesStamped(1, 4)
+    assert(drain(s"$dir/ck1").toSet == stamped(1L, 4L))
+    // one version per trigger: SAME rows, three triggers
+    assert(drain(s"$dir/ck2",
+      extra = Map("maxVersionsPerTrigger" -> "1")).toSet == stamped(1L, 4L))
+    // retraction pairs ride too
+    assert(drain(s"$dir/ck3", emitPre = true).toSet ==
+      stamped(1L, 4L, emitPre = true))
+    // startingVersion: changes emitted AFTER it
+    assert(drain(s"$dir/ck4",
+      extra = Map("startingVersion" -> "2")).toSet == stamped(2L, 4L))
+    // checkpoint continuation: a restart on the same checkpoint emits
+    // ONLY the new commits — no replays into the buffer
+    assert(drain(s"$dir/ck5").toSet == stamped(1L, 4L))
+    Tx.commitMerge(spark, up, Seq((50L, 500L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                          v5
+    assert(drain(s"$dir/ck5").toSet == stamped(4L, 5L),
+      "a checkpointed restart must resume at the stored version offset")
+    // a dead startingVersion is a named error at stream start
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(s"$dir/ck6", extra = Map("startingVersion" -> "99")))
+    assert(e.getMessage.contains("startingVersion") ||
+      Option(e.getCause).exists(_.getMessage.contains("startingVersion")))
+  }
+
+  test("TxVersionOffset: malformed checkpoint offsets fail loudly") {
+    import graft.sources.tx.TxVersionOffset
+    assert(TxVersionOffset.parse("""{"version":7}""", "t") == 7L)
+    assert(TxVersionOffset.parse(""" { "version" : 12 } """, "t") == 12L)
+    val e = intercept[IllegalArgumentException](
+      TxVersionOffset.parse("""{"verison":7}""", "t"))
+    assert(e.getMessage.contains("corrupted"))
+    intercept[IllegalArgumentException](TxVersionOffset.parse("", "t"))
+    intercept[IllegalArgumentException](TxVersionOffset.parse("7abc", "t"))
+  }
 }

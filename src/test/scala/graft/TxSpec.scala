@@ -1057,9 +1057,14 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "(the programmatic feed's join does — that's the contrast)")
     // unchanged re-landed rows are compared out on this path too
     assert(!rowsOf(viaDsv2(1L, 2L)).exists(_._1 == 3L))
-    // option validation
+    // option validation: one bound alone is a caller bug; NO bounds is
+    // the STREAMING shape, which a batch read() cannot plan
     intercept[IllegalArgumentException](
-      spark.read.format("graft-tx").option("readChangeFeed", true).load(path))
+      spark.read.format("graft-tx").option("readChangeFeed", true)
+        .option("fromVersion", 1L).load(path))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.read.format("graft-tx").option("readChangeFeed", true)
+        .load(path).collect())
   }
 
   test("DSv2 read: array columns decode through the columnar path") {
@@ -1569,6 +1574,88 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         .option("version", 1L).mode("append").save(path))
     assert(e3.getMessage.contains("time-travel") ||
       Option(e3.getCause).exists(_.getMessage.contains("time-travel")))
+  }
+
+  test("SQL catalog: SELECT plans the pruned scan; VERSION AS OF travels") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val df = (1L to 32L).flatMap(d => (0L to 3L).map(h => (d, h, d * 100 + h)))
+      .toDF("day", "hour", "v6")
+    Tx.commitMerge(spark, s"$base/ev", df, Seq("day", "hour"), nBuckets = 32,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    Tx.commitMerge(spark, s"$base/ev", Seq((1L, 0L, -1L)).toDF("day", "hour", "v6"),
+      Seq("day", "hour"), nBuckets = 32, bucketKeys = Seq("day"))
+    // catalog instances cache per NAME — a unique name per test keeps
+    // the root conf honest
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    // pure SQL text, pruned exactly like the path-based DSv2 read
+    val q = spark.sql(
+      s"SELECT day, sum(v6) AS s FROM $cat.ev WHERE day BETWEEN 10 AND 14 " +
+        "GROUP BY day ORDER BY day")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = df.filter(col("day").between(10L, 14L)).groupBy("day")
+      .agg(sum("v6").as("s")).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    val (kept, total) = graft.sources.tx.TxScan.lastPlanned(s"$base/ev")
+      .getOrElse(fail("the catalog scan never recorded planning"))
+    assert(kept < total, s"the SQL read must prune buckets: $kept/$total")
+    // VERSION AS OF = the pinned snapshot (v1 lacks the -1 repair row)
+    val v1 = spark.sql(
+      s"SELECT v6 FROM $cat.ev VERSION AS OF 1 WHERE day = 1 AND hour = 0")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 == Seq(100L), "VERSION AS OF must read the pinned manifest")
+    val now = spark.sql(
+      s"SELECT v6 FROM $cat.ev WHERE day = 1 AND hour = 0")
+      .collect().map(_.getLong(0)).toSeq
+    assert(now == Seq(-1L))
+    // listTables sees the table; a missing one is a NAMED analysis error
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("ev"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $cat.nope").collect())
+  }
+
+  test("SQL catalog: CREATE TABLE + INSERT INTO + writeTo round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat2").toString
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"CREATE TABLE $cat.mv (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'nbuckets'='4', 'statscols'='id')")
+    assert(Tx.versions(s"$base/mv") == Seq(1L),
+      "CREATE TABLE must publish the empty property-pinned v1")
+    spark.sql(s"INSERT INTO $cat.mv VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cat.mv VALUES (2, 99), (3, 30)") // MERGE: 2 updates
+    assert(rows(Tx.read(spark, s"$base/mv")) ==
+      Seq((1L, 10L), (2L, 99L), (3L, 30L)),
+      "INSERT INTO must carry the format's merge semantics")
+    // the typed writer API too
+    Seq((4L, 40L)).toDF("id", "v").writeTo(s"$cat.mv").append()
+    assert(rows(Tx.read(spark, s"$base/mv")).toMap.get(4L).contains(40L))
+    // INSERT OVERWRITE truncates + lands
+    spark.sql(s"INSERT OVERWRITE $cat.mv VALUES (9, 90)")
+    assert(rows(Tx.read(spark, s"$base/mv")) == Seq((9L, 90L)))
+    // ALTER TABLE ADD COLUMN = the format's additive evolution
+    spark.sql(s"ALTER TABLE $cat.mv ADD COLUMN tag STRING")
+    assert(Tx.schemaOf(s"$base/mv").get.fieldNames.toSeq ==
+      Seq("id", "v", "tag"))
+    assert(spark.sql(s"SELECT tag FROM $cat.mv").collect()
+      .forall(_.isNullAt(0)), "old rows serve null for the evolved column")
+    // a second CREATE is a named conflict; keys are mandatory
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"CREATE TABLE $cat.mv (id BIGINT) " +
+        "TBLPROPERTIES ('keys'='id')"))
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.nokeys (id BIGINT)"))
+    // rename then drop
+    spark.sql(s"ALTER TABLE $cat.mv RENAME TO mv2")
+    assert(Tx.versions(s"$base/mv2").nonEmpty && Tx.versions(s"$base/mv").isEmpty)
+    spark.sql(s"DROP TABLE $cat.mv2")
+    assert(Tx.versions(s"$base/mv2").isEmpty)
   }
 
   test("CDF diff heap budget: a too-big bucket is a NAMED error, not OOM") {
