@@ -510,6 +510,49 @@ object MaintenanceQueries {
         .withColumn("pruned_ok", lit(expect.size < total))
         .orderBy("p_day")
     }),
+    // PER-FILE zone maps inside buckets — the r11 verdict's "kept
+    // buckets are read whole" residual: with few, deep buckets (the
+    // 100 TB shape — nBuckets is fixed while buckets grow), a bucket
+    // holds many days and its manifest zone can't narrow a short range.
+    // The table declares the SORTED LAYOUT as a property (fileSortCols=
+    // p_day, ~n/32 rows per file), so each bucket's files carry tight
+    // disjoint day ranges in a .zones side file and the scan SKIPS
+    // files whose zone misses the pushed range — asserted by the
+    // files-opened counter (opened strictly less than the table's file
+    // count, though every bucket is kept). Oracle: filter-aggregate
+    // from raw — a skipped file holding in-range rows hash-fails.
+    "q271_tx_file_zones" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_fz").toString + "/t"
+      val n = ev.count()
+      Tx.commitMerge(s, path, ev, Seq("p_day", "event_id"), nBuckets = 4,
+        bucketKeys = Seq("p_day"), statsCols = Seq("p_day"),
+        fileSortCols = Seq("p_day"), maxRowsPerFile = math.max(n / 32L, 1L))
+      val snap = Tx.latest(path).get
+      val totalFiles = snap.dirs.values.map { rel =>
+        new java.io.File(s"$path/$rel").listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }.sum
+      require(totalFiles >= 8,
+        s"the layout must chunk buckets into files, got $totalFiles")
+      val scan = s.read.format("graft-tx").load(path)
+        .filter(col("p_day").between(20240110L, 20240114L))
+      graft.sources.tx.TxReadCounters.reset()
+      val rows = scan.groupBy("p_day")
+        .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
+        .orderBy("p_day").collect()
+      val opened = graft.sources.tx.TxReadCounters.filesOpened()
+      require(opened < totalFiles,
+        s"per-file zones must skip files: opened $opened/$totalFiles")
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("p_day", "n_rows", "sum_v6")
+        .withColumn("files_ok", lit(opened < totalFiles))
+    }),
     // RUNTIME (DPP) pruning through the Tx scan — the join-side story:
     // the events fact lives in Tx day-bucketed with day zone maps; a
     // SELECTIVE parquet dim (5 of ~30 days tagged 'keep') joins on day,
@@ -1184,6 +1227,17 @@ object MaintenanceQueries {
         .replaceAll("\\s+", " "),
     // filter-aggregate from raw over the probed day range + literal TRUE
     // for the in-plan pruning contract
+    // filter-aggregate from raw — file skipping must be an optimization
+    // only, never a correctness lever
+    "q271_tx_file_zones" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
+            TRUE AS files_ok
+          FROM ev WHERE p_day BETWEEN 20240110 AND 20240114
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     // the same disjunction filter-aggregated from raw — pruning must be
     // an optimization only
     "q270_tx_or_prune" ->

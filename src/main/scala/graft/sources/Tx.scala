@@ -125,6 +125,25 @@ object Tx {
     */
   val StatsColsKey = "__statscols"
 
+  /** Reserved manifest-meta key: the WITHIN-BUCKET file sort columns.
+    * When set (with [[MaxRowsFileKey]]), every commit sorts each
+    * bucket's rows by these columns before writing, so the bucket's
+    * files carry tight DISJOINT ranges and a `.zones` side file records
+    * per-FILE min/max of the stats columns — the scan then skips files
+    * whose zone misses the pushed range, bounding kept-bucket IO when a
+    * bucket holds many days' worth of history. A layout property of the
+    * TABLE (one unsorted commit would silently break the expectation),
+    * recorded at the first commit that declares it and enforced after.
+    */
+  val FileSortKey = "__filesort"
+
+  /** Reserved manifest-meta key: max rows per parquet file inside a
+    * bucket directory — the dial that actually produces multiple files
+    * per bucket for [[FileSortKey]] to make skippable. 0/absent = one
+    * file per bucket (the default layout).
+    */
+  val MaxRowsFileKey = "__maxrowsperfile"
+
   private def vdir(path: String) = Paths.get(path, "_v")
 
   private def manifestName(v: Long) = f"v$v%013d.manifest"
@@ -726,39 +745,163 @@ object Tx {
       }
     }.toMap
 
-  /** Zone maps for a just-written commit directory: one bounded agg over
-    * the commit's own files (touched buckets only), collected as
-    * O(touched buckets) rows.
+  /** A side's manifest repr: numerics encode exactly; string LOWER
+    * bounds keep a byte prefix (≤ the true min), string UPPER bounds
+    * round the prefix up (≥ the true max) — truncation can only WIDEN
+    * a zone, never narrow it, so pruning stays sound.
     */
-  private def computeBucketStats(
+  private def encSide(v: Any, isUpper: Boolean): Option[String] = v match {
+    case s: String =>
+      (if (isUpper) strHiStat(s) else strLoStat(s)).map("x" + hex(_))
+    case other => statBig(other).map(_.toString)
+  }
+
+  /** Zone maps for a just-written commit directory, at BOTH levels from
+    * ONE bounded agg grouped per (bucket, file) — O(files) collected
+    * rows: per-bucket specs for the manifest, per-file specs for the
+    * `.zones` side files. Bucket bounds combine from file bounds in the
+    * encoded domain (an unbounded or NaN file side leaves the bucket
+    * side unbounded — only ever WIDER than the direct bucket agg, so
+    * pruning stays sound); with the default one-file-per-bucket layout
+    * the combination is the identity.
+    */
+  private def computeStats(
       spark: SparkSession, commitDir: String, cols: Seq[String],
-      schema: StructType): Map[Int, String] = {
+      schema: StructType): (Map[Int, String], Map[Int, Seq[(String, String)]]) = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    // a side's manifest repr: numerics encode exactly; string LOWER
-    // bounds keep a byte prefix (≤ the true min), string UPPER bounds
-    // round the prefix up (≥ the true max) — truncation can only WIDEN
-    // a zone, never narrow it, so pruning stays sound
-    def encSide(v: Any, isUpper: Boolean): Option[String] = v match {
-      case s: String =>
-        (if (isUpper) strHiStat(s) else strLoStat(s)).map("x" + hex(_))
-      case other => statBig(other).map(_.toString)
-    }
-    spark.read.parquet(commitDir) // fresh homogeneous footers + __b part col
-      .groupBy("__b").agg(aggs.head, aggs.tail: _*)
+    val perFile = spark.read.parquet(commitDir) // fresh footers + __b col
+      .groupBy(col("__b"), element_at(split(input_file_name(), "/"), -1)
+        .as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val b = r.getAs[Number]("__b").intValue()
-        val enc = cols.map { c =>
-          val mn = encSide(r.getAs[Any](s"__mn_$c"), isUpper = false)
-          val mx = encSide(r.getAs[Any](s"__mx_$c"), isUpper = true)
-          val spec =
-            if (r.isNullAt(r.fieldIndex(s"__mn_$c")) &&
-                r.isNullAt(r.fieldIndex(s"__mx_$c"))) "~"
-            else s"${mn.getOrElse("*")},${mx.getOrElse("*")}"
-          s"$c=$spec"
-        }.mkString(";")
-        b -> enc
-      }.toMap
+        val f = r.getAs[String]("__f")
+        // per-column: (loRepr, hiRepr, allNull) in the encoded domain
+        val sides = cols.map { c =>
+          val allNull = r.isNullAt(r.fieldIndex(s"__mn_$c")) &&
+            r.isNullAt(r.fieldIndex(s"__mx_$c"))
+          (c, encSide(r.getAs[Any](s"__mn_$c"), isUpper = false),
+            encSide(r.getAs[Any](s"__mx_$c"), isUpper = true), allNull)
+        }
+        (b, f, sides)
+      }.toSeq
+    def specOf(
+        sides: Seq[(String, Option[String], Option[String], Boolean)]) =
+      sides.map { case (c, mn, mx, allNull) =>
+        if (allNull) s"$c=~"
+        else s"$c=${mn.getOrElse("*")},${mx.getOrElse("*")}"
+      }.mkString(";")
+    val fileSpecs = perFile.groupBy(_._1).map { case (b, rows) =>
+      b -> rows.sortBy(_._2).map(r => r._2 -> specOf(r._3)).toSeq
+    }
+    val bucketSpecs = perFile.groupBy(_._1).map { case (b, rows) =>
+      val combined = cols.map { c =>
+        val colSides = rows.map(_._3.find(_._1 == c).get)
+        val present = colSides.filterNot(_._4) // files with any value
+        if (present.isEmpty) (c, None, None, true)
+        else {
+          def pick(side: Seq[Option[String]], wantMin: Boolean) =
+            if (side.exists(_.isEmpty)) None // any unbounded side wins
+            else Some(side.flatten.map(parseSide).reduce((a, b2) =>
+              if (wantMin == statLe(a, b2)) a else b2))
+          (c,
+            pick(present.map(_._2), wantMin = true).map(reprOf),
+            pick(present.map(_._3), wantMin = false).map(reprOf),
+            false)
+        }
+      }
+      b -> specOf(combined)
+    }
+    (bucketSpecs, fileSpecs)
+  }
+
+  /** Parse one encoded bound repr back into the stat domain. */
+  private def parseSide(s: String): StatV =
+    if (s.startsWith("x")) StrV(unhex(s.drop(1))) else NumV(BigDecimal(s))
+
+  private def reprOf(v: StatV): String = v match {
+    case NumV(d) => d.toString
+    case StrV(b) => "x" + hex(b)
+  }
+
+  /** Per-file zone side files: one `.zones` per MULTI-file bucket dir
+    * (a single-file bucket's file zone IS its manifest zone). Hidden
+    * name — every reader already skips dot-files.
+    */
+  private def writeFileZones(
+      commitDir: Path, fileSt: Map[Int, Seq[(String, String)]]): Unit =
+    fileSt.foreach { case (b, files) =>
+      if (files.size > 1) {
+        val body = files.map { case (f, spec) => s"$f\t$spec" }
+          .mkString("\n")
+        Files.write(commitDir.resolve(s"__b=$b").resolve(".zones"),
+          body.getBytes("UTF-8"))
+        ()
+      }
+    }
+
+  /** Executor-side file skipping: does this file's `.zones` spec
+    * provably MISS every row of the conjunctive `ranges`
+    * (col → (loRepr|"*", hiRepr|"*"))? Sound like bucket pruning: an
+    * unknown column, unbounded side, or parse surprise keeps the file.
+    */
+  private[sources] def fileZoneMisses(
+      spec: String, ranges: Seq[(String, String, String)]): Boolean =
+    try {
+      val zones = parseStats(spec)
+      ranges.exists { case (c, loR, hiR) =>
+        zones.get(c) match {
+          case None => false
+          case Some((_, _, true)) => true // all-null file: range never hits
+          case Some((mn, mx, _)) =>
+            val lo = if (loR == "*") None else Some(parseSide(loR))
+            val hi = if (hiR == "*") None else Some(parseSide(hiR))
+            !(hi.forall(h => mn.forall(statLe(_, h))) &&
+              lo.forall(l => mx.forall(statGe(_, l))))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Encode the conjunctive single-column ranges of pushed filters into
+    * the repr domain for per-file skipping — only shapes that reduce to
+    * one [lo, hi] box participate (Or/In/IsNotNull skip buckets at
+    * planning time instead). Lenient like all pruning: a bound that
+    * doesn't encode leaves its side unbounded.
+    */
+  private[sources] def fileRangesOf(
+      schema: Option[StructType],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.sources._
+    def enc(c: String, v: Any, isUpper: Boolean): Option[String] = for {
+      st <- schema
+      dt <- st.fields.find(_.name == c).map(_.dataType)
+      if probeMatches(dt, v) && v != null
+      s <- v match {
+        // probe strings are exact bytes, not truncated — unlike stats
+        case s0: String => utf8Strict(s0).map("x" + hex(_))
+        case other => statBig(other).map(_.toString)
+      }
+    } yield s
+    val boxes = filters.flatMap {
+      case EqualTo(c, v) =>
+        Seq((c, enc(c, v, false), enc(c, v, true)))
+      case EqualNullSafe(c, v) if v != null =>
+        Seq((c, enc(c, v, false), enc(c, v, true)))
+      case GreaterThan(c, v) => Seq((c, enc(c, v, false), None))
+      case GreaterThanOrEqual(c, v) => Seq((c, enc(c, v, false), None))
+      case LessThan(c, v) => Seq((c, None, enc(c, v, true)))
+      case LessThanOrEqual(c, v) => Seq((c, None, enc(c, v, true)))
+      case StringStartsWith(c, p) =>
+        Seq((c, utf8Strict(p).map("x" + hex(_)),
+          utf8Strict(p).flatMap(bytesIncrement).map("x" + hex(_))))
+      case _ => Nil
+    }
+    boxes.collect {
+      case (c, lo, hi) if lo.isDefined || hi.isDefined =>
+        (c, lo.getOrElse("*"), hi.getOrElse("*"))
+    }
   }
 
   /** The bucket of a row: fixed hash of the merge keys — rows can never
@@ -813,10 +956,13 @@ object Tx {
       beforeCas: () => Unit = () => (),
       bucketKeys: Seq[String] = Nil,
       abortIf: Snapshot => Boolean = _ => false,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil,
+      fileSortCols: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
       beforeCas, "commitMerge", establishSchema = true, bucketKeys, abortIf,
-      statsCols) {
+      statsCols, fileSortCols = fileSortCols,
+      maxRowsPerFile = maxRowsPerFile) {
       case (Some(existing), withB, ks) => Merge.upsert(existing, withB, ks)
       case (None, withB, _) => withB
     }
@@ -843,11 +989,14 @@ object Tx {
       beforeCas: () => Unit = () => (),
       bucketKeys: Seq[String] = Nil,
       abortIf: Snapshot => Boolean = _ => false,
-      statsCols: Seq[String] = Nil)(
+      statsCols: Seq[String] = Nil,
+      fileSortCols: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L)(
       fold: (DataFrame, DataFrame) => DataFrame): Long =
     commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
       beforeCas, "commitFold", establishSchema = true, bucketKeys, abortIf,
-      statsCols) {
+      statsCols, fileSortCols = fileSortCols,
+      maxRowsPerFile = maxRowsPerFile) {
       case (Some(existing), withB, _) => fold(existing, withB)
       case (None, withB, _) => withB
     }
@@ -890,7 +1039,13 @@ object Tx {
       keys: Seq[String],
       nBuckets: Int = 16,
       bucketKeys: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      fileSortCols: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L): Long = {
+    require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
+    fileSortCols.foreach(c => require(
+      !c.contains(",") && schema.fieldNames.contains(c),
+      s"createTable: file-sort column '$c' must be a table column"))
     require(nBuckets > 0)
     require(versions(path).isEmpty,
       s"createTable: $path already has committed versions")
@@ -923,7 +1078,11 @@ object Tx {
       SchemaKey -> schema.json,
       KeysKey -> keys.sorted.mkString(","),
       BucketKeysKey -> bk.mkString(",")) ++
-      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty)
+      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
+      (if (fileSortCols.nonEmpty)
+        Map(FileSortKey -> fileSortCols.mkString(",")) else Map.empty) ++
+      (if (maxRowsPerFile > 0L)
+        Map(MaxRowsFileKey -> maxRowsPerFile.toString) else Map.empty)
     if (!tryPublish(path, 1L, nBuckets, Map.empty, meta))
       throw new IllegalStateException(
         s"createTable: lost the v1 race on $path — another writer " +
@@ -1007,8 +1166,11 @@ object Tx {
       bucketKeys: Seq[String],
       abortIf: Snapshot => Boolean,
       statsCols: Seq[String],
-      touchAll: Boolean = false)(
+      touchAll: Boolean = false,
+      fileSortCols: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
+    require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
     require(nBuckets > 0)
     // key names land comma-joined in manifest meta — a separator inside
     // a name would corrupt the recorded property
@@ -1141,6 +1303,33 @@ object Tx {
               s"$opName: zone-map column '$c' must exist with a " +
                 s"numeric/date/timestamp/string type, got $t")
           }
+          // file-LAYOUT properties (within-bucket sort + rows-per-file):
+          // recorded values win and APPLY TO EVERY COMMIT — a caller may
+          // declare them on a table that lacks them, never change them
+          val recordedSort = carried.get(FileSortKey)
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          val effSort =
+            if (recordedSort.nonEmpty) {
+              require(fileSortCols.isEmpty || fileSortCols == recordedSort,
+                s"$opName: table records file-sort (${recordedSort
+                  .mkString(",")}), caller asked (${fileSortCols
+                  .mkString(",")}) — the layout is a table property")
+              recordedSort
+            } else fileSortCols
+          effSort.foreach { c =>
+            require(!c.contains(",") && fieldTypes(statsSchema).contains(c),
+              s"$opName: file-sort column '$c' must be a table column")
+          }
+          val recordedMaxRows = carried.get(MaxRowsFileKey)
+            .map(_.toLong).getOrElse(0L)
+          val effMaxRows =
+            if (recordedMaxRows > 0L) {
+              require(maxRowsPerFile == 0L ||
+                maxRowsPerFile == recordedMaxRows,
+                s"$opName: table records maxRowsPerFile=$recordedMaxRows, " +
+                  s"caller asked $maxRowsPerFile — a table property")
+              recordedMaxRows
+            } else maxRowsPerFile
           // the change feed reserves '_change' and the '__o_'/'__n_'
           // prefixes (and '__b' is the bucket column everywhere) — a
           // table whose OWN schema used them would yield ambiguous feed
@@ -1162,6 +1351,12 @@ object Tx {
               else Map(KeysKey -> keysCanon)) ++
               (if (effStatsCols.nonEmpty && recordedStats.isEmpty)
                 Map(StatsColsKey -> effStatsCols.mkString(","))
+              else Map.empty[String, String]) ++
+              (if (effSort.nonEmpty && recordedSort.isEmpty)
+                Map(FileSortKey -> effSort.mkString(","))
+              else Map.empty[String, String]) ++
+              (if (effMaxRows > 0L && recordedMaxRows == 0L)
+                Map(MaxRowsFileKey -> effMaxRows.toString)
               else Map.empty[String, String])
           val baseDirs = snap.map(_.dirs).getOrElse(Map.empty)
           // DISJOINT REBASE: if the racing winner(s) touched none of OUR
@@ -1210,21 +1405,43 @@ object Tx {
                 s"$opName: the rewrite produced ${rewritten.schema.simpleString}" +
                   s" but the table (plus __b) needs ${expect.toSeq.sortBy(_._1)
                     .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
-              // one file per bucket: each writer task owns one bucket
+              // one file per bucket by default: each writer task owns
+              // one bucket. With the sorted-layout properties, rows
+              // sort (bucket, sortCols...) within the task — the
+              // partitioned writer's required ordering is a prefix, so
+              // the sort survives — and files chunk every maxRowsPerFile
+              // rows, giving each file a tight disjoint range.
               val dir = s"data/c-${java.util.UUID.randomUUID()}"
-              rewritten.repartition(t.length.max(1), col("__b"))
-                .write.partitionBy("__b").mode(SaveMode.ErrorIfExists)
-                .parquet(s"$path/$dir")
+              val parted = rewritten.repartition(t.length.max(1), col("__b"))
+              val laidOut =
+                if (effSort.isEmpty) parted
+                else parted.sortWithinPartitions(
+                  ("__b" +: effSort).map(col): _*)
+              val writer0 = laidOut.write.partitionBy("__b")
+                .mode(SaveMode.ErrorIfExists)
+              val writer =
+                if (effMaxRows > 0L)
+                  writer0.option("maxRecordsPerFile", effMaxRows)
+                else writer0
+              writer.parquet(s"$path/$dir")
               // buckets the rewrite EMPTIED produce no directory — they
               // must leave the manifest, not point at a missing path
               val w = listBucketDirs(Paths.get(path, dir))
               // zone maps for what actually LANDED: one bounded agg over
               // the commit's own files (touched buckets only, never the
-              // table), collected as O(touched) rows for the manifest
+              // table) grouped per FILE, collected as O(files) rows;
+              // bucket-level bounds combine from the file bounds (only
+              // ever WIDER — sound), and multi-file buckets additionally
+              // record a `.zones` side file so the scan can skip files
+              // whose zone misses a pushed range
               val st =
                 if (effStatsCols.isEmpty || w.isEmpty) Map.empty[Int, String]
-                else computeBucketStats(
-                  spark, s"$path/$dir", effStatsCols, statsSchema)
+                else {
+                  val (bucketSt, fileSt) = computeStats(
+                    spark, s"$path/$dir", effStatsCols, statsSchema)
+                  writeFileZones(Paths.get(path, dir), fileSt)
+                  bucketSt
+                }
               // stamp each written bucket's data bytes into the manifest
               // (O(touched) listings of just-written dirs), so a later
               // scan's size estimate is a pure manifest read

@@ -122,7 +122,11 @@ class TxCatalog extends TableCatalog {
       bucketKeys = props.get("bucketkeys")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       statsCols = props.get("statscols")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      fileSortCols = props.get("filesortcols")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      maxRowsPerFile = props.get("maxrowsperfile").map(_.toLong)
+        .getOrElse(0L))
     loadTable(ident)
   }
 

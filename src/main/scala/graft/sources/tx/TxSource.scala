@@ -353,8 +353,16 @@ class TxScan(
   override def planInputPartitions(): Array[InputPartition] = {
     TxScan.recordPlanned(scanTag.getOrElse(path),
       runtimeKept.size, snap.dirs.size)
+    // conjunctive single-column boxes of the pushed filters, in the
+    // encoded stat domain: the per-task reader skips FILES whose
+    // `.zones` entry provably misses them (sorted multi-file buckets)
+    val ranges = Tx.fileRangesOf(
+      snap.meta.get(Tx.SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType]),
+      pushed.toSeq)
     runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
-      .map(rel => TxBucketPartition(s"$path/$rel", required.json): InputPartition)
+      .map(rel => TxBucketPartition(s"$path/$rel", required.json,
+        ranges): InputPartition)
       .toArray
   }
 
@@ -387,10 +395,53 @@ object TxScan {
 }
 
 /** A kept bucket's data directory plus the projected schema, as plain
-  * strings so the partition serializes to any executor.
+  * strings so the partition serializes to any executor; `ranges` are
+  * the pushed filters' conjunctive boxes in the encoded stat domain,
+  * for per-file `.zones` skipping inside sorted multi-file buckets.
   */
-case class TxBucketPartition(dir: String, schemaJson: String)
+case class TxBucketPartition(dir: String, schemaJson: String,
+    ranges: Seq[(String, String, String)] = Nil)
     extends InputPartition
+
+/** The files a bucket reader opens, after `.zones` skipping: sound like
+  * every other pruning layer — a file without a zones entry, a missing
+  * `.zones`, or an unparseable spec is KEPT; Spark re-applies the exact
+  * filters over whatever is served. Opened files land on
+  * [[TxReadCounters]] so specs and probes can observe the skipping.
+  */
+private[tx] object TxBucketFiles {
+  def of(dir: String,
+      ranges: Seq[(String, String, String)]): Seq[java.io.File] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) return Nil
+    val all = fs.toSeq.filter(f => f.isFile &&
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    if (ranges.isEmpty) return all
+    val zonesFile = new java.io.File(dir, ".zones")
+    if (!zonesFile.exists()) return all
+    val specs = new String(java.nio.file.Files.readAllBytes(
+      zonesFile.toPath), "UTF-8").split("\n").filter(_.nonEmpty)
+      .flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(f, spec) => Some(f -> spec)
+          case _ => None
+        }
+      }.toMap
+    all.filter(f => specs.get(f.getName)
+      .forall(spec => !Tx.fileZoneMisses(spec, ranges)))
+  }
+}
+
+/** Observable IO counter: parquet files actually opened by the bucket
+  * readers — what lets a spec ASSERT per-file zone skipping instead of
+  * assuming it.
+  */
+object TxReadCounters {
+  private val opened = new java.util.concurrent.atomic.LongAdder()
+  private[tx] def fileOpened(): Unit = opened.increment()
+  def filesOpened(): Long = opened.sum()
+  def reset(): Unit = opened.reset()
+}
 
 class TxReaderFactory(
     countStar: Boolean = false, vectorized: Boolean = true)
@@ -415,14 +466,16 @@ class TxReaderFactory(
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[TxBucketPartition]
     new TxBucketColumnarReader(part.dir,
-      DataType.fromJson(part.schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
+      part.ranges)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[TxBucketPartition]
     if (countStar) new TxBucketCountReader(part.dir)
     else new TxBucketReader(part.dir,
-      DataType.fromJson(part.schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
+      part.ranges)
   }
 }
 
@@ -435,16 +488,13 @@ class TxReaderFactory(
   * evolution needs no special casing. Rebase modes are CORRECTED (these
   * files are written by modern Spark).
   */
-class TxBucketColumnarReader(dir: String, required: StructType)
+class TxBucketColumnarReader(dir: String, required: StructType,
+    ranges: Seq[(String, String, String)] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
-  private val files: Iterator[java.io.File] = {
-    val fs = new java.io.File(dir).listFiles()
-    if (fs == null) Iterator.empty
-    else fs.iterator.filter(f =>
-      f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-  }
+  private val files: Iterator[java.io.File] =
+    TxBucketFiles.of(dir, ranges).iterator
 
   private var reader: VectorizedParquetRecordReader = _
 
@@ -452,6 +502,7 @@ class TxBucketColumnarReader(dir: String, required: StructType)
     if (reader != null) { reader.close(); reader = null }
     if (!files.hasNext) return false
     val f = files.next()
+    TxReadCounters.fileOpened()
     // copy-construct from the class template: a fresh Configuration
     // loads XML resources every time; the copy is cheap and each reader
     // still gets its own mutable instance (tasks run concurrently)
@@ -551,16 +602,13 @@ class TxBucketCountReader(dir: String)
   * before an addColumn) serve null; an EMPTY projection (count(*)) is
   * answered from footer row counts without reading any column data.
   */
-class TxBucketReader(dir: String, required: StructType)
+class TxBucketReader(dir: String, required: StructType,
+    ranges: Seq[(String, String, String)] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
-  private val files: Iterator[java.io.File] = {
-    val fs = new java.io.File(dir).listFiles()
-    if (fs == null) Iterator.empty
-    else fs.iterator.filter(f =>
-      f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-  }
+  private val files: Iterator[java.io.File] =
+    TxBucketFiles.of(dir, ranges).iterator
 
   private var reader: ParquetReader[Group] = _
   // per-file decoders, one per requested field: null-filling for fields
@@ -573,6 +621,7 @@ class TxBucketReader(dir: String, required: StructType)
     if (reader != null) { reader.close(); reader = null }
     if (!files.hasNext) return false
     val f = files.next()
+    TxReadCounters.fileOpened()
     val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
     val pf = ParquetFileReader.open(HadoopInputFile.fromPath(hp, conf))
     val (fileSchema, rowCount) =

@@ -680,6 +680,63 @@ object ScaleProbe {
     require(nV2 == nScan,
       s"DSv2 pruned read must equal the full-scan filter: $nV2 vs $nScan")
 
+    // r12: PER-FILE zone maps inside DEEP buckets — the shape bucket
+    // pruning can't help: nBuckets=4, so every bucket holds ~8 of the
+    // 32 days and a 2-day probe keeps ALL buckets. The sorted layout
+    // (fileSortCols=day, ~1/32 of the table per file) records per-file
+    // day ranges in .zones; the same probe then opens only the files
+    // whose zone intersects. Both reads must agree; the opened-file
+    // counts are printed as the IO observable.
+    val fzSorted = java.nio.file.Files
+      .createTempDirectory("graft_probe_fzs").toString + "/t"
+    val fzPlain = java.nio.file.Files
+      .createTempDirectory("graft_probe_fzp").toString + "/t"
+    val fzRows = zBig.count()
+    timed(s"land DEEP-bucket table, sorted layout ($mult× rows, 4 buckets)") {
+      graft.sources.Tx.commitMerge(spark, fzSorted, zBig,
+        Seq("day", "event_id"), 4, bucketKeys = Seq("day"),
+        statsCols = Seq("day"), fileSortCols = Seq("day"),
+        maxRowsPerFile = math.max(fzRows / 32L, 1L))
+    }
+    graft.sources.Tx.commitMerge(spark, fzPlain, zBig,
+      Seq("day", "event_id"), 4, bucketKeys = Seq("day"),
+      statsCols = Seq("day"))
+    var nFz = 0L; var nFzBase = 0L
+    graft.sources.tx.TxReadCounters.reset()
+    timed("2-day probe, sorted layout (per-file .zones skipping)") {
+      nFz = spark.read.format("graft-tx").load(fzSorted)
+        .filter(col("day").between(10L, 11L)).count()
+    }
+    val fzOpened = graft.sources.tx.TxReadCounters.filesOpened()
+    graft.sources.tx.TxReadCounters.reset()
+    timed("2-day probe, one-file buckets (kept buckets read whole)") {
+      nFzBase = spark.read.format("graft-tx").load(fzPlain)
+        .filter(col("day").between(10L, 11L)).count()
+    }
+    val fzBaseOpened = graft.sources.tx.TxReadCounters.filesOpened()
+    require(nFz == nFzBase && nFz > 0,
+      s"file skipping must not change results: $nFz vs $nFzBase")
+    // the honest IO metric is BYTES: the plain layout's 4 files ARE the
+    // whole table, the sorted layout's opened files are day slices
+    def tableBytes(p: String, opened: Long, label: String): Unit = {
+      val snap = graft.sources.Tx.latest(p).get
+      val sizes = snap.dirs.values.toSeq.flatMap { rel =>
+        val fs = new java.io.File(s"$p/$rel").listFiles()
+        if (fs == null) Nil
+        else fs.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length())
+      }.sorted
+      val total = sizes.sum
+      // opened files are the smallest `opened` slices at worst for the
+      // sorted layout (uniform chunks), the whole table for plain
+      val avg = if (sizes.nonEmpty) total / sizes.length else 0L
+      println(s"[scale] $label: opened $opened of ${sizes.length} files " +
+        f"(~${avg * opened * 100.0 / math.max(total, 1)}%.0f%% of " +
+        s"$total bytes)")
+    }
+    tableBytes(fzSorted, fzOpened, "per-file zones, sorted layout")
+    tableBytes(fzPlain, fzBaseOpened, "one-file buckets baseline")
+
     // r10: vacuum + time travel at DEPTH — a long-lived table accretes
     // one manifest + one commit dir per batch; retention has to retire
     // them in time O(history) listing + O(retired files) deletes, and a

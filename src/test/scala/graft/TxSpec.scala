@@ -1658,6 +1658,64 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.versions(s"$base/mv2").isEmpty)
   }
 
+  test("sorted multi-file buckets: per-file zones bound kept-bucket IO") {
+    val path = tmp()
+    // 16 days colliding into 2 buckets — each bucket holds ~8 days, so
+    // BUCKET zones can't narrow a one-day probe; the sorted layout
+    // (fileSortCols=day, ~100 rows/file) gives each FILE a tight
+    // disjoint day range recorded in the bucket's .zones side file
+    val df = (1L to 16L).flatMap(d => (1L to 50L).map(i =>
+      (d, d * 1000 + i, i))).toDF("day", "id", "v")
+    Tx.commitMerge(spark, path, df, Seq("day", "id"), nBuckets = 2,
+      bucketKeys = Seq("day"), statsCols = Seq("day"),
+      fileSortCols = Seq("day"), maxRowsPerFile = 100L)
+    val snap = Tx.latest(path).get
+    val bucketFiles = snap.dirs.map { case (b, rel) =>
+      b -> new java.io.File(s"$path/$rel").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).length
+    }
+    assert(bucketFiles.values.forall(_ > 1),
+      s"maxRowsPerFile must produce multi-file buckets, got $bucketFiles")
+    snap.dirs.foreach { case (_, rel) =>
+      assert(new java.io.File(s"$path/$rel/.zones").exists(),
+        "every multi-file bucket must carry its .zones side file")
+    }
+    val scan = spark.read.format("graft-tx").load(path)
+    // soundness first: pruned reads equal raw filters across probes
+    for ((lo, hi) <- Seq((3L, 3L), (1L, 2L), (9L, 16L), (0L, 99L), (7L, 8L))) {
+      val got = scan.filter(col("day").between(lo, hi))
+        .agg(count(lit(1)), sum("v")).collect().head
+      val want = df.filter(col("day").between(lo, hi))
+        .agg(count(lit(1)), sum("v")).collect().head
+      assert(got == want, s"[$lo,$hi]: file skipping changed results")
+    }
+    // the IO claim, observed: a one-day probe opens a fraction of the
+    // kept bucket's files (bucket pruning alone can't help here)
+    val totalFiles = bucketFiles.values.sum
+    graft.sources.tx.TxReadCounters.reset()
+    scan.filter(col("day") === 3L).agg(sum("v")).collect()
+    val opened = graft.sources.tx.TxReadCounters.filesOpened()
+    assert(opened < totalFiles / 2,
+      s"a one-day probe must skip most files: opened $opened/$totalFiles")
+    // the layout is a TABLE property: later commits apply it without
+    // re-supplying, and drift is rejected
+    Tx.commitMerge(spark, path, Seq((3L, 99999L, 7L)).toDF("day", "id", "v"),
+      Seq("day", "id"), nBuckets = 2, bucketKeys = Seq("day"))
+    val s2 = Tx.latest(path).get
+    val touched = s2.dirs.keySet.filter(b => snap.dirs.get(b) != s2.dirs.get(b))
+    touched.foreach { b =>
+      assert(new java.io.File(s"$path/${s2.dirs(b)}/.zones").exists(),
+        "a property-recorded layout must re-apply on every commit")
+    }
+    val e = intercept[IllegalArgumentException](
+      Tx.commitMerge(spark, path, Seq((1L, 1L, 1L)).toDF("day", "id", "v"),
+        Seq("day", "id"), nBuckets = 2, bucketKeys = Seq("day"),
+        fileSortCols = Seq("v")))
+    assert(e.getMessage.contains("table property"))
+    // and the whole layout round-trips through the pruned read
+    assert(scan.count() == df.count() + 1)
+  }
+
   test("CDF diff heap budget: a too-big bucket is a NAMED error, not OOM") {
     val path = tmp()
     Tx.commitMerge(spark, path,
