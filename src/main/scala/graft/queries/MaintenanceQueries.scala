@@ -156,6 +156,45 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // MERGE INTO AS LITERAL SQL — the reference's load statement
+    // (serve/load.py:30-48 is an ON CONFLICT DO UPDATE) in its exact
+    // SQL form over the table format: a delta-based row-level
+    // operation whose row ids ARE the merge keys (no file/position
+    // lineage needed), candidate rows scanned through the normal
+    // pruned DSv2 read, and the whole statement landing as ONE
+    // Tx.commitDelta manifest CAS (upsert ∪ delete buckets rewritten
+    // together; TxSpec pins UPDATE, key-changing UPDATE, conditional
+    // matched DELETE, and the delete-only delta). SAME oracle as
+    // q248/q15/q267: anti-join ∪ on raw.
+    "q273_tx_merge_into" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_mi").toString
+      Tx.commitMerge(s, s"$base/ev", existing, Seq("event_id"),
+        nBuckets = 16)
+      val cat = "txm" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val srcView = s"merge_src_${cat.drop(3)}"
+      updates.unionByName(inserts).createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE INTO $cat.ev t USING $srcView s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      require(Tx.latest(s"$base/ev").get.version == 2L,
+        "the whole MERGE must land as one commit")
+      s.read.format("graft-tx").load(s"$base/ev")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // DELETE BY KEY — right-to-be-forgotten from a released corpus
     // table: every 7th event id removed via Tx.commitDelete (touched
     // buckets rewritten WITHOUT the keys by anti-join, emptied buckets
@@ -509,6 +548,36 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n_rows"), sum("v6").as("sum_v6"))
         .withColumn("pruned_ok", lit(expect.size < total))
         .orderBy("p_day")
+    }),
+    // DELETE FROM PURE SQL — the right-to-be-forgotten path (q250)
+    // reachable as a statement: SupportsDelete turns the WHERE's
+    // translated filters into a victim-key scan THROUGH THE PRUNED DSv2
+    // READ (a time-range delete opens only its range's buckets) and
+    // lands one Tx.commitDelete manifest CAS; the pre-delete snapshot
+    // stays auditable until vacuum. TxSpec pins the touched-bucket
+    // scope and the cannot-translate rejection for expression
+    // predicates. Oracle: raw filtered OUTSIDE the deleted range — a
+    // surviving in-range row, or a lost out-of-range row, hash-fails.
+    "q272_tx_sql_delete" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"),
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_del").toString
+      Tx.commitMerge(s, s"$base/ev", ev, Seq("p_day", "event_id"),
+        nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
+      val cat = "txd" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.sql(s"DELETE FROM $cat.ev " +
+        "WHERE p_day BETWEEN 20240110 AND 20240114")
+      require(Tx.latest(s"$base/ev").get.version == 2L,
+        "the SQL delete must land exactly one commit")
+      s.sql(s"SELECT p_day, count(*) AS n_rows, sum(v6) AS sum_v6 " +
+        s"FROM $cat.ev GROUP BY p_day ORDER BY p_day")
     }),
     // PER-FILE zone maps inside buckets — the r11 verdict's "kept
     // buckets are read whole" residual: with few, deep buckets (the
@@ -1129,6 +1198,19 @@ object MaintenanceQueries {
               (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
             UNION ALL SELECT * FROM incoming)
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    // q15's oracle verbatim — MERGE INTO must be as invisible as every
+    // other route into the same commit
+    "q273_tx_merge_into" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50)
+          SELECT * FROM (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
     // raw filtered directly — the format's rewrite must be invisible
     "q250_tx_delete" ->
       """SELECT event_id, user_id, event_type, value FROM events
@@ -1227,6 +1309,17 @@ object MaintenanceQueries {
         .replaceAll("\\s+", " "),
     // filter-aggregate from raw over the probed day range + literal TRUE
     // for the in-plan pruning contract
+    // raw aggregated OUTSIDE the deleted range — the SQL statement, the
+    // filter translation, and the bucket-scoped rewrite must all be
+    // invisible
+    "q272_tx_sql_delete" ->
+      """WITH ev AS (
+            SELECT CAST(strftime(date_trunc('day', ts), '%Y%m%d') AS BIGINT) AS p_day,
+              CAST(floor(value * 1000000.0) AS BIGINT) AS v6
+            FROM events)
+          SELECT p_day, count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM ev WHERE p_day NOT BETWEEN 20240110 AND 20240114
+          GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
     // filter-aggregate from raw — file skipping must be an optimization
     // only, never a correctness lever
     "q271_tx_file_zones" ->

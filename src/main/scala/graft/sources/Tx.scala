@@ -1001,6 +1001,44 @@ object Tx {
       case (None, withB, _) => withB
     }
 
+  /** APPLY A DELTA — upserts and deletes in ONE manifest CAS: touched
+    * buckets are the union of both sides' buckets, each rewritten as
+    * (existing ∖ deleteKeys) upserted with the batch; a bucket emptied
+    * by its deletes drops out. This is what `MERGE INTO` / `UPDATE` /
+    * expression-`DELETE` land as through the DSv2 row-level write
+    * ([[graft.sources.tx.TxRowLevelOperation]]): Spark computes the
+    * row-level delta against a snapshot scan, and this commit applies
+    * it atomically — a key-changing UPDATE arrives as its old key's
+    * delete plus its new key's insert, which is exactly this op.
+    */
+  def commitDelta(
+      spark: SparkSession,
+      path: String,
+      upserts: DataFrame,
+      deleteKeys: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 16,
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false,
+      statsCols: Seq[String] = Nil): Long = {
+    val del = deleteKeys.select(keys.map(col): _*).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(del.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
+        "commitDelta: NULL values in delete keys")
+      commitRewrite(spark, path, upserts, keys, nBuckets, maxAttempts,
+        meta, beforeCas, "commitDelta", establishSchema = true, bucketKeys,
+        abortIf, statsCols, alsoTouchKeys = Some(del)) {
+        case (Some(existing), withB, ks) =>
+          Merge.upsert(existing.join(del, ks, "left_anti"), withB, ks)
+        case (None, withB, _) => withB // nothing existing to delete
+      }
+    } finally del.unpersist(blocking = false)
+  }
+
   /** OVERWRITE the table with `batch` — every existing bucket is
     * touched, buckets absent from the batch drop out of the manifest,
     * and the publish is the same manifest CAS as a merge: readers
@@ -1168,7 +1206,8 @@ object Tx {
       statsCols: Seq[String],
       touchAll: Boolean = false,
       fileSortCols: Seq[String] = Nil,
-      maxRowsPerFile: Long = 0L)(
+      maxRowsPerFile: Long = 0L,
+      alsoTouchKeys: Option[DataFrame] = None)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
     require(nBuckets > 0)
@@ -1221,12 +1260,14 @@ object Tx {
         require(nb == nBuckets || snap.isEmpty,
           s"table has nbuckets=$nb, caller asked $nBuckets")
         val carried = snap.map(_.meta).getOrElse(Map.empty)
-        if (staged.isEmpty) {
+        if (staged.isEmpty && alsoTouchKeys.forall(_.isEmpty)) {
           // empty batch: no data motion, but a caller with meta (e.g. a
           // streaming sink's batch-id stamp) still gets a stamped
           // version — "every stream commit is stamped" holds even for
           // empty micro-batches. An empty OVERWRITE (touchAll) instead
           // TRUNCATES: every bucket drops, schema/meta carry forward.
+          // (A delta whose upsert side is empty but whose DELETE side
+          // is not takes the rewrite path below — deletes are motion.)
           snap match {
             case None => return commitEmpty(path, nb, meta)
             case Some(sp) if touchAll =>
@@ -1375,10 +1416,16 @@ object Tx {
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
               val batchBuckets = withB.select("__b").distinct()
                 .collect().map(_.getInt(0)).toSet
+              // a delta's DELETE keys touch their buckets too, even
+              // where the upsert side lands nothing
+              val delBuckets = alsoTouchKeys.map(
+                _.withColumn("__b", bucketOf(bk, nb)).select("__b")
+                  .distinct().collect().map(_.getInt(0)).toSet)
+                .getOrElse(Set.empty[Int])
               // an overwrite touches EVERY existing bucket too: the ones
               // the batch misses must drop out of the manifest
-              val t = (if (touchAll) baseDirs.keySet ++ batchBuckets
-                else batchBuckets).toSeq.sorted
+              val t = ((if (touchAll) baseDirs.keySet ++ batchBuckets
+                else batchBuckets) ++ delBuckets).toSeq.sorted
               // an overwrite never reads what it replaces
               val existingDirs =
                 if (touchAll) Nil

@@ -147,17 +147,26 @@ object TxSource {
 
   private[tx] def schemaAt(path: String, version: Long): StructType = {
     val snap = snapshotAt(path, version)
-    snap.meta.get(Tx.SchemaKey)
+    val st = snap.meta.get(Tx.SchemaKey)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"graft-tx: $path v${snap.version} has no recorded schema " +
           "(no data commit yet)"))
+    // the merge keys are non-nullable BY INVARIANT (every commit
+    // rejects NULL keys before any file lands) — report that, so
+    // row-level SQL's row-id attributes pass Spark's nullability check
+    val keys = snap.meta.get(Tx.KeysKey)
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    StructType(st.fields.map(f =>
+      if (keys.contains(f.name)) f.copy(nullable = false) else f))
   }
 }
 
 class TxTableV2(path: String, version: Long, tableSchema: StructType)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     s"graft-tx($path${if (version >= 0) s"@v$version" else ""})"
@@ -165,6 +174,60 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The recorded table properties, for `SHOW TBLPROPERTIES` and
+    * friends — read straight off the manifest meta.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    Tx.latest(path).foreach { snap =>
+      m.put("nbuckets", snap.nBuckets.toString)
+      snap.meta.get(Tx.KeysKey).foreach(m.put("keys", _))
+      snap.meta.get(Tx.BucketKeysKey).foreach(m.put("bucketkeys", _))
+      snap.meta.get(Tx.StatsColsKey).foreach(m.put("statscols", _))
+      snap.meta.get(Tx.FileSortKey).foreach(m.put("filesortcols", _))
+      snap.meta.get(Tx.MaxRowsFileKey).foreach(m.put("maxrowsperfile", _))
+      m.put("version", snap.version.toString)
+    }
+    m
+  }
+
+  /** `DELETE FROM tx.t WHERE <filter-shaped condition>` — the format's
+    * right-to-be-forgotten path from pure SQL: the condition's filters
+    * select victim KEYS through the pruned DSv2 scan (a time-range
+    * delete opens only its range's buckets), and [[Tx.commitDelete]]
+    * rewrites exactly the touched buckets in one manifest CAS. Earlier
+    * snapshots stay auditable until vacuum — deletion is effective-at-
+    * a-version, the GDPR shape. Conditions that don't translate to
+    * source filters (expressions, subqueries) are rejected by Spark via
+    * [[canDeleteWhere]] with its standard error.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version < 0 && filters.forall(TxDeleteFilters.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version < 0,
+      "graft-tx: cannot DELETE through a time-travel read")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val snap = Tx.latest(path).getOrElse(throw new IllegalStateException(
+      s"graft-tx: cannot delete from $path — no committed version"))
+    val keys = snap.meta.get(Tx.KeysKey).map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-tx: $path has no recorded merge keys"))
+    val bucketKeys = snap.meta.get(Tx.BucketKeysKey)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val cond = filters.map(TxDeleteFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // victim keys through the PRUNED scan: a range delete's key scan
+    // opens only the range's buckets
+    val victims = spark.read.format("graft-tx").load(path)
+      .filter(cond)
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+    Tx.commitDelete(spark, path, victims, keys, snap.nBuckets,
+      bucketKeys = bucketKeys)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, version, tableSchema,
@@ -175,6 +238,18 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new TxWriteBuilder(path, version, info)
+
+  /** `UPDATE` / `MERGE INTO` / expression-`DELETE` — the delta-based
+    * row-level operation ([[TxRowLevelOperation]]): merge keys are the
+    * row ids, the delta commits through one [[Tx.commitDelta]] CAS.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version < 0,
+      "graft-tx: cannot run row-level SQL through a time-travel read")
+    new TxRowLevelBuilder(path, tableSchema, info)
+  }
 }
 
 class TxScanBuilder(
@@ -232,6 +307,51 @@ class TxScanBuilder(
       .foldLeft(snap.dirs.keySet)(_ intersect _)
     new TxScan(path, snap, required, kept, prunable, countStar, vectorized,
       scanTag)
+  }
+}
+
+/** Source-filter → Column translation for `DELETE FROM ... WHERE` —
+  * the victim-key scan condition. Exhaustive over the shapes Spark's
+  * own filter translation produces; anything else makes
+  * `canDeleteWhere` false and Spark reports its standard
+  * cannot-translate error.
+  */
+private[tx] object TxDeleteFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan |
+         _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual |
+         _: In | _: IsNull | _: IsNotNull | _: StringStartsWith |
+         _: StringEndsWith | _: StringContains |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(c) => translatable(c)
+    case _ => false
+  }
+
+  def toColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case StringStartsWith(a, p) => col(a).startsWith(p)
+    case StringEndsWith(a, s) => col(a).endsWith(s)
+    case StringContains(a, s) => col(a).contains(s)
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"graft-tx: untranslatable delete filter $other")
   }
 }
 

@@ -155,15 +155,14 @@ case class TxWriterFactory(stagingDir: String, schemaJson: String)
   * parquet-mr from the conf key, like any Spark write) — full Catalyst
   * type fidelity, no row-by-row conversion layer.
   */
-class TxDataWriter(
-    stagingDir: String, schemaJson: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-
-  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  private val file = s"$stagingDir/part-$partitionId-$taskId.parquet"
-
-  private val writer: RecordWriter[Void, InternalRow] = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+/** Shared staging-parquet machinery: one file, streamed InternalRows,
+  * Spark's own ParquetWriteSupport (instantiated reflectively from the
+  * conf key like any Spark write) — full Catalyst type fidelity.
+  */
+private[tx] object TxParquetStage {
+  def open(file: String, schema: StructType): RecordWriter[Void, InternalRow] = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(file).getParent)
     val conf = new Configuration()
     conf.set("parquet.write.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport")
@@ -180,6 +179,15 @@ class TxDataWriter(
     new ParquetOutputFormat[InternalRow]().getRecordWriter(
       conf, new HPath(file), CompressionCodecName.SNAPPY)
   }
+}
+
+class TxDataWriter(
+    stagingDir: String, schemaJson: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val file = s"$stagingDir/part-$partitionId-$taskId.parquet"
+  private val writer = TxParquetStage.open(file, schema)
 
   override def write(row: InternalRow): Unit = writer.write(null, row)
 

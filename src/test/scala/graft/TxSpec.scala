@@ -1716,6 +1716,122 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(scan.count() == df.count() + 1)
   }
 
+  test("SQL catalog: DELETE FROM is the format's pruned keyed delete") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat3").toString
+    val df = (1L to 16L).flatMap(d => (1L to 10L).map(i =>
+      (d, d * 100 + i, i))).toDF("day", "id", "v")
+    Tx.commitMerge(spark, s"$base/ev", df, Seq("day", "id"), nBuckets = 16,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val s1 = Tx.latest(s"$base/ev").get
+    spark.sql(s"DELETE FROM $cat.ev WHERE day BETWEEN 3 AND 4")
+    val s2 = Tx.latest(s"$base/ev").get
+    assert(s2.version == s1.version + 1, "one atomic delete commit")
+    val got = Tx.read(spark, s"$base/ev").select("day", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = df.filter(!col("day").between(3L, 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "the range delete must remove exactly its rows")
+    // bucket-scoped: only the range's day-buckets were rewritten
+    val touched = s2.dirs.keySet.filter(b => s1.dirs.get(b) != s2.dirs.get(b)) ++
+      (s1.dirs.keySet -- s2.dirs.keySet)
+    val expected = Tx.pruneInfo(s"$base/ev", "day", 3L, 4L,
+      version = s1.version)._1
+    assert(touched.subsetOf(expected),
+      s"a range delete must touch only its range's buckets: $touched " +
+        s"vs allowed $expected")
+    // pre-delete snapshot stays auditable
+    assert(Tx.read(spark, s"$base/ev", version = s1.version).count() ==
+      df.count())
+    // an EXPRESSION condition can't translate to source filters — it
+    // falls back to the row-level delta path and still deletes exactly
+    spark.sql(s"DELETE FROM $cat.ev WHERE id % 7 = 0")
+    val got2 = Tx.read(spark, s"$base/ev").select("day", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want2 = df.filter(!col("day").between(3L, 4L))
+      .filter(col("id") % 7 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == want2, "the expression delete must route via the delta")
+    // SHOW TBLPROPERTIES serves the manifest's recorded properties
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.ev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keys").contains("day,id") &&
+      props.get("bucketkeys").contains("day") &&
+      props.get("nbuckets").contains("16"))
+  }
+
+  test("SQL catalog: UPDATE and MERGE INTO land as one delta commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat4").toString
+    val df = (1L to 40L).map(i => (i, i * 10)).toDF("id", "v")
+    Tx.commitMerge(spark, s"$base/t", df, Seq("id"), nBuckets = 8,
+      statsCols = Seq("id"))
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    def state() = rows(Tx.read(spark, s"$base/t")).toMap
+    // UPDATE: an expression predicate and a computed SET, one commit
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000 WHERE id % 4 = 0")
+    assert(Tx.latest(s"$base/t").get.version == 2L)
+    assert(state() == (1L to 40L)
+      .map(i => i -> (if (i % 4 == 0) i * 10 + 1000 else i * 10)).toMap)
+    // a KEY-CHANGING update = old key's delete + new key's insert
+    // (representUpdateAsDeleteAndInsert), still one commit
+    spark.sql(s"UPDATE $cat.t SET id = id + 100 WHERE id = 7")
+    val s3 = state()
+    assert(!s3.contains(7L) && s3(107L) == 70L)
+    // MERGE INTO: the reference's ON CONFLICT load as literal SQL —
+    // matched keys update, new keys insert, one matched range deletes
+    Seq((2L, 999L), (4L, 999L), (200L, 2000L), (39L, 0L))
+      .toDF("id", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING merge_src s ON t.id = s.id
+          WHEN MATCHED AND s.v = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""")
+    val s4 = state()
+    assert(s4(2L) == 999L && s4(4L) == 999L, "matched keys update")
+    assert(s4(200L) == 2000L, "unmatched keys insert")
+    assert(!s4.contains(39L), "the conditional matched clause deletes")
+    assert(s4(3L) == 30L, "untouched keys survive")
+    // the whole MERGE was ONE atomic version
+    assert(Tx.latest(s"$base/t").get.version == 4L)
+    // and the time-travel surface still reads every intermediate state
+    assert(rows(Tx.read(spark, s"$base/t", version = 1L)) == rows(df))
+  }
+
+  test("commitDelta: upserts + deletes in one CAS, delete-only buckets") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 64L).map(i => (i, i)).toDF("id", "v"), Seq("id"), nBuckets = 8)
+    val s1 = Tx.latest(path).get
+    // upsert touches key 1's bucket; deletes touch OTHER buckets only
+    Tx.commitDelta(spark, path,
+      upserts = Seq((1L, 111L), (70L, 700L)).toDF("id", "v"),
+      deleteKeys = Seq(5L, 6L, 7L).toDF("id"),
+      keys = Seq("id"), nBuckets = 8)
+    val m = rows(Tx.read(spark, path)).toMap
+    assert(m(1L) == 111L && m(70L) == 700L &&
+      !m.contains(5L) && !m.contains(6L) && !m.contains(7L) &&
+      m(2L) == 2L && m.size == 62)
+    assert(Tx.latest(path).get.version == s1.version + 1,
+      "upserts and deletes must land in ONE version")
+    // a delete-only delta still commits (deletes are motion)
+    Tx.commitDelta(spark, path,
+      upserts = Tx.read(spark, path).filter(lit(false)),
+      deleteKeys = Seq(2L).toDF("id"), keys = Seq("id"), nBuckets = 8)
+    assert(!rows(Tx.read(spark, path)).toMap.contains(2L))
+    // a fully-empty delta is a no-op version-wise
+    val vBefore = Tx.latest(path).get.version
+    Tx.commitDelta(spark, path,
+      upserts = Tx.read(spark, path).filter(lit(false)),
+      deleteKeys = Seq.empty[Long].toDF("id"), keys = Seq("id"), nBuckets = 8)
+    assert(Tx.latest(path).get.version == vBefore)
+  }
+
   test("CDF diff heap budget: a too-big bucket is a NAMED error, not OOM") {
     val path = tmp()
     Tx.commitMerge(spark, path,
