@@ -195,6 +195,33 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // UPDATE AS A STATEMENT — the remaining row-level verb, oracle-
+    // gated: an expression predicate (event_id % 10 = 0, untranslatable
+    // to source filters, so this is the genuine delta path) and a
+    // computed SET over the whole table, landing as ONE commitDelta
+    // CAS (updates arrive as delete+insert pairs; TxSpec pins the
+    // key-changing variant). Oracle: the CASE expression over raw —
+    // an unmatched row modified, or a matched row missed, hash-fails.
+    "q274_tx_sql_update" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_up").toString
+      Tx.commitMerge(s, s"$base/ev", existing, Seq("event_id"),
+        nBuckets = 16)
+      val cat = "txu" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.sql(s"UPDATE $cat.ev SET value = value * 2 WHERE event_id % 10 = 0")
+      require(Tx.latest(s"$base/ev").get.version == 2L,
+        "the UPDATE must land as one commit")
+      s.read.format("graft-tx").load(s"$base/ev")
+        .select(col("event_id"),
+          floor(col("value") * 1e6).cast("long").as("v6"))
+        .orderBy("event_id")
+    }),
     // DELETE BY KEY — right-to-be-forgotten from a released corpus
     // table: every 7th event id removed via Tx.commitDelete (touched
     // buckets rewritten WITHOUT the keys by anti-join, emptied buckets
@@ -1198,6 +1225,13 @@ object MaintenanceQueries {
               (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
             UNION ALL SELECT * FROM incoming)
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    // the CASE expression over raw — the UPDATE statement must modify
+    // exactly its matched rows
+    "q274_tx_sql_update" ->
+      """SELECT event_id,
+            CAST(floor(CASE WHEN event_id % 10 = 0 THEN value * 2
+              ELSE value END * 1000000.0) AS BIGINT) AS v6
+          FROM events ORDER BY event_id""".replaceAll("\\s+", " "),
     // q15's oracle verbatim — MERGE INTO must be as invisible as every
     // other route into the same commit
     "q273_tx_merge_into" ->

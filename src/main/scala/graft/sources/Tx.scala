@@ -792,12 +792,15 @@ object Tx {
         if (allNull) s"$c=~"
         else s"$c=${mn.getOrElse("*")},${mx.getOrElse("*")}"
       }.mkString(";")
-    val fileSpecs = perFile.groupBy(_._1).map { case (b, rows) =>
+    // ONE pass per bucket yields both levels; sides are positionally
+    // aligned with `cols` (the same order they were built in above)
+    val byBucket = perFile.groupBy(_._1)
+    val fileSpecs = byBucket.map { case (b, rows) =>
       b -> rows.sortBy(_._2).map(r => r._2 -> specOf(r._3)).toSeq
     }
-    val bucketSpecs = perFile.groupBy(_._1).map { case (b, rows) =>
-      val combined = cols.map { c =>
-        val colSides = rows.map(_._3.find(_._1 == c).get)
+    val bucketSpecs = byBucket.map { case (b, rows) =>
+      val combined = cols.zipWithIndex.map { case (c, ci) =>
+        val colSides = rows.map(_._3(ci))
         val present = colSides.filterNot(_._4) // files with any value
         if (present.isEmpty) (c, None, None, true)
         else {
@@ -1081,9 +1084,14 @@ object Tx {
       fileSortCols: Seq[String] = Nil,
       maxRowsPerFile: Long = 0L): Long = {
     require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
-    fileSortCols.foreach(c => require(
-      !c.contains(",") && schema.fieldNames.contains(c),
-      s"createTable: file-sort column '$c' must be a table column"))
+    fileSortCols.foreach { c =>
+      require(!c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+        ch == '\n' || ch == '\t'),
+        s"createTable: file-sort column name '$c' contains a manifest " +
+          "separator")
+      require(schema.fieldNames.contains(c),
+        s"createTable: file-sort column '$c' must be a table column")
+    }
     require(nBuckets > 0)
     require(versions(path).isEmpty,
       s"createTable: $path already has committed versions")
@@ -1358,7 +1366,11 @@ object Tx {
               recordedSort
             } else fileSortCols
           effSort.foreach { c =>
-            require(!c.contains(",") && fieldTypes(statsSchema).contains(c),
+            require(!c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+              ch == '\n' || ch == '\t'),
+              s"$opName: file-sort column name '$c' contains a manifest " +
+                "separator") // a newline/tab would corrupt the meta line
+            require(fieldTypes(statsSchema).contains(c),
               s"$opName: file-sort column '$c' must be a table column")
           }
           val recordedMaxRows = carried.get(MaxRowsFileKey)
@@ -1404,8 +1416,13 @@ object Tx {
           // buckets, our already-written files still reflect the current
           // truth of those buckets — re-link them onto the new base
           // without re-deriving or rewriting anything.
+          // an OVERWRITE's plan is only reusable if the new base holds
+          // no bucket outside what it touched: a racer landing rows in
+          // a fresh bucket must be re-derived over (and dropped), or
+          // replace-the-whole-table silently keeps the racer's rows
           val reusable = plan.filter { case (_, touched, _, planBase, _, _) =>
-            touched.forall(b => baseDirs.get(b) == planBase.get(b))
+            touched.forall(b => baseDirs.get(b) == planBase.get(b)) &&
+              (!touchAll || baseDirs.keySet.subsetOf(touched.toSet))
           }
           val (commitDir, touched, written, wStats, wSizes) = reusable match {
             case Some((dir, t, w, _, st, sz)) => (dir, t, w, st, sz)

@@ -71,6 +71,7 @@ class TxCatalog extends TableCatalog {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    namespace.foreach(checkPart) // '..' must not escape the root
     val dir = new java.io.File((root +: namespace.toSeq).mkString("/"))
     val fs = dir.listFiles()
     if (fs == null) Array.empty
@@ -149,9 +150,13 @@ class TxCatalog extends TableCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val p = java.nio.file.Paths.get(pathOf(ident))
-    if (!java.nio.file.Files.exists(p)) false
-    else { Tx.deleteRecursive(p); true }
+    val path = pathOf(ident)
+    // only ever delete an actual Tx TABLE: a namespace directory (or
+    // any non-table path) must not be recursively wiped just because
+    // its name resolved — dropping 'ns' with tables inside would
+    // otherwise destroy them all and report success
+    if (Tx.versions(path).isEmpty) false
+    else { Tx.deleteRecursive(java.nio.file.Paths.get(path)); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

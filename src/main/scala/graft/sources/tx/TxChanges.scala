@@ -298,9 +298,11 @@ class TxDiffReader(part: TxDiffPartition)
     }
 
   // compact copies for storage/emission: UnsafeProjection materializes
-  // any schema (nested included) into one contiguous buffer
-  private val projOld = UnsafeProjection.create(schema)
-  private val projNew = UnsafeProjection.create(schema)
+  // any schema (nested included) into one contiguous buffer. ONE
+  // instance serves both sides — the old side is fully materialized
+  // (every output .copy()'d) before the new side streams, so the
+  // reused buffer can never alias across them.
+  private val proj = UnsafeProjection.create(schema)
 
   // the old side in task heap — the same order of memory the bucket
   // rewrite that produced it needed (nBuckets is the sizing dial); the
@@ -309,7 +311,7 @@ class TxDiffReader(part: TxDiffPartition)
     val m = new java.util.HashMap[Seq[Any], UnsafeRow]()
     var bytes = 0L
     viewRows(part.oldDir).foreach { r =>
-      val u = projOld(r).copy()
+      val u = proj(r).copy()
       bytes += u.getSizeInBytes + 64L // entry + key overhead, roughly
       if (bytes > part.maxDiffBytes) throw new IllegalStateException(
         s"graft-tx: the old side of changed bucket '${part.oldDir}' " +
@@ -350,13 +352,13 @@ class TxDiffReader(part: TxDiffPartition)
       val k = keyOf(nr)
       val or = oldRows.remove(k)
       if (or == null) {
-        current = out(projNew(nr).copy(), "insert"); return true
+        current = out(proj(nr).copy(), "insert"); return true
       }
       if (!sameNonKeys(or, nr)) {
         if (part.emitPre) {
-          current = out(projNew(nr).copy(), "update_post")
+          current = out(proj(nr).copy(), "update_post")
           pending = out(or, "update_pre")
-        } else current = out(projNew(nr).copy(), "update")
+        } else current = out(proj(nr).copy(), "update")
         return true
       } // unchanged re-landed row: compared out
     }

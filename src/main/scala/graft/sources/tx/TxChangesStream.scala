@@ -58,12 +58,18 @@ class TxChangesStreamTable(
         override def readSchema(): StructType = stamped
         override def description(): String = s"TxChangesStreamScan($path)"
         override def toMicroBatchStream(
-            checkpointLocation: String): MicroBatchStream =
+            checkpointLocation: String): MicroBatchStream = {
+          def longOpt(name: String): Option[Long] =
+            Option(options.get(name)).map(v => v.toLongOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"graft-tx: option($name) takes a numeric Tx version, " +
+                  s"got '$v'")))
           new TxChangesStream(path, emitPre,
             StructType(stamped.fields.dropRight(2)), // table schema
-            Option(options.get("startingVersion")).map(_.toLong),
-            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            longOpt("startingVersion"),
+            longOpt("maxVersionsPerTrigger"),
             TxChanges.maxDiffBytesOf(options))
+        }
       }
     }
 }

@@ -458,18 +458,19 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         Seq("id"), nBuckets = 4))
   }
 
-  test("model check: random merge/fold/delete sequences land on the Map model") {
+  test("model check: random merge/fold/delete/delta sequences land on the Map model") {
     // commitFold joins the model check: fold = additive accumulator merge
-    // (matched keys SUM, unmatched insert) — the refreshTx combine. The
-    // table after any interleaving of the three ops must equal the
-    // trivial in-memory model.
+    // (matched keys SUM, unmatched insert) — the refreshTx combine; and
+    // commitDelta (r12, the row-level SQL commit: upserts + deletes in
+    // one CAS) joins as the fourth op. The table after any interleaving
+    // must equal the trivial in-memory model.
     val path = tmp()
     var seed = 0x5851f42d4c957f2dL
     def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
     var model = Map.empty[Long, Long]
-    for (step <- 1 to 9) {
+    for (step <- 1 to 12) {
       val ids = (0 until 4).map(_ => math.abs(nxt()) % 10 + 1).distinct
-      step % 3 match {
+      step % 4 match {
         case 0 if model.nonEmpty =>
           Tx.commitDelete(spark, path, ids.toDF("id"), Seq("id"), nBuckets = 4)
           model = model -- ids
@@ -478,7 +479,7 @@ class TxSpec extends AnyFunSuite with SparkFixture {
           Tx.commitMerge(spark, path, batch.toDF("id", "v"),
             Seq("id"), nBuckets = 4)
           model = model ++ batch
-        case _ =>
+        case 2 =>
           val batch = ids.map(i => (i, step * 10L + i))
           Tx.commitFold(spark, path, batch.toDF("id", "v"),
             Seq("id"), nBuckets = 4)(
@@ -487,6 +488,14 @@ class TxSpec extends AnyFunSuite with SparkFixture {
           model = batch.foldLeft(model) { case (m, (k, v)) =>
             m + (k -> (m.getOrElse(k, 0L) + v))
           }
+        case _ =>
+          // delta: half the drawn ids upsert, the other half delete —
+          // disjoint by construction, one CAS
+          val (upIds, delIds) = ids.splitAt(math.max(ids.size / 2, 1))
+          val ups = upIds.map(i => (i, step * 100L + i))
+          Tx.commitDelta(spark, path, ups.toDF("id", "v"),
+            delIds.toDF("id"), Seq("id"), nBuckets = 4)
+          model = (model -- delIds) ++ ups
       }
       assert(rows(Tx.read(spark, path)).toMap == model,
         s"table diverged from the model after step $step")
@@ -1506,6 +1515,32 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     Seq((7L, 77L)).toDF("id", "v")
       .write.format("graft-tx").mode("append").save(path)
     assert(rows(Tx.read(spark, path)) == Seq((7L, 77L)))
+  }
+
+  test("overwrite CAS race: a racer's NEW bucket must not survive") {
+    // the review-confirmed r12 bug: commitOverwrite's disjoint-rebase
+    // reuse only checked the plan's own touched buckets, so a racing
+    // merge landing rows in a FRESH bucket survived the overwrite —
+    // replace-the-whole-table semantics silently violated. The loser
+    // must re-derive and DROP the racer's bucket.
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    var fired = false
+    Tx.commitOverwrite(spark, path, Seq((1L, 111L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4,
+      beforeCas = () => if (!fired) {
+        fired = true
+        Tx.commitMerge(spark, path, Seq((2L, 999L)).toDF("id", "v"),
+          Seq("id"), nBuckets = 4)
+      })
+    assert(fired)
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 111L)),
+      "an overwrite must replace EVERYTHING on its final base — " +
+        "including buckets a racer created after planning")
+    // the racer's commit is still auditable at its own version
+    assert(rows(Tx.read(spark, path, version = 2L)).toMap.get(2L)
+      .contains(999L))
   }
 
   test("DSv2 write: a CAS race re-derives on the winner's snapshot") {
