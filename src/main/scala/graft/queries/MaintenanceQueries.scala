@@ -195,6 +195,48 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // STREAMING WRITES through the STANDARD API — writeStream.format
+    // ("graft-tx").start(path), no foreachBatch: each micro-batch lands
+    // as one atomic MERGE commit stamped with its epoch under the
+    // query's lineage key, so replayed epochs no-op (the txMergeSink
+    // discipline built into the sink; StreamingSpec pins duplicate-
+    // epoch delivery, idle re-runs, and the checkpoint-wipe semantics).
+    // q15's composition: the updates batch and the inserts batch arrive
+    // as TWO micro-batches of one stream — SAME oracle as q248/q267.
+    "q275_tx_stream_write" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_sw").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc: org.apache.spark.sql.Encoder[(Long, Long, String, Double)] =
+        s.implicits.newProductEncoder
+      val in = MemoryStream[(Long, Long, String, Double)](s)
+      def pump(df: DataFrame): Unit = {
+        in.addData(df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getDouble(3))).toSeq)
+        val q = in.toDF()
+          .toDF("event_id", "user_id", "event_type", "value")
+          .writeStream.format("graft-tx")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(path)
+        q.awaitTermination()
+      }
+      pump(updates)
+      pump(inserts)
+      require(Tx.latest(path).get.version == 3L,
+        "two micro-batches must land as two stamped commits")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // UPDATE AS A STATEMENT — the remaining row-level verb, oracle-
     // gated: an expression predicate (event_id % 10 = 0, untranslatable
     // to source filters, so this is the genuine delta path) and a
@@ -1215,6 +1257,19 @@ object MaintenanceQueries {
     // q248's oracle VERBATIM — the write path must be as semantically
     // invisible as the side API it routes through
     "q267_tx_dsv2_write" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50)
+          SELECT * FROM (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
+    // q15's oracle verbatim — the streaming sink must be as invisible
+    // as every other route into the same commit
+    "q275_tx_stream_write" ->
       """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
           incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
               FROM existing WHERE event_id % 10 = 0

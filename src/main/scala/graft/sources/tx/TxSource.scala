@@ -166,14 +166,36 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String =
     s"graft-tx($path${if (version >= 0) s"@v$version" else ""})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+
+  /** `TRUNCATE TABLE tx.t` — an empty overwrite: every bucket drops in
+    * one manifest CAS, schema and properties carry forward, earlier
+    * snapshots stay readable until vacuum.
+    */
+  override def truncateTable(): Boolean = {
+    require(version < 0,
+      "graft-tx: cannot TRUNCATE through a time-travel read")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = Tx.schemaOf(path).getOrElse(tableSchema)
+    val keys = Tx.latest(path).flatMap(_.meta.get(Tx.KeysKey))
+      .map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-tx: $path has no recorded merge keys"))
+    Tx.commitOverwrite(spark, path,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      keys, Tx.latest(path).map(_.nBuckets).getOrElse(16))
+    true
+  }
 
   /** The recorded table properties, for `SHOW TBLPROPERTIES` and
     * friends — read straight off the manifest meta.

@@ -61,9 +61,105 @@ class TxWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new TxBatchWrite(path, info.schema(), info.options(), truncateAll)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!truncateAll,
+        "graft-tx: streaming writes append (merge); complete-mode " +
+          "overwrite is not supported")
+      new TxStreamingWrite(path, info.schema(), info.options(),
+        info.queryId())
+    }
     override def description(): String =
       s"graft-tx-write($path${if (truncateAll) ", truncate" else ""})"
   }
+}
+
+/** STREAMING writes — `df.writeStream.format("graft-tx").start(path)`:
+  * every micro-batch is one atomic MERGE commit stamped with its epoch
+  * id in the manifest, so a replayed epoch — a restart from an older
+  * checkpoint, a duplicate driver — is a NO-OP even across interleaved
+  * non-stream commits: the stamp is re-checked INSIDE the CAS loop
+  * (the `Streaming.txMergeSink` discipline behind the standard API, so
+  * any streaming query lands exactly-once without writing a
+  * foreachBatch). Task staging and commit machinery are the batch
+  * write's; only the epoch stamp differs.
+  *
+  * The stamp is keyed by the streaming QUERY id (`stream_epoch_<id>`),
+  * because epoch ids are checkpoint-relative while the stamp is
+  * durable: a globally-keyed stamp would silently DROP new data after
+  * an operator wiped the checkpoint (the fresh lineage restarts at
+  * epoch 0, forever ≤ the old stamp). Keyed per lineage: same-lineage
+  * replays no-op exactly; a NEW lineage re-merges what it replays —
+  * harmless, a MERGE of identical rows is content-idempotent — and
+  * its new data always lands.
+  */
+class TxStreamingWrite(
+    path: String, querySchema: StructType,
+    options: CaseInsensitiveStringMap, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stampKey = s"stream_epoch_$queryId"
+
+  private val stagingBase =
+    s"$path/data/w-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    TxStreamingWriterFactory(stagingBase, querySchema.json)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staging = s"$stagingBase-e$epochId"
+    try {
+      val files = messages.collect { case TxFileMsg(f) => f }.toSeq
+      val snap = Tx.latest(path).getOrElse(throw new IllegalStateException(
+        s"graft-tx: cannot stream into $path — no committed version; " +
+          "create the table first (Tx.createTable, CREATE TABLE, or a " +
+          "first Tx.commitMerge)"))
+      val keys = snap.meta.get(Tx.KeysKey).map(_.split(",").toSeq)
+        .orElse(Option(options.get("keys"))
+          .map(_.split(",").toSeq.filter(_.nonEmpty)))
+        .getOrElse(throw new IllegalStateException(
+          s"graft-tx: $path has no recorded merge keys and the writer " +
+            "passed no option(\"keys\", \"a,b\")"))
+      val bucketKeys = snap.meta.get(Tx.BucketKeysKey)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      val statsCols = snap.meta.get(Tx.StatsColsKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val batch =
+        if (files.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], querySchema)
+        else spark.read.schema(querySchema).parquet(files: _*)
+      // exactly-once rides the manifest stamp, re-checked INSIDE the
+      // CAS loop — a replayed epoch (or a concurrent duplicate driver)
+      // sees stamp >= epochId and aborts instead of merging twice
+      val already = Tx.latestMeta(path, stampKey)
+        .exists(_.toLong >= epochId)
+      if (!already)
+        Tx.commitMerge(spark, path, batch, keys, snap.nBuckets,
+          meta = Map(stampKey -> epochId.toString),
+          bucketKeys = bucketKeys, statsCols = statsCols,
+          abortIf = s => s.meta.get(stampKey)
+            .exists(_.toLong >= epochId))
+      ()
+    } finally Tx.deleteRecursive(java.nio.file.Paths.get(staging))
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Tx.deleteRecursive(java.nio.file.Paths.get(s"$stagingBase-e$epochId"))
+}
+
+case class TxStreamingWriterFactory(stagingBase: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new TxDataWriter(s"$stagingBase-e$epochId", schemaJson,
+      partitionId, taskId)
 }
 
 /** One staged file per task attempt; the message names what landed. */

@@ -734,6 +734,88 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Option(e.getCause).exists(_.getMessage.contains("startingVersion")))
   }
 
+  test("writeStream into graft-tx: epoch-stamped atomic merges, replay-safe") {
+    // the txMergeSink discipline behind the STANDARD API: no
+    // foreachBatch — every micro-batch is one stamped manifest commit
+    val dir = java.nio.file.Files.createTempDirectory("graft_sws").toString
+    val table = s"$dir/t"
+    import graft.sources.Tx
+    Tx.createTable(table,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))),
+      keys = Seq("id"), nBuckets = 4)
+    val in = MemoryStream[(Long, Long)](spark)
+    def run() = {
+      val q = in.toDF().toDF("id", "v").writeStream
+        .format("graft-tx")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination()
+    }
+    in.addData((1L, 10L), (2L, 20L))
+    run()
+    def state() = Tx.read(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state() == Seq((1L, 10L), (2L, 20L)))
+    in.addData((2L, 99L), (3L, 30L)) // update 2, insert 3
+    run()
+    assert(state() == Seq((1L, 10L), (2L, 99L), (3L, 30L)),
+      "micro-batches must land as the format's MERGE")
+    // every stream commit is epoch-stamped, keyed by the QUERY lineage
+    val snap = Tx.latest(table).get
+    val stamp = snap.meta.keys.find(_.startsWith("stream_epoch_")).get
+    assert(snap.meta(stamp) == "1")
+    // an idle re-run on the SAME checkpoint commits nothing
+    val vIdle = Tx.latest(table).get.version
+    run()
+    assert(Tx.latest(table).get.version == vIdle)
+    // the exactly-once core, unit-level: the SAME epoch delivered twice
+    // (crash between data commit and checkpoint commit) must no-op the
+    // second time — the stamp is re-checked inside the CAS loop
+    val sw = new graft.sources.tx.TxStreamingWrite(table,
+      Tx.schemaOf(table).get,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      stamp.stripPrefix("stream_epoch_"))
+    var taskId = 77L
+    def stagedMsg(rows: Seq[(Long, Long)], epoch: Long) = {
+      taskId += 1 // duplicate deliveries come from distinct attempts
+      val w = graft.sources.tx.TxStreamingWriterFactory(
+        s"$dir/manual", Tx.schemaOf(table).get.json)
+        .createWriter(0, taskId, epoch)
+      rows.foreach { case (i, v) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(i, v)) }
+      w.commit()
+    }
+    sw.commit(2L, Array(stagedMsg(Seq((9L, 90L)), 2L)))
+    assert(state().toMap.get(9L).contains(90L), "epoch 2 lands once")
+    val vDup = Tx.latest(table).get.version
+    sw.commit(2L, Array(stagedMsg(Seq((9L, 91L)), 2L))) // duplicate epoch
+    assert(Tx.latest(table).get.version == vDup &&
+      state().toMap.get(9L).contains(90L),
+      "a replayed epoch must commit NOTHING — the stamp is the truth")
+    // WIPE the checkpoint: a NEW lineage re-merges what it replays
+    // (content-idempotent — a MERGE of identical rows changes nothing
+    // observable) and, crucially, its new data still LANDS — a
+    // lineage-blind global stamp would silently drop it forever
+    val contentBefore = state()
+    val ck = java.nio.file.Paths.get(s"$dir/ckpt")
+    val walked = java.nio.file.Files.walk(ck)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walked.close()
+    in.addData((4L, 40L))
+    run() // fresh lineage: replays everything + the new row
+    val after = state()
+    assert(after.toMap.get(4L).contains(40L),
+      "new data after a checkpoint wipe must not be lost")
+    assert(after.filterNot(_._1 == 4L) == contentBefore,
+      "the re-merged replay must be content-invisible")
+  }
+
   test("TxVersionOffset: malformed checkpoint offsets fail loudly") {
     import graft.sources.tx.TxVersionOffset
     assert(TxVersionOffset.parse("""{"version":7}""", "t") == 7L)

@@ -1686,6 +1686,13 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         "TBLPROPERTIES ('keys'='id')"))
     intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.nokeys (id BIGINT)"))
+    // TRUNCATE TABLE: empty in one CAS, schema survives, still appendable
+    spark.sql(s"TRUNCATE TABLE $cat.mv")
+    assert(Tx.read(spark, s"$base/mv").count() == 0L)
+    spark.sql(s"INSERT INTO $cat.mv VALUES (5, 50, 'x')")
+    assert(spark.sql(s"SELECT id, v, tag FROM $cat.mv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((5L, 50L, "x")))
     // rename then drop
     spark.sql(s"ALTER TABLE $cat.mv RENAME TO mv2")
     assert(Tx.versions(s"$base/mv2").nonEmpty && Tx.versions(s"$base/mv").isEmpty)
