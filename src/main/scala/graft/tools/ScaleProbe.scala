@@ -636,6 +636,29 @@ object ScaleProbe {
       require(n == nTiny, s"baseline diff must match the feed: $n")
     }
 
+    // r12: BIG-churn feed — the columnar bucket-local diff vs the
+    // join-based Tx.changes when ~half the table changed (every bucket
+    // touched, so manifest pruning is no help and the diff itself is
+    // the cost). The DSv2 feed pays one vectorized scan stage with
+    // zero exchange; changes() pays a full-outer shuffle of both
+    // sides. Both must agree on the change count.
+    val halfChurn = big.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), (col("v6") + 7).as("v6"))
+    graft.sources.Tx.commitMerge(spark, tablePath, halfChurn,
+      Seq("event_id"), nb)
+    var nFeed = 0L; var nJoin = 0L
+    timed("BIG churn v3→v4: DSv2 columnar bucket-local feed") {
+      nFeed = spark.read.format("graft-tx")
+        .option("readChangeFeed", true)
+        .option("fromVersion", 3L).option("toVersion", 4L)
+        .load(tablePath).count()
+    }
+    timed("BIG churn v3→v4: Tx.changes full-outer join diff") {
+      nJoin = graft.sources.Tx.changes(spark, tablePath, 3L, 4L).count()
+    }
+    require(nFeed == nJoin && nFeed > 0,
+      s"the two diffs must agree at scale: $nFeed vs $nJoin")
+
     // r10: ZONE-MAP SKIP READ at growing per-day volume — 32 fixed days,
     // rows per day grow with mult. The pruning decision is O(manifest)
     // (no file listing, no footer reads) and the read touches only the
