@@ -312,6 +312,218 @@ object MaintenanceQueries {
           col("min_id"), col("max_id"))
       card(1L).unionByName(card(2L)).orderBy("version")
     }),
+    // TIME TRAVEL BY TIMESTAMP + the HISTORY metadata table — "what
+    // landed, when" as pure SQL (tx.t.history serves each live version's
+    // commit stamp, operation, and recorded bytes — Iceberg's
+    // db.table.history / Delta's DESCRIBE HISTORY shape, driver-computed
+    // from O(versions) manifests, no table data touched), then each
+    // version re-read AS OF ITS OWN COMMIT TIME through
+    // option("timestampAsOf") — q249's per-version cards, so a
+    // mis-resolved timestamp (off-by-one version, wrong rounding) or a
+    // history row lying about its stamp hash-fails against the oracle.
+    // History facts the oracle can't see (strictly monotonic stamps, the
+    // operation names, manifest-recorded bytes) gate via require().
+    "q276_tx_history_travel" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_h").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      Tx.commitMerge(s, path, updates.unionByName(inserts),
+        Seq("event_id"), nBuckets = 16)
+      val cat = "txh" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val hist = s.sql("SELECT version, committed_at, operation, " +
+        s"n_buckets, total_bytes FROM $cat.t.history ORDER BY version")
+        .collect()
+      require(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        "history must list exactly the two live versions")
+      require(hist.map(_.getString(2)).forall(_ == "commitMerge"),
+        "both versions were published by commitMerge")
+      val stamps = hist.map(_.getTimestamp(1).getTime)
+      require(stamps(0) < stamps(1),
+        "commit stamps must be strictly monotonic")
+      require(hist.last.getLong(4) ==
+        Tx.latest(path).get.sizes.values.sum,
+        "history bytes must equal the manifest-recorded sum")
+      // each version AS OF its own commit time, through the reader option
+      def card(v: Long, tsMillis: Long) =
+        s.read.format("graft-tx")
+          .option("timestampAsOf", tsMillis.toString).load(path)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 1e6).cast("long")).as("sum_v6"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_v6"),
+            col("min_id"), col("max_id"))
+      card(1L, stamps(0)).unionByName(card(2L, stamps(1)))
+        .orderBy("version")
+    }),
+    // AGGREGATE PUSHDOWN — `SELECT min(event_id), max(event_id),
+    // count(*)` over the Tx-resident events table completes WITHOUT
+    // reading any column data: min/max are served from the MANIFEST
+    // zone maps (commits record each touched bucket's exact
+    // Spark-computed bounds — numerics encode losslessly into the stat
+    // domain), count(*) from parquet footer row counts. The in-plan
+    // observable is TxReadCounters: ZERO column-data file opens across
+    // the action. A delete first rewrites two buckets so the served
+    // bounds must be the RECOMPUTED ones — a stale zone (or a
+    // mis-decoded stat) hash-fails against the oracle, which aggregates
+    // raw directly. At 100 TB this is the difference between a metadata
+    // lookup and a full-table scan for the commonest audit query there is.
+    "q277_tx_agg_pushdown" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_ag").toString + "/t"
+      Tx.commitMerge(s, path, ev, Seq("event_id"), nBuckets = 16,
+        statsCols = Seq("event_id"))
+      Tx.commitDelete(s, path,
+        ev.filter(col("event_id") % 97 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      graft.sources.tx.TxReadCounters.reset()
+      val r = s.read.format("graft-tx").load(path)
+        .agg(min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          count(lit(1)).as("n")).collect()(0)
+      require(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+        "a pushed aggregate must not read column data — the manifest " +
+          "and footers answer it")
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("min_id", "max_id", "n")
+    }),
+    // REPLACE WHERE — the filter-scoped overwrite (`df.writeTo(t)
+    // .overwrite(cond)`, Delta's replaceWhere) through the catalog: ONE
+    // manifest CAS removes every row matching the condition and inserts
+    // the batch (required to satisfy it — Delta's constraint, named
+    // error otherwise). The condition's filters also zone-prune the
+    // touched set, re-derived per CAS attempt; plan reuse after a lost
+    // race demands an identical base (TxSpec pins pruning, the violating
+    // batch, the empty-batch conditional delete, and key-uniqueness
+    // against non-matching rows). Here: the sub-50 id region is replaced
+    // with tripled values — oracle is the CASE over raw, so a row
+    // escaping the region (or a surviving original inside it) hash-fails.
+    "q278_tx_replace_where" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_rw").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, ev, Seq("event_id"), nBuckets = 16,
+        statsCols = Seq("event_id"))
+      val cat = "txr" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      ev.filter(col("event_id") < 50)
+        .withColumn("value", col("value") * 3)
+        .writeTo(s"$cat.t").overwrite(col("event_id") < 50)
+      require(Tx.latest(path).get.version == 2L,
+        "the whole replace-where must land as one commit")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    // MAINTENANCE AS SQL `CALL` — the two table-level maintenance verbs
+    // through Spark 4's stored-procedure contract (Iceberg's
+    // system.rewrite_data_files shape): q248's merge composition lands,
+    // then `CALL tx.system.rebucket(...)` rehashes the table 16 -> 32
+    // buckets in one CAS (the nBuckets dial made actionable on a LIVE
+    // table — the re-layout a table needs when it outgrows its birth
+    // bucket count), then `CALL tx.system.vacuum(...)` retires all but
+    // the newest version (summary row require()d: 1 kept / 2 dropped).
+    // The final read must STILL hash-equal q248's anti-join ∪ oracle —
+    // a row lost or duplicated in the migration, or a layout property
+    // dropped across it, fails the gate. TxSpec pins old-layout time
+    // travel, post-rebucket pruning, and the no-op case.
+    "q279_tx_maintenance_call" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_mc").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16,
+        statsCols = Seq("event_id"))
+      Tx.commitMerge(s, path, updates.unionByName(inserts),
+        Seq("event_id"), nBuckets = 16)
+      val cat = "txp" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val rb = s.sql(s"CALL $cat.system.rebucket(tbl => 't', nbuckets => 32)")
+        .collect()(0)
+      require(rb.getLong(1) == 3L && Tx.latest(path).get.nBuckets == 32,
+        "rebucket must land v3 with the new layout")
+      val vac = s.sql(s"CALL $cat.system.vacuum(tbl => 't', keep => 1)")
+        .collect()(0)
+      require(vac.getInt(1) == 1 && vac.getInt(2) == 2,
+        s"vacuum must keep 1 and drop 2 versions, got $vac")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    // PLAIN STREAMING READ of a Tx table — Delta's readStream shape,
+    // the one consumption route the format still lacked: the first
+    // micro-batch is the FULL snapshot pinned at stream start, later
+    // batches carry exactly the rows new commits INSERTED (the
+    // bucket-local zero-exchange diff filtered to inserts — O(churn)
+    // per trigger, never O(table)), and exactly-once is the
+    // checkpoint's (offsets = version + snapshot-done bit). Updates and
+    // deletes in a span are a NAMED error unless option("ignoreChanges")
+    // opts into re-delivery — StreamingSpec pins the guard, the
+    // compared-out re-land, startingVersion, and offset hygiene. Here:
+    // the snapshot drains in run 1, the insert commit lands, run 2 on
+    // the SAME checkpoint emits only those inserts; buffer == merged
+    // table == the union oracle from raw.
+    "q280_tx_stream_read" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_sr").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      val buf = collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-tx").load(path)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+                r.getString(2), r.getDouble(3)))
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      drain() // run 1: the v1 snapshot
+      val afterSnapshot = buf.size
+      Tx.commitMerge(s, path, inserts, Seq("event_id"), nBuckets = 16)
+      drain() // run 2, same checkpoint: ONLY the v2 inserts
+      require(buf.size == afterSnapshot + inserts.count(),
+        "the second run must emit exactly the new inserts, no replays")
+      import s.implicits._
+      buf.toSeq.toDF("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // BACKFILL — the repair path: the state is built with a simulated
     // historical defect (a third of the rows from Jan 25 on never made
     // it in — late data, a bad past refresh, q246's documented partial-
@@ -1307,6 +1519,62 @@ object MaintenanceQueries {
     // v1 = the base table, v2 = the merged composition — each version's
     // card recomputed independently from raw
     "q249_tx_time_travel" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50),
+          v2 AS (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming),
+          card AS (
+            SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+              CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_v6,
+              min(event_id) AS min_id, max(event_id) AS max_id FROM existing
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), count(*),
+              CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT),
+              min(event_id), max(event_id) FROM v2)
+          SELECT * FROM card ORDER BY version""".replaceAll("\\s+", " "),
+    // snapshot ∪ inserted region from raw — the streamed union must be
+    // exactly the table's merged content, nothing dropped or replayed
+    "q280_tx_stream_read" ->
+      """SELECT * FROM (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id + 1000000, user_id, event_type, value
+              FROM events WHERE event_id < 50)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
+    // q248's oracle verbatim: the 16->32 re-layout and the vacuum must
+    // both be result-invisible
+    "q279_tx_maintenance_call" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50)
+          SELECT * FROM (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
+    // the CASE over raw: inside the region every value tripled, outside
+    // untouched — replace-where must be exactly delete-matching + insert
+    "q278_tx_replace_where" ->
+      """SELECT event_id, user_id, event_type,
+          CASE WHEN event_id < 50 THEN value * 3 ELSE value END AS value
+          FROM events ORDER BY event_id""".replaceAll("\\s+", " "),
+    // the same aggregates straight off raw, post-delete — the manifest
+    // bounds must be exactly Spark's min/max of the surviving rows
+    "q277_tx_agg_pushdown" ->
+      """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+          count(*) AS n FROM events WHERE event_id % 97 <> 0"""
+        .replaceAll("\\s+", " "),
+    // q249's oracle verbatim: timestamp resolution and the history
+    // table's stamps must be result-invisible — each version AS OF its
+    // own commit time is exactly that version
+    "q276_tx_history_travel" ->
       """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
           incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
               FROM existing WHERE event_id % 10 = 0

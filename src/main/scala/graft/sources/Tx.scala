@@ -144,6 +144,25 @@ object Tx {
     */
   val MaxRowsFileKey = "__maxrowsperfile"
 
+  /** Reserved manifest-meta key: the commit's wall-clock time in epoch
+    * millis, stamped FRESH on every publish (meta carry-forward never
+    * reaches it — [[tryPublish]] overrides unconditionally) and forced
+    * strictly monotonic across versions (`max(now, prev + 1)` — a commit
+    * burst inside one millisecond, or a clock step backwards, must not
+    * make two versions unorderable by time). What `TIMESTAMP AS OF`
+    * resolves against ([[versionAt]]) and the `history` metadata table
+    * serves.
+    */
+  val CommitTsKey = "__committs"
+
+  /** Reserved manifest-meta key: which operation published the version
+    * (commitMerge / commitDelete / commitOverwrite / addColumn / ...) —
+    * stamped fresh per publish like [[CommitTsKey]], served by the
+    * `history` metadata table. Informational only; no read path branches
+    * on it.
+    */
+  val CommitOpKey = "__op"
+
   private def vdir(path: String) = Paths.get(path, "_v")
 
   private def manifestName(v: Long) = f"v$v%013d.manifest"
@@ -208,6 +227,37 @@ object Tx {
 
   def latest(path: String): Option[Snapshot] =
     versions(path).lastOption.map(snapshot(path, _))
+
+  /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit time
+    * ([[CommitTsKey]], epoch millis) is ≤ `tsMillis` — `TIMESTAMP AS OF`
+    * semantics, identical to Delta's resolution rule. Commit times are
+    * strictly monotonic by construction, so "newest such version" is
+    * well-defined. Cost is O(live versions) manifest reads — metadata-
+    * sized, same as [[latestMeta]]. Named errors for the three ways this
+    * can't resolve: never-committed table, a table whose live manifests
+    * predate commit-time stamping, and a probe before the first stamped
+    * commit (nothing existed then — serving the later state would be
+    * wrong, the same reason version time travel rejects a dead version).
+    */
+  def versionAt(path: String, tsMillis: Long): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"versionAt: no committed version in $path")
+    val stamped = vs.flatMap { v =>
+      try snapshot(path, v).meta.get(CommitTsKey)
+        .flatMap(_.toLongOption).map(v -> _)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    require(stamped.nonEmpty,
+      s"versionAt: $path records no commit timestamps — its live " +
+        "versions were written before commit-time stamping; use " +
+        "VERSION AS OF (numeric) time travel instead")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"versionAt: no version committed at or before epoch-millis " +
+        s"$tsMillis in $path — the earliest stamped commit is " +
+        s"v${stamped.head._1} at ${stamped.head._2}")
+    at.last._1
+  }
 
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame scans ONLY the files that manifest lists. A snapshot with no
@@ -284,7 +334,8 @@ object Tx {
       val ns = StructType(st.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes))
+          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
+          op = "addColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -570,6 +621,61 @@ object Tx {
       d <- dt; v <- side; if probeMatches(d, v); b <- statVal(v)
     } yield b
     pruneZones(snap, colName, enc(lo), enc(hi))
+  }
+
+  /** AGGREGATE-PUSHDOWN support ([[graft.sources.tx.TxSource]]): every
+    * live bucket's exact `colName` bound as a CATALYST value — Some(map)
+    * iff the manifest can serve MIN/MAX(colName) EXACTLY: the column's
+    * type encodes losslessly into the decimal stat domain (numerics,
+    * date as epoch days, timestamps as epoch micros — strings are
+    * truncated to 16-byte bounds, so they NEVER serve) and every bucket
+    * records a bounded zone. An unbounded `*` side means NaN/∞ landed in
+    * that bucket; a stat-less bucket predates stats — either refuses the
+    * whole pushdown (None), because a partial answer would be wrong, not
+    * slower. All-null buckets map to None INSIDE the map — they
+    * contribute nothing, exactly like Spark's null-ignoring MIN/MAX.
+    * Bounds are exact by construction: [[computeStats]] records Spark's
+    * own min/max of each touched bucket at every commit (deletes
+    * included — a rewrite recomputes its buckets' stats).
+    */
+  private[sources] def aggBounds(
+      snap: Snapshot, colName: String,
+      isMax: Boolean): Option[Map[Int, Option[Any]]] = {
+    import org.apache.spark.sql.types._
+    val dt = snap.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+    def conv(d: BigDecimal): Option[Any] =
+      try dt.get match {
+        case ByteType => Some(d.bigDecimal.byteValueExact())
+        case ShortType => Some(d.bigDecimal.shortValueExact())
+        case IntegerType => Some(d.bigDecimal.intValueExact())
+        case LongType => Some(d.bigDecimal.longValueExact())
+        case FloatType => Some(d.toFloat)
+        case DoubleType => Some(d.toDouble)
+        case dec: DecimalType => Some(Decimal(d, dec.precision, dec.scale))
+        case DateType => Some(d.bigDecimal.intValueExact())
+        case TimestampType | TimestampNTZType =>
+          Some(d.bigDecimal.longValueExact())
+        case _ => None
+      } catch { case _: ArithmeticException => None }
+    if (!dt.exists(t => statSupported(t) && t != StringType)) return None
+    val out = Map.newBuilder[Int, Option[Any]]
+    for (b <- snap.dirs.keySet) {
+      snap.stats.get(b).flatMap(parseStats(_).get(colName)) match {
+        case Some((_, _, true)) => out += b -> None
+        case Some((mn, mx, _)) =>
+          (if (isMax) mx else mn) match {
+            case Some(NumV(d)) => conv(d) match {
+              case Some(v) => out += b -> Some(v)
+              case None => return None
+            }
+            case _ => return None // unbounded, or a mis-encoded bound
+          }
+        case None => return None // stat-less bucket: refuse, don't guess
+      }
+    }
+    Some(out.result())
   }
 
   /** Does probe value `v`'s runtime class share `dt`'s stat ENCODING?
@@ -1067,6 +1173,54 @@ object Tx {
       case (_, withB, _) => withB // existing content is replaced wholesale
     }
 
+  /** REPLACE WHERE — the filter-scoped overwrite (`df.writeTo(t)
+    * .overwrite(cond)`, Delta's replaceWhere): in ONE manifest CAS,
+    * every existing row matching `cond` is removed and `batch` inserted.
+    * Delta's constraint is enforced — every batch row must itself
+    * satisfy `cond` (a named error otherwise), so the statement reads as
+    * "replace this region with these rows". Key uniqueness survives
+    * even against non-matching rows: a batch key colliding with an
+    * existing row OUTSIDE the condition takes the batch row (the
+    * anti-join below — equal keys co-locate by the bucket invariant, so
+    * the collision is always visible to its bucket's rewrite).
+    *
+    * `touchWhere` names the buckets that MIGHT hold matching rows on a
+    * given snapshot (the caller derives it from the pushed filters via
+    * zone pruning — a conservative superset is sound, a subset is not);
+    * it is re-evaluated against the CURRENT snapshot on every CAS
+    * attempt, and plan reuse after a lost race requires an IDENTICAL
+    * base — any racer commit could create matching rows in a bucket the
+    * stale plan never read.
+    */
+  def commitReplaceWhere(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      cond: org.apache.spark.sql.Column,
+      touchWhere: Option[Snapshot] => Set[Int],
+      nBuckets: Int = 16,
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => (),
+      bucketKeys: Seq[String] = Nil,
+      abortIf: Snapshot => Boolean = _ => false,
+      statsCols: Seq[String] = Nil): Long = {
+    require(batch.filter(!cond).isEmpty,
+      s"commitReplaceWhere: every batch row must satisfy the overwrite " +
+        s"condition ($cond) — rows outside it would silently survive " +
+        "the next replace of the same region")
+    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
+      beforeCas, "commitReplaceWhere", establishSchema = true, bucketKeys,
+      abortIf, statsCols, replaceTouch = Some(touchWhere)) {
+      case (Some(existing), withB, ks) =>
+        existing.filter(!cond)
+          .join(withB.select(ks.map(col): _*), ks, "left_anti")
+          .unionByName(withB)
+      case (None, withB, _) => withB
+    }
+  }
+
   /** CREATE an empty table with its properties pinned up front — the
     * manifest-only commit the SQL catalog's `CREATE TABLE` maps to
     * ([[graft.sources.tx.TxCatalog]]): schema, merge keys, bucket keys,
@@ -1129,7 +1283,8 @@ object Tx {
         Map(FileSortKey -> fileSortCols.mkString(",")) else Map.empty) ++
       (if (maxRowsPerFile > 0L)
         Map(MaxRowsFileKey -> maxRowsPerFile.toString) else Map.empty)
-    if (!tryPublish(path, 1L, nBuckets, Map.empty, meta))
+    if (!tryPublish(path, 1L, nBuckets, Map.empty, meta,
+        op = "createTable"))
       throw new IllegalStateException(
         s"createTable: lost the v1 race on $path — another writer " +
           "created the table first")
@@ -1215,7 +1370,12 @@ object Tx {
       touchAll: Boolean = false,
       fileSortCols: Seq[String] = Nil,
       maxRowsPerFile: Long = 0L,
-      alsoTouchKeys: Option[DataFrame] = None)(
+      alsoTouchKeys: Option[DataFrame] = None,
+      // replace-where: per-attempt extra touched buckets derived from
+      // the CURRENT snapshot (zone-pruned "might hold matching rows");
+      // presence also forces the strict-rebase and no-empty-shortcut
+      // disciplines below
+      replaceTouch: Option[Option[Snapshot] => Set[Int]] = None)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
     require(nBuckets > 0)
@@ -1268,7 +1428,8 @@ object Tx {
         require(nb == nBuckets || snap.isEmpty,
           s"table has nbuckets=$nb, caller asked $nBuckets")
         val carried = snap.map(_.meta).getOrElse(Map.empty)
-        if (staged.isEmpty && alsoTouchKeys.forall(_.isEmpty)) {
+        if (staged.isEmpty && alsoTouchKeys.forall(_.isEmpty) &&
+            replaceTouch.isEmpty) {
           // empty batch: no data motion, but a caller with meta (e.g. a
           // streaming sink's batch-id stamp) still gets a stamped
           // version — "every stream commit is stamped" holds even for
@@ -1277,15 +1438,16 @@ object Tx {
           // (A delta whose upsert side is empty but whose DELETE side
           // is not takes the rewrite path below — deletes are motion.)
           snap match {
-            case None => return commitEmpty(path, nb, meta)
+            case None => return commitEmpty(path, nb, meta, opName)
             case Some(sp) if touchAll =>
               beforeCas()
               if (tryPublish(path, sp.version + 1, nb, Map.empty,
-                  carried ++ meta)) return sp.version + 1
+                  carried ++ meta, op = opName)) return sp.version + 1
             case Some(sp) if meta.isEmpty => return sp.version
             case Some(sp) =>
               if (tryPublish(path, sp.version + 1, nb, sp.dirs,
-                  carried ++ meta, sp.stats, sp.sizes)) return sp.version + 1
+                  carried ++ meta, sp.stats, sp.sizes, op = opName))
+                return sp.version + 1
             // CAS lost: fall through and retry on the new snapshot
           }
         } else {
@@ -1419,10 +1581,14 @@ object Tx {
           // an OVERWRITE's plan is only reusable if the new base holds
           // no bucket outside what it touched: a racer landing rows in
           // a fresh bucket must be re-derived over (and dropped), or
-          // replace-the-whole-table silently keeps the racer's rows
+          // replace-the-whole-table silently keeps the racer's rows.
+          // a REPLACE-WHERE plan needs the base IDENTICAL — any racer
+          // commit could land condition-matching rows in a bucket the
+          // stale plan's touchWhere never considered
           val reusable = plan.filter { case (_, touched, _, planBase, _, _) =>
             touched.forall(b => baseDirs.get(b) == planBase.get(b)) &&
-              (!touchAll || baseDirs.keySet.subsetOf(touched.toSet))
+              (!touchAll || baseDirs.keySet.subsetOf(touched.toSet)) &&
+              (replaceTouch.isEmpty || baseDirs == planBase)
           }
           val (commitDir, touched, written, wStats, wSizes) = reusable match {
             case Some((dir, t, w, _, st, sz)) => (dir, t, w, st, sz)
@@ -1440,9 +1606,12 @@ object Tx {
                   .distinct().collect().map(_.getInt(0)).toSet)
                 .getOrElse(Set.empty[Int])
               // an overwrite touches EVERY existing bucket too: the ones
-              // the batch misses must drop out of the manifest
+              // the batch misses must drop out of the manifest; a
+              // replace-where additionally touches the buckets that
+              // might hold condition-matching rows on THIS snapshot
               val t = ((if (touchAll) baseDirs.keySet ++ batchBuckets
-                else batchBuckets) ++ delBuckets).toSeq.sorted
+                else batchBuckets) ++ delBuckets ++
+                replaceTouch.map(_(snap)).getOrElse(Set.empty)).toSeq.sorted
               // an overwrite never reads what it replaces
               val existingDirs =
                 if (touchAll) Nil
@@ -1526,7 +1695,8 @@ object Tx {
           beforeCas()
           val next = snap.map(_.version + 1).getOrElse(1L)
           if (tryPublish(path, next, nb, newDirs,
-              carried ++ schemaEntry ++ meta, newStats, newSizes))
+              carried ++ schemaEntry ++ meta, newStats, newSizes,
+              op = opName))
             return next
         }
       }
@@ -1560,6 +1730,85 @@ object Tx {
     } finally staged.unpersist(blocking = false)
   }
 
+  /** RE-LAYOUT: change the table's bucket count in ONE commit — the
+    * "nBuckets dials the rewrite amplification" claim made actionable on
+    * a LIVE table (a table sized for 16 buckets at birth outgrows them;
+    * real formats ship this as OPTIMIZE/rewrite_data_files). Reads the
+    * current snapshot wholesale, rehashes every row over the RECORDED
+    * bucket keys into `newNBuckets` buckets, re-applies the recorded
+    * layout properties (zone-map stats, file sort, rows-per-file), and
+    * publishes via the same manifest CAS — a racer's commit under the
+    * old layout loses nothing: the loser here re-derives from the new
+    * snapshot (bucket identities change across layouts, so there is no
+    * disjoint rebase). Readers pinned to earlier versions keep the OLD
+    * layout — `nbuckets` rides in each manifest, so time travel across
+    * a rebucket boundary just works. O(table) by necessity: every row
+    * migrates. Returns the new version (or the current one if the
+    * table already has `newNBuckets`).
+    */
+  def rebucket(
+      spark: SparkSession, path: String, newNBuckets: Int,
+      maxAttempts: Int = 5): Long = {
+    require(newNBuckets > 0)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"rebucket: no committed version in $path"))
+      if (sp.nBuckets == newNBuckets) return sp.version // already there
+      val schema = sp.meta.get(SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"rebucket: $path has no recorded schema (no data commit yet)"))
+      val bk = sp.meta.get(BucketKeysKey).map(_.split(",").toSeq)
+        .getOrElse(throw new IllegalStateException(
+          s"rebucket: $path records no bucket keys"))
+      val statsCols = sp.meta.get(StatsColsKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val effSort = sp.meta.get(FileSortKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val effMaxRows = sp.meta.get(MaxRowsFileKey).map(_.toLong).getOrElse(0L)
+      val dir = s"data/c-${java.util.UUID.randomUUID()}"
+      try {
+        val withB = readDirs(spark, path, sp, sp.dirs.keySet)
+          .withColumn("__b", bucketOf(bk, newNBuckets))
+        val parted = withB.repartition(newNBuckets, col("__b"))
+        val laidOut =
+          if (effSort.isEmpty) parted
+          else parted.sortWithinPartitions(("__b" +: effSort).map(col): _*)
+        val writer0 = laidOut.write.partitionBy("__b")
+          .mode(SaveMode.ErrorIfExists)
+        val writer =
+          if (effMaxRows > 0L) writer0.option("maxRecordsPerFile", effMaxRows)
+          else writer0
+        writer.parquet(s"$path/$dir")
+        val w = listBucketDirs(Paths.get(path, dir))
+        val st =
+          if (statsCols.isEmpty || w.isEmpty) Map.empty[Int, String]
+          else {
+            val (bucketSt, fileSt) = computeStats(
+              spark, s"$path/$dir", statsCols, schema)
+            writeFileZones(Paths.get(path, dir), fileSt)
+            bucketSt
+          }
+        val sz = bucketByteSizes(Paths.get(path, dir), w)
+        val dirs = w.map(b => b -> s"$dir/__b=$b").toMap
+        if (tryPublish(path, sp.version + 1, newNBuckets, dirs, sp.meta,
+            st, sz, op = "rebucket"))
+          return sp.version + 1
+        // CAS lost: the staged layout reflects a stale snapshot — drop
+        // it and re-derive against the winner's
+        deleteRecursive(Paths.get(path, dir))
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          deleteRecursive(Paths.get(path, dir)) // nothing references it
+          throw t
+      }
+    }
+    throw new IllegalStateException(
+      s"rebucket lost $maxAttempts CAS races on $path")
+  }
+
   /** Total parquet bytes per bucket of a just-written commit directory —
     * recorded in the manifest so `estimateStatistics` never lists.
     */
@@ -1582,25 +1831,36 @@ object Tx {
   }
 
   private def commitEmpty(
-      path: String, nb: Int, meta: Map[String, String]): Long =
-    if (tryPublish(path, 1L, nb, Map.empty, meta)) 1L
+      path: String, nb: Int, meta: Map[String, String],
+      op: String): Long =
+    if (tryPublish(path, 1L, nb, Map.empty, meta, op = op)) 1L
     else latest(path).map(_.version).getOrElse( // raced: winner's version
       throw new IllegalStateException(s"v1 exists but unreadable in $path"))
 
   /** Publish version `v` via hard-link CAS; false on conflict. A bucket
     * line optionally carries its zone-map stats as a third tab field
     * and its total data bytes as a fourth (an empty third field keeps
-    * positions stable when only the size is recorded).
+    * positions stable when only the size is recorded). Every publish
+    * stamps [[CommitTsKey]] (strictly monotonic — `max(now, prev + 1)`,
+    * where prev rides in on the carried-forward meta) and [[CommitOpKey]]
+    * with `op`, overriding whatever carried forward: commit time and
+    * operation are per-VERSION facts, the one meta class that must never
+    * inherit.
     */
   private def tryPublish(
       path: String, v: Long, nb: Int, dirs: Map[Int, String],
       meta: Map[String, String],
       stats: Map[Int, String] = Map.empty,
-      sizes: Map[Int, Long] = Map.empty): Boolean = {
+      sizes: Map[Int, Long] = Map.empty,
+      op: String = "commit"): Boolean = {
     val d = vdir(path)
     Files.createDirectories(d)
+    val prevTs = meta.get(CommitTsKey).flatMap(_.toLongOption).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1L)
+    val stampedMeta = meta + (CommitTsKey -> ts.toString) +
+      (CommitOpKey -> op)
     val body = ((s"nbuckets=$nb" +:
-      meta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
+      stampedMeta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
       dirs.toSeq.sortBy(_._1).map { case (b, dir) =>
         (stats.get(b), sizes.get(b)) match {
           case (Some(st), Some(sz)) => s"$b\t$dir\t$st\t$sz"

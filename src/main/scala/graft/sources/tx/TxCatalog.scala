@@ -35,7 +35,7 @@ import graft.sources.Tx
   * DROP/RENAME are directory operations (a rename is NOT atomic against
   * concurrent writers — maintenance-window semantics, like vacuum).
   */
-class TxCatalog extends TableCatalog {
+class TxCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -70,6 +70,25 @@ class TxCatalog extends TableCatalog {
       }.mkString("/")
   }
 
+  /** `tx.<table>.history` / `tx.<table>.files` — when the identifier's
+    * LAST namespace part resolves to a Tx table and the name is a
+    * metadata suffix, serve that table's metadata relation (Iceberg's
+    * `db.table.history` convention). Metadata names take precedence
+    * over a REAL table of the same name nested under a namespace
+    * directory that is also a table — an intentionally pathological
+    * layout; documented, not supported.
+    */
+  private def metaTableOf(ident: Identifier): Option[Table] =
+    if (ident.namespace().nonEmpty &&
+        TxMetaTables.Names.contains(ident.name().toLowerCase)) {
+      val base = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (base.namespace().length <= 1 && {
+        val p = pathOf(base); Tx.versions(p).nonEmpty
+      }) Some(TxMetaTables.forName(ident.name().toLowerCase, pathOf(base)))
+      else None
+    } else None
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     namespace.foreach(checkPart) // '..' must not escape the root
     val dir = new java.io.File((root +: namespace.toSeq).mkString("/"))
@@ -83,13 +102,14 @@ class TxCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     Tx.versions(pathOf(ident)).nonEmpty
 
-  override def loadTable(ident: Identifier): Table = {
-    val p = pathOf(ident)
-    if (Tx.versions(p).isEmpty)
-      throw new NoSuchTableException(
-        (catalogName +: ident.namespace().toSeq :+ ident.name()))
-    new TxTableV2(p, -1L, TxSource.schemaAt(p, -1L))
-  }
+  override def loadTable(ident: Identifier): Table =
+    metaTableOf(ident).getOrElse {
+      val p = pathOf(ident)
+      if (Tx.versions(p).isEmpty)
+        throw new NoSuchTableException(
+          (catalogName +: ident.namespace().toSeq :+ ident.name()))
+      new TxTableV2(p, -1L, TxSource.schemaAt(p, -1L))
+    }
 
   /** `SELECT ... FROM tx.t VERSION AS OF v` — the option("version")
     * time travel, reachable from pure SQL.
@@ -98,6 +118,22 @@ class TxCatalog extends TableCatalog {
     val p = pathOf(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"TxCatalog: VERSION AS OF takes a numeric Tx version, got '$version'"))
+    new TxTableV2(p, v, TxSource.schemaAt(p, v))
+  }
+
+  /** `SELECT ... FROM tx.t TIMESTAMP AS OF '...'` — Spark hands the
+    * parsed literal as epoch MICROS; [[Tx.versionAt]] resolves the
+    * newest version committed at or before it (commit stamps are
+    * strictly monotonic, so the answer is well-defined), with named
+    * errors for probes before the first commit and for pre-stamping
+    * legacy tables.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    if (Tx.versions(p).isEmpty)
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val v = Tx.versionAt(p, Math.floorDiv(timestampMicros, 1000L))
     new TxTableV2(p, v, TxSource.schemaAt(p, v))
   }
 
@@ -158,6 +194,24 @@ class TxCatalog extends TableCatalog {
     if (Tx.versions(path).isEmpty) false
     else { Tx.deleteRecursive(java.nio.file.Paths.get(path)); true }
   }
+
+  /** `CALL tx.system.vacuum(...)` / `CALL tx.system.rebucket(...)` — the
+    * format's maintenance verbs as SQL statements ([[TxProcedures]]).
+    */
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog
+      .procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(TxProcedures.Namespace),
+      s"TxCatalog: procedures live under the 'system' namespace, got " +
+        (ident.namespace() :+ ident.name()).mkString("."))
+    TxProcedures.forName(ident.name(), root)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(TxProcedures.Namespace))
+      TxProcedures.Names
+        .map(n => Identifier.of(TxProcedures.Namespace, n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = java.nio.file.Paths.get(pathOf(oldIdent))

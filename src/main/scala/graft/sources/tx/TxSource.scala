@@ -105,8 +105,44 @@ object TxSource {
     p
   }
 
-  private[tx] def versionOf(options: CaseInsensitiveStringMap): Long =
-    Option(options.get("version")).map(_.toLong).getOrElse(-1L)
+  /** The pinned version: explicit `option("version", v)`, or
+    * `option("timestampAsOf", t)` resolved through the manifests' commit
+    * stamps ([[Tx.versionAt]] — `TIMESTAMP AS OF` semantics: newest
+    * version committed at or before t), or -1 (latest). Exclusive —
+    * pinning both is a caller bug.
+    */
+  private[tx] def versionOf(options: CaseInsensitiveStringMap): Long = {
+    val v = Option(options.get("version"))
+    val ts = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "graft-tx: option(\"version\") and option(\"timestampAsOf\") are " +
+        "exclusive — pin the snapshot one way")
+    ts match {
+      case Some(t) => Tx.versionAt(pathOf(options), parseTsMillis(t))
+      case None => v.map(_.toLong).getOrElse(-1L)
+    }
+  }
+
+  /** Epoch millis of a timestampAsOf value: bare digits = epoch millis,
+    * else an ISO instant (`2026-01-01T00:00:00Z`), else a plain datetime
+    * taken as UTC (the repo-wide session zone) — named error otherwise.
+    */
+  private[tx] def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"graft-tx: cannot parse timestampAsOf '$s' — pass epoch " +
+                  "millis, an ISO instant (2026-01-01T00:00:00Z), or a " +
+                  "UTC datetime (2026-01-01 00:00:00)")
+          }
+      }
+    }
 
   /** `option("readChangeFeed", true)` + from/to versions switches the
     * source from snapshot reads to the batch CDF ([[TxChangesTable]]);
@@ -121,8 +157,10 @@ object TxSource {
         (options.get("toVersion") != null),
         "graft-tx: readChangeFeed takes BOTH option(\"fromVersion\", a) " +
           "and option(\"toVersion\", b) (batch), or NEITHER (streaming)")
-      require(options.get("version") == null,
-        "graft-tx: readChangeFeed and version (time travel) are exclusive")
+      require(options.get("version") == null &&
+        options.get("timestampAsOf") == null,
+        "graft-tx: readChangeFeed and version/timestampAsOf time travel " +
+          "are exclusive")
     }
     on
   }
@@ -174,7 +212,9 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
   /** `TRUNCATE TABLE tx.t` — an empty overwrite: every bucket drops in
@@ -254,7 +294,7 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, version, tableSchema,
       options.getBoolean("vectorized", true),
-      Option(options.get("scanTag")))
+      Option(options.get("scanTag")), options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -277,7 +317,8 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
 class TxScanBuilder(
     path: String, version: Long, tableSchema: StructType,
     vectorized: Boolean = true,
-    scanTag: Option[String] = None)
+    scanTag: Option[String] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -287,31 +328,54 @@ class TxScanBuilder(
   private val snap = TxSource.snapshotAt(path, version)
   private var required: StructType = tableSchema
   private var prunable: Array[Filter] = Array.empty
-  private var countStar = false
+  private var sawFilters = false
+  private var pushedAggs: Option[Seq[TxAggCell]] = None
 
-  /** A bare, ungrouped COUNT(*) is answered from parquet footer row
-    * counts — one partial count row per bucket, no column materialized.
-    * Soundness is enforced by Spark itself: every filter here is
-    * residual, and V2ScanRelationPushDown never offers an aggregate
-    * across a residual Filter node, so a filtered count always takes
-    * the row path. Partial pushdown only (Spark sums the per-bucket
-    * rows), so AQE and grouping stay Spark's business.
+  /** Bare, ungrouped COUNT(*) / MIN(col) / MAX(col) are answered from
+    * METADATA: the count from parquet footer row counts (one partial row
+    * per bucket, no column materialized), min/max straight from the
+    * manifest zone maps when [[Tx.aggBounds]] can serve them exactly
+    * (lossless stat encoding AND every bucket bounded — strings, NaN/∞
+    * buckets, and stat-less buckets refuse the whole pushdown; a partial
+    * answer would be wrong, not just slower). Soundness across filters
+    * is enforced by Spark itself: every filter here is residual, and
+    * V2ScanRelationPushDown never offers an aggregate across a residual
+    * Filter node — plus the sawFilters belt below. Partial pushdown only
+    * (Spark min/max-merges the per-bucket rows), so AQE and grouping
+    * stay Spark's business.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    if (sawFilters || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return false
+    def colOf(e: Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == f.fieldNames()(0)).map(_.name)
+      case _ => None
+    }
+    def bound(e: Expression, isMax: Boolean): Option[TxAggCell] = for {
+      c <- colOf(e)
+      dt = tableSchema.fields.find(_.name == c).get.dataType
+      pb <- Tx.aggBounds(snap, c, isMax)
+    } yield TxCellBound(c, isMax, dt, pb)
+    val cells = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(TxCellCount: TxAggCell)
+      case m: Min => bound(m.column(), isMax = false)
+      case m: Max => bound(m.column(), isMax = true)
+      case _ => None
+    }
+    if (cells.exists(_.isEmpty)) false
+    else { pushedAggs = Some(cells.map(_.get)); true }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter "prunes" only if it names a column with recorded stats
     // AND its bound actually narrows the kept set's math — pruneLenient
     // decides both; here we only keep the shapes it can consume
+    sawFilters = filters.nonEmpty
     prunable = filters.filter(TxPrune.supported)
     filters // ALL residual: pruning is advisory, Spark re-applies exactly
   }
@@ -327,10 +391,21 @@ class TxScanBuilder(
   override def build(): Scan = {
     val kept = prunable.flatMap(TxPrune.keptFor(snap, _))
       .foldLeft(snap.dirs.keySet)(_ intersect _)
-    new TxScan(path, snap, required, kept, prunable, countStar, vectorized,
-      scanTag)
+    new TxScan(path, snap, required, kept, prunable, pushedAggs, vectorized,
+      scanTag, version, options)
   }
 }
+
+/** One pushed aggregate column: COUNT(*) (footer row counts per bucket)
+  * or a MIN/MAX bound with its per-bucket exact values resolved from the
+  * manifest at PLANNING time — by the time the scan exists, the answer
+  * is already in hand; the per-bucket task only assembles its row.
+  */
+private[tx] sealed trait TxAggCell extends Serializable
+private[tx] case object TxCellCount extends TxAggCell
+private[tx] case class TxCellBound(
+    col: String, isMax: Boolean, dt: DataType,
+    perBucket: Map[Int, Option[Any]]) extends TxAggCell
 
 /** Source-filter → Column translation for `DELETE FROM ... WHERE` —
   * the victim-key scan condition. Exhaustive over the shapes Spark's
@@ -426,10 +501,38 @@ private[tx] object TxPrune {
 class TxScan(
     path: String, snap: Tx.Snapshot, required: StructType,
     kept: Set[Int], pushed: Array[Filter],
-    countStar: Boolean = false,
+    aggs: Option[Seq[TxAggCell]] = None,
     vectorized: Boolean = true,
-    scanTag: Option[String] = None) extends Scan with Batch
+    scanTag: Option[String] = None,
+    pinnedVersion: Long = -1L,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** PLAIN streaming read ([[TxTableStream]]): snapshot batch first,
+    * then the new commits' inserts — see the class doc for the
+    * ignoreChanges / startingVersion contract.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinnedVersion < 0,
+      "graft-tx: cannot stream a time-travel read — a pinned snapshot " +
+        "never changes; drop option(\"version\"/\"timestampAsOf\")")
+    require(aggs.isEmpty, "graft-tx: pushed aggregates cannot stream")
+    val fullSchema = snap.meta.get(Tx.SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"graft-tx: $path has no recorded schema (no data commit yet)"))
+    def longOpt(name: String): Option[Long] =
+      Option(options.get(name)).map(v => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-tx: option($name) takes a numeric Tx version, got '$v'")))
+    new TxTableStream(path, snap.version, required, fullSchema,
+      longOpt("startingVersion"), longOpt("maxVersionsPerTrigger"),
+      options.getBoolean("ignoreChanges", false),
+      TxChanges.maxDiffBytesOf(options))
+  }
 
   // RUNTIME (DPP) pruning: Spark hands the scan the join-key values it
   // learned from the other side's selective filter, and the kept set
@@ -449,8 +552,16 @@ class TxScan(
     runtimeKept = filters.flatMap(TxPrune.keptFor(snap, _))
       .foldLeft(kept)(_ intersect _)
 
-  override def readSchema(): StructType =
-    if (countStar) TxScan.CountSchema else required
+  override def readSchema(): StructType = aggs match {
+    case Some(cells) => StructType(cells.map {
+      case TxCellCount =>
+        StructField("count(*)", LongType, nullable = false)
+      case TxCellBound(c, isMax, dt, _) =>
+        StructField(s"${if (isMax) "max" else "min"}($c)", dt,
+          nullable = true)
+    })
+    case None => required
+  }
 
   /** Size of the KEPT buckets' files — what lets Catalyst broadcast a
     * small Tx dimension (or a heavily-pruned scan of a big one) instead
@@ -483,7 +594,11 @@ class TxScan(
   override def description(): String =
     s"TxScan($path v${snap.version}, buckets=${kept.size}/" +
       s"${snap.dirs.size}, pushed=${pushed.mkString("[", ", ", "]")}" +
-      s"${if (countStar) ", pushedAggregation=[COUNT(*)]" else ""})"
+      aggs.map(_.map {
+        case TxCellCount => "COUNT(*)"
+        case TxCellBound(c, isMax, _, _) =>
+          s"${if (isMax) "MAX" else "MIN"}($c)"
+      }.mkString(", pushedAggregation=[", ", ", "]")).getOrElse("") + ")"
   override def toBatch: Batch = this
 
   /** One InputPartition per KEPT bucket (compile-time pushdown ∩ any
@@ -495,27 +610,39 @@ class TxScan(
   override def planInputPartitions(): Array[InputPartition] = {
     TxScan.recordPlanned(scanTag.getOrElse(path),
       runtimeKept.size, snap.dirs.size)
-    // conjunctive single-column boxes of the pushed filters, in the
-    // encoded stat domain: the per-task reader skips FILES whose
-    // `.zones` entry provably misses them (sorted multi-file buckets)
-    val ranges = Tx.fileRangesOf(
-      snap.meta.get(Tx.SchemaKey)
-        .map(DataType.fromJson(_).asInstanceOf[StructType]),
-      pushed.toSeq)
-    runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
-      .map(rel => TxBucketPartition(s"$path/$rel", required.json,
-        ranges): InputPartition)
-      .toArray
+    aggs match {
+      case Some(cells) =>
+        // one metadata-only partition per bucket: min/max values resolved
+        // from the manifest at plan time ride IN the partition; only a
+        // COUNT(*) cell touches storage (footer row counts, no column
+        // data) — TxReadCounters stays at zero either way
+        runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b).map { rel =>
+          TxAggPartition(s"$path/$rel", cells.map {
+            case TxCellCount => TxAggTaskCount
+            case TxCellBound(_, _, _, pb) =>
+              TxAggTaskValue(pb.get(b).flatten.getOrElse(null))
+          }): InputPartition
+        }).toArray
+      case None =>
+        // conjunctive single-column boxes of the pushed filters, in the
+        // encoded stat domain: the per-task reader skips FILES whose
+        // `.zones` entry provably misses them (sorted multi-file buckets)
+        val ranges = Tx.fileRangesOf(
+          snap.meta.get(Tx.SchemaKey)
+            .map(DataType.fromJson(_).asInstanceOf[StructType]),
+          pushed.toSeq)
+        runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
+          .map(rel => TxBucketPartition(s"$path/$rel", required.json,
+            ranges): InputPartition)
+          .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxReaderFactory(countStar, vectorized)
+    new TxReaderFactory(vectorized)
 }
 
 object TxScan {
-  /** The partial-count row shape a pushed COUNT(*) scan serves. */
-  val CountSchema: StructType = StructType(Seq(
-    StructField("count(*)", LongType, nullable = false)))
 
   /** Last (planned, total) bucket counts per RECORDING KEY — the
     * observable for RUNTIME pruning, which happens after the plan
@@ -585,22 +712,22 @@ object TxReadCounters {
   def reset(): Unit = opened.reset()
 }
 
-class TxReaderFactory(
-    countStar: Boolean = false, vectorized: Boolean = true)
+class TxReaderFactory(vectorized: Boolean = true)
     extends PartitionReaderFactory {
 
   /** Columnar whenever the scan reads real columns: Spark's vectorized
     * parquet reader decodes straight into ColumnVectors and the plan
     * stays inside whole-stage codegen via ColumnarToRow — the 100 TB
-    * scan path. The row readers remain for the pushed COUNT(*) (one
+    * scan path. The row readers remain for pushed aggregates (one
     * partial row per bucket) and the empty projection, and behind
     * option("vectorized", false) as the always-works fallback the specs
     * hold equal.
     */
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val part = p.asInstanceOf[TxBucketPartition]
-    vectorized && !countStar &&
-      DataType.fromJson(part.schemaJson).asInstanceOf[StructType].nonEmpty
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case part: TxBucketPartition =>
+      vectorized &&
+        DataType.fromJson(part.schemaJson).asInstanceOf[StructType].nonEmpty
+    case _ => false
   }
 
   override def createColumnarReader(
@@ -612,13 +739,15 @@ class TxReaderFactory(
       part.ranges)
   }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[TxBucketPartition]
-    if (countStar) new TxBucketCountReader(part.dir)
-    else new TxBucketReader(part.dir,
-      DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
-      part.ranges)
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: TxAggPartition => new TxAggReader(part.dir, part.tasks)
+      case part: TxBucketPartition => new TxBucketReader(part.dir,
+        DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
+        part.ranges)
+      case other => throw new IllegalStateException(
+        s"graft-tx: unexpected partition ${other.getClass.getName}")
+    }
 }
 
 /** Columnar decode of one bucket directory via Spark's OWN vectorized
@@ -709,33 +838,49 @@ object TxBucketColumnarReader {
   }
 }
 
-/** A pushed COUNT(*): one partial-count row per bucket, summed from the
-  * bucket's parquet footers — no column data is ever materialized.
+/** One pushed-aggregate task per cell: COUNT(*) from footers, or a
+  * manifest-resolved MIN/MAX value carried in verbatim (null = the
+  * bucket is all-null for that column — contributes nothing, exactly
+  * like the aggregate ignores nulls).
   */
-class TxBucketCountReader(dir: String)
+private[tx] sealed trait TxAggTask extends Serializable
+private[tx] case object TxAggTaskCount extends TxAggTask
+private[tx] case class TxAggTaskValue(v: Any) extends TxAggTask
+
+case class TxAggPartition(dir: String, tasks: Seq[TxAggTask])
+    extends InputPartition
+
+/** One partial-aggregate row per bucket: min/max cells were resolved at
+  * PLAN time and just land in the row; only a COUNT(*) cell touches
+  * storage — parquet footer record counts, no column data materialized
+  * ([[TxReadCounters]] observes zero file opens either way).
+  */
+class TxAggReader(dir: String, tasks: Seq[TxAggTask])
     extends PartitionReader[InternalRow] {
   private var done = false
-  private var count = 0L
 
-  override def next(): Boolean =
-    if (done) false
-    else {
-      val conf = new Configuration()
-      val fs = new java.io.File(dir).listFiles()
-      val files =
-        if (fs == null) Seq.empty
-        else fs.toSeq.filter(f => f.isFile &&
-          f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      count = files.map { f =>
-        val pf = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-        try pf.getRecordCount finally pf.close()
-      }.sum
-      done = true
-      true
-    }
+  private lazy val footerCount: Long = {
+    val conf = new Configuration()
+    val fs = new java.io.File(dir).listFiles()
+    val files =
+      if (fs == null) Seq.empty
+      else fs.toSeq.filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    files.map { f =>
+      val pf = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try pf.getRecordCount finally pf.close()
+    }.sum
+  }
 
-  override def get(): InternalRow = InternalRow(count)
+  override def next(): Boolean = if (done) false else { done = true; true }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(tasks.map {
+      case TxAggTaskCount => java.lang.Long.valueOf(footerCount): Any
+      case TxAggTaskValue(v) => v
+    }.toArray)
+
   override def close(): Unit = ()
 }
 

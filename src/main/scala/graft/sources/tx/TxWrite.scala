@@ -48,29 +48,60 @@ import graft.sources.Tx
   */
 class TxWriteBuilder(
     path: String, version: Long, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   require(version < 0,
     "graft-tx: cannot write through a time-travel read " +
       "(option(\"version\", ...) pins a historical snapshot)")
 
   private var truncateAll = false
+  private var replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { truncateAll = true; this }
 
+  /** `df.writeTo(t).overwrite(cond)` — REPLACE WHERE: the condition's
+    * source filters scope the overwrite ([[Tx.commitReplaceWhere]]: one
+    * CAS removes matching rows and inserts the batch, with the batch
+    * required to satisfy the condition). A literal-true condition IS
+    * truncate. Conditions Spark cannot translate to source filters
+    * never reach here (its own named error); [[canOverwrite]] rejects
+    * translated shapes this sink can't express.
+    */
+  override def canOverwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(TxDeleteFilters.translatable)
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateAll = true
+    else {
+      require(filters.forall(TxDeleteFilters.translatable),
+        s"graft-tx: cannot express overwrite condition " +
+          s"${filters.mkString("[", ", ", "]")} — use a filter-shaped " +
+          "condition, or DELETE + append")
+      replaceFilters = Some(filters)
+    }
+    this
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TxBatchWrite(path, info.schema(), info.options(), truncateAll)
+      new TxBatchWrite(path, info.schema(), info.options(), truncateAll,
+        replaceFilters)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!truncateAll,
+      require(!truncateAll && replaceFilters.isEmpty,
         "graft-tx: streaming writes append (merge); complete-mode " +
-          "overwrite is not supported")
+          "overwrite / replace-where are not supported")
       new TxStreamingWrite(path, info.schema(), info.options(),
         info.queryId())
     }
     override def description(): String =
-      s"graft-tx-write($path${if (truncateAll) ", truncate" else ""})"
+      s"graft-tx-write($path${if (truncateAll) ", truncate" else ""}" +
+        replaceFilters.map(_.mkString(", replaceWhere=[", ", ", "]"))
+          .getOrElse("") + ")"
   }
 }
 
@@ -167,7 +198,8 @@ case class TxFileMsg(file: String) extends WriterCommitMessage
 
 class TxBatchWrite(
     path: String, querySchema: StructType,
-    options: CaseInsensitiveStringMap, truncateAll: Boolean)
+    options: CaseInsensitiveStringMap, truncateAll: Boolean,
+    replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
   // staged under data/ so a crash's leak is ordinary vacuum-age debris
@@ -213,10 +245,26 @@ class TxBatchWrite(
         Tx.commitOverwrite(spark, path, batch, keys, snap.nBuckets,
           beforeCas = beforeCas, bucketKeys = bucketKeys,
           statsCols = statsCols)
-      else
-        Tx.commitMerge(spark, path, batch, keys, snap.nBuckets,
-          beforeCas = beforeCas, bucketKeys = bucketKeys,
-          statsCols = statsCols)
+      else replaceFilters match {
+        case Some(fs) =>
+          // REPLACE WHERE: the same filters that scope the condition
+          // also zone-prune the touched set — re-derived against the
+          // CURRENT snapshot on every CAS attempt inside the commit
+          val cond = fs.map(TxDeleteFilters.toColumn)
+            .reduceOption(_ && _)
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          val touch = (snapOpt: Option[Tx.Snapshot]) => snapOpt.map { sp =>
+            fs.flatMap(TxPrune.keptFor(sp, _))
+              .foldLeft(sp.dirs.keySet)(_ intersect _)
+          }.getOrElse(Set.empty[Int])
+          Tx.commitReplaceWhere(spark, path, batch, keys, cond, touch,
+            snap.nBuckets, beforeCas = beforeCas, bucketKeys = bucketKeys,
+            statsCols = statsCols)
+        case None =>
+          Tx.commitMerge(spark, path, batch, keys, snap.nBuckets,
+            beforeCas = beforeCas, bucketKeys = bucketKeys,
+            statsCols = statsCols)
+      }
     } finally Tx.deleteRecursive(java.nio.file.Paths.get(stagingDir))
   }
 

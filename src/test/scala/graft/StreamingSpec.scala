@@ -826,4 +826,69 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](TxVersionOffset.parse("", "t"))
     intercept[IllegalArgumentException](TxVersionOffset.parse("7abc", "t"))
   }
+
+  test("graft-tx table stream: snapshot then appended inserts, change guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val up = s"$dir/up"
+    import graft.sources.Tx
+    Tx.commitMerge(spark, up, (1L to 10L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                               v1
+    def drain(ckpt: String, extra: Map[String, String] = Map.empty) = {
+      val buf = collection.mutable.ArrayBuffer[(Long, Long)]()
+      var reader = spark.readStream.format("graft-tx")
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(up).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/$ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    // first run: the FULL snapshot as the first batch
+    assert(drain("ck1").toSet == (1L to 10L).map(i => (i, i * 10)).toSet)
+    // append-only commits stream incrementally on the same checkpoint
+    Tx.commitMerge(spark, up, Seq((11L, 110L), (12L, 120L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                               v2
+    assert(drain("ck1").toSet == Set((11L, 110L), (12L, 120L)),
+      "a checkpointed restart must emit ONLY the new inserts")
+    // an unchanged re-landed row is compared out: nothing to emit
+    Tx.commitMerge(spark, up, Seq((11L, 110L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                               v3
+    assert(drain("ck1").isEmpty)
+    // fresh checkpoint, version-per-trigger batching: same content
+    assert(drain("ck2", Map("maxVersionsPerTrigger" -> "1")).toSet ==
+      (1L to 12L).map(i => (i, i * 10)).toSet)
+    // an UPDATE in the span is a NAMED error by default...
+    Tx.commitMerge(spark, up, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) //                               v4 (update)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain("ck1"))
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("append-only"))
+    // ...ignoreChanges re-emits the post row (re-delivery contract)
+    assert(drain("ck1", Map("ignoreChanges" -> "true")).toSet ==
+      Set((1L, 999L)))
+    // deletes drop silently under ignoreChanges
+    Tx.commitDelete(spark, up, Seq(2L).toDF("id"), Seq("id"), nBuckets = 4)
+    assert(drain("ck1", Map("ignoreChanges" -> "true")).isEmpty)
+    // startingVersion skips the snapshot: changes AFTER v1 only
+    assert(drain("ck3", Map("startingVersion" -> "1",
+      "ignoreChanges" -> "true")).toSet ==
+      Set((11L, 110L), (12L, 120L), (1L, 999L)))
+    // a fresh full drain = the current content (snapshot at latest)
+    val current = Tx.read(spark, up).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drain("ck4").toSet == current)
+    // offsets parse strictly, like every Tx stream offset
+    import graft.sources.tx.TxTableOffset
+    assert(TxTableOffset.parse("""{"version":3,"snapshot":true}""", "t") ==
+      TxTableOffset(3L, snapshotDone = true))
+    intercept[IllegalArgumentException](
+      TxTableOffset.parse("""{"version":3}""", "t"))
+  }
 }

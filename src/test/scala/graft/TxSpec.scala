@@ -1891,4 +1891,255 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(msg.contains("nBuckets") && msg.contains("maxDiffBucketBytes"),
       s"the budget error must name both dials, got: $msg")
   }
+
+  test("DSv2 aggregate pushdown: MIN/MAX from the manifest, COUNT from footers") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, (1L to 200L).map(i => (i, i * 3)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8, statsCols = Seq("id", "v"))
+    // a delete rewrites its buckets and RECOMPUTES their bounds — the
+    // served min/max must reflect it, not the stale pre-delete extremes
+    Tx.commitDelete(spark, path, Seq(1L, 200L).toDF("id"), Seq("id"),
+      nBuckets = 8)
+    graft.sources.tx.TxReadCounters.reset()
+    val r = spark.read.format("graft-tx").load(path)
+      .agg(min("id"), max("id"), count(lit(1)), max("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 199L, 198L, 597L))
+    assert(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+      "a pushed aggregate must not read any column data")
+    // FILTERED aggregates never push (every filter is residual): the row
+    // path answers, still exactly
+    val f = spark.read.format("graft-tx").load(path)
+      .filter(col("id") > 100L).agg(min("v")).collect()(0).getLong(0)
+    assert(f == 303L)
+    // NaN makes a double zone side unbounded -> the pushdown REFUSES and
+    // the scan reads data (correctness over cleverness)
+    val p2 = tmp()
+    Tx.commitMerge(spark, p2,
+      Seq((1L, 1.0), (2L, Double.NaN), (3L, -4.5)).toDF("id", "d"),
+      Seq("id"), nBuckets = 2, statsCols = Seq("d"))
+    graft.sources.tx.TxReadCounters.reset()
+    val r2 = spark.read.format("graft-tx").load(p2)
+      .agg(min("d"), max("d")).collect()(0)
+    assert(r2.getDouble(0) == -4.5 && r2.getDouble(1).isNaN,
+      "NaN semantics are Spark's own — served by the row path")
+    assert(graft.sources.tx.TxReadCounters.filesOpened() > 0L,
+      "an unbounded zone must refuse the pushdown, not guess")
+    // a STRING stats column refuses too (truncated bounds are not exact)
+    val p3 = tmp()
+    Tx.commitMerge(spark, p3,
+      Seq((1L, "aardvark"), (2L, "zebra")).toDF("id", "s"),
+      Seq("id"), nBuckets = 2, statsCols = Seq("s"))
+    graft.sources.tx.TxReadCounters.reset()
+    assert(spark.read.format("graft-tx").load(p3).agg(max("s"))
+      .collect()(0).getString(0) == "zebra")
+    assert(graft.sources.tx.TxReadCounters.filesOpened() > 0L)
+    // an all-null bucket contributes nothing, exactly like the aggregate
+    val p4 = tmp()
+    Tx.commitMerge(spark, p4,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+        .toDF("id", "v"),
+      Seq("id"), nBuckets = 1, statsCols = Seq("v"))
+    graft.sources.tx.TxReadCounters.reset()
+    val r4 = spark.read.format("graft-tx").load(p4)
+      .agg(min("v"), count(lit(1))).collect()(0)
+    assert(r4.isNullAt(0) && r4.getLong(1) == 2L)
+    assert(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+      "the all-null `~` zone serves the null partial directly")
+  }
+
+  test("DSv2 overwrite(condition): replace-where in one pruned CAS") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rw").toString
+    val path = s"$base/t"
+    // day-bucketed so the condition's zone prune is observable
+    val df = (1L to 16L).flatMap(d => (0L to 3L).map(h => (d, h, d * 100 + h)))
+      .toDF("day", "hour", "v")
+    Tx.commitMerge(spark, path, df, Seq("day", "hour"), nBuckets = 32,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    val s1 = Tx.latest(path).get
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    // replace days >= 14 with a recomputed region (fewer hours: rows drop)
+    (14L to 16L).map(d => (d, 0L, -d)).toDF("day", "hour", "v")
+      .writeTo(s"$cat.t").overwrite(col("day") >= 14L)
+    val s2 = Tx.latest(path).get
+    assert(s2.version == s1.version + 1, "one CAS for the whole replace")
+    val got = Tx.read(spark, path).orderBy("day", "hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = df.filter(col("day") < 14L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sorted ++ (14L to 16L).map(d => (d, 0L, -d))
+    assert(got == expect.sorted, "replace-where = delete matching + insert")
+    // pruning: buckets outside the replaced days carry BY REFERENCE
+    val untouched = s1.dirs.keySet.filter(b => s2.dirs.get(b) == s1.dirs.get(b))
+    assert(untouched.nonEmpty && s1.dirs.keySet.diff(untouched).size < s1.dirs.size,
+      "the condition's zone prune must bound the rewrite")
+    val touchedDays = Tx.read(spark, path, s1.version)
+      .withColumn("__probe", col("day")).filter(col("day") < 14L)
+    assert(touchedDays.count() == 13L * 4L) // old snapshot intact
+    // a batch row VIOLATING the condition is a named error, no version
+    val vBefore = Tx.latest(path).get.version
+    val e = intercept[Exception](
+      Seq((1L, 9L, 0L)).toDF("day", "hour", "v")
+        .writeTo(s"$cat.t").overwrite(col("day") >= 14L))
+    assert(e.getMessage.contains("must satisfy the overwrite condition"))
+    assert(Tx.latest(path).get.version == vBefore, "no version published")
+    // an EMPTY batch with a condition is a conditional delete
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tx.schemaOf(path).get)
+      .writeTo(s"$cat.t").overwrite(col("day") === 1L)
+    assert(Tx.read(spark, path).filter(col("day") === 1L).count() == 0L)
+    // key collision OUTSIDE the condition (condition on a NON-key
+    // column): the existing (2,0) row doesn't match v=777 but shares
+    // the batch row's key — the batch row wins, never a duplicate key
+    Seq((2L, 0L, 777L)).toDF("day", "hour", "v")
+      .writeTo(s"$cat.t").overwrite(col("v") === 777L)
+    val m = Tx.read(spark, path).filter(col("day") === 2L && col("hour") === 0L)
+      .collect()
+    assert(m.length == 1 && m(0).getLong(2) == 777L,
+      "equal keys must resolve to the batch row, never duplicate")
+  }
+
+  test("rebucket: re-layout in one CAS, old versions keep the old layout") {
+    val path = tmp()
+    val df = (1L to 16L).flatMap(d => (0L to 3L).map(h => (d, h, d * 100 + h)))
+      .toDF("day", "hour", "v")
+    Tx.commitMerge(spark, path, df, Seq("day", "hour"), nBuckets = 4,
+      bucketKeys = Seq("day"), statsCols = Seq("day"))
+    val v1 = Tx.latest(path).get
+    assert(v1.nBuckets == 4)
+    val v2 = Tx.rebucket(spark, path, 32)
+    assert(v2 == 2L && Tx.latest(path).get.nBuckets == 32)
+    // content identical across the re-layout
+    def all(v: Long) = Tx.read(spark, path, v).orderBy("day", "hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all(2L) == all(1L), "rebucket must move every row, losslessly")
+    // the old version still reads under ITS layout (nbuckets per manifest)
+    assert(Tx.snapshot(path, 1L).nBuckets == 4)
+    // layout properties re-applied: zone stats exist for the new buckets,
+    // so pruning works immediately after the re-layout
+    val pruned = Tx.readRange(spark, path, "day", 3L, 3L)
+    assert(pruned.collect().map(_.getLong(0)).forall(_ == 3L))
+    val keptInfo = Tx.pruneInfo(path, "day", 3L, 3L)
+    assert(keptInfo._1.size < keptInfo._2.size,
+      s"post-rebucket zones must prune: $keptInfo")
+    // merges keep working under the new layout; a same-count rebucket
+    // is a version-less no-op
+    Tx.commitMerge(spark, path, Seq((1L, 0L, -5L)).toDF("day", "hour", "v"),
+      Seq("day", "hour"), nBuckets = 32, bucketKeys = Seq("day"))
+    assert(Tx.rebucket(spark, path, 32) == 3L, "no-op returns current")
+    assert(Tx.read(spark, path).filter(col("day") === 1L && col("hour") === 0L)
+      .collect()(0).getLong(2) == -5L)
+  }
+
+  test("SQL CALL: vacuum and rebucket procedures through the catalog") {
+    val base = java.nio.file.Files.createTempDirectory("graft_proc").toString
+    val path = s"$base/ev"
+    Tx.commitMerge(spark, path, (1L to 64L).map(i => (i, i)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4, statsCols = Seq("id"))
+    Tx.commitMerge(spark, path, Seq((1L, 99L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val r = spark.sql(s"CALL $cat.system.rebucket(tbl => 'ev', nbuckets => 16)")
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getInt(2) == 16)
+    assert(Tx.latest(path).get.nBuckets == 16)
+    val m = Tx.read(spark, path).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(m(1L) == 99L && m(2L) == 2L && m.size == 64)
+    val vac = spark.sql(s"CALL $cat.system.vacuum(tbl => 'ev', keep => 1)")
+      .collect()(0)
+    assert(vac.getInt(1) == 1 && vac.getInt(2) == 2,
+      s"vacuum must report 1 kept / 2 dropped, got $vac")
+    assert(Tx.versions(path) == Seq(3L))
+    assert(Tx.read(spark, path).count() == 64L, "the kept layout survives")
+    // unknown procedure / wrong namespace: named errors
+    intercept[Exception](spark.sql(s"CALL $cat.system.nope()").collect())
+    intercept[Exception](spark.sql(s"CALL $cat.other.vacuum(tbl => 'ev', keep => 1)").collect())
+  }
+
+  test("commit timestamps: monotonic per-version stamps drive versionAt") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.commitMerge(spark, path, Seq((1L, 11L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.commitDelete(spark, path, Seq(1L).toDF("id"), Seq("id"), nBuckets = 4)
+    val stamps = Tx.versions(path).map(v =>
+      Tx.snapshot(path, v).meta(Tx.CommitTsKey).toLong)
+    assert(stamps.size == 3 && stamps == stamps.sorted &&
+      stamps.distinct.size == 3,
+      s"every version gets its OWN strictly-increasing stamp, got $stamps")
+    val ops = Tx.versions(path).map(v =>
+      Tx.snapshot(path, v).meta(Tx.CommitOpKey))
+    assert(ops == Seq("commitMerge", "commitMerge", "commitDelete"),
+      s"the operation stamps the version that published it, got $ops")
+    // versionAt: exact stamp -> that version; between stamps -> earlier;
+    // at/after last -> latest; before first -> NAMED error
+    assert(Tx.versionAt(path, stamps(0)) == 1L)
+    assert(Tx.versionAt(path, stamps(1) - 1) == 1L)
+    assert(Tx.versionAt(path, stamps(2) + 1000000L) == 3L)
+    val e = intercept[IllegalArgumentException](
+      Tx.versionAt(path, stamps(0) - 1))
+    assert(e.getMessage.contains("no version committed at or before"))
+    // the reader option resolves through the same rule
+    val asOf = spark.read.format("graft-tx")
+      .option("timestampAsOf", stamps(1).toString).load(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(asOf == Seq((1L, 11L)),
+      "timestampAsOf must read the as-of snapshot")
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-tx").option("version", 1L)
+        .option("timestampAsOf", stamps(0).toString).load(path))
+  }
+
+  test("history and files metadata tables serve manifest facts as SQL") {
+    val base = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val path = s"$base/ev"
+    Tx.commitMerge(spark, path,
+      (1L to 64L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.commitMerge(spark, path, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.addColumn(path, "tag", org.apache.spark.sql.types.StringType)
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val hist = spark.sql(s"SELECT version, committed_at, operation, " +
+      s"n_buckets, total_bytes FROM $cat.ev.history ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("commitMerge", "commitMerge", "addColumn"))
+    assert(hist.forall(!_.isNullAt(1)), "every commit carries its stamp")
+    val ts = hist.map(_.getTimestamp(1).getTime)
+    assert(ts.toSeq == ts.sorted.toSeq && ts.distinct.length == 3,
+      "history serves the strictly-monotonic commit times")
+    // total_bytes == the manifest's recorded per-bucket sum
+    val snap = Tx.latest(path).get
+    assert(hist.last.getLong(4) == snap.sizes.values.sum)
+    // files: every live bucket's parquet files with on-disk sizes
+    val files = spark.sql(
+      s"SELECT bucket, file, bytes FROM $cat.ev.files").collect()
+    assert(files.map(_.getInt(0)).toSet == snap.dirs.keySet)
+    files.foreach { r =>
+      val f = new java.io.File(s"$path/${r.getString(1)}")
+      assert(f.isFile && f.length() == r.getLong(2),
+        s"files must name real on-disk parquet: ${r.getString(1)}")
+    }
+    // TIMESTAMP AS OF through pure SQL — commit times are millis, so
+    // probe AT v1's stamp (Spark parses the literal to micros)
+    val t1 = Tx.snapshot(path, 1L).meta(Tx.CommitTsKey).toLong
+    val lit1 = java.time.Instant.ofEpochMilli(t1).toString
+    val v1 = spark.sql(s"SELECT v FROM $cat.ev TIMESTAMP AS OF '$lit1' " +
+      "WHERE id = 1").collect().map(_.getLong(0)).toSeq
+    assert(v1 == Seq(10L),
+      "TIMESTAMP AS OF must resolve the version committed at that time")
+  }
 }
