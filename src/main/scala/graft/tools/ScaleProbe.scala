@@ -40,6 +40,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("sread")) {
+      streamReadFamily(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val big = (0 until mult).map { r =>
@@ -562,6 +567,76 @@ object ScaleProbe {
     * slope — and on a cluster the untouched 224+ buckets cross no
     * network at all. Row-count equality of the two results is require()d.
     */
+  /** r12 session 2: the PLAIN streaming read's per-trigger cost must be
+    * O(churn) — the snapshot batch is paid ONCE at bootstrap, every
+    * later trigger diffs only the span's changed buckets — and the
+    * pushed min/max/count(*) must be effectively CONSTANT (manifest +
+    * footers, zero column-data IO) while the raw-scan aggregate grows
+    * with the table. `tools/run.sh graft.tools.ScaleProbe <sfDir>
+    * <mult> sread`.
+    */
+  private def streamReadFamily(
+      spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val nb = 256
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 1e6).cast("long").as("v6"))
+    val big = graft.sources.Stage.through(
+      (0 until mult).map(r => base.select(
+        (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+        col("user_id"), col("v6"))).reduce(_ unionByName _))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_probe_sr").toString
+    val tablePath = s"$dir/t"
+    graft.sources.Tx.commitMerge(spark, tablePath, big, Seq("event_id"), nb,
+      statsCols = Seq("event_id"))
+    println(s"[scale] table: ${big.count()} rows ($mult×), $nb buckets")
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val drained = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Long = {
+      drained.set(0L)
+      val q = spark.readStream.format("graft-tx").load(tablePath)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          drained.addAndGet(df.count())
+          ()
+        }.start()
+      q.awaitTermination()
+      drained.get()
+    }
+    val total = big.count()
+    timed("stream bootstrap drain (the snapshot batch, O(table), once)") {
+      require(drain() == total, "bootstrap must emit the whole snapshot")
+    }
+    // one tiny insert commit: the incremental trigger's honest shape
+    val tiny = (1L to 4L).map(i => (-i, i, i)).toDF("event_id", "user_id", "v6")
+    graft.sources.Tx.commitMerge(spark, tablePath, tiny, Seq("event_id"), nb)
+    timed("stream incremental drain (one 4-row insert commit, O(churn))") {
+      require(drain() == 4L, "the trigger must emit exactly the inserts")
+    }
+    // aggregate pushdown: metadata answer vs the raw-scan baseline
+    graft.sources.tx.TxReadCounters.reset()
+    timed("pushed min/max/count (manifest + footers, zero column IO)") {
+      val r = spark.read.format("graft-tx").load(tablePath)
+        .agg(min(col("event_id")), max(col("event_id")), count(lit(1)))
+        .collect()(0)
+      require(r.getLong(2) == total + 4L, s"pushed count: ${r.getLong(2)}")
+    }
+    require(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+      "the pushed aggregate must not read column data")
+    timed("raw-scan aggregate baseline (min/max/count over parquet)") {
+      val r = big.agg(min(col("event_id")), max(col("event_id")),
+        count(lit(1))).collect()(0)
+      require(r.getLong(2) == total)
+    }
+  }
+
   private def txFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val nb = 256
     val base = graft.sources.Tables.events(spark, sfDir)
