@@ -242,21 +242,31 @@ object Tx {
   def versionAt(path: String, tsMillis: Long): Long = {
     val vs = versions(path)
     require(vs.nonEmpty, s"versionAt: no committed version in $path")
-    val stamped = vs.flatMap { v =>
-      try snapshot(path, v).meta.get(CommitTsKey)
-        .flatMap(_.toLongOption).map(v -> _)
-      catch { case _: java.nio.file.NoSuchFileException => None }
+    // newest-first single pass: stamps are strictly monotonic, so the
+    // FIRST stamp ≤ the probe is the answer — a recent probe (the
+    // common case) resolves in one or two manifest reads instead of
+    // O(versions); unstamped manifests are a legacy PREFIX (stamping,
+    // once on, never stops), so hitting one ends the stamped region
+    var earliest: Option[(Long, Long)] = None
+    for (v <- vs.reverse) {
+      val stamp =
+        try snapshot(path, v).meta.get(CommitTsKey).flatMap(_.toLongOption)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      stamp match {
+        case Some(t) =>
+          if (t <= tsMillis) return v
+          earliest = Some(v -> t)
+        case None => ()
+      }
     }
-    require(stamped.nonEmpty,
+    require(earliest.nonEmpty,
       s"versionAt: $path records no commit timestamps — its live " +
         "versions were written before commit-time stamping; use " +
         "VERSION AS OF (numeric) time travel instead")
-    val at = stamped.filter(_._2 <= tsMillis)
-    require(at.nonEmpty,
-      s"versionAt: no version committed at or before epoch-millis " +
-        s"$tsMillis in $path — the earliest stamped commit is " +
-        s"v${stamped.head._1} at ${stamped.head._2}")
-    at.last._1
+    throw new IllegalArgumentException(
+      s"requirement failed: versionAt: no version committed at or " +
+        s"before epoch-millis $tsMillis in $path — the earliest " +
+        s"stamped commit is v${earliest.get._1} at ${earliest.get._2}")
   }
 
   /** Snapshot-isolated read of `version` (default: latest). The returned
@@ -1173,6 +1183,77 @@ object Tx {
       case (_, withB, _) => withB // existing content is replaced wholesale
     }
 
+  /** LATE LAYOUT ENABLEMENT as a metadata-only commit — record
+    * zone-map / file-layout properties on a table that lacks them, so
+    * every LATER commit computes stats / sorts files without the caller
+    * re-supplying the columns (the commit path already allowed late
+    * enablement per-call; this makes it a recorded table property,
+    * reachable from SQL as `ALTER TABLE ... SET TBLPROPERTIES`).
+    * Existing buckets carry no stats and are simply never pruned —
+    * pruning was always advisory. CHANGING an already-recorded property
+    * stays rejected (the layout is a table property; a re-layout is
+    * [[rebucket]]'s job); re-recording the identical value is a no-op.
+    */
+  def setLayoutProperties(
+      path: String,
+      statsCols: Seq[String] = Nil,
+      fileSortCols: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L,
+      maxAttempts: Int = 5): Long = {
+    require(statsCols.nonEmpty || fileSortCols.nonEmpty || maxRowsPerFile > 0L,
+      "setLayoutProperties: nothing to record")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"setLayoutProperties: no committed version in $path"))
+      val schema = sp.meta.get(SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"setLayoutProperties: $path has no recorded schema"))
+      def checkCols(cols: Seq[String], what: String, needStat: Boolean): Unit =
+        cols.foreach { c =>
+          require(!c.exists(ch => ch == ';' || ch == '=' || ch == ',' ||
+            ch == '\n' || ch == '\t'),
+            s"setLayoutProperties: $what column name '$c' contains a " +
+              "manifest separator")
+          val t = schema.fields.find(_.name == c).map(_.dataType)
+          require(t.isDefined, s"setLayoutProperties: $what column '$c' " +
+            "is not a table column")
+          if (needStat) require(t.exists(statSupported),
+            s"setLayoutProperties: zone-map column '$c' must have a " +
+              s"numeric/date/timestamp/string type, got $t")
+        }
+      checkCols(statsCols, "zone-map", needStat = true)
+      checkCols(fileSortCols, "file-sort", needStat = false)
+      def record(key: String, value: Option[String]): Option[(String, String)] =
+        value.flatMap { v =>
+          sp.meta.get(key) match {
+            case Some(rec) =>
+              require(rec == v,
+                s"setLayoutProperties: table records $key=($rec), caller " +
+                  s"asked ($v) — a recorded layout property never changes; " +
+                  "a re-layout is rebucket's job")
+              None // identical: nothing to write
+            case None => Some(key -> v)
+          }
+        }
+      val adds =
+        record(StatsColsKey,
+          Option(statsCols.sorted.mkString(",")).filter(_.nonEmpty)) ++
+        record(FileSortKey,
+          Option(fileSortCols.mkString(",")).filter(_.nonEmpty)) ++
+        record(MaxRowsFileKey,
+          Option(maxRowsPerFile.toString).filter(_ => maxRowsPerFile > 0L))
+      if (adds.isEmpty) return sp.version // everything already recorded
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta ++ adds, sp.stats, sp.sizes, op = "setProperties"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"setLayoutProperties lost $maxAttempts CAS races on $path")
+  }
+
   /** REPLACE WHERE — the filter-scoped overwrite (`df.writeTo(t)
     * .overwrite(cond)`, Delta's replaceWhere): in ONE manifest CAS,
     * every existing row matching `cond` is removed and `batch` inserted.
@@ -1206,19 +1287,35 @@ object Tx {
       bucketKeys: Seq[String] = Nil,
       abortIf: Snapshot => Boolean = _ => false,
       statsCols: Seq[String] = Nil): Long = {
-    require(batch.filter(!cond).isEmpty,
-      s"commitReplaceWhere: every batch row must satisfy the overwrite " +
-        s"condition ($cond) — rows outside it would silently survive " +
-        "the next replace of the same region")
-    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
-      beforeCas, "commitReplaceWhere", establishSchema = true, bucketKeys,
-      abortIf, statsCols, replaceTouch = Some(touchWhere)) {
-      case (Some(existing), withB, ks) =>
-        existing.filter(!cond)
-          .join(withB.select(ks.map(col): _*), ks, "left_anti")
-          .unionByName(withB)
-      case (None, withB, _) => withB
-    }
+    // three-valued logic, resolved once for both uses: a row "matches"
+    // the region iff cond is TRUE — a NULL-evaluating condition (cond
+    // over a NULL cell) must neither delete an existing row (deleting
+    // on NULL would silently lose data the predicate never matched)
+    // nor admit a batch row (it would escape the next replace of the
+    // same region, the exact failure the constraint exists to prevent)
+    val matches = coalesce(cond, lit(false))
+    // validate against the STAGED frame (shared persist with the
+    // commit below): the check and the commit must see the SAME rows —
+    // a nondeterministic batch re-executed for the check could pass it
+    // and still stage violating rows; sharing also avoids computing an
+    // expensive backfill plan twice
+    val staged = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(staged.filter(!matches).isEmpty,
+        s"commitReplaceWhere: every batch row must satisfy the overwrite " +
+          s"condition ($cond) — rows outside it would silently survive " +
+          "the next replace of the same region")
+      commitRewrite(spark, path, staged, keys, nBuckets, maxAttempts, meta,
+        beforeCas, "commitReplaceWhere", establishSchema = true, bucketKeys,
+        abortIf, statsCols, replaceTouch = Some(touchWhere)) {
+        case (Some(existing), withB, ks) =>
+          existing.filter(!matches)
+            .join(withB.select(ks.map(col): _*), ks, "left_anti")
+            .unionByName(withB)
+        case (None, withB, _) => withB
+      }
+    } finally staged.unpersist(blocking = false)
   }
 
   /** CREATE an empty table with its properties pinned up front — the
@@ -1744,7 +1841,12 @@ object Tx {
     * layout — `nbuckets` rides in each manifest, so time travel across
     * a rebucket boundary just works. O(table) by necessity: every row
     * migrates. Returns the new version (or the current one if the
-    * table already has `newNBuckets`).
+    * table already has `newNBuckets`). One consumer-visible boundary:
+    * the bucket-LOCAL change feed cannot diff a span that straddles the
+    * re-layout (rows migrate buckets, so index pairing would fabricate
+    * churn — the feed refuses with a named error); CDF followers either
+    * diff the boundary with [[changes]] (key-based, layout-blind, nets
+    * to empty) or re-bootstrap from the post-rebucket snapshot.
     */
   def rebucket(
       spark: SparkSession, path: String, newNBuckets: Int,

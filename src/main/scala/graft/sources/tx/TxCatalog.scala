@@ -35,7 +35,8 @@ import graft.sources.Tx
   * DROP/RENAME are directory operations (a rename is NOT atomic against
   * concurrent writers — maintenance-window semantics, like vacuum).
   */
-class TxCatalog extends TableCatalog with ProcedureCatalog {
+class TxCatalog extends TableCatalog with ProcedureCatalog
+    with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -168,8 +169,12 @@ class TxCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   /** Only the format's own evolution is expressible: ADD COLUMN (at the
-    * end, nullable). Everything else needs column ids the files don't
-    * carry — same honest scope as [[Tx.addColumn]].
+    * end, nullable) and `SET TBLPROPERTIES` enabling layout properties
+    * LATE on a table that lacks them (statscols / filesortcols /
+    * maxrowsperfile → [[Tx.setLayoutProperties]], a metadata-only
+    * commit; recorded values never change — a re-layout is the
+    * rebucket procedure's job). Everything else needs column ids the
+    * files don't carry — same honest scope as [[Tx.addColumn]].
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -178,11 +183,113 @@ class TxCatalog extends TableCatalog with ProcedureCatalog {
         require(add.fieldNames().length == 1,
           "TxCatalog: ADD COLUMN supports top-level columns only")
         Tx.addColumn(p, add.fieldNames()(0), add.dataType())
+      case set: TableChange.SetProperty =>
+        def cols(v: String) = v.split(",").toSeq.filter(_.nonEmpty)
+        set.property().toLowerCase match {
+          case "statscols" =>
+            Tx.setLayoutProperties(p, statsCols = cols(set.value()))
+          case "filesortcols" =>
+            Tx.setLayoutProperties(p, fileSortCols = cols(set.value()))
+          case "maxrowsperfile" =>
+            Tx.setLayoutProperties(p, maxRowsPerFile = set.value().toLong)
+          case "nbuckets" => throw new UnsupportedOperationException(
+            "TxCatalog: nbuckets is changed by re-layout, not ALTER — " +
+              "CALL <catalog>.system.rebucket(tbl => ..., nbuckets => ...)")
+          case other => throw new UnsupportedOperationException(
+            s"TxCatalog: unsupported table property '$other' — only the " +
+              "late-enableable layout properties (statscols, " +
+              "filesortcols, maxrowsperfile) can be set after creation")
+        }
       case other => throw new UnsupportedOperationException(
         s"TxCatalog: unsupported ALTER ($other) — the format's " +
-          "evolution is additive ADD COLUMN only")
+          "evolution is additive ADD COLUMN and layout-property " +
+          "enablement only")
     }
     loadTable(ident)
+  }
+
+  /** One level of NAMESPACE = one subdirectory of the root — enough for
+    * the lake-style `<cat>.<area>.<table>` layout the path mapping
+    * already reads. Namespaces carry no metadata of their own.
+    */
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = new java.io.File(root).listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isDirectory &&
+        !new java.io.File(f, "_v").isDirectory) // a table is not a namespace
+      .map(f => Array(f.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+      Array.empty // one level only
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (namespace.length == 1 && {
+      val d = new java.io.File(s"$root/${checkPart(namespace(0))}")
+      d.isDirectory && !new java.io.File(d, "_v").isDirectory
+    })
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      "TxCatalog: one namespace level only")
+    // Spark stamps defaults (owner, ...) on every CREATE NAMESPACE —
+    // accepted and discarded: a namespace is a directory, nothing more
+    val d = java.nio.file.Paths.get(root, checkPart(namespace(0)))
+    if (java.nio.file.Files.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(
+          (catalogName +: namespace.toSeq).toArray)
+    java.nio.file.Files.createDirectories(d)
+    ()
+  }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit = throw new UnsupportedOperationException(
+    "TxCatalog: namespaces carry no metadata to alter")
+
+  /** Non-cascade refuses a namespace with tables in it; cascade drops
+    * them (each a real Tx-table delete — the [[dropTable]] care).
+    */
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val d = new java.io.File(s"$root/${namespace(0)}")
+    val tables = listTables(namespace)
+    // refuse non-table debris BEFORE dropping anything: discovering it
+    // after the cascade deleted real tables would leave a half-
+    // destroyed namespace behind a failed statement
+    val tableNames = tables.map(_.name()).toSet
+    val debris = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filterNot(f => tableNames.contains(f.getName))
+    require(debris.isEmpty,
+      s"TxCatalog: namespace ${namespace.mkString(".")} holds non-table " +
+        s"content (${debris.take(3).map(_.getName).mkString(", ")}) — " +
+        "refusing to delete what the catalog didn't create")
+    if (tables.nonEmpty) {
+      require(cascade,
+        s"TxCatalog: namespace ${namespace.mkString(".")} holds " +
+          s"${tables.length} table(s) — DROP ... CASCADE to delete them")
+      tables.foreach(dropTable)
+    }
+    d.delete()
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -146,6 +146,19 @@ object TxChangesScan {
       path: String, a: Tx.Snapshot, b: Tx.Snapshot, schema: StructType,
       keys: Seq[String], emitPre: Boolean, maxDiffBytes: Long,
       stampVersion: Option[Long]): Array[InputPartition] = {
+    // the bucket-LOCAL diff pairs the two versions' buckets by INDEX,
+    // which is sound only because rows never migrate buckets — a
+    // REBUCKET boundary breaks exactly that (key X moves bucket 3 ->
+    // 19 with no content change, and index pairing would fabricate a
+    // delete+insert pair with undefined apply order). Refuse loudly;
+    // Tx.changes' key-based join diffs across the boundary correctly
+    // (and nets to empty), at full-read cost.
+    require(a.nBuckets == b.nBuckets,
+      s"graft-tx: versions v${a.version} (${a.nBuckets} buckets) and " +
+        s"v${b.version} (${b.nBuckets} buckets) straddle a REBUCKET — " +
+        "the bucket-local change feed cannot diff across a re-layout. " +
+        "Diff the boundary with Tx.changes (key-based, layout-blind), " +
+        "or re-bootstrap the consumer from the post-rebucket snapshot")
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
       .filter(k => a.dirs.get(k) != b.dirs.get(k))
     changed.toSeq.sorted.map { k =>

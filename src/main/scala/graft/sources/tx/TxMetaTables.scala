@@ -111,11 +111,7 @@ class TxFilesTable(path: String) extends TxMetaTables.LocalTable(
     val snap = Tx.latest(path).getOrElse(throw new IllegalStateException(
       s"graft-tx: no committed version in $path"))
     snap.dirs.toSeq.sortBy(_._1).flatMap { case (b, rel) =>
-      val fs = new java.io.File(s"$path/$rel").listFiles()
-      val files =
-        if (fs == null) Seq.empty
-        else fs.toSeq.filter(f => f.isFile &&
-          f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      val files = TxBucketFiles.of(s"$path/$rel", Nil)
       files.sortBy(_.getName).map(f =>
         new GenericInternalRow(Array[Any](
           b, UTF8String.fromString(s"$rel/${f.getName}"),

@@ -44,15 +44,26 @@ object TxProcedures {
       override def readSchema(): StructType = schema
     }).iterator()
 
-  /** Identifier-part hygiene: a procedure's table argument resolves
-    * under the catalog root exactly like an identifier part — never a
-    * path escape.
+  /** Identifier hygiene: a procedure's table argument resolves under
+    * the catalog root exactly like an identifier — dot-qualified for a
+    * namespaced table (`'raw.ev'` → `<root>/raw/ev`, matching the
+    * catalog's one-level namespaces), each part checked so it can never
+    * escape the root. The table must EXIST (some committed version) —
+    * maintaining a typo must be a named error, not a silent no-op
+    * success row.
     */
   private[tx] def tablePath(root: String, tbl: String): String = {
-    require(tbl.nonEmpty && !tbl.contains("/") && !tbl.contains("\\") &&
-      tbl != "." && tbl != ".." && !tbl.startsWith("."),
-      s"TxCatalog: illegal table argument '$tbl'")
-    s"$root/$tbl"
+    val parts = tbl.split("\\.", -1).toSeq
+    require(parts.nonEmpty && parts.length <= 2 && parts.forall(p =>
+      p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+        !p.startsWith(".")),
+      s"TxCatalog: illegal table argument '$tbl' — a table name or " +
+        "'namespace.table'")
+    val path = (root +: parts).mkString("/")
+    require(graft.sources.Tx.versions(path).nonEmpty,
+      s"TxCatalog: no such table '$tbl' under the catalog root — " +
+        "nothing to maintain")
+    path
   }
 }
 

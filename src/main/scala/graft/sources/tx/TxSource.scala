@@ -861,12 +861,7 @@ class TxAggReader(dir: String, tasks: Seq[TxAggTask])
 
   private lazy val footerCount: Long = {
     val conf = new Configuration()
-    val fs = new java.io.File(dir).listFiles()
-    val files =
-      if (fs == null) Seq.empty
-      else fs.toSeq.filter(f => f.isFile &&
-        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    files.map { f =>
+    TxBucketFiles.of(dir, Nil).map { f =>
       val pf = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
       try pf.getRecordCount finally pf.close()

@@ -95,7 +95,10 @@ class TxTableStream(
       require(e.version == s.version,
         s"graft-tx: snapshot batch must close at its own version, got " +
           s"${s.version} -> ${e.version}")
-      val snap = Tx.snapshot(path, s.version)
+      // a replayed snapshot batch whose pinned version was vacuumed
+      // must get the NAMED retired-version error, not a raw
+      // NoSuchFileException (same resolution the batch scan uses)
+      val snap = TxSource.snapshotAt(path, s.version)
       snap.dirs.toSeq.sortBy(_._1).map { case (_, rel) =>
         TxBucketPartition(s"$path/$rel", required.json): InputPartition
       }.toArray

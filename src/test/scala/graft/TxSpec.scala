@@ -2000,6 +2000,29 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       .collect()
     assert(m.length == 1 && m(0).getLong(2) == 777L,
       "equal keys must resolve to the batch row, never duplicate")
+    // THREE-VALUED LOGIC: a NULL-evaluating condition must neither
+    // delete an existing row (only cond==TRUE matches the region) nor
+    // admit a batch row (only cond==TRUE satisfies the constraint)
+    val pN = s"$base/n"
+    Tx.commitMerge(spark, pN,
+      Seq((1L, Option.empty[Long]), (2L, Some(5L))).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val allBuckets = (snap: Option[Tx.Snapshot]) =>
+      snap.map(_.dirs.keySet).getOrElse(Set.empty[Int])
+    Tx.commitReplaceWhere(spark, pN,
+      Seq((3L, Some(5L))).toDF("id", "v"), Seq("id"),
+      col("v") === 5L, allBuckets, nBuckets = 4)
+    val after = Tx.read(spark, pN).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(after == Set((1L, -1L), (3L, 5L)),
+      s"the NULL-v row must SURVIVE a v===5 replace, got $after")
+    val eN = intercept[IllegalArgumentException](
+      Tx.commitReplaceWhere(spark, pN,
+        Seq((4L, Option.empty[Long])).toDF("id", "v"), Seq("id"),
+        col("v") === 5L, allBuckets, nBuckets = 4))
+    assert(eN.getMessage.contains("must satisfy the overwrite condition"),
+      "a NULL-evaluating batch row does NOT satisfy the condition")
   }
 
   test("rebucket: re-layout in one CAS, old versions keep the old layout") {
@@ -2032,6 +2055,19 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.rebucket(spark, path, 32) == 3L, "no-op returns current")
     assert(Tx.read(spark, path).filter(col("day") === 1L && col("hour") === 0L)
       .collect()(0).getLong(2) == -5L)
+    // the bucket-LOCAL change feed cannot diff across the re-layout
+    // (rows migrated buckets; index pairing would fabricate churn) —
+    // named refusal pointing at the key-based fallback...
+    val eCdf = intercept[Exception](spark.read.format("graft-tx")
+      .option("readChangeFeed", true)
+      .option("fromVersion", 1L).option("toVersion", 2L)
+      .load(path).collect())
+    val msg = eCdf.getMessage +
+      Option(eCdf.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("REBUCKET"), s"named rebucket refusal, got: $msg")
+    // ...which nets the boundary to EMPTY (nothing actually changed)
+    assert(Tx.changes(spark, path, 1L, 2L).isEmpty,
+      "key-based changes() must see a pure re-layout as no change")
   }
 
   test("SQL CALL: vacuum and rebucket procedures through the catalog") {
@@ -2061,6 +2097,66 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     // unknown procedure / wrong namespace: named errors
     intercept[Exception](spark.sql(s"CALL $cat.system.nope()").collect())
     intercept[Exception](spark.sql(s"CALL $cat.other.vacuum(tbl => 'ev', keep => 1)").collect())
+    // a nonexistent table is a NAMED error, never a silent success row
+    val eT = intercept[Exception](spark.sql(
+      s"CALL $cat.system.vacuum(tbl => 'nope', keep => 1)").collect())
+    assert((eT.getMessage +
+      Option(eT.getCause).map(_.getMessage).getOrElse(""))
+      .contains("no such table"))
+    // namespaced tables are addressable with a dot-qualified argument
+    spark.sql(s"CREATE NAMESPACE $cat.deep")
+    spark.sql(s"CREATE TABLE $cat.deep.t2 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'nbuckets'='4')")
+    spark.sql(s"INSERT INTO $cat.deep.t2 VALUES (1, 10)")
+    val rb2 = spark.sql(
+      s"CALL $cat.system.rebucket(tbl => 'deep.t2', nbuckets => 8)")
+      .collect()(0)
+    assert(rb2.getInt(2) == 8 &&
+      Tx.latest(s"$base/deep/t2").get.nBuckets == 8)
+  }
+
+  test("SQL catalog: namespaces and late layout-property enablement") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ns").toString
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("raw"))
+    spark.sql(s"CREATE TABLE $cat.raw.ev (day BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='day', 'nbuckets'='8')")
+    spark.sql(s"INSERT INTO $cat.raw.ev VALUES (1, 10), (2, 20), (9, 90)")
+    // a namespace with tables refuses a bare DROP; CASCADE deletes
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.raw"))
+    // LATE layout enablement from SQL: the table was created without
+    // zone maps; SET TBLPROPERTIES records statscols, and the NEXT
+    // commit's buckets carry stats (earlier buckets stay unpruned)
+    val path = s"$base/raw/ev"
+    assert(Tx.latest(path).get.meta.get(Tx.StatsColsKey).isEmpty)
+    spark.sql(s"ALTER TABLE $cat.raw.ev SET TBLPROPERTIES ('statscols'='day')")
+    assert(Tx.latest(path).get.meta.get(Tx.StatsColsKey).contains("day"))
+    spark.sql(s"INSERT INTO $cat.raw.ev VALUES (50, 500)")
+    val snap = Tx.latest(path).get
+    assert(snap.stats.nonEmpty,
+      "the first post-enablement commit must record zone stats")
+    // re-recording the identical value is a no-op; CHANGING is rejected
+    val vBefore = Tx.latest(path).get.version
+    spark.sql(s"ALTER TABLE $cat.raw.ev SET TBLPROPERTIES ('statscols'='day')")
+    assert(Tx.latest(path).get.version == vBefore)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.raw.ev SET TBLPROPERTIES ('statscols'='v')"))
+    assert(e.getMessage.contains("never changes") ||
+      Option(e.getCause).exists(_.getMessage.contains("never changes")))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.raw.ev SET TBLPROPERTIES ('nbuckets'='32')"))
+    // content unaffected by any of it
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.raw.ev").collect()(0)
+      .getLong(0) == 620L)
+    // CASCADE drops the namespace and its tables
+    spark.sql(s"DROP NAMESPACE $cat.raw CASCADE")
+    assert(Tx.versions(path).isEmpty &&
+      !new java.io.File(s"$base/raw").exists())
   }
 
   test("commit timestamps: monotonic per-version stamps drive versionAt") {
