@@ -31,6 +31,65 @@ import org.apache.spark.sql.SparkSession
   * measures the engine, not what the previous 40 queries left in the JVM.
   */
 object Bench {
+
+  // defeats dead-code elimination of the canary spin loop
+  @volatile private var canarySink: Long = 0L
+
+  /** HOST-HEALTH CANARY, part 1: wall-clock ms of a FIXED
+    * single-threaded xorshift loop — pure JVM compute, no allocation,
+    * no IO, no syscalls. On a healthy host the value is flat across
+    * the sweep (~hundreds of ms); CPU contention inflates it in
+    * direct proportion to how much the same contention inflated the
+    * co-timed queries. Run once before the warmup and once after
+    * every pass, and shipped in the JSON line so a degraded-host
+    * sweep (BENCH_r12: a uniform ~1.7x on untouched code) carries
+    * its own machine-readable evidence instead of needing a
+    * forensic session.
+    */
+  private def spinMs(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 28)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    canarySink = x
+    (System.nanoTime() - t0) / 1000000L
+  }
+
+  /** HOST-HEALTH CANARY, part 2: the /proc/stat aggregate-cpu jiffy
+    * counters (user nice system idle iowait irq softirq steal), read
+    * as pass bookends. The per-pass deltas separate the three
+    * degradation signatures a shared host shows: another tenant
+    * burning CPU (user high while our own work is starved),
+    * hypervisor starvation (steal > 0), and a saturated IO band
+    * (iowait high — the r12 signature on staging-heavy queries).
+    * None of Spark's own metrics can see outside the JVM; this can.
+    */
+  private def cpuTicks(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val l = src.getLines().next()
+        if (l.startsWith("cpu ")) Some(l.trim.split("\\s+").drop(1).map(_.toLong))
+        else None
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** "u<user%>s<steal%>w<iowait%>" over the bookended window — percent
+    * of TOTAL jiffies (all cores), so 100% = the whole machine.
+    */
+  private def cpuDelta(a: Option[Array[Long]], b: Option[Array[Long]]): String =
+    (a, b) match {
+      case (Some(x), Some(y)) if x.length >= 8 && y.length >= 8 =>
+        val d = y.zip(x).map { case (p, q) => math.max(0L, p - q) }
+        val total = math.max(1L, d.sum)
+        def pct(i: Int) = math.round(d(i) * 100.0 / total)
+        s"u${pct(0)}s${pct(7)}w${pct(4)}"
+      case _ => "na"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,8 +117,12 @@ object Bench {
       .withDefaultValue(Vector.empty)
     var leaked = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
 
+    val hcLoop = scala.collection.mutable.ArrayBuffer(spinMs())
+    val hcCpu = scala.collection.mutable.ArrayBuffer.empty[String]
+
     for (pass <- 1 to passes) {
       val p0 = System.nanoTime()
+      val cpu0 = cpuTicks()
       queries.foreach { case (name, fn) =>
         // noop sink: forces full evaluation of every output column (a bare
         // count() would let Catalyst prune most of the query away).
@@ -77,8 +140,11 @@ object Bench {
         spark.catalog.clearCache()
       }
       System.gc() // lets ContextCleaner drop dead broadcasts between passes
+      hcCpu += cpuDelta(cpu0, cpuTicks())
+      hcLoop += spinMs()
       System.err.println(
-        f"[bench-diag] pass $pass/$passes done in ${(System.nanoTime() - p0) / 1e9}%.1f s")
+        f"[bench-diag] pass $pass/$passes done in ${(System.nanoTime() - p0) / 1e9}%.1f s " +
+          s"(canary loop ${hcLoop.last} ms, cpu ${hcCpu.last})")
     }
 
     // Full-name per-query stats to stderr for humans; the stdout JSON line
@@ -151,8 +217,12 @@ object Bench {
     // Whole line must land inside the driver's 2000-char tail window with
     // sbt's trailing "[success]" row (~75 chars) after it; the explicit
     // map gets whatever the fixed fields + qds36 leave over.
+    // hc_loop: fixed-compute canary ms (pre-warmup, then one per pass);
+    // hc_cpu: per-pass /proc/stat user/steal/iowait % of total jiffies.
+    // Flat hc_loop + low steal/iowait = the sweep is trustworthy; an
+    // inflated sweep carries its own adjudication evidence.
     def line(qs: String, omitted: Int, floorDs: Long) =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"hc_loop":"${hcLoop.mkString("/")}","hc_cpu":"${hcCpu.mkString("|")}","qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
     val mapBudget = 1900 - line("{}", 0, 0).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces

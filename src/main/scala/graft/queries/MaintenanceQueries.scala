@@ -202,9 +202,15 @@ object MaintenanceQueries {
     // discipline built into the sink; StreamingSpec pins duplicate-
     // epoch delivery, idle re-runs, and the checkpoint-wipe semantics).
     // q15's composition: the updates batch and the inserts batch arrive
-    // as TWO micro-batches of one stream — SAME oracle as q248/q267.
+    // as TWO micro-batches of one stream — q248/q267's oracle over the
+    // deterministic QUARTER subset (event_id % 4 = 0, mirrored in the
+    // oracle CTE): the contract under test is the sink's commit
+    // discipline, whose cost is per-LIFECYCLE scaffolding — pricing it
+    // over 1M rows benches the harness, not the operator (r12 verdict
+    // item 1b).
     "q275_tx_stream_write" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
       val updates = existing.filter(col("event_id") % 10 === 0)
         .withColumn("value", col("value") * 2)
@@ -477,6 +483,52 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // RESTORE — the recovery verb after a bad commit: a wrong overwrite
+    // replaces the whole table, then `CALL tx.system.restore(tbl => 't',
+    // version => 1)` re-publishes v1's file set BY REFERENCE as v3 (one
+    // manifest CAS, O(manifest), zero data motion — Delta's RESTORE
+    // shape; without it, recovery means re-reading and re-writing the
+    // old version, O(table)). The bad version stays live and auditable:
+    // history must show all THREE versions with their operations
+    // (require()d in-plan — facts the oracle can't see), and the final
+    // read must hash-equal the PRE-overwrite oracle. Built from the
+    // quarter subset like the other Tx-lifecycle queries (r12 verdict
+    // item 1b). TxSpec pins restore-of-vacuumed (named error), the
+    // no-op case, guard-meta non-rewind, and restore across a rebucket.
+    "q281_tx_restore" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_rs").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      // the bad commit: an overwrite that replaced the table with a
+      // corrupted subset (every 5th row, values zeroed)
+      Tx.commitOverwrite(s, path,
+        existing.filter(col("event_id") % 5 === 0)
+          .withColumn("value", lit(0.0)),
+        Seq("event_id"), nBuckets = 16)
+      val cat = "txz" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val rs = s.sql(s"CALL $cat.system.restore(tbl => 't', version => 1)")
+        .collect()(0)
+      require(rs.getLong(1) == 3L && rs.getLong(2) == 1L,
+        s"restore must publish v3 from v1, got $rs")
+      val hist = s.sql(s"SELECT version, operation FROM $cat.t.history " +
+        "ORDER BY version").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      require(hist == Seq(1L -> "commitMerge", 2L -> "commitOverwrite",
+        3L -> "restore"),
+        s"restore rewinds the TABLE, not the log — all three versions " +
+          s"must stay auditable, got $hist")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // PLAIN STREAMING READ of a Tx table — Delta's readStream shape,
     // the one consumption route the format still lacked: the first
     // micro-batch is the FULL snapshot pinned at stream start, later
@@ -490,8 +542,12 @@ object MaintenanceQueries {
     // the snapshot drains in run 1, the insert commit lands, run 2 on
     // the SAME checkpoint emits only those inserts; buffer == merged
     // table == the union oracle from raw.
+    // Built from the deterministic quarter subset (event_id % 4 = 0,
+    // mirrored in the oracle) — the contract is the snapshot/increment
+    // offset discipline, not 1M-row IO (r12 verdict item 1b).
     "q280_tx_stream_read" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
@@ -1022,8 +1078,13 @@ object MaintenanceQueries {
     // oracle as q256: the final upstream content aggregated from raw —
     // a replayed span, a missed retraction, or a miscounted trigger
     // hash-fails.
+    // Built from the deterministic quarter subset (event_id % 4 = 0,
+    // mirrored in the oracle) — three Tx commits + a full streaming
+    // lifecycle per rep are the priced contract; the table size is
+    // scaffolding (r12 verdict item 1b).
     "q269_mv_stream_cdf" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
       val base = java.nio.file.Files
@@ -1048,7 +1109,9 @@ object MaintenanceQueries {
       var triggers = 0
       val q = s.readStream.format("graft-tx")
         .option("readChangeFeed", true).option("emitPre", true)
-        .option("startingVersion", 1L)
+        // startingVersion is INCLUSIVE (Delta's contract): the state
+        // bootstrapped at v1, so the feed starts with commit 2's changes
+        .option("startingVersion", 2L)
         .option("maxVersionsPerTrigger", 1L)
         .load(path)
         .writeStream
@@ -1128,8 +1191,13 @@ object MaintenanceQueries {
     // dirty hours. SAME oracle as q260: count/sum/min/max recomputed
     // from the final upstream content raw, blind to the cursor, the
     // repair scope, and the replay.
+    // Built from the deterministic quarter subset (event_id % 4 = 0,
+    // mirrored in the oracle) — four follow lifecycles incl. the
+    // replay are the priced contract, not 1M-row staging (r12 verdict
+    // item 1b).
     "q264_mv_follow_bounds" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
       val base = java.nio.file.Files
@@ -1218,8 +1286,13 @@ object MaintenanceQueries {
     // replayed span folds nothing; a double-fold would hash-fail). SAME
     // oracle as q256/q257: scratch from the final upstream content,
     // blind to the stream, the offsets, and the wipe.
+    // Built from the deterministic quarter subset (event_id % 4 = 0,
+    // mirrored in the oracle) — four streaming lifecycles + the
+    // checkpoint wipe are the priced contract, not 1M-row staging
+    // (r12 verdict item 1b).
     "q262_mv_follow_stream" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
       val base = java.nio.file.Files
@@ -1282,6 +1355,53 @@ object MaintenanceQueries {
       Tx.read(s, path)
         .select("event_id", "user_id", "value", "tier")
         .orderBy("event_id")
+    }),
+    // DESTRUCTIVE SCHEMA EVOLUTION — rename and drop as metadata-only
+    // commits (Delta's name-mode column mapping, manifest-resident):
+    // the table commits under (event_id, user_id, event_type, value),
+    // `ALTER TABLE ... RENAME COLUMN event_type TO etype` moves the
+    // LOGICAL name only (files keep the birth name; reads request
+    // physical, serve logical), a post-rename merge writes every 10th
+    // key's etype as 'hot' (new files also store the birth name — both
+    // file generations resolve), and `DROP COLUMN user_id` narrows the
+    // schema forward while time travel to v1 still serves the old
+    // shape (require()d in-plan: per-version schemas and history ops —
+    // facts the oracle can't see). The final read mixes both file
+    // generations under the evolved names; the oracle derives the same
+    // frame from raw with a CASE — pre-rename data served under the
+    // new name, or a lost/extra rename, hash-fails. Quarter subset
+    // like the other Tx-lifecycle queries.
+    "q282_tx_evolve_rename" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_rn").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      val cat = "txe" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN event_type TO etype") // v2
+      val upd = Tx.read(s, path).filter(col("event_id") % 10 === 0)
+        .withColumn("etype", lit("hot"))
+        .select("event_id", "user_id", "etype", "value")
+      Tx.commitMerge(s, path, upd, Seq("event_id"), nBuckets = 16) //  v3
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN user_id") //              v4
+      // per-version schema facts the oracle can't see:
+      require(Tx.read(s, path, version = 1L).columns.toSeq ==
+        Seq("event_id", "user_id", "event_type", "value"),
+        "time travel must serve v1's own schema — old names, old shape")
+      require(Tx.read(s, path).columns.toSeq ==
+        Seq("event_id", "etype", "value"),
+        "the current schema must carry the rename and the drop")
+      val ops = s.sql(s"SELECT operation FROM $cat.t.history " +
+        "ORDER BY version").collect().map(_.getString(0)).toSeq
+      require(ops == Seq("commitMerge", "renameColumn", "commitMerge",
+        "dropColumn"), s"history must attribute the evolution, got $ops")
+      s.sql(s"SELECT event_id, etype, value FROM $cat.t ORDER BY event_id")
     }),
     // NON-ALGEBRAIC measure (count DISTINCT users per hour) maintained
     // incrementally WITHOUT approximation: distinct is not mergeable at
@@ -1479,10 +1599,11 @@ object MaintenanceQueries {
               (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
             UNION ALL SELECT * FROM incoming)
           ORDER BY event_id""".replaceAll("\\s+", " "),
-    // q15's oracle verbatim — the streaming sink must be as invisible
-    // as every other route into the same commit
+    // q15's oracle over the quarter subset — the streaming sink must be
+    // as invisible as every other route into the same commit
     "q275_tx_stream_write" ->
-      """WITH existing AS (SELECT event_id, user_id, event_type, value FROM events),
+      """WITH existing AS (SELECT event_id, user_id, event_type, value
+              FROM events WHERE event_id % 4 = 0),
           incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
               FROM existing WHERE event_id % 10 = 0
             UNION ALL SELECT event_id + 1000000, user_id, event_type, value
@@ -1537,14 +1658,22 @@ object MaintenanceQueries {
               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT),
               min(event_id), max(event_id) FROM v2)
           SELECT * FROM card ORDER BY version""".replaceAll("\\s+", " "),
-    // snapshot ∪ inserted region from raw — the streamed union must be
-    // exactly the table's merged content, nothing dropped or replayed
+    // the pre-overwrite content from raw — a restore that lost a row,
+    // leaked a bad-commit row, or rewrote instead of re-referencing
+    // (the in-plan history require) hash-fails
+    "q281_tx_restore" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 4 = 0 ORDER BY event_id""".replaceAll("\\s+", " "),
+    // snapshot ∪ inserted region from the quarter subset — the streamed
+    // union must be exactly the table's merged content, nothing dropped
+    // or replayed
     "q280_tx_stream_read" ->
       """SELECT * FROM (
             SELECT event_id, user_id, event_type, value FROM events
+              WHERE event_id % 4 = 0
             UNION ALL
             SELECT event_id + 1000000, user_id, event_type, value
-              FROM events WHERE event_id < 50)
+              FROM events WHERE event_id % 4 = 0 AND event_id < 50)
           ORDER BY event_id""".replaceAll("\\s+", " "),
     // q248's oracle verbatim: the 16->32 re-layout and the vacuum must
     // both be result-invisible
@@ -1752,15 +1881,15 @@ object MaintenanceQueries {
     // scratch aggregate of the FINAL upstream content derived from raw:
     // every 7th key gone, every-3rd-key-of-the-90% values doubled — the
     // feed math (bootstrap + two retracting folds) must land exactly here
-    // q256's oracle verbatim — the streaming source, the trigger
-    // batching, and the checkpoint must all be invisible
+    // q256's oracle over the quarter subset — the streaming source, the
+    // trigger batching, and the checkpoint must all be invisible
     "q269_mv_stream_cdf" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
                 THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
                 ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
-            FROM events WHERE event_id % 7 <> 0)
+            FROM events WHERE event_id % 4 = 0 AND event_id % 7 <> 0)
           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
           FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
@@ -1788,15 +1917,15 @@ object MaintenanceQueries {
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
             min(v6) AS min_v6, max(v6) AS max_v6
           FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
-    // q260's oracle verbatim — cursor, repair scope, and replay must all
-    // be invisible to the final bounded state
+    // q260's oracle over the quarter subset — cursor, repair scope, and
+    // replay must all be invisible to the final bounded state
     "q264_mv_follow_bounds" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
                 THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
                 ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
-            FROM events WHERE event_id % 7 <> 0)
+            FROM events WHERE event_id % 4 = 0 AND event_id % 7 <> 0)
           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6,
             min(v6) AS min_v6, max(v6) AS max_v6
@@ -1813,18 +1942,29 @@ object MaintenanceQueries {
           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
           FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
-    // q257's oracle verbatim — the stream, the version offsets, and the
-    // checkpoint wipe must all be invisible to the final state
+    // q257's oracle over the quarter subset — the stream, the version
+    // offsets, and the checkpoint wipe must all be invisible to the
+    // final state
     "q262_mv_follow_stream" ->
       """WITH fin AS (
             SELECT event_id, ts,
               CASE WHEN event_id % 3 = 0 AND event_id % 10 <> 0
                 THEN CAST(floor(value * 1000000.0) AS BIGINT) * 2
                 ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS v6
-            FROM events WHERE event_id % 7 <> 0)
+            FROM events WHERE event_id % 4 = 0 AND event_id % 7 <> 0)
           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
             count(*) AS n_rows, CAST(sum(v6) AS BIGINT) AS sum_v6
           FROM fin GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " "),
+    // the renamed column derived from raw with a CASE: pre-rename rows'
+    // event_type served under the new name, the post-rename merge's
+    // 'hot' for every 10th key — a read that lost the physical mapping
+    // (nulls) or leaked the old name hash-fails
+    "q282_tx_evolve_rename" ->
+      """SELECT event_id,
+            CASE WHEN event_id % 10 = 0 THEN 'hot' ELSE event_type END
+              AS etype, value
+          FROM events WHERE event_id % 4 = 0
+          ORDER BY event_id""".replaceAll("\\s+", " "),
     // the evolved column derived from raw with a CASE: null for rows
     // whose files predate the column, 'hot' for the re-merged keys
     "q255_tx_evolve" ->

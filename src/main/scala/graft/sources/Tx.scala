@@ -163,6 +163,60 @@ object Tx {
     */
   val CommitOpKey = "__op"
 
+  /** StructField-metadata key holding a column's PHYSICAL name — the
+    * name its data is stored under in parquet files, fixed at column
+    * BIRTH. Present only when it differs from the logical name: after
+    * a [[renameColumn]] (the logical name moves, the files don't) or a
+    * drop + re-add of the same name (the re-added column gets a FRESH
+    * physical name so old files' data — possibly of another type —
+    * can never bleed into it). Every reader requests physical names
+    * and serves logical ones; every writer stores physical names.
+    * This is Delta's name-mode column mapping, manifest-resident.
+    */
+  val PhysMetaKey = "__tx_physical"
+
+  /** Reserved manifest-meta key: comma-list of every physical name the
+    * table has EVER used (append-only). What lets [[addColumn]] detect
+    * that a logical name's physical slot is already taken by dropped
+    * or renamed history and mint a fresh one. Absent on tables that
+    * never evolved destructively — then the current schema's physical
+    * names are the complete set (adds before this key existed could
+    * only append fresh names).
+    */
+  val UsedPhysKey = "__usedphys"
+
+  /** The physical (file) name of a schema field. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysMetaKey)) f.metadata.getString(PhysMetaKey)
+    else f.name
+
+  /** `schema` with each field renamed to its PHYSICAL name — what a
+    * parquet reader must REQUEST. Positionally identical to the
+    * logical schema, so positional consumers (the DSv2 readers) need
+    * no further mapping. Fields whose metadata was stripped on the way
+    * through Spark's column pruning resolve by logical name against
+    * `lookup` (the manifest schema).
+    */
+  def physSchema(schema: StructType, lookup: StructType): StructType = {
+    val byName = lookup.fields.map(f => f.name -> physicalName(f)).toMap
+    StructType(schema.fields.map(f =>
+      f.copy(name = byName.getOrElse(f.name, physicalName(f)))))
+  }
+
+  /** Read parquet `dirs` under `schema`'s PHYSICAL names and serve the
+    * LOGICAL ones — the one read shape every DataFrame path shares.
+    */
+  private def readPhysAliased(
+      spark: SparkSession, schema: StructType,
+      dirs: Seq[String]): DataFrame = {
+    val phys = physSchema(schema, schema)
+    val df = spark.read.schema(phys).parquet(dirs: _*)
+    if (phys.fieldNames.sameElements(schema.fieldNames)) df
+    else df.select(schema.fields.zip(phys.fields).map {
+      case (lf, pf) => col(pf.name).as(lf.name)
+    }.toSeq: _*)
+  }
+
   private def vdir(path: String) = Paths.get(path, "_v")
 
   private def manifestName(v: Long) = f"v$v%013d.manifest"
@@ -245,18 +299,22 @@ object Tx {
     // newest-first single pass: stamps are strictly monotonic, so the
     // FIRST stamp ≤ the probe is the answer — a recent probe (the
     // common case) resolves in one or two manifest reads instead of
-    // O(versions); unstamped manifests are a legacy PREFIX (stamping,
-    // once on, never stops), so hitting one ends the stamped region
+    // O(versions). A manifest that READS but carries no stamp is the
+    // legacy PREFIX (stamping, once on, never stops), so the scan stops
+    // there; a manifest a concurrent vacuum retired mid-scan is merely
+    // skipped — it proves nothing about where the stamped region ends.
     var earliest: Option[(Long, Long)] = None
-    for (v <- vs.reverse) {
+    var done = false
+    for (v <- vs.reverse if !done) {
       val stamp =
-        try snapshot(path, v).meta.get(CommitTsKey).flatMap(_.toLongOption)
+        try Some(snapshot(path, v).meta.get(CommitTsKey).flatMap(_.toLongOption))
         catch { case _: java.nio.file.NoSuchFileException => None }
       stamp match {
-        case Some(t) =>
+        case Some(Some(t)) =>
           if (t <= tsMillis) return v
           earliest = Some(v -> t)
-        case None => ()
+        case Some(None) => done = true // genuinely unstamped: legacy region
+        case None => () // vacuumed under us: skip, keep scanning
       }
     }
     require(earliest.nonEmpty,
@@ -301,7 +359,10 @@ object Tx {
     val schema = schemaOverride.orElse(snap.meta.get(SchemaKey)
       .map(DataType.fromJson(_).asInstanceOf[StructType]))
     if (dirs.nonEmpty)
-      schema.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+      // request PHYSICAL names, serve logical ones — files written
+      // before a rename stay readable without rewrite
+      schema.fold(spark.read.parquet(dirs: _*))(
+        readPhysAliased(spark, _, dirs))
     else schema match {
       case Some(st) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], st)
@@ -314,42 +375,164 @@ object Tx {
     latest(path).flatMap(_.meta.get(SchemaKey))
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  private def checkColName(op: String, name: String): Unit =
+    require(!name.startsWith("__") && name != "_change" &&
+      !name.exists(c => c == '\n' || c == '\t' || c == ','),
+      s"$op: illegal column name '$name'")
+
+  /** Every physical name the table has ever used ([[UsedPhysKey]], or
+    * derived from the current schema when the key predates evolution).
+    */
+  private def usedPhysOf(sp: Snapshot, st: StructType): Set[String] =
+    sp.meta.get(UsedPhysKey)
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(st.fields.map(physicalName).toSet)
+
+  /** The columns the table's LAYOUT binds to: merge keys, bucket keys,
+    * zone-map stats, file sort. Their names ride the manifest meta and
+    * the file layout itself, so rename/drop would break the contract
+    * everywhere at once — refused with a named error.
+    */
+  private def layoutColsOf(sp: Snapshot): Set[String] =
+    Seq(KeysKey, BucketKeysKey, StatsColsKey, FileSortKey)
+      .flatMap(k => sp.meta.get(k).toSeq
+        .flatMap(_.split(",").filter(_.nonEmpty))).toSet
+
+  private def resolveEvolution(op: String, path: String)
+      : (Snapshot, StructType) = {
+    val sp = latest(path).getOrElse(throw new IllegalStateException(
+      s"$op: no committed version in $path"))
+    val st = sp.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$op: $path has no recorded schema (no data commit yet)"))
+    (sp, st)
+  }
+
   /** SCHEMA EVOLUTION — add a nullable column at the end of the recorded
     * schema, as a metadata-only commit (no data motion: existing files
     * are never touched; readers fill the new column with null because
     * every read resolves columns against the manifest schema, not the
     * parquet footers). The new schema binds FORWARD: later commits must
     * send the evolved shape, while time travel to earlier versions still
-    * serves THEIR schema — the schema is versioned with the data. Only
-    * additive evolution is supported (rename/drop/retype would need
-    * column ids in the files, stated in the header's honest scope).
+    * serves THEIR schema — the schema is versioned with the data.
+    * Re-adding a name the table used before (a drop + re-add, possibly
+    * with a different type) mints a FRESH physical name, so old files'
+    * data for the retired column can never bleed into the new one.
     */
   def addColumn(
       path: String, name: String, dataType: DataType,
       maxAttempts: Int = 5): Long = {
-    require(!name.startsWith("__") && name != "_change" &&
-      !name.exists(c => c == '\n' || c == '\t' || c == ','),
-      s"illegal column name '$name'")
+    checkColName("addColumn", name)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val sp = latest(path).getOrElse(throw new IllegalStateException(
-        s"addColumn: no committed version in $path"))
-      val st = sp.meta.get(SchemaKey)
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse(throw new IllegalStateException(
-          s"addColumn: $path has no recorded schema (no data commit yet)"))
+      val (sp, st) = resolveEvolution("addColumn", path)
       require(!st.fieldNames.contains(name),
         s"addColumn: column '$name' already exists")
+      val used = usedPhysOf(sp, st)
+      val phys = if (!used.contains(name)) name
+        else s"${name}__p${sp.version + 1}"
+      require(!used.contains(phys), // version is fresh, so this holds
+        s"addColumn: physical name '$phys' already used")
+      val meta0 = new org.apache.spark.sql.types.MetadataBuilder()
+      if (phys != name) meta0.putString(PhysMetaKey, phys)
       val ns = StructType(st.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true, metadata = meta0.build()))
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
-          op = "addColumn"))
+          sp.meta + (SchemaKey -> ns.json) +
+            (UsedPhysKey -> (used + phys).toSeq.sorted.mkString(",")),
+          sp.stats, sp.sizes, op = "addColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
       s"addColumn lost $maxAttempts CAS races on $path")
+  }
+
+  /** SCHEMA EVOLUTION — rename a column, as a metadata-only commit: the
+    * files are never touched (they keep the column's BIRTH name — the
+    * physical name, recorded in the field's metadata; every read
+    * requests physical and serves logical). Binds FORWARD: later
+    * commits must send the new name, while time travel to earlier
+    * versions serves THEIR name — the schema is versioned with the
+    * data. Layout columns (merge keys, bucket keys, zone-map stats,
+    * file sort) refuse: their names are the layout contract.
+    */
+  def renameColumn(
+      path: String, from: String, to: String,
+      maxAttempts: Int = 5): Long = {
+    checkColName("renameColumn", to)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (sp, st) = resolveEvolution("renameColumn", path)
+      require(st.fieldNames.contains(from),
+        s"renameColumn: no column '$from' in ${st.fieldNames.mkString(", ")}")
+      require(!st.fieldNames.contains(to),
+        s"renameColumn: column '$to' already exists — renaming onto a " +
+          "live name would be ambiguous")
+      require(!layoutColsOf(sp).contains(from),
+        s"renameColumn: '$from' is a LAYOUT column (merge key, bucket " +
+          "key, zone-map stats, or file sort) — the layout contract " +
+          "binds its name; re-shape the table instead")
+      val ns = StructType(st.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          // the physical name is fixed at BIRTH: carry the existing
+          // mapping, or pin the pre-rename name as physical now
+          if (!f.metadata.contains(PhysMetaKey))
+            mb.putString(PhysMetaKey, f.name)
+          f.copy(name = to, metadata = mb.build())
+        }
+      })
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
+          op = "renameColumn"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost $maxAttempts CAS races on $path")
+  }
+
+  /** SCHEMA EVOLUTION — drop a column, as a metadata-only commit: the
+    * files keep the bytes (time travel to earlier versions still reads
+    * them — the column is versioned away, not destroyed; the bytes die
+    * with their files on the normal vacuum schedule), but every read
+    * at or after this version resolves the manifest schema and simply
+    * never requests it — parquet being columnar, the dropped column
+    * costs ZERO read IO immediately. Binds FORWARD: later commits send
+    * the narrowed shape. The physical name stays reserved
+    * ([[UsedPhysKey]]) so a re-add mints a fresh one. Layout columns
+    * refuse, like [[renameColumn]].
+    */
+  def dropColumn(
+      path: String, name: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (sp, st) = resolveEvolution("dropColumn", path)
+      require(st.fieldNames.contains(name),
+        s"dropColumn: no column '$name' in ${st.fieldNames.mkString(", ")}")
+      require(!layoutColsOf(sp).contains(name),
+        s"dropColumn: '$name' is a LAYOUT column (merge key, bucket " +
+          "key, zone-map stats, or file sort) — the layout contract " +
+          "binds it; re-shape the table instead")
+      require(st.fields.length > 1,
+        s"dropColumn: '$name' is the table's only column")
+      val used = usedPhysOf(sp, st) // BEFORE narrowing: keeps the
+      // dropped physical reserved against a re-add
+      val ns = StructType(st.fields.filterNot(_.name == name))
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (SchemaKey -> ns.json) +
+            (UsedPhysKey -> used.toSeq.sorted.mkString(",")),
+          sp.stats, sp.sizes, op = "dropColumn"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost $maxAttempts CAS races on $path")
   }
 
   /** CHANGE DATA FEED — the row-level diff between two committed
@@ -1718,9 +1901,11 @@ object Tx {
                 // read old buckets under the RECORDED schema: buckets
                 // written before an addColumn lack the evolved column
                 // and must serve nulls for it, and mixed-footer dirs
-                // must not leave the column set to parquet inference
-                else Some(recorded.fold(spark.read)(spark.read.schema)
-                  .parquet(existingDirs: _*)
+                // must not leave the column set to parquet inference;
+                // physical names requested, logical served (renames)
+                else Some(recorded.fold(
+                  spark.read.parquet(existingDirs: _*))(
+                  readPhysAliased(spark, _, existingDirs))
                   .withColumn("__b", bucketOf(bk, nb)))
               val rewritten = op(existing, withB, keys)
               // the rewrite's schema lands in the table's files: a
@@ -1742,7 +1927,17 @@ object Tx {
               // the sort survives — and files chunk every maxRowsPerFile
               // rows, giving each file a tight disjoint range.
               val dir = s"data/c-${java.util.UUID.randomUUID()}"
-              val parted = rewritten.repartition(t.length.max(1), col("__b"))
+              // physical-name discipline: files store every column
+              // under its BIRTH name, so renamed columns keep reading
+              // old files without rewrite (reads alias back)
+              val physed = recorded match {
+                case Some(ts) if ts.fields.exists(f =>
+                    physicalName(f) != f.name) =>
+                  rewritten.select(ts.fields.map(f =>
+                    col(f.name).as(physicalName(f))).toSeq :+ col("__b"): _*)
+                case _ => rewritten
+              }
+              val parted = physed.repartition(t.length.max(1), col("__b"))
               val laidOut =
                 if (effSort.isEmpty) parted
                 else parted.sortWithinPartitions(
@@ -1872,8 +2067,15 @@ object Tx {
       val effMaxRows = sp.meta.get(MaxRowsFileKey).map(_.toLong).getOrElse(0L)
       val dir = s"data/c-${java.util.UUID.randomUUID()}"
       try {
-        val withB = readDirs(spark, path, sp, sp.dirs.keySet)
-          .withColumn("__b", bucketOf(bk, newNBuckets))
+        val logical = readDirs(spark, path, sp, sp.dirs.keySet)
+        // files store PHYSICAL names (bucket keys are layout columns,
+        // physical == logical, so the hash is unaffected)
+        val physed =
+          if (schema.fields.exists(f => physicalName(f) != f.name))
+            logical.select(schema.fields.map(f =>
+              col(f.name).as(physicalName(f))).toSeq: _*)
+          else logical
+        val withB = physed.withColumn("__b", bucketOf(bk, newNBuckets))
         val parted = withB.repartition(newNBuckets, col("__b"))
         val laidOut =
           if (effSort.isEmpty) parted
@@ -1989,6 +2191,59 @@ object Tx {
       try Files.deleteIfExists(tmp)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** RESTORE — the recovery verb after a bad commit: re-publish version
+    * `version`'s table state as a NEW commit, BY REFERENCE (the new
+    * manifest lists the old version's file set verbatim — one manifest
+    * CAS, O(manifest), zero data motion; Delta's RESTORE shape). The
+    * bad version stays live and auditable: time travel still reads it,
+    * history shows all three versions, and vacuum retires it on the
+    * normal retention schedule — restore rewinds the TABLE, not the
+    * log.
+    *
+    * What comes from `version`: the file set, bucket layout (nBuckets),
+    * zone stats, byte sizes, the SCHEMA, and the layout contract keys
+    * ([[BucketKeysKey]], [[KeysKey]], [[StatsColsKey]], [[FileSortKey]],
+    * [[MaxRowsFileKey]]) — they describe that version's FILES and must
+    * travel with them (restoring across a rebucket restores the old
+    * layout; across a late layout enablement, the pre-enablement
+    * contract — re-enabling afterwards stays legal).
+    *
+    * What comes from the CURRENT latest instead: every OTHER meta key.
+    * Caller meta is monotone guard state — a streaming sink's epoch
+    * stamps, an MV's batch-id replay guard, a follower's cursor — and
+    * rewinding it would un-dedupe replays (a re-delivered epoch would
+    * re-apply). Restore rewinds DATA, never guards.
+    *
+    * Restoring the current version is a documented no-op (nothing to
+    * rewind — no empty commit published). A vacuumed `version` is a
+    * named error: its files are gone, so recovery from it is
+    * re-ingestion, not restore.
+    */
+  def restore(path: String, version: Long, maxAttempts: Int = 5): Long = {
+    val layoutKeys = Set(SchemaKey, BucketKeysKey, KeysKey, StatsColsKey,
+      FileSortKey, MaxRowsFileKey)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latest(path).getOrElse(throw new IllegalStateException(
+        s"restore: no committed version in $path"))
+      if (cur.version == version) return version // already there: no-op
+      val live = versions(path)
+      require(live.contains(version),
+        s"restore: version $version of $path is not live " +
+          s"(kept: ${live.head}..${live.last}) — a vacuumed version's " +
+          "files are gone; restore can only re-publish a live version")
+      val src = snapshot(path, version)
+      val meta = cur.meta.view.filterKeys(!layoutKeys.contains(_)).toMap ++
+        src.meta.view.filterKeys(layoutKeys.contains).toMap
+      if (tryPublish(path, cur.version + 1, src.nBuckets, src.dirs, meta,
+          src.stats, src.sizes, op = "restore"))
+        return cur.version + 1
+    }
+    throw new IllegalStateException(
+      s"restore lost $maxAttempts CAS races on $path")
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older

@@ -183,6 +183,14 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
         require(add.fieldNames().length == 1,
           "TxCatalog: ADD COLUMN supports top-level columns only")
         Tx.addColumn(p, add.fieldNames()(0), add.dataType())
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "TxCatalog: RENAME COLUMN supports top-level columns only")
+        Tx.renameColumn(p, rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "TxCatalog: DROP COLUMN supports top-level columns only")
+        Tx.dropColumn(p, del.fieldNames()(0))
       case set: TableChange.SetProperty =>
         def cols(v: String) = v.split(",").toSeq.filter(_.nonEmpty)
         set.property().toLowerCase match {
@@ -191,7 +199,11 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
           case "filesortcols" =>
             Tx.setLayoutProperties(p, fileSortCols = cols(set.value()))
           case "maxrowsperfile" =>
-            Tx.setLayoutProperties(p, maxRowsPerFile = set.value().toLong)
+            val n = set.value().toLongOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"TxCatalog: maxrowsperfile takes a positive row count, " +
+                  s"got '${set.value()}'"))
+            Tx.setLayoutProperties(p, maxRowsPerFile = n)
           case "nbuckets" => throw new UnsupportedOperationException(
             "TxCatalog: nbuckets is changed by re-layout, not ALTER — " +
               "CALL <catalog>.system.rebucket(tbl => ..., nbuckets => ...)")
@@ -202,8 +214,8 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
         }
       case other => throw new UnsupportedOperationException(
         s"TxCatalog: unsupported ALTER ($other) — the format's " +
-          "evolution is additive ADD COLUMN and layout-property " +
-          "enablement only")
+          "evolution is ADD / RENAME / DROP COLUMN and layout-" +
+          "property enablement (retype would need file rewrite)")
     }
     loadTable(ident)
   }

@@ -295,7 +295,9 @@ class TxDiffReader(part: TxDiffPartition)
   private def viewRows(dir: String): Iterator[InternalRow] =
     if (dir.isEmpty) Iterator.empty
     else {
-      val r = new TxBucketColumnarReader(dir, schema)
+      // request PHYSICAL names (renamed columns live in files under
+      // their birth name); the diff's indices stay logical positions
+      val r = new TxBucketColumnarReader(dir, Tx.physSchema(schema, schema))
       new Iterator[InternalRow] {
         private var batchRows: java.util.Iterator[InternalRow] = _
         private var open = true

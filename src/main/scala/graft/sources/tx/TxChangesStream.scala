@@ -28,10 +28,13 @@ import graft.sources.Tx
   * stage, zero exchange, O(total churn).
   *
   * Semantics and scope:
-  *  - `startingVersion` (default: the OLDEST live version) is the
-  *    version changes are emitted AFTER — the stream carries no initial
-  *    snapshot; bootstrap consumers load it separately (the
-  *    [[graft.operators.Mv.followChanges]] discipline).
+  *  - `startingVersion` is INCLUSIVE, Delta's contract: the feed starts
+  *    with commit v's OWN changes (v = 1 emits the first commit's rows
+  *    as inserts, diffed against a synthetic empty base; v > 1 needs
+  *    v-1 live to diff against — named error otherwise). When omitted,
+  *    changes are emitted AFTER the oldest live version — the stream
+  *    carries no initial snapshot; bootstrap consumers load it
+  *    separately (the [[graft.operators.Mv.followChanges]] discipline).
   *  - Exactly-once is the CHECKPOINT's (offsets are versions; Spark
   *    replays an uncommitted batch after a crash) — consumers folding
   *    into non-idempotent state should keep a cursor like
@@ -96,11 +99,24 @@ class TxChangesStream(
     require(vs.nonEmpty,
       s"graft-tx: cannot stream the change feed of $path — no committed " +
         "version")
-    val v0 = startingVersion.getOrElse(vs.head)
-    require(vs.contains(v0),
-      s"graft-tx: startingVersion $v0 is not live in $path " +
-        s"(kept: ${vs.head}..${vs.last}) — changes are emitted AFTER it, " +
-        "so it must be a live version")
+    val v0 = startingVersion match {
+      case None => vs.head // default: changes AFTER the oldest live version
+      case Some(v) =>
+        // INCLUSIVE, Delta's contract: the feed starts with commit v's
+        // OWN changes (v = 1 emits the first commit's rows as inserts,
+        // diffed against a synthetic empty base; v > 1 needs v-1 live)
+        require(v >= 1, s"graft-tx: startingVersion must be >= 1, got $v")
+        require(v <= vs.last + 1,
+          s"graft-tx: startingVersion $v is beyond the next commit of " +
+            s"$path (latest: v${vs.last})")
+        require(if (v == 1) vs.head == 1 else vs.contains(v - 1),
+          s"graft-tx: startingVersion is INCLUSIVE — emitting commit " +
+            s"$v's own changes needs v${v - 1} live to diff against, " +
+            s"but $path keeps ${vs.head}..${vs.last}. Omit " +
+            s"startingVersion to start after the oldest live version, " +
+            s"or start at ${vs.head + 1}")
+        v - 1
+    }
     TxVersionOffset(v0)
   }
 
@@ -128,8 +144,11 @@ class TxChangesStream(
     val lo = start.asInstanceOf[TxVersionOffset].version
     val hi = end.asInstanceOf[TxVersionOffset].version
     if (hi <= lo) return Array.empty
-    val vs = Tx.versions(path).filter(v => v >= lo && v <= hi)
-    require(vs.headOption.contains(lo) && vs.lastOption.contains(hi),
+    // lo == 0 is the inclusive startingVersion=1 start: commit 1's
+    // changes are the diff against a synthetic EMPTY base snapshot
+    val vs = Tx.versions(path).filter(v => v >= math.max(lo, 1L) && v <= hi)
+    require(vs.headOption.contains(math.max(lo, 1L)) &&
+      vs.lastOption.contains(hi),
       s"graft-tx: change-stream span [$lo, $hi] is not fully live in " +
         s"$path (kept: ${vs.mkString(",")}) — the consumer fell behind " +
         "retention and must re-bootstrap")
@@ -137,10 +156,15 @@ class TxChangesStream(
       .map(_.split(",").toSeq)
       .getOrElse(throw new IllegalStateException(
         s"graft-tx: $path has no recorded merge keys"))
-    vs.sliding(2).flatMap { case Seq(a, b) =>
-      TxChangesScan.spanPartitionsUnder(path,
-        Tx.snapshot(path, a), Tx.snapshot(path, b), tableSchema, keys,
-        emitPre, maxDiffBytes, stampVersion = Some(b))
+    val snaps = {
+      val real = vs.map(Tx.snapshot(path, _))
+      if (lo == 0L)
+        Tx.Snapshot(0L, real.head.nBuckets, Map.empty) +: real
+      else real
+    }
+    snaps.sliding(2).flatMap { case Seq(a, b) =>
+      TxChangesScan.spanPartitionsUnder(path, a, b, tableSchema, keys,
+        emitPre, maxDiffBytes, stampVersion = Some(b.version))
     }.toArray
   }
 

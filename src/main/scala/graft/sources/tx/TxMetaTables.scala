@@ -99,7 +99,10 @@ class TxHistoryTable(path: String) extends TxMetaTables.LocalTable(
           v,
           tsMicros.orNull,
           op.map(UTF8String.fromString).orNull,
-          snap.dirs.size,
+          // the LAYOUT bucket count the manifest records — not the count
+          // of populated bucket dirs, which a sparse table understates
+          // and which would hide a rebucket from the history
+          snap.nBuckets,
           bytes.orNull)): InternalRow)
       } catch { case _: java.nio.file.NoSuchFileException => None }
     }.toArray

@@ -15,6 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   CALL tx.system.vacuum(tbl => 'events', keep => 8)
   *   CALL tx.system.rebucket(tbl => 'events', nbuckets => 64)
+  *   CALL tx.system.restore(tbl => 'events', version => 7)
   * }}}
   *
   * Both return a one-row summary as a [[LocalScan]]. They are
@@ -26,12 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object TxProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("vacuum", "rebucket")
+  val Names: Seq[String] = Seq("vacuum", "rebucket", "restore")
 
   def forName(name: String, root: String): UnboundProcedure =
     name.toLowerCase match {
       case "vacuum" => new VacuumProcedure(root)
       case "rebucket" => new RebucketProcedure(root)
+      case "restore" => new RestoreProcedure(root)
       case other => throw new IllegalArgumentException(
         s"TxCatalog: unknown procedure 'system.$other' " +
           s"(supported: ${Names.mkString(", ")})")
@@ -100,6 +102,42 @@ class VacuumProcedure(root: String) extends UnboundProcedure {
         val after = graft.sources.Tx.versions(path).size
         TxProcedures.oneRowScan(schema, new GenericInternalRow(Array[Any](
           UTF8String.fromString(tbl), after, before - after)))
+      }
+    }
+}
+
+class RestoreProcedure(root: String) extends UnboundProcedure {
+  override def name(): String = "restore"
+  override def description(): String =
+    "Recovery: re-publish version <version>'s table state as a NEW " +
+      "commit by reference — one manifest CAS, O(manifest), zero data " +
+      "motion. The bad commit stays live for audit (time travel still " +
+      "reads it); monotone guard meta (sink epochs, MV cursors) is " +
+      "never rewound. A vacuumed version is a named error."
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "restore"
+      override def description(): String = RestoreProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("tbl", StringType)
+          .comment("table name under the catalog root").build(),
+        ProcedureParameter.in("version", LongType)
+          .comment("the live version to restore the table to").build())
+      override def isDeterministic: Boolean = false // commits a version
+
+      private val schema = StructType(Seq(
+        StructField("tbl", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("restored_from", LongType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val from = input.getLong(1)
+        val path = TxProcedures.tablePath(root, tbl)
+        val v = graft.sources.Tx.restore(path, from)
+        TxProcedures.oneRowScan(schema, new GenericInternalRow(Array[Any](
+          UTF8String.fromString(tbl), v, from)))
       }
     }
 }

@@ -351,9 +351,14 @@ class TxScanBuilder(
     import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     if (sawFilters || agg.groupByExpressions.nonEmpty ||
       agg.aggregateExpressions.isEmpty) return false
+    // resolve under the session's resolver (case-insensitive by
+    // default) — MAX(EVENT_ID) must find event_id; the returned name is
+    // the SCHEMA's spelling, which the stat lookup keys on
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
     def colOf(e: Expression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == f.fieldNames()(0)).map(_.name)
+        tableSchema.fields.find(x => resolver(x.name, f.fieldNames()(0)))
+          .map(_.name)
       case _ => None
     }
     def bound(e: Expression, isMax: Boolean): Option[TxAggCell] = for {
@@ -627,12 +632,16 @@ class TxScan(
         // conjunctive single-column boxes of the pushed filters, in the
         // encoded stat domain: the per-task reader skips FILES whose
         // `.zones` entry provably misses them (sorted multi-file buckets)
-        val ranges = Tx.fileRangesOf(
-          snap.meta.get(Tx.SchemaKey)
-            .map(DataType.fromJson(_).asInstanceOf[StructType]),
-          pushed.toSeq)
+        val fullSchema = snap.meta.get(Tx.SchemaKey)
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val ranges = Tx.fileRangesOf(fullSchema, pushed.toSeq)
+        // readers REQUEST physical names (a renamed column lives in the
+        // files under its birth name); positions stay the logical
+        // projection's, which is all Spark consumes downstream
+        val reqPhys = fullSchema.map(Tx.physSchema(required, _))
+          .getOrElse(required)
         runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
-          .map(rel => TxBucketPartition(s"$path/$rel", required.json,
+          .map(rel => TxBucketPartition(s"$path/$rel", reqPhys.json,
             ranges): InputPartition)
           .toArray
     }

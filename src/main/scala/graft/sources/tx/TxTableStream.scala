@@ -26,8 +26,11 @@ import graft.sources.Tx
   * real change stream use `option("readChangeFeed", true)` — this
   * source is for append-mostly tables feeding append-shaped pipelines.
   *
-  * `option("startingVersion", v)` skips the snapshot and emits changes
-  * AFTER live version v (the CDF source's bootstrap discipline);
+  * `option("startingVersion", v)` skips the snapshot and emits inserts
+  * FROM commit v INCLUSIVE — Delta's identically-named option keeps its
+  * meaning (v = 1 serves the whole first commit, diffed against the
+  * empty table; v > 1 needs v-1 live to diff against, named error
+  * otherwise; v = latest+1 waits for future commits);
   * `option("maxVersionsPerTrigger", n)` bounds a batch's commit span.
   * The schema is pinned at stream start (a mid-stream addColumn's new
   * column is projected away until restart); a consumer that outsleeps
@@ -55,13 +58,26 @@ class TxTableStream(
 
   override def initialOffset(): Offset = startingVersion match {
     case Some(v) =>
+      // INCLUSIVE, Delta's contract: the first batch carries commit v's
+      // OWN inserts (a Delta migrant's startingVersion keeps meaning).
+      // Emitting them means diffing v against v-1, so v-1 must still be
+      // live — except v == 1, which diffs against the empty table
+      // ([[planInputPartitions]] synthesizes the empty base for lo 0).
+      // v may also be one PAST the newest commit (an empty stream that
+      // waits for future commits), again Delta's behavior.
       val vs = Tx.versions(path)
-      require(vs.contains(v),
-        s"graft-tx: startingVersion $v is not live in $path " +
-          s"(kept: ${vs.headOption.getOrElse("none")}.." +
-          s"${vs.lastOption.getOrElse("none")}) — inserts are emitted " +
-          "AFTER it, so it must be a live version")
-      TxTableOffset(v, snapshotDone = true)
+      require(v >= 1, s"graft-tx: startingVersion must be >= 1, got $v")
+      require(vs.nonEmpty,
+        s"graft-tx: cannot stream $path — no committed version")
+      require(v <= vs.last + 1,
+        s"graft-tx: startingVersion $v is beyond the next commit of " +
+          s"$path (latest: v${vs.last})")
+      require(if (v == 1) vs.head == 1 else vs.contains(v - 1),
+        s"graft-tx: startingVersion is INCLUSIVE — emitting commit $v's " +
+          s"own rows needs v${v - 1} live to diff against, but $path " +
+          s"keeps ${vs.head}..${vs.last}. Omit startingVersion for a " +
+          s"snapshot bootstrap, or start at ${vs.head + 1}")
+      TxTableOffset(v - 1, snapshotDone = true)
     case None => TxTableOffset(pinnedVersion, snapshotDone = false)
   }
 
@@ -99,15 +115,21 @@ class TxTableStream(
       // must get the NAMED retired-version error, not a raw
       // NoSuchFileException (same resolution the batch scan uses)
       val snap = TxSource.snapshotAt(path, s.version)
+      // request PHYSICAL names (renamed columns live in files under
+      // their birth name); positions stay the logical projection's
+      val reqPhys = Tx.physSchema(required, tableSchema)
       snap.dirs.toSeq.sortBy(_._1).map { case (_, rel) =>
-        TxBucketPartition(s"$path/$rel", required.json): InputPartition
+        TxBucketPartition(s"$path/$rel", reqPhys.json): InputPartition
       }.toArray
     } else {
       val lo = s.version
       val hi = e.version
       if (hi <= lo) return Array.empty
-      val vs = Tx.versions(path).filter(v => v >= lo && v <= hi)
-      require(vs.headOption.contains(lo) && vs.lastOption.contains(hi),
+      // lo == 0 is the inclusive startingVersion=1 start: commit 1's
+      // rows are the diff against a synthetic EMPTY base snapshot
+      val vs = Tx.versions(path).filter(v => v >= math.max(lo, 1L) && v <= hi)
+      require(vs.headOption.contains(math.max(lo, 1L)) &&
+        vs.lastOption.contains(hi),
         s"graft-tx: table-stream span [$lo, $hi] is not fully live in " +
           s"$path (kept: ${vs.mkString(",")}) — the consumer fell " +
           "behind retention and must re-bootstrap")
@@ -115,9 +137,14 @@ class TxTableStream(
         .map(_.split(",").toSeq)
         .getOrElse(throw new IllegalStateException(
           s"graft-tx: $path has no recorded merge keys"))
-      vs.sliding(2).flatMap { case Seq(a, b) =>
-        TxChangesScan.spanPartitionsUnder(path,
-          Tx.snapshot(path, a), Tx.snapshot(path, b), tableSchema, keys,
+      val snaps = {
+        val real = vs.map(Tx.snapshot(path, _))
+        if (lo == 0L)
+          Tx.Snapshot(0L, real.head.nBuckets, Map.empty) +: real
+        else real
+      }
+      snaps.sliding(2).flatMap { case Seq(a, b) =>
+        TxChangesScan.spanPartitionsUnder(path, a, b, tableSchema, keys,
           emitPre = false, maxDiffBytes, stampVersion = None)
       }.toArray
     }

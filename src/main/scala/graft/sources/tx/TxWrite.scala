@@ -294,11 +294,6 @@ case class TxWriterFactory(stagingDir: String, schemaJson: String)
     new TxDataWriter(stagingDir, schemaJson, partitionId, taskId)
 }
 
-/** Streams one partition's InternalRows into one staged parquet file via
-  * Spark's own ParquetWriteSupport (instantiated reflectively by
-  * parquet-mr from the conf key, like any Spark write) — full Catalyst
-  * type fidelity, no row-by-row conversion layer.
-  */
 /** Shared staging-parquet machinery: one file, streamed InternalRows,
   * Spark's own ParquetWriteSupport (instantiated reflectively from the
   * conf key like any Spark write) — full Catalyst type fidelity.

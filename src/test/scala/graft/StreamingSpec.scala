@@ -717,9 +717,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // retraction pairs ride too
     assert(drain(s"$dir/ck3", emitPre = true).toSet ==
       stamped(1L, 4L, emitPre = true))
-    // startingVersion: changes emitted AFTER it
+    // startingVersion is INCLUSIVE (Delta's contract): 3 emits the
+    // changes OF commits 3 and 4
     assert(drain(s"$dir/ck4",
-      extra = Map("startingVersion" -> "2")).toSet == stamped(2L, 4L))
+      extra = Map("startingVersion" -> "3")).toSet == stamped(2L, 4L))
+    // startingVersion=1 serves the FIRST commit's rows too — inserts
+    // diffed against the synthetic empty base, stamped v1
+    assert(drain(s"$dir/ck4b",
+      extra = Map("startingVersion" -> "1")).toSet ==
+      (1L to 20L).map(i => (i, i * 10, "insert", 1L)).toSet ++
+        stamped(1L, 4L))
     // checkpoint continuation: a restart on the same checkpoint emits
     // ONLY the new commits — no replays into the buffer
     assert(drain(s"$dir/ck5").toSet == stamped(1L, 4L))
@@ -876,10 +883,18 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // deletes drop silently under ignoreChanges
     Tx.commitDelete(spark, up, Seq(2L).toDF("id"), Seq("id"), nBuckets = 4)
     assert(drain("ck1", Map("ignoreChanges" -> "true")).isEmpty)
-    // startingVersion skips the snapshot: changes AFTER v1 only
-    assert(drain("ck3", Map("startingVersion" -> "1",
+    // startingVersion skips the snapshot and is INCLUSIVE (Delta's
+    // contract): 2 emits commits 2..5's inserts/re-deliveries only
+    assert(drain("ck3", Map("startingVersion" -> "2",
       "ignoreChanges" -> "true")).toSet ==
       Set((11L, 110L), (12L, 120L), (1L, 999L)))
+    // startingVersion=1 includes the first commit's own rows, diffed
+    // against the synthetic empty base (id 2's later delete only drops
+    // the v5 delete event — its v1 insert was already delivered)
+    assert(drain("ck3b", Map("startingVersion" -> "1",
+      "ignoreChanges" -> "true")).toSet ==
+      ((1L to 10L).map(i => (i, i * 10)).toSet ++
+        Set((11L, 110L), (12L, 120L), (1L, 999L))))
     // a fresh full drain = the current content (snapshot at latest)
     val current = Tx.read(spark, up).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1843,6 +1843,23 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.latest(s"$base/t").get.version == 4L)
     // and the time-travel surface still reads every intermediate state
     assert(rows(Tx.read(spark, s"$base/t", version = 1L)) == rows(df))
+    // WHEN NOT MATCHED BY SOURCE (Spark 4's full MERGE surface, a Delta
+    // migrant's first stumbling block): rows absent from the source
+    // update or delete through the SAME delta plan, still one commit
+    Seq((2L, 1L), (200L, 1L)).toDF("id", "v")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING merge_src2 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED BY SOURCE AND t.id > 100 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 5""")
+    val s5 = state()
+    assert(s5(2L) == 1L && s5(200L) == 1L, "matched keys update")
+    assert(!s5.contains(107L), "BY SOURCE delete removes unsourced keys")
+    assert(s5(3L) == 35L && s5(4L) == 999L + 5L,
+      "BY SOURCE update touches every unsourced key")
+    assert(Tx.latest(s"$base/t").get.version == 5L,
+      "the BY SOURCE merge is still ONE commit")
   }
 
   test("commitDelta: upserts + deletes in one CAS, delete-only buckets") {
@@ -1907,6 +1924,17 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       (2L, 199L, 198L, 597L))
     assert(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
       "a pushed aggregate must not read any column data")
+    // column resolution honors the session resolver: MAX(ID) under the
+    // default case-insensitive analyzer must still push (the resolved
+    // attribute KEEPS the as-typed spelling, so the pushed reference
+    // arrives as "ID" and must find schema column "id")
+    graft.sources.tx.TxReadCounters.reset()
+    val rci = spark.read.format("graft-tx").load(path)
+      .agg(max("ID"), min("V"), count(lit(1))).collect()(0)
+    assert((rci.getLong(0), rci.getLong(1), rci.getLong(2)) ==
+      (199L, 6L, 198L))
+    assert(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+      "case-insensitive column spelling must not defeat the pushdown")
     // FILTERED aggregates never push (every filter is residual): the row
     // path answers, still exactly
     val f = spark.read.format("graft-tx").load(path)
@@ -2194,6 +2222,113 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         .option("timestampAsOf", stamps(0).toString).load(path))
   }
 
+  test("rename/drop column: metadata-only, physical names pin the files") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "tag"),
+      Seq("id"), nBuckets = 2) //                                    v1
+    // rename tag -> label: zero data motion, old data serves the new name
+    assert(Tx.renameColumn(path, "tag", "label") == 2L)
+    assert(Tx.read(spark, path).columns.toSeq == Seq("id", "v", "label"))
+    assert(Tx.read(spark, path).orderBy("id").collect()
+      .map(_.getString(2)).toSeq == Seq("a", "b"),
+      "pre-rename data must serve under the new name (physical mapping)")
+    // time travel serves the version's OWN name
+    assert(Tx.read(spark, path, version = 1L).columns.toSeq ==
+      Seq("id", "v", "tag"))
+    // forward binding: the old shape no longer commits
+    intercept[IllegalArgumentException](Tx.commitMerge(spark, path,
+      Seq((3L, 30L, "c")).toDF("id", "v", "tag"), Seq("id"), nBuckets = 2))
+    // post-rename commits store the BIRTH name physically: mixed file
+    // generations resolve identically
+    Tx.commitMerge(spark, path,
+      Seq((3L, 30L, "c"), (1L, 11L, "a2")).toDF("id", "v", "label"),
+      Seq("id"), nBuckets = 2) //                                    v3
+    assert(Tx.read(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 11L, "a2"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // the change feed crosses the rename boundary under the NEWER schema
+    val ch = Tx.changes(spark, path, 1L, 3L).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq
+    assert(ch == Seq((1L, "a2", "update"), (3L, "c", "insert")))
+    // collisions and layout columns are named errors
+    val e1 = intercept[IllegalArgumentException](
+      Tx.renameColumn(path, "v", "label"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException](
+      Tx.renameColumn(path, "id", "key"))
+    assert(e2.getMessage.contains("LAYOUT"))
+    // drop: vanishes forward, stays readable backward
+    assert(Tx.dropColumn(path, "label") == 4L)
+    assert(Tx.read(spark, path).columns.toSeq == Seq("id", "v"))
+    assert(Tx.read(spark, path, version = 3L).columns.toSeq ==
+      Seq("id", "v", "label"))
+    intercept[IllegalArgumentException](Tx.dropColumn(path, "id"))
+    // drop + re-add with a DIFFERENT type mints a fresh physical name:
+    // the old string bytes can never bleed into the new long column
+    Tx.addColumn(path, "label", org.apache.spark.sql.types.LongType) // v5
+    assert(Tx.read(spark, path).select("label").collect()
+      .forall(_.isNullAt(0)),
+      "a re-added column starts null everywhere — never the retired data")
+    Tx.commitMerge(spark, path, Seq((1L, 11L, 77L)).toDF("id", "v", "label"),
+      Seq("id"), nBuckets = 2) //                                    v6
+    assert(Tx.read(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ==
+      Seq((1L, 77L), (2L, -1L), (3L, -1L)))
+    // time travel through the whole chain still serves v3's strings
+    assert(Tx.read(spark, path, version = 3L).orderBy("id").collect()
+      .map(_.getString(2)).toSeq == Seq("a2", "b", "c"))
+  }
+
+  test("restore: rewinds the table by reference, never the log or guards") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, (1L to 40L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4, meta = Map("cursor" -> "1")) //       v1
+    Tx.commitOverwrite(spark, path, Seq((1L, 0L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4, meta = Map("cursor" -> "2")) // bad   v2
+    val v = Tx.restore(path, 1L) //                                  v3
+    assert(v == 3L, "restore is a COMMIT, not a log rewind")
+    assert(rows(Tx.read(spark, path)) == (1L to 40L).map(i => (i, i * 10)))
+    // by reference: v3 lists v1's exact file set — zero data motion
+    assert(Tx.snapshot(path, 3L).dirs == Tx.snapshot(path, 1L).dirs)
+    // the bad version stays live and auditable until vacuum
+    assert(rows(Tx.read(spark, path, version = 2L)) == Seq((1L, 0L)))
+    // monotone guard meta is NEVER rewound — a restored sink must not
+    // re-apply replayed epochs
+    assert(Tx.latestMeta(path, "cursor").contains("2"),
+      "restore rewinds data, not guard meta")
+    // restoring the current version is a documented no-op
+    assert(Tx.restore(path, 3L) == 3L)
+    assert(Tx.versions(path) == Seq(1L, 2L, 3L))
+    // vacuum after restore keeps the referenced v1 data alive
+    Tx.vacuum(path, keepVersions = 1)
+    assert(rows(Tx.read(spark, path)) == (1L to 40L).map(i => (i, i * 10)))
+    // a vacuumed version is a NAMED error — its files are gone
+    val e = intercept[IllegalArgumentException](Tx.restore(path, 2L))
+    assert(e.getMessage.contains("not live") &&
+      e.getMessage.contains("vacuum"))
+  }
+
+  test("restore across a rebucket restores the old layout") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, (1L to 64L).map(i => (i, i)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4, statsCols = Seq("id")) //             v1
+    Tx.rebucket(spark, path, 16) //                                  v2
+    assert(Tx.latest(path).get.nBuckets == 16)
+    val v = Tx.restore(path, 1L) //                                  v3
+    assert(Tx.latest(path).get.nBuckets == 4,
+      "the restored version's files carry the OLD layout — the " +
+        "manifest must record it or bucket-scoped commits would corrupt")
+    assert(rows(Tx.read(spark, path)) == (1L to 64L).map(i => (i, i)))
+    // a post-restore merge works against the restored layout
+    Tx.commitMerge(spark, path, Seq((1L, 999L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    assert(rows(Tx.read(spark, path)).toMap ==
+      ((2L to 64L).map(i => i -> i) :+ (1L -> 999L)).toMap)
+    assert(v == 3L)
+  }
+
   test("history and files metadata tables serve manifest facts as SQL") {
     val base = java.nio.file.Files.createTempDirectory("graft_meta").toString
     val path = s"$base/ev"
@@ -2237,5 +2372,21 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "WHERE id = 1").collect().map(_.getLong(0)).toSeq
     assert(v1 == Seq(10L),
       "TIMESTAMP AS OF must resolve the version committed at that time")
+    // n_buckets is the LAYOUT count the manifest records, so a rebucket
+    // is visible in history even when not every bucket is populated
+    Tx.rebucket(spark, path, 8)
+    val nb = spark.sql(
+      s"SELECT version, n_buckets FROM $cat.ev.history ORDER BY version")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(nb == Seq(1L -> 4, 2L -> 4, 3L -> 4, 4L -> 8),
+      s"history must serve each version's layout bucket count, got $nb")
+    // a SPARSE table (2 rows, 16-bucket layout) still reports 16 — the
+    // populated-directory count would understate the layout
+    val sparse = s"$base/sparse"
+    Tx.commitMerge(spark, sparse, Seq((1L, 1L), (2L, 2L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 16)
+    assert(Tx.latest(sparse).get.dirs.size < 16, "fixture must be sparse")
+    assert(spark.sql(s"SELECT n_buckets FROM $cat.sparse.history")
+      .collect().map(_.getInt(0)).toSeq == Seq(16))
   }
 }
