@@ -529,6 +529,36 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // HASH PRUNING — the bucket layout as an index: a point lookup on
+    // the bucket key (`WHERE event_id IN (...)`) plans ONLY the buckets
+    // the probed keys hash to, computed from the manifest through the
+    // SAME Catalyst expression the writers used — zone maps cannot do
+    // this (a hash layout makes every bucket's min/max span the whole
+    // domain), so before this the 100 TB "fetch these five records"
+    // query scanned every bucket. The kept/total plan counts are
+    // require()d in-plan (facts the oracle can't see); the oracle
+    // filters raw — a hash drift would return the wrong rows or none
+    // and hash-fail. Quarter subset like the other Tx-lifecycle
+    // queries.
+    "q283_tx_point_lookup" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx_pl").toString + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 32)
+      val tag = "q283_" + java.util.UUID.randomUUID().toString.take(8)
+      val out = s.read.format("graft-tx").option("scanTag", tag).load(path)
+        .filter(col("event_id").isin(4L, 8L, 16L, 28L, 100L))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+      require(out.count() == 5L, "all five probed keys must exist")
+      val (kept, total) = graft.sources.tx.TxScan.lastPlanned(tag).get
+      require(kept <= 5 && kept < total,
+        s"a 5-key point lookup must open at most 5 of the $total " +
+          s"buckets, planned $kept")
+      out
+    }),
     // PLAIN STREAMING READ of a Tx table — Delta's readStream shape,
     // the one consumption route the format still lacked: the first
     // micro-batch is the FULL snapshot pinned at stream start, later
@@ -1658,6 +1688,13 @@ object MaintenanceQueries {
               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT),
               min(event_id), max(event_id) FROM v2)
           SELECT * FROM card ORDER BY version""".replaceAll("\\s+", " "),
+    // the probed keys filtered from raw — the hash-pruned scan must
+    // serve exactly these rows (the plan-count contract is the in-plan
+    // require; the CONTENT contract is this hash gate)
+    "q283_tx_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 4 = 0 AND event_id IN (4, 8, 16, 28, 100)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
     // the pre-overwrite content from raw — a restore that lost a row,
     // leaked a bad-commit row, or rewrote instead of re-referencing
     // (the in-plan history require) hash-fails

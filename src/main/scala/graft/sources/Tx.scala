@@ -1215,6 +1215,27 @@ object Tx {
   private def bucketOf(keys: Seq[String], nb: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int")
 
+  /** Driver-side mirror of [[bucketOf]] for ONE bucket-key tuple: the
+    * bucket rows with exactly these key values land in — evaluated
+    * through the SAME Catalyst expression (`XxHash64`, seed 42, over
+    * literals of the recorded column types), so the arithmetic can
+    * never drift from what the writers hashed. This is what makes the
+    * bucket layout itself an INDEX: an equality probe on the bucket
+    * keys resolves to one bucket from the manifest alone. None when a
+    * value can't be represented as a literal of the column's type
+    * (caller keeps all buckets — sound), and refused by the caller for
+    * float/double keys (their equality-vs-hash corner cases aren't
+    * worth a silently wrong prune).
+    */
+  private[sources] def bucketOfValues(
+      values: Seq[Any], dts: Seq[DataType], nb: Int): Option[Int] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val lits = values.zip(dts).map { case (v, dt) => Literal.create(v, dt) }
+      val h = new XxHash64(lits).eval(null).asInstanceOf[Long]
+      Some((((h % nb) + nb) % nb).toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** MERGE `batch` into the table (matched keys replaced, others
     * inserted — the reference's ON CONFLICT DO UPDATE), committing a new
     * snapshot atomically; returns the committed version. Under optimistic

@@ -394,8 +394,12 @@ class TxScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = {
-    val kept = prunable.flatMap(TxPrune.keptFor(snap, _))
+    val zoneKept = prunable.flatMap(TxPrune.keptFor(snap, _))
       .foldLeft(snap.dirs.keySet)(_ intersect _)
+    // hash pruning on top: an equality probe over the bucket keys
+    // resolves to its exact bucket(s) — the point-lookup path
+    val kept = TxPrune.keyEqualityKept(snap, prunable.toSeq, tableSchema)
+      .map(zoneKept intersect _).getOrElse(zoneKept)
     new TxScan(path, snap, required, kept, prunable, pushedAggs, vectorized,
       scanTag, version, options)
   }
@@ -501,6 +505,60 @@ private[tx] object TxPrune {
     case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
+
+  /** HASH pruning — the bucket layout itself as an index. When the
+    * pushed conjuncts (the filter array IS the top-level conjunction)
+    * pin EVERY recorded bucket-key column to a constant or a finite
+    * set, each candidate tuple's bucket is computable from the
+    * manifest alone ([[Tx.bucketOfValues]] — the same Catalyst hash
+    * the writers used), and ONLY those buckets can hold matching rows:
+    * unlike zone pruning this is an identity argument, not a bounds
+    * argument — commits enforce bucket-key and key-type stability
+    * since birth, so equal tuples co-locate at every version of a
+    * given layout (and the scan's snapshot carries ITS layout's
+    * nBuckets, so time travel across a rebucket stays correct). The
+    * payoff is the 100 TB point lookup: `WHERE event_id = k` opens ONE
+    * bucket instead of all of them — zone maps can't do this, because
+    * a hash layout makes every bucket's min/max span the whole domain.
+    *
+    * Refusals (None = keep all, always sound): missing/renamed-away
+    * column, float/double keys (NaN/-0.0 equality-vs-hash corners),
+    * null values (a null key never matches — Spark's residual filter
+    * answers), candidate blowup past a fixed cap, or any value a
+    * literal of the column's type can't represent.
+    */
+  def keyEqualityKept(
+      snap: Tx.Snapshot, filters: Seq[Filter],
+      schema: StructType): Option[Set[Int]] = {
+    val bk = snap.meta.get(Tx.BucketKeysKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (bk.isEmpty) return None
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def schemaName(c: String): Option[String] =
+      schema.fields.find(f => resolver(f.name, c)).map(_.name)
+    // per bucket-key column: the smallest finite candidate set any
+    // top-level conjunct pins it to (one equality suffices — extra
+    // conjuncts only narrow further, and Spark re-applies exactly)
+    val cand = filters.flatMap {
+      case EqualTo(c, v) if v != null => schemaName(c).map(_ -> Seq(v))
+      case EqualNullSafe(c, v) if v != null => schemaName(c).map(_ -> Seq(v))
+      case In(c, vs) if vs.nonEmpty && vs.length <= 4096 &&
+        !vs.contains(null) => schemaName(c).map(_ -> vs.toSeq)
+      case _ => None
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).minBy(_.size) }
+    if (!bk.forall(cand.contains)) return None
+    val dts = bk.map(c => schema.fields.find(_.name == c).map(_.dataType))
+    if (dts.exists(dt => dt.isEmpty ||
+      dt.contains(org.apache.spark.sql.types.DoubleType) ||
+      dt.contains(org.apache.spark.sql.types.FloatType))) return None
+    val combos = bk.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+      if (acc.size > 4096) acc else acc.flatMap(p => cand(c).map(p :+ _))
+    }
+    if (combos.size > 4096) return None
+    val buckets = combos.map(vals =>
+      Tx.bucketOfValues(vals, dts.map(_.get), snap.nBuckets))
+    if (buckets.exists(_.isEmpty)) None else Some(buckets.flatten.toSet)
+  }
 }
 
 class TxScan(
@@ -541,21 +599,32 @@ class TxScan(
 
   // RUNTIME (DPP) pruning: Spark hands the scan the join-key values it
   // learned from the other side's selective filter, and the kept set
-  // shrinks again — the Tx analogue of dynamic partition pruning. Only
-  // zone-mapped columns are offered; anything else would cost a
-  // broadcast subquery and prune nothing.
+  // shrinks again — the Tx analogue of dynamic partition pruning.
+  // Offered columns: zone-mapped ones (bounds pruning) and the bucket
+  // keys (HASH pruning — a runtime In over the bucket keys resolves to
+  // exactly the buckets holding those keys, the fact⋈dim shape);
+  // anything else would cost a broadcast subquery and prune nothing.
   private var runtimeKept: Set[Int] = kept
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    snap.meta.get(Tx.StatsColsKey)
-      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    (snap.meta.get(Tx.StatsColsKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil) ++
+      snap.meta.get(Tx.BucketKeysKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      .distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 
-  override def filter(filters: Array[Filter]): Unit =
-    runtimeKept = filters.flatMap(TxPrune.keptFor(snap, _))
+  override def filter(filters: Array[Filter]): Unit = {
+    val schema = snap.meta.get(Tx.SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val zoneKept = filters.flatMap(TxPrune.keptFor(snap, _))
       .foldLeft(kept)(_ intersect _)
+    runtimeKept = schema
+      .flatMap(st => TxPrune.keyEqualityKept(snap, filters.toSeq, st))
+      .map(zoneKept intersect _).getOrElse(zoneKept)
+  }
 
   override def readSchema(): StructType = aggs match {
     case Some(cells) => StructType(cells.map {

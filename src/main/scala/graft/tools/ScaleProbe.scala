@@ -635,6 +635,21 @@ object ScaleProbe {
         count(lit(1))).collect()(0)
       require(r.getLong(2) == total)
     }
+    // r13 hash pruning: a point lookup on the bucket key computes its
+    // ONE bucket from the manifest — cost flat in table size (1/256 of
+    // the data read, whatever the mult); the baseline pays the scan
+    val probeTag = s"probe-pl-$mult"
+    timed("hash-pruned point lookup (= on the bucket key, one bucket)") {
+      val r = spark.read.format("graft-tx").option("scanTag", probeTag)
+        .load(tablePath).filter(col("event_id") === 77L).collect()
+      require(r.length == 1, s"expected the one id-77 row, got ${r.length}")
+    }
+    val (keptPl, totalPl) = graft.sources.tx.TxScan.lastPlanned(probeTag).get
+    require(keptPl == 1,
+      s"point lookup must plan ONE of the $totalPl buckets, got $keptPl")
+    timed("full-scan lookup baseline (same predicate over raw parquet)") {
+      require(big.filter(col("event_id") === 77L).count() == 1L)
+    }
   }
 
   private def txFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {

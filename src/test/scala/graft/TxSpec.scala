@@ -1433,9 +1433,14 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(nn.rdd.getNumPartitions < total,
       "IsNotNull must prune buckets whose x-zone is all-null")
     assert(nn.count() == df.filter(col("x").isNotNull).count())
-    // EqualNullSafe with a non-null value prunes like EqualTo
+    // EqualNullSafe with a non-null value prunes like EqualTo — and
+    // since r13's HASH pruning, equality on the bucket key goes past
+    // the zone answer (3 buckets here, hash collisions co-locate days)
+    // to the ONE bucket the key hashes to
     val expectEq = Tx.pruneInfo(path, "day", 3L, 3L)._1
-    assert(parts(col("day") <=> 3L) == expectEq.size)
+    assert(expectEq.size >= 1, "zone pruning alone keeps the collisions")
+    assert(parts(col("day") <=> 3L) == 1,
+      "bucket-key equality must open exactly the key's hash bucket")
     assert(scan.filter(col("day") <=> 3L).count() == 4L)
   }
 
@@ -2220,6 +2225,74 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       spark.read.format("graft-tx").option("version", 1L)
         .option("timestampAsOf", stamps(0).toString).load(path))
+  }
+
+  test("hash pruning: bucket-key equality opens exactly its bucket") {
+    import graft.sources.tx.TxScan
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      (1L to 200L).map(i => (i, i * 3)).toDF("id", "v"),
+      Seq("id"), nBuckets = 16)
+    def planned(tag: String) = TxScan.lastPlanned(tag).get
+    def scan(tag: String) = spark.read.format("graft-tx")
+      .option("scanTag", tag).load(path)
+    // the point lookup: = on the bucket key plans ONE bucket — and the
+    // value assert proves the computed bucket is the one HOLDING the
+    // row (a hash drift would return empty here, not just mis-prune)
+    assert(scan("hp1").filter(col("id") === 7L).collect()
+      .map(_.getLong(1)).toSeq == Seq(21L))
+    assert(planned("hp1") == (1, 16),
+      s"= on the bucket key must open exactly one bucket, got ${planned("hp1")}")
+    // IN: the union of its values' buckets
+    assert(scan("hp2").filter(col("id").isin(1L, 2L, 3L)).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(planned("hp2")._1 <= 3)
+    // a MISS still prunes to the probed key's bucket (empty result)
+    assert(scan("hp3").filter(col("id") === 999L).isEmpty)
+    assert(planned("hp3")._1 == 1)
+    // case-insensitive spelling resolves
+    assert(scan("hp4").filter(col("ID") === 7L).count() == 1L)
+    assert(planned("hp4")._1 == 1)
+    // string bucket keys hash identically
+    val p2 = tmp()
+    Tx.commitMerge(spark, p2,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"),
+      Seq("k"), nBuckets = 8)
+    assert(spark.read.format("graft-tx").option("scanTag", "hp5").load(p2)
+      .filter(col("k") === "b").collect().map(_.getLong(1)).toSeq == Seq(2L))
+    assert(planned("hp5")._1 == 1)
+    // multi-column bucket keys: ALL pinned -> one bucket; PARTIAL
+    // equality cannot compute the hash -> keeps everything (sound)
+    val p3 = tmp()
+    val df3 = (1L to 16L).flatMap(d => (1L to 4L).map(h => (d, h, d * 10 + h)))
+      .toDF("d", "h", "v")
+    Tx.commitMerge(spark, p3, df3, Seq("d", "h"), nBuckets = 16)
+    def scan3(tag: String) = spark.read.format("graft-tx")
+      .option("scanTag", tag).load(p3)
+    assert(scan3("hp6").filter(col("d") === 3L && col("h") === 2L)
+      .collect().map(_.getLong(2)).toSeq == Seq(32L))
+    assert(planned("hp6")._1 == 1)
+    scan3("hp7").filter(col("d") === 3L).collect()
+    assert(planned("hp7")._1 == planned("hp7")._2,
+      "partial bucket-key equality must keep all buckets")
+    // coarse bucketKeys subset: pinning just the bucket key prunes even
+    // though the merge key is wider
+    val p4 = tmp()
+    Tx.commitMerge(spark, p4, df3, Seq("d", "h"), nBuckets = 16,
+      bucketKeys = Seq("d"))
+    val r4 = spark.read.format("graft-tx").option("scanTag", "hp8").load(p4)
+      .filter(col("d") === 3L).collect()
+    assert(r4.length == 4 && planned("hp8")._1 == 1)
+    // across a rebucket, each version prunes under ITS OWN layout
+    Tx.rebucket(spark, path, 32)
+    assert(scan("hp9").filter(col("id") === 7L).collect()
+      .map(_.getLong(1)).toSeq == Seq(21L))
+    assert(planned("hp9")._1 == 1 && planned("hp9")._2 > 16)
+    assert(spark.read.format("graft-tx").option("scanTag", "hp10")
+      .option("version", 1L).load(path).filter(col("id") === 7L)
+      .count() == 1L)
+    assert(planned("hp10") == (1, 16),
+      "time travel must hash under the pinned version's layout")
   }
 
   test("rename/drop column: metadata-only, physical names pin the files") {
