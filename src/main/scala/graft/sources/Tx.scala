@@ -428,7 +428,9 @@ object Tx {
     while (attempt < maxAttempts) {
       attempt += 1
       val (sp, st) = resolveEvolution("addColumn", path)
-      require(!st.fieldNames.contains(name),
+      // case-insensitive: Spark's default resolver would make a pair
+      // differing only in case ambiguous in every downstream query
+      require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"addColumn: column '$name' already exists")
       val used = usedPhysOf(sp, st)
       val phys = if (!used.contains(name)) name
@@ -469,7 +471,10 @@ object Tx {
       val (sp, st) = resolveEvolution("renameColumn", path)
       require(st.fieldNames.contains(from),
         s"renameColumn: no column '$from' in ${st.fieldNames.mkString(", ")}")
-      require(!st.fieldNames.contains(to),
+      // case-insensitive: Spark's default resolver would make a pair
+      // differing only in case ambiguous in every downstream query
+      require(!st.fieldNames.exists(n =>
+        n != from && n.equalsIgnoreCase(to)),
         s"renameColumn: column '$to' already exists — renaming onto a " +
           "live name would be ambiguous")
       require(!layoutColsOf(sp).contains(from),

@@ -24,8 +24,9 @@ import graft.sources.Tx
   *   df.writeTo("tx.events").append()
   * }}}
   *
-  * Identifiers map to subdirectories of `root` (one level of namespace
-  * allowed, also a subdirectory); every read plans the SAME pruned DSv2
+  * Identifiers map to subdirectories of `root` (namespaces nest to any
+  * depth since r13 — each level a subdirectory; a directory holding a
+  * `_v` manifest dir is a table); every read plans the SAME pruned DSv2
   * scan as `spark.read.format("graft-tx")` — zone-map pushdown, DPP,
   * statistics, vectorized decode — because `loadTable` returns the same
   * [[TxTableV2]]. CREATE TABLE maps to [[Tx.createTable]] (schema +
@@ -60,16 +61,18 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
     p
   }
 
-  private def pathOf(ident: Identifier): String = {
-    require(ident.namespace().length <= 1,
-      s"TxCatalog: at most one namespace level, got " +
-        ident.namespace().mkString("."))
+  private def pathOf(ident: Identifier): String =
     ((root +: ident.namespace().toSeq) :+ ident.name())
       .map {
         case p if p == root => p
         case p => checkPart(p)
       }.mkString("/")
-  }
+
+  private def nsDir(namespace: Array[String]): java.io.File =
+    new java.io.File((root +: namespace.toSeq.map(checkPart)).mkString("/"))
+
+  private def isTableDir(f: java.io.File): Boolean =
+    new java.io.File(f, "_v").isDirectory
 
   /** `tx.<table>.history` / `tx.<table>.files` — when the identifier's
     * LAST namespace part resolves to a Tx table and the name is a
@@ -84,9 +87,8 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
         TxMetaTables.Names.contains(ident.name().toLowerCase)) {
       val base = Identifier.of(
         ident.namespace().dropRight(1), ident.namespace().last)
-      if (base.namespace().length <= 1 && {
-        val p = pathOf(base); Tx.versions(p).nonEmpty
-      }) Some(TxMetaTables.forName(ident.name().toLowerCase, pathOf(base)))
+      if (Tx.versions(pathOf(base)).nonEmpty)
+        Some(TxMetaTables.forName(ident.name().toLowerCase, pathOf(base)))
       else None
     } else None
 
@@ -220,32 +222,29 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  /** One level of NAMESPACE = one subdirectory of the root — enough for
-    * the lake-style `<cat>.<area>.<table>` layout the path mapping
-    * already reads. Namespaces carry no metadata of their own.
+  /** NAMESPACES = directory chains under the root (any depth since
+    * r13 — `<cat>.<org>.<area>.<table>` maps to nested subdirectories;
+    * a directory with a `_v` manifest dir is a TABLE, everything else
+    * is a namespace). Namespaces carry no metadata of their own.
     */
-  override def listNamespaces(): Array[Array[String]] = {
-    val fs = new java.io.File(root).listFiles()
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    val fs = nsDir(namespace).listFiles()
     if (fs == null) Array.empty
-    else fs.filter(f => f.isDirectory &&
-        !new java.io.File(f, "_v").isDirectory) // a table is not a namespace
-      .map(f => Array(f.getName)).sortBy(_.head)
+    else fs.filter(f => f.isDirectory && !isTableDir(f))
+      .map(f => namespace :+ f.getName).sortBy(_.mkString("."))
   }
 
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces()
-    else {
-      if (!namespaceExists(namespace))
-        throw new org.apache.spark.sql.catalyst.analysis
-          .NoSuchNamespaceException(catalogName +: namespace.toSeq)
-      Array.empty // one level only
-    }
-
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || (namespace.length == 1 && {
-      val d = new java.io.File(s"$root/${checkPart(namespace(0))}")
-      d.isDirectory && !new java.io.File(d, "_v").isDirectory
-    })
+    namespace.isEmpty || {
+      val d = nsDir(namespace)
+      d.isDirectory && !isTableDir(d)
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
@@ -258,11 +257,18 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
   override def createNamespace(
       namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    require(namespace.length == 1,
-      "TxCatalog: one namespace level only")
+    require(namespace.nonEmpty, "TxCatalog: empty namespace")
     // Spark stamps defaults (owner, ...) on every CREATE NAMESPACE —
-    // accepted and discarded: a namespace is a directory, nothing more
-    val d = java.nio.file.Paths.get(root, checkPart(namespace(0)))
+    // accepted and discarded: a namespace is a directory, nothing more.
+    // Parent levels are created along the way (directory semantics);
+    // no prefix may resolve to a TABLE (a table is not a namespace).
+    namespace.toSeq.inits.toSeq.reverse.drop(1).foreach { prefix =>
+      val d = nsDir(prefix.toArray)
+      require(!isTableDir(d),
+        s"TxCatalog: '${prefix.mkString(".")}' is a TABLE — a table " +
+          "cannot contain namespaces")
+    }
+    val d = nsDir(namespace).toPath
     if (java.nio.file.Files.exists(d))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(
@@ -277,29 +283,40 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
       : Unit = throw new UnsupportedOperationException(
     "TxCatalog: namespaces carry no metadata to alter")
 
-  /** Non-cascade refuses a namespace with tables in it; cascade drops
-    * them (each a real Tx-table delete — the [[dropTable]] care).
+  /** Non-cascade refuses a namespace with tables or child namespaces
+    * in it; cascade drops them recursively (each table a real Tx-table
+    * delete — the [[dropTable]] care). Non-catalog debris ANYWHERE in
+    * the subtree refuses BEFORE anything is deleted: discovering it
+    * mid-cascade would leave a half-destroyed namespace behind a
+    * failed statement.
     */
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace) || namespace.isEmpty) return false
-    val d = new java.io.File(s"$root/${namespace(0)}")
-    val tables = listTables(namespace)
-    // refuse non-table debris BEFORE dropping anything: discovering it
-    // after the cascade deleted real tables would leave a half-
-    // destroyed namespace behind a failed statement
-    val tableNames = tables.map(_.name()).toSet
-    val debris = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filterNot(f => tableNames.contains(f.getName))
+    val d = nsDir(namespace)
+    def debrisIn(dir: java.io.File): Seq[java.io.File] = {
+      val cs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      cs.flatMap { f =>
+        if (f.isDirectory && isTableDir(f)) Nil // a table: droppable
+        else if (f.isDirectory) debrisIn(f) // a child namespace: recurse
+        else Seq(f) // a loose file: not ours
+      }
+    }
+    val debris = debrisIn(d)
     require(debris.isEmpty,
       s"TxCatalog: namespace ${namespace.mkString(".")} holds non-table " +
         s"content (${debris.take(3).map(_.getName).mkString(", ")}) — " +
         "refusing to delete what the catalog didn't create")
-    if (tables.nonEmpty) {
+    val children = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val tables = children.filter(f => f.isDirectory && isTableDir(f))
+    val childNs = children.filter(f => f.isDirectory && !isTableDir(f))
+    if (tables.nonEmpty || childNs.nonEmpty) {
       require(cascade,
         s"TxCatalog: namespace ${namespace.mkString(".")} holds " +
-          s"${tables.length} table(s) — DROP ... CASCADE to delete them")
-      tables.foreach(dropTable)
+          s"${tables.length} table(s) and ${childNs.length} child " +
+          "namespace(s) — DROP ... CASCADE to delete them")
+      tables.foreach(t => dropTable(Identifier.of(namespace, t.getName)))
+      childNs.foreach(n => dropNamespace(namespace :+ n.getName, cascade))
     }
     d.delete()
   }

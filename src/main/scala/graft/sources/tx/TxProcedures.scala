@@ -48,19 +48,19 @@ object TxProcedures {
 
   /** Identifier hygiene: a procedure's table argument resolves under
     * the catalog root exactly like an identifier — dot-qualified for a
-    * namespaced table (`'raw.ev'` → `<root>/raw/ev`, matching the
-    * catalog's one-level namespaces), each part checked so it can never
-    * escape the root. The table must EXIST (some committed version) —
-    * maintaining a typo must be a named error, not a silent no-op
-    * success row.
+    * namespaced table (`'raw.ev'` → `<root>/raw/ev`; namespaces nest
+    * to any depth, like the catalog's), each part checked so it can
+    * never escape the root. The table must EXIST (some committed
+    * version) — maintaining a typo must be a named error, not a silent
+    * no-op success row.
     */
   private[tx] def tablePath(root: String, tbl: String): String = {
     val parts = tbl.split("\\.", -1).toSeq
-    require(parts.nonEmpty && parts.length <= 2 && parts.forall(p =>
+    require(parts.nonEmpty && parts.forall(p =>
       p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
         !p.startsWith(".")),
       s"TxCatalog: illegal table argument '$tbl' — a table name or " +
-        "'namespace.table'")
+        "'namespace.table' (namespaces may nest: 'a.b.table')")
     val path = (root +: parts).mkString("/")
     require(graft.sources.Tx.versions(path).nonEmpty,
       s"TxCatalog: no such table '$tbl' under the catalog root — " +

@@ -2190,6 +2190,32 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP NAMESPACE $cat.raw CASCADE")
     assert(Tx.versions(path).isEmpty &&
       !new java.io.File(s"$base/raw").exists())
+    // NESTED namespaces (r13): any depth, each level a directory
+    spark.sql(s"CREATE NAMESPACE $cat.org")
+    spark.sql(s"CREATE NAMESPACE $cat.org.lake.bronze") // parents created
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat.org").collect()
+      .map(_.getString(0)).toSeq == Seq("org.lake"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat.org.lake").collect()
+      .map(_.getString(0)).toSeq == Seq("org.lake.bronze"))
+    spark.sql(s"CREATE TABLE $cat.org.lake.bronze.ev " +
+      "(day BIGINT, v BIGINT) TBLPROPERTIES ('keys'='day')")
+    spark.sql(s"INSERT INTO $cat.org.lake.bronze.ev VALUES (1, 7), (2, 9)")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.org.lake.bronze.ev")
+      .collect()(0).getLong(0) == 16L)
+    // metadata tables and CALL procedures resolve at depth too
+    assert(spark.sql(s"SELECT count(*) FROM $cat.org.lake.bronze.ev.history")
+      .collect()(0).getLong(0) == 2L)
+    val vac = spark.sql(s"CALL $cat.system.vacuum(" +
+      "tbl => 'org.lake.bronze.ev', keep => 1)").collect()(0)
+    assert(vac.getInt(1) == 1)
+    // SHOW TABLES under the nested namespace
+    assert(spark.sql(s"SHOW TABLES IN $cat.org.lake.bronze").collect()
+      .map(_.getString(1)).toSeq == Seq("ev"))
+    // non-cascade refuses a namespace holding a CHILD namespace
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.org"))
+    // cascade walks the whole subtree
+    spark.sql(s"DROP NAMESPACE $cat.org CASCADE")
+    assert(!new java.io.File(s"$base/org").exists())
   }
 
   test("commit timestamps: monotonic per-version stamps drive versionAt") {
