@@ -529,6 +529,59 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    // CHECK CONSTRAINTS — write-time expectations IN THE FORMAT
+    // (Delta's `ALTER TABLE ... ADD CONSTRAINT` shape via
+    // TBLPROPERTIES): once `constraint.clean` is recorded (validating
+    // the existing rows first, O(table) — Delta's contract), EVERY
+    // commit path gates incoming batch rows on it — a violating MERGE
+    // is a named error naming the constraint and an offending row, and
+    // publishes NOTHING (require()d in-plan: the version is unchanged
+    // and the violating rows are absent). The valid composition then
+    // lands normally. This moves the reference's quality gate
+    // (/root/reference/src/transform/clean.py's repair rules) from
+    // every writer's discipline into the table's contract. Oracle:
+    // q275's quarter-subset q15 — the constraint machinery must be
+    // result-invisible for clean data.
+    "q284_tx_check_constraint" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_cc").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      val cat = "txq" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('constraint.clean' = 'user_id >= 0 AND length(event_type) > 0')")
+      require(Tx.latest(path).get.version == 2L,
+        "recording the constraint is one metadata commit")
+      // a violating batch must publish NOTHING
+      val badBatch = existing.limit(3)
+        .withColumn("user_id", lit(-1L))
+      val eMsg =
+        try { Tx.commitMerge(s, path, badBatch, Seq("event_id"),
+          nBuckets = 16); "NO-ERROR" }
+        catch { case ex: Throwable => ex.getMessage }
+      require(eMsg.contains("clean") &&
+        eMsg.contains("no version was published"),
+        s"the violation must name the constraint, got: $eMsg")
+      require(Tx.latest(path).get.version == 2L,
+        "a violating batch must not publish a version")
+      // the valid composition lands normally (q15's shape)
+      val updates = existing.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = existing.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 1000000L)
+      Tx.commitMerge(s, path, updates.unionByName(inserts),
+        Seq("event_id"), nBuckets = 16)
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     // HASH PRUNING — the bucket layout as an index: a point lookup on
     // the bucket key (`WHERE event_id IN (...)`) plans ONLY the buckets
     // the probed keys hash to, computed from the manifest through the
@@ -1688,6 +1741,21 @@ object MaintenanceQueries {
               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT),
               min(event_id), max(event_id) FROM v2)
           SELECT * FROM card ORDER BY version""".replaceAll("\\s+", " "),
+    // q275's quarter-subset q15 oracle verbatim — for clean data the
+    // constraint gate must be result-invisible (the violating batch's
+    // rows appearing anywhere would hash-fail)
+    "q284_tx_check_constraint" ->
+      """WITH existing AS (SELECT event_id, user_id, event_type, value
+              FROM events WHERE event_id % 4 = 0),
+          incoming AS (SELECT event_id, user_id, event_type, value * 2 AS value
+              FROM existing WHERE event_id % 10 = 0
+            UNION ALL SELECT event_id + 1000000, user_id, event_type, value
+              FROM existing WHERE event_id < 50)
+          SELECT * FROM (
+            SELECT e.* FROM existing e WHERE NOT EXISTS
+              (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
+            UNION ALL SELECT * FROM incoming)
+          ORDER BY event_id""".replaceAll("\\s+", " "),
     // the probed keys filtered from raw — the hash-pruned scan must
     // serve exactly these rows (the plan-count contract is the in-plan
     // require; the CONTENT contract is this hash gate)

@@ -175,6 +175,19 @@ object Tx {
     */
   val PhysMetaKey = "__tx_physical"
 
+  /** Reserved manifest-meta key PREFIX for CHECK constraints:
+    * `__constraint.<name>` = a boolean SQL expression every INCOMING
+    * batch row must satisfy (Delta's CHECK constraints — the
+    * write-time expectation gate a training-data pipeline wants in the
+    * format, not in every writer). Enforced on every data-commit path
+    * (merge / overwrite / delta upserts / replace-where / streaming
+    * sink / DSv2 / SQL row-level — they all stage through one
+    * chokepoint); NULL passes, like SQL's CHECK (violated only when
+    * provably FALSE). Recording one on a LIVE table first validates
+    * the existing rows — O(table) by necessity, Delta's contract.
+    */
+  val ConstraintPrefix = "__constraint."
+
   /** Reserved manifest-meta key: comma-list of every physical name the
     * table has EVER used (append-only). What lets [[addColumn]] detect
     * that a logical name's physical slot is already taken by dropped
@@ -1851,6 +1864,23 @@ object Tx {
                   s"caller asked $maxRowsPerFile — a table property")
               recordedMaxRows
             } else maxRowsPerFile
+          // CHECK constraints gate every incoming batch row (NULL
+          // passes — SQL CHECK semantics): one existence probe per
+          // constraint over the persisted staged frame, BEFORE any
+          // file is written — a violating batch publishes nothing.
+          // Re-read from the CURRENT snapshot each attempt, so a
+          // constraint a racer just added still gates this commit.
+          carried.toSeq.collect {
+            case (k, ex) if k.startsWith(ConstraintPrefix) =>
+              k.stripPrefix(ConstraintPrefix) -> ex
+          }.sortBy(_._1).foreach { case (cn, ex) =>
+            val bad = staged.filter(
+              coalesce(expr(ex), lit(true)) === false).take(1)
+            require(bad.isEmpty,
+              s"$opName: CHECK constraint '$cn' ($ex) violated by the " +
+                s"batch — e.g. ${bad.headOption.getOrElse("")}; no " +
+                "version was published")
+          }
           // the change feed reserves '_change' and the '__o_'/'__n_'
           // prefixes (and '__b' is the bucket column everywhere) — a
           // table whose OWN schema used them would yield ambiguous feed
@@ -2217,6 +2247,79 @@ object Tx {
       try Files.deleteIfExists(tmp)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** CHECK CONSTRAINT — record `__constraint.<name> = sqlExpr` as a
+    * metadata-only commit, after validating that EVERY existing row
+    * satisfies it (O(table) by necessity — Delta's ALTER ADD
+    * CONSTRAINT contract; a constraint the current data violates would
+    * make the table unwritable-but-claiming-clean). From then on every
+    * incoming batch row must satisfy it ([[commitRewrite]]'s gate):
+    * violation = named error naming the constraint, the expression,
+    * and an offending row — no version published. NULL passes (SQL
+    * CHECK semantics: violated only when provably FALSE).
+    */
+  def addConstraint(
+      spark: SparkSession, path: String, name: String, sqlExpr: String,
+      maxAttempts: Int = 5): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+      c == '=' || c == '\n' || c == '\t'),
+      s"addConstraint: illegal constraint name '$name'")
+    require(sqlExpr.nonEmpty && !sqlExpr.exists(c => c == '\n' || c == '\t'),
+      "addConstraint: the expression must be one newline/tab-free line")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"addConstraint: no committed version in $path"))
+      val key = ConstraintPrefix + name
+      require(!sp.meta.contains(key),
+        s"addConstraint: constraint '$name' already exists — drop it " +
+          "first to change the expression")
+      // the expression must be boolean over the table schema, and the
+      // EXISTING rows must already satisfy it
+      val current = read(spark, path)
+      val cond = org.apache.spark.sql.functions.expr(sqlExpr)
+      require(current.select(cond).schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"addConstraint: '$sqlExpr' is not a boolean expression")
+      val bad = current.filter(coalesce(cond, lit(true)) === false).take(1)
+      require(bad.isEmpty,
+        s"addConstraint: existing rows violate '$name' ($sqlExpr) — " +
+          s"e.g. ${bad.headOption.getOrElse("")}; repair the table first")
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (key -> sqlExpr), sp.stats, sp.sizes,
+          op = "addConstraint"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"addConstraint lost $maxAttempts CAS races on $path")
+  }
+
+  /** Drop a CHECK constraint — metadata-only; later batches stop being
+    * gated by it. Dropping an unknown name is a named error (a typo'd
+    * drop silently succeeding would leave the caller believing the
+    * gate is off).
+    */
+  def dropConstraint(
+      path: String, name: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"dropConstraint: no committed version in $path"))
+      val key = ConstraintPrefix + name
+      require(sp.meta.contains(key),
+        s"dropConstraint: no constraint '$name' on $path (recorded: " +
+          sp.meta.keys.filter(_.startsWith(ConstraintPrefix))
+            .map(_.stripPrefix(ConstraintPrefix)).toSeq.sorted
+            .mkString(", ") + ")")
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta - key, sp.stats, sp.sizes, op = "dropConstraint"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"dropConstraint lost $maxAttempts CAS races on $path")
   }
 
   /** RESTORE — the recovery verb after a bad commit: re-publish version

@@ -206,6 +206,9 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
                 s"TxCatalog: maxrowsperfile takes a positive row count, " +
                   s"got '${set.value()}'"))
             Tx.setLayoutProperties(p, maxRowsPerFile = n)
+          case c if c.startsWith("constraint.") =>
+            Tx.addConstraint(org.apache.spark.sql.SparkSession.active, p,
+              c.stripPrefix("constraint."), set.value())
           case "nbuckets" => throw new UnsupportedOperationException(
             "TxCatalog: nbuckets is changed by re-layout, not ALTER — " +
               "CALL <catalog>.system.rebucket(tbl => ..., nbuckets => ...)")
@@ -214,10 +217,15 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
               "late-enableable layout properties (statscols, " +
               "filesortcols, maxrowsperfile) can be set after creation")
         }
+      case unset: TableChange.RemoveProperty
+          if unset.property().toLowerCase.startsWith("constraint.") =>
+        Tx.dropConstraint(p,
+          unset.property().toLowerCase.stripPrefix("constraint."))
       case other => throw new UnsupportedOperationException(
         s"TxCatalog: unsupported ALTER ($other) — the format's " +
-          "evolution is ADD / RENAME / DROP COLUMN and layout-" +
-          "property enablement (retype would need file rewrite)")
+          "evolution is ADD / RENAME / DROP COLUMN, layout-property " +
+          "enablement, and CHECK constraints ('constraint.<name>'); " +
+          "retype would need file rewrite")
     }
     loadTable(ident)
   }

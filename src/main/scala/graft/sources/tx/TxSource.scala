@@ -249,6 +249,10 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
       snap.meta.get(Tx.StatsColsKey).foreach(m.put("statscols", _))
       snap.meta.get(Tx.FileSortKey).foreach(m.put("filesortcols", _))
       snap.meta.get(Tx.MaxRowsFileKey).foreach(m.put("maxrowsperfile", _))
+      snap.meta.foreach { case (k, v) =>
+        if (k.startsWith(Tx.ConstraintPrefix))
+          m.put("constraint." + k.stripPrefix(Tx.ConstraintPrefix), v)
+      }
       m.put("version", snap.version.toString)
     }
     m

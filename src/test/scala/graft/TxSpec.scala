@@ -2253,6 +2253,61 @@ class TxSpec extends AnyFunSuite with SparkFixture {
         .option("timestampAsOf", stamps(0).toString).load(path))
   }
 
+  test("CHECK constraints gate every write path, NULL passes") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, // v nullable: the NULL-passes case below
+      Seq((1L, Option(10L)), (2L, Option(20L))).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    // recording validates the EXISTING rows first (Delta's contract)
+    val e0 = intercept[IllegalArgumentException](
+      Tx.addConstraint(spark, path, "pos", "v > 15"))
+    assert(e0.getMessage.contains("existing rows violate"))
+    assert(Tx.addConstraint(spark, path, "pos", "v > 0") == 2L)
+    // a non-boolean expression is a named error
+    intercept[IllegalArgumentException](
+      Tx.addConstraint(spark, path, "bad", "v + 1"))
+    // re-recording needs an explicit drop first
+    intercept[IllegalArgumentException](
+      Tx.addConstraint(spark, path, "pos", "v > 5"))
+    // a violating batch publishes NOTHING, on the side API...
+    val e1 = intercept[IllegalArgumentException](Tx.commitMerge(spark, path,
+      Seq((3L, -1L)).toDF("id", "v"), Seq("id"), nBuckets = 4))
+    assert(e1.getMessage.contains("'pos'") &&
+      e1.getMessage.contains("no version was published"))
+    assert(Tx.latest(path).get.version == 2L)
+    // ...and on the SQL routes through the same chokepoint
+    val base = path.stripSuffix("/t")
+    val cat = s"txc${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val e2 = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.t VALUES (4, -9)"))
+    assert((e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("'pos'"))
+    Seq((1L, Option.empty[Long]), (5L, Some(50L))).toDF("id", "v")
+      .createOrReplaceTempView("cc_src")
+    // NULL passes — SQL CHECK semantics: violated only when FALSE
+    spark.sql(s"MERGE INTO $cat.t t USING cc_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(Tx.read(spark, path).na.fill(-1L)).toMap ==
+      Map(1L -> -1L, 2L -> 20L, 5L -> 50L))
+    // SHOW TBLPROPERTIES serves the constraint
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .exists(r => r.getString(0) == "constraint.pos" &&
+        r.getString(1) == "v > 0"))
+    // UNSET drops it; the gate is off and typo'd drops are named
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('constraint.pos')")
+    val e3 = intercept[IllegalArgumentException](
+      Tx.dropConstraint(path, "pos"))
+    assert(e3.getMessage.contains("no constraint 'pos'"))
+    Tx.commitMerge(spark, path, Seq((9L, -9L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    assert(rows(Tx.read(spark, path).na.fill(-1L)).toMap.contains(9L))
+  }
+
   test("hash pruning: bucket-key equality opens exactly its bucket") {
     import graft.sources.tx.TxScan
     val path = tmp()
