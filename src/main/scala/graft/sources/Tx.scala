@@ -389,9 +389,47 @@ object Tx {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
   private def checkColName(op: String, name: String): Unit =
-    require(!name.startsWith("__") && name != "_change" &&
+    // "__" is rejected ANYWHERE (not just leading): evolution mints
+    // physical names of the shape '<name>__p<v>', so a user column
+    // containing "__" could collide with a minted physical name
+    require(!name.contains("__") && name != "_change" &&
       !name.exists(c => c == '\n' || c == '\t' || c == ','),
-      s"$op: illegal column name '$name'")
+      s"$op: illegal column name '$name' ('__' is reserved for " +
+        "internals and minted physical names)")
+
+  /** The (lower-cased) top-level column names a CHECK constraint's SQL
+    * expression references — what [[renameColumn]]/[[dropColumn]] use to
+    * refuse evolving a column a recorded constraint still binds to
+    * (Delta's contract: rename/drop of a constraint-referenced column is
+    * blocked; otherwise every later data commit would throw an
+    * unresolvable-column error, leaving the table unwritable until
+    * dropConstraint). Parsed session-free via CatalystSqlParser; an
+    * unparseable expression yields the empty set (the commit gate will
+    * surface it on the next write).
+    */
+  private def constraintRefs(sqlExpr: String): Set[String] =
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlExpr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+    catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+
+  /** Refuse evolving `name` when a recorded CHECK constraint references
+    * it — mirrors the layout-column refusal.
+    */
+  private def refuseConstraintBound(
+      op: String, sp: Snapshot, name: String): Unit = {
+    val bound = sp.meta.toSeq.collect {
+      case (k, ex) if k.startsWith(ConstraintPrefix) &&
+          constraintRefs(ex).contains(name.toLowerCase) =>
+        k.stripPrefix(ConstraintPrefix)
+    }.sorted
+    require(bound.isEmpty,
+      s"$op: column '$name' is referenced by CHECK constraint" +
+        s"${if (bound.size > 1) "s" else ""} ${bound.mkString(", ")} — " +
+        "drop the constraint(s) first")
+  }
 
   /** Every physical name the table has ever used ([[UsedPhysKey]], or
     * derived from the current schema when the key predates evolution).
@@ -446,10 +484,14 @@ object Tx {
       require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"addColumn: column '$name' already exists")
       val used = usedPhysOf(sp, st)
+      // probe suffixes until free: a legacy column literally named
+      // '<name>__p<v>' (pre-dating checkColName's '__' rejection) can
+      // occupy the first candidate, so minting must never assume it
       val phys = if (!used.contains(name)) name
-        else s"${name}__p${sp.version + 1}"
-      require(!used.contains(phys), // version is fresh, so this holds
-        s"addColumn: physical name '$phys' already used")
+        else Iterator.from(0).map {
+          case 0 => s"${name}__p${sp.version + 1}"
+          case i => s"${name}__p${sp.version + 1}x$i"
+        }.find(!used.contains(_)).get
       val meta0 = new org.apache.spark.sql.types.MetadataBuilder()
       if (phys != name) meta0.putString(PhysMetaKey, phys)
       val ns = StructType(st.fields :+
@@ -494,6 +536,7 @@ object Tx {
         s"renameColumn: '$from' is a LAYOUT column (merge key, bucket " +
           "key, zone-map stats, or file sort) — the layout contract " +
           "binds its name; re-shape the table instead")
+      refuseConstraintBound("renameColumn", sp, from)
       val ns = StructType(st.fields.map { f =>
         if (f.name != from) f
         else {
@@ -538,6 +581,7 @@ object Tx {
         s"dropColumn: '$name' is a LAYOUT column (merge key, bucket " +
           "key, zone-map stats, or file sort) — the layout contract " +
           "binds it; re-shape the table instead")
+      refuseConstraintBound("dropColumn", sp, name)
       require(st.fields.length > 1,
         s"dropColumn: '$name' is the table's only column")
       val used = usedPhysOf(sp, st) // BEFORE narrowing: keeps the
@@ -1864,13 +1908,17 @@ object Tx {
                   s"caller asked $maxRowsPerFile — a table property")
               recordedMaxRows
             } else maxRowsPerFile
-          // CHECK constraints gate every incoming batch row (NULL
-          // passes — SQL CHECK semantics): one existence probe per
+          // CHECK constraints gate every incoming TABLE-SHAPED batch row
+          // (NULL passes — SQL CHECK semantics): one existence probe per
           // constraint over the persisted staged frame, BEFORE any
           // file is written — a violating batch publishes nothing.
           // Re-read from the CURRENT snapshot each attempt, so a
           // constraint a racer just added still gates this commit.
-          carried.toSeq.collect {
+          // DELETES skip the gate (establishSchema=false ⇔ the staged
+          // frame is keys-only): removing rows can never violate a
+          // CHECK, and a constraint over a non-key column would not
+          // even resolve against the keys-only frame.
+          if (establishSchema) carried.toSeq.collect {
             case (k, ex) if k.startsWith(ConstraintPrefix) =>
               k.stripPrefix(ConstraintPrefix) -> ex
           }.sortBy(_._1).foreach { case (cn, ex) =>
@@ -2339,6 +2387,17 @@ object Tx {
     * layout; across a late layout enablement, the pre-enablement
     * contract — re-enabling afterwards stays legal).
     *
+    * CHECK constraints (`__constraint.*`) travel with the restored
+    * version too — Delta's RESTORE restores metadata. The restored rows
+    * were validated against exactly the constraints recorded AT that
+    * version, so the pair is consistent by construction; carrying the
+    * CURRENT constraints instead would publish rows a later-added
+    * constraint never checked (claiming-clean-but-violating), and a
+    * current constraint over a column absent from the restored schema
+    * would make every later commit fail to analyze. A constraint the
+    * restore rewinds away can simply be re-added (re-validating, O(table)
+    * as always).
+    *
     * What comes from the CURRENT latest instead: every OTHER meta key.
     * Caller meta is monotone guard state — a streaming sink's epoch
     * stamps, an MV's batch-id replay guard, a follower's cursor — and
@@ -2365,8 +2424,12 @@ object Tx {
           s"(kept: ${live.head}..${live.last}) — a vacuumed version's " +
           "files are gone; restore can only re-publish a live version")
       val src = snapshot(path, version)
-      val meta = cur.meta.view.filterKeys(!layoutKeys.contains(_)).toMap ++
-        src.meta.view.filterKeys(layoutKeys.contains).toMap
+      // layout keys AND constraints describe that version's data and
+      // schema — they travel with the restored file set (see scaladoc)
+      def fromSrc(k: String): Boolean =
+        layoutKeys.contains(k) || k.startsWith(ConstraintPrefix)
+      val meta = cur.meta.view.filterKeys(!fromSrc(_)).toMap ++
+        src.meta.view.filterKeys(fromSrc).toMap
       if (tryPublish(path, cur.version + 1, src.nBuckets, src.dirs, meta,
           src.stats, src.sizes, op = "restore"))
         return cur.version + 1

@@ -207,8 +207,13 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
                   s"got '${set.value()}'"))
             Tx.setLayoutProperties(p, maxRowsPerFile = n)
           case c if c.startsWith("constraint.") =>
+            // match the prefix case-insensitively but take the NAME from
+            // the original property string: constraint names are
+            // case-preserving in the direct API, so lowercasing here
+            // would record a name UNSET TBLPROPERTIES / dropConstraint
+            // could never address by its given spelling
             Tx.addConstraint(org.apache.spark.sql.SparkSession.active, p,
-              c.stripPrefix("constraint."), set.value())
+              set.property().substring("constraint.".length), set.value())
           case "nbuckets" => throw new UnsupportedOperationException(
             "TxCatalog: nbuckets is changed by re-layout, not ALTER — " +
               "CALL <catalog>.system.rebucket(tbl => ..., nbuckets => ...)")
@@ -219,8 +224,9 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
         }
       case unset: TableChange.RemoveProperty
           if unset.property().toLowerCase.startsWith("constraint.") =>
+        // case-insensitive prefix match, case-preserving name (above)
         Tx.dropConstraint(p,
-          unset.property().toLowerCase.stripPrefix("constraint."))
+          unset.property().substring("constraint.".length))
       case other => throw new UnsupportedOperationException(
         s"TxCatalog: unsupported ALTER ($other) — the format's " +
           "evolution is ADD / RENAME / DROP COLUMN, layout-property " +

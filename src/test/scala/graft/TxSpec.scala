@@ -2308,6 +2308,148 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(rows(Tx.read(spark, path).na.fill(-1L)).toMap.contains(9L))
   }
 
+  test("CHECK constraints never gate deletes (keys-only batches)") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    // the constraint references a NON-key column: a keys-only delete
+    // frame cannot even resolve it — deletes must skip the gate
+    // entirely (removing rows can never violate a CHECK)
+    Tx.addConstraint(spark, path, "pos", "v > 0")
+    Tx.commitDelete(spark, path, Seq(Tuple1(2L)).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    assert(rows(Tx.read(spark, path)).map(_._1) == Seq(1L, 3L))
+    // SQL DELETE routes through deleteWhere / the row-level path —
+    // both must also pass under the same constraint
+    val base = path.stripSuffix("/t")
+    val cat = s"txd${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 3")
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 10L)))
+    // the gate still fires on table-shaped writes
+    intercept[IllegalArgumentException](Tx.commitMerge(spark, path,
+      Seq((9L, -9L)).toDF("id", "v"), Seq("id"), nBuckets = 4))
+  }
+
+  test("rename/drop refuse constraint-referenced columns") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "tag"),
+      Seq("id"), nBuckets = 4)
+    Tx.addConstraint(spark, path, "pos", "v > 0")
+    // rename/drop of the referenced column would leave every later
+    // commit failing to analyze — refused with a named error (Delta's
+    // contract), case-insensitively
+    val e1 = intercept[IllegalArgumentException](
+      Tx.renameColumn(path, "v", "w"))
+    assert(e1.getMessage.contains("pos") &&
+      e1.getMessage.contains("CHECK constraint"))
+    val e2 = intercept[IllegalArgumentException](Tx.dropColumn(path, "v"))
+    assert(e2.getMessage.contains("CHECK constraint"))
+    // the reference check is case-insensitive (Spark's resolver is):
+    // 'upper(TAG)' binds the column spelled 'tag'
+    Tx.addConstraint(spark, path, "up", "upper(TAG) != 'ZZZ'")
+    intercept[IllegalArgumentException](Tx.dropColumn(path, "tag"))
+    intercept[IllegalArgumentException](
+      Tx.renameColumn(path, "tag", "label"))
+    assert(Tx.schemaOf(path).get.fieldNames.toSeq == Seq("id", "v", "tag"))
+    // after dropping the constraint, the evolution goes through
+    Tx.dropConstraint(path, "up")
+    Tx.renameColumn(path, "tag", "label")
+    assert(Tx.schemaOf(path).get.fieldNames.toSeq == Seq("id", "v", "label"))
+    // and later commits under the remaining constraint still analyze
+    Tx.commitMerge(spark, path,
+      Seq((3L, 30L, "c")).toDF("id", "v", "label"), Seq("id"), nBuckets = 4)
+    assert(Tx.read(spark, path).count() == 3L)
+  }
+
+  test("restore carries the restored version's constraints") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, // v1: one negative row
+      Seq((1L, -5L), (2L, 20L)).toDF("id", "v"), Seq("id"), nBuckets = 4)
+    Tx.commitDelete(spark, path, Seq(Tuple1(1L)).toDF("id"),
+      Seq("id"), nBuckets = 4) // v2: all-positive
+    Tx.addConstraint(spark, path, "pos", "v > 0") // v3
+    // restoring to v1 rewinds the constraint WITH the data: carrying
+    // the current 'pos' onto v1's files would claim clean over a
+    // violating row the constraint never checked
+    val rv = Tx.restore(path, 1L)
+    assert(Tx.latest(path).get.meta.keys
+      .forall(!_.startsWith(Tx.ConstraintPrefix)),
+      "constraints added after the restored version must rewind")
+    // a write that would have violated 'pos' now goes through...
+    Tx.commitMerge(spark, path, Seq((3L, -1L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    // ...and re-adding the constraint re-validates (O(table)) — the
+    // negative rows make it refuse, exactly the protection addConstraint
+    // exists to give
+    val e = intercept[IllegalArgumentException](
+      Tx.addConstraint(spark, path, "pos", "v > 0"))
+    assert(e.getMessage.contains("existing rows violate"))
+    // and restoring FORWARD to the constrained version re-instates it
+    Tx.commitDelete(spark, path,
+      Seq(Tuple1(1L), Tuple1(3L)).toDF("id"), Seq("id"), nBuckets = 4)
+    Tx.restore(path, 3L)
+    assert(Tx.latest(path).get.meta.contains(Tx.ConstraintPrefix + "pos"))
+    intercept[IllegalArgumentException](Tx.commitMerge(spark, path,
+      Seq((4L, -4L)).toDF("id", "v"), Seq("id"), nBuckets = 4))
+    assert(rv == 4L)
+  }
+
+  test("constraint names are case-preserving across API and SQL") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val base = path.stripSuffix("/t")
+    val cat = s"txe${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    // added via SQL with mixed case -> recorded under the given
+    // spelling, droppable via the direct API by that spelling
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+      "('constraint.MyGate' = 'v > 0')")
+    assert(Tx.latest(path).get.meta.contains(Tx.ConstraintPrefix + "MyGate"))
+    Tx.dropConstraint(path, "MyGate")
+    // added via the API with mixed case -> droppable via UNSET
+    Tx.addConstraint(spark, path, "MyGate", "v > 0")
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('constraint.MyGate')")
+    assert(Tx.latest(path).get.meta.keys
+      .forall(!_.startsWith(Tx.ConstraintPrefix)))
+  }
+
+  test("addColumn survives a legacy column shaped like a minted name") {
+    val path = tmp()
+    // '__' inside a name predates checkColName's rejection at the
+    // evolution surface: ESTABLISHMENT only rejects a leading '__', so
+    // a legacy table can hold 'v__p4' — the exact candidate addColumn
+    // would mint when re-adding 'v' at version 4
+    Tx.commitMerge(spark, path,
+      Seq((1L, 7L, 70L)).toDF("id", "w", "v__p4"), Seq("id"), nBuckets = 4)
+    Tx.addColumn(path, "v", org.apache.spark.sql.types.LongType)   // v2
+    Tx.dropColumn(path, "v")                                       // v3
+    Tx.addColumn(path, "v", org.apache.spark.sql.types.LongType)   // v4
+    val sf = Tx.schemaOf(path).get.fields.find(_.name == "v").get
+    val phys = if (sf.metadata.contains(Tx.PhysMetaKey))
+      sf.metadata.getString(Tx.PhysMetaKey) else sf.name
+    assert(phys != "v" && phys != "v__p4",
+      s"minted physical name must probe past the legacy collision, got $phys")
+    // the evolved column round-trips under the fresh physical name
+    Tx.commitMerge(spark, path,
+      Seq((2L, 8L, 80L, 800L)).toDF("id", "w", "v__p4", "v"),
+      Seq("id"), nBuckets = 4)
+    val got = Tx.read(spark, path).orderBy("id")
+      .select("id", "v").na.fill(-1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, -1L), (2L, 800L)))
+    // NEW names with '__' anywhere are now rejected outright
+    intercept[IllegalArgumentException](
+      Tx.addColumn(path, "a__b", org.apache.spark.sql.types.LongType))
+  }
+
   test("hash pruning: bucket-key equality opens exactly its bucket") {
     import graft.sources.tx.TxScan
     val path = tmp()
