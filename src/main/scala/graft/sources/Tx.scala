@@ -68,9 +68,10 @@ import java.nio.file.{Files, Path, Paths}
   *
   * Honest scope notes (what a real table format adds on top): atomicity
   * relies on one POSIX filesystem (no object-store multi-writer, no
-  * distributed catalog); schema evolution is ADDITIVE only
-  * ([[addColumn]] — rename/drop/retype would need column ids in the
-  * files); PUBLISHES serialize
+  * distributed catalog); schema evolution covers add (with initial
+  * defaults), rename/drop (name-mode column mapping), and the lossless
+  * widenings int->long / float->double ([[widenColumn]]) — any other
+  * retype is drop + re-add by design; PUBLISHES serialize
   * through the version CAS, but a loser whose buckets are untouched by
   * the winner re-links its files onto the new base without re-deriving —
   * bucket-level effective concurrency; deletes are expressible
@@ -175,6 +176,22 @@ object Tx {
     */
   val PhysMetaKey = "__tx_physical"
 
+  /** StructField-metadata key holding a column's INITIAL DEFAULT — the
+    * value reads serve for rows written BEFORE the column existed
+    * (Iceberg's initial-default / Delta's ADD COLUMN DEFAULT shape),
+    * instead of null. Recorded at [[addColumn]] time as a plain scalar
+    * in the field metadata, so it rides the manifest schema to every
+    * read surface. The substitution is PER FILE and unambiguous: every
+    * post-evolution commit is table-shaped (schema-enforced), so a file
+    * physically lacking the column holds exactly the pre-evolution
+    * rows — a post-evolution writer's explicit NULL is stored
+    * physically and stays null. Time travel to a pre-evolution version
+    * serves that version's schema (no column at all); a bucket rewrite
+    * materializes the default into the new files (the read side already
+    * served it, so rewrites are result-invisible).
+    */
+  val DefaultMetaKey = "__tx_init_default"
+
   /** Reserved manifest-meta key PREFIX for CHECK constraints:
     * `__constraint.<name>` = a boolean SQL expression every INCOMING
     * batch row must satisfy (Delta's CHECK constraints — the
@@ -187,6 +204,23 @@ object Tx {
     * the existing rows — O(table) by necessity, Delta's contract.
     */
   val ConstraintPrefix = "__constraint."
+
+  /** Reserved manifest-meta key PREFIX for column-level NOT NULL:
+    * `__nonnull.<col>` (value "true") gates every incoming table-shaped
+    * batch on `<col>` being non-null — Delta's dedicated column
+    * constraint. A CHECK of `col IS NOT NULL` CAN express the same gate
+    * (IS NOT NULL is never three-valued), but the column-level form is
+    * the one users reach for, costs a typed isNull probe instead of an
+    * expression parse per commit, and binds to the COLUMN: rename/drop
+    * of a gated column refuses by name, the property reads as exactly
+    * what it is in SHOW TBLPROPERTIES, and general CHECK NULL-passes
+    * semantics stay untangled from it. Recording one on a LIVE table
+    * first validates the existing rows — O(table), same contract as
+    * [[addConstraint]]. Enforced at the same single chokepoint as CHECK
+    * constraints; deletes (keys-only batches) skip it — removing rows
+    * cannot introduce a null.
+    */
+  val NonNullPrefix = "__nonnull."
 
   /** Reserved manifest-meta key: comma-list of every physical name the
     * table has EVER used (append-only). What lets [[addColumn]] detect
@@ -211,23 +245,172 @@ object Tx {
     * `lookup` (the manifest schema).
     */
   def physSchema(schema: StructType, lookup: StructType): StructType = {
-    val byName = lookup.fields.map(f => f.name -> physicalName(f)).toMap
-    StructType(schema.fields.map(f =>
-      f.copy(name = byName.getOrElse(f.name, physicalName(f)))))
+    val byName = lookup.fields.map(f => f.name -> f).toMap
+    StructType(schema.fields.map(f => byName.get(f.name) match {
+      // take the LOOKUP (manifest) field's metadata wholesale: it is
+      // authoritative for both the physical mapping and the initial
+      // default, and Spark's column pruning may have stripped either
+      // from the projected field
+      case Some(lf) => f.copy(name = physicalName(lf), metadata = lf.metadata)
+      case None => f.copy(name = physicalName(f))
+    }))
+  }
+
+  /** The initial-default CATALYST value of a defaulted field — what the
+    * readers substitute for files the column predates. Type-dispatched
+    * off the field's declared type (the metadata store is typed:
+    * long-family values under putLong, etc.).
+    */
+  private[sources] def initDefaultValue(
+      f: org.apache.spark.sql.types.StructField): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (!f.metadata.contains(DefaultMetaKey)) None
+    else Some(f.dataType match {
+      case ByteType => f.metadata.getLong(DefaultMetaKey).toByte
+      case ShortType => f.metadata.getLong(DefaultMetaKey).toShort
+      case IntegerType => f.metadata.getLong(DefaultMetaKey).toInt
+      case LongType => f.metadata.getLong(DefaultMetaKey)
+      case DateType => f.metadata.getLong(DefaultMetaKey).toInt
+      case TimestampType | TimestampNTZType =>
+        f.metadata.getLong(DefaultMetaKey)
+      case FloatType => f.metadata.getDouble(DefaultMetaKey).toFloat
+      case DoubleType => f.metadata.getDouble(DefaultMetaKey)
+      case BooleanType => f.metadata.getBoolean(DefaultMetaKey)
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromString(f.metadata.getString(DefaultMetaKey))
+      case other => throw new IllegalStateException(
+        s"initial default recorded for unsupported type $other")
+    })
+  }
+
+  /** Validate + convert an addColumn initial default to its catalyst
+    * value, and record it in the field metadata under the TYPED store
+    * [[initDefaultValue]] reads back. Accepts natural external values
+    * (Int/Long/Double/Boolean/String/Date/Timestamp/...) and already-
+    * catalyst values (what the SQL route's connector literal carries).
+    */
+  private def putDefault(
+      mb: org.apache.spark.sql.types.MetadataBuilder,
+      dt: DataType, default: Any): Unit = {
+    import org.apache.spark.sql.types._
+    require(default != null,
+      "addColumn: a NULL initial default is the plain nullable add — " +
+        "omit the default instead")
+    val cat = default match {
+      // already-catalyst shapes (SQL route / internal callers)
+      case u: org.apache.spark.unsafe.types.UTF8String
+        if dt == StringType => u
+      case i: Int if dt == DateType => i
+      case l: Long if dt == TimestampType || dt == TimestampNTZType => l
+      case other =>
+        try org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)(other)
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"addColumn: initial default '$other' " +
+              s"(${other.getClass.getSimpleName}) is not a $dt value", e)
+        }
+    }
+    require(cat != null,
+      s"addColumn: initial default '$default' did not convert to $dt")
+    try storeDefault(mb, dt, cat)
+    catch { case _: ClassCastException =>
+      // some converters pass foreign values through untouched — the
+      // typed store is the backstop that names the mismatch
+      throw new IllegalArgumentException(
+        s"addColumn: initial default '$default' " +
+          s"(${default.getClass.getSimpleName}) is not a $dt value")
+    }
+  }
+
+  private def storeDefault(
+      mb: org.apache.spark.sql.types.MetadataBuilder,
+      dt: DataType, cat: Any): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        mb.putLong(DefaultMetaKey, cat.asInstanceOf[Number].longValue())
+      case DateType =>
+        mb.putLong(DefaultMetaKey, cat.asInstanceOf[Number].longValue())
+      case TimestampType | TimestampNTZType =>
+        mb.putLong(DefaultMetaKey, cat.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        mb.putDouble(DefaultMetaKey, cat.asInstanceOf[Number].doubleValue())
+      case BooleanType =>
+        mb.putBoolean(DefaultMetaKey, cat.asInstanceOf[Boolean])
+      case StringType =>
+        mb.putString(DefaultMetaKey, cat.toString)
+      case other => throw new IllegalArgumentException(
+        s"addColumn: initial defaults support scalar types " +
+          s"(numeric, boolean, string, date, timestamp), not $other")
+    }
+  }
+
+  /** Whether a (committed, immutable) data directory's files physically
+    * contain `phys` — ONE footer read per (dir, column), memoized for
+    * the JVM's lifetime, which is sound because commit directories are
+    * never mutated (vacuum only ever deletes them whole). All files in
+    * a dir come from one commit under one schema, so the first file
+    * answers for the directory. Used only when the schema carries an
+    * initial default ([[DefaultMetaKey]]); a table that never declared
+    * one pays nothing.
+    */
+  private val dirColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def dirHasColumn(dir: String, phys: String): Boolean = {
+    val key = dir + "\u0000" + phys
+    val cached = dirColCache.get(key)
+    if (cached != null) return cached.booleanValue()
+    val fs = new java.io.File(dir).listFiles()
+    val first = Option(fs).flatMap(_.find(f =>
+      f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")))
+    val has = first.exists { f =>
+      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try pf.getFooter.getFileMetaData.getSchema.containsField(phys)
+      finally pf.close()
+    }
+    dirColCache.put(key, java.lang.Boolean.valueOf(has))
+    has
   }
 
   /** Read parquet `dirs` under `schema`'s PHYSICAL names and serve the
     * LOGICAL ones — the one read shape every DataFrame path shares.
+    * Fields carrying an initial default ([[DefaultMetaKey]]) are served
+    * the DEFAULT (not null) from directories whose files predate the
+    * column: dirs are grouped by which defaulted columns their files
+    * lack (one memoized footer probe per dir) and each group reads with
+    * its absent columns substituted by the typed default literal.
     */
   private def readPhysAliased(
       spark: SparkSession, schema: StructType,
       dirs: Seq[String]): DataFrame = {
     val phys = physSchema(schema, schema)
-    val df = spark.read.schema(phys).parquet(dirs: _*)
-    if (phys.fieldNames.sameElements(schema.fieldNames)) df
-    else df.select(schema.fields.zip(phys.fields).map {
-      case (lf, pf) => col(pf.name).as(lf.name)
-    }.toSeq: _*)
+    val pairs = schema.fields.zip(phys.fields)
+    val defaulted = pairs.filter(_._1.metadata.contains(DefaultMetaKey))
+    def serve(ds: Seq[String], absent: Set[String]): DataFrame = {
+      val df = spark.read.schema(phys).parquet(ds: _*)
+      if (absent.isEmpty && phys.fieldNames.sameElements(schema.fieldNames))
+        df
+      else df.select(pairs.map { case (lf, pf) =>
+        if (absent.contains(pf.name))
+          org.apache.spark.sql.graftshim.ColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              initDefaultValue(lf).get, lf.dataType)).as(lf.name)
+        else col(pf.name).as(lf.name)
+      }.toSeq: _*)
+    }
+    if (defaulted.isEmpty) serve(dirs, Set.empty)
+    else dirs
+      .groupBy(d => defaulted.map(_._2.name)
+        .filterNot(p => dirHasColumn(d, p)).toSet)
+      .toSeq.sortBy(_._1.size)
+      .map { case (absent, ds) => serve(ds, absent) }
+      .reduce(_ unionByName _)
   }
 
   private def vdir(path: String) = Paths.get(path, "_v")
@@ -340,6 +523,46 @@ object Tx {
         s"stamped commit is v${earliest.get._1} at ${earliest.get._2}")
   }
 
+  /** STREAMING `startingTimestamp` resolution: the EARLIEST version
+    * whose commit time is ≥ `tsMillis` — Delta's rule (the timestamp
+    * rounds UP to the next commit, inclusive), the dual of
+    * [[versionAt]]'s TIMESTAMP-AS-OF round-down. Named errors when the
+    * probe lands after the newest stamped commit (Delta's
+    * timestamp-after-latest error — silently starting an empty feed
+    * would hide a mis-set cursor) and when no live manifest carries a
+    * stamp.
+    */
+  def versionAtOrAfter(path: String, tsMillis: Long): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"versionAtOrAfter: no committed version in $path")
+    // newest-first: collect the earliest stamped version with t >= probe;
+    // stop at the first stamp < probe (stamps are strictly monotonic)
+    var candidate: Option[Long] = None
+    var sawStamp = false
+    var done = false
+    for (v <- vs.reverse if !done) {
+      val stamp =
+        try Some(snapshot(path, v).meta.get(CommitTsKey).flatMap(_.toLongOption))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      stamp match {
+        case Some(Some(t)) =>
+          sawStamp = true
+          if (t >= tsMillis) candidate = Some(v) else done = true
+        case Some(None) => done = true // legacy unstamped prefix
+        case None => () // vacuumed under us: skip
+      }
+    }
+    require(sawStamp,
+      s"versionAtOrAfter: $path records no commit timestamps — its " +
+        "live versions were written before commit-time stamping; use " +
+        "startingVersion instead")
+    candidate.getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: versionAtOrAfter: no commit at or after " +
+        s"epoch-millis $tsMillis in $path — the newest stamped commit " +
+        s"is older; a startingTimestamp after the latest commit would " +
+        "silently start an empty feed"))
+  }
+
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame scans ONLY the files that manifest lists. A snapshot with no
     * data (every bucket deleted, or a meta-only commit on an empty
@@ -429,6 +652,9 @@ object Tx {
       s"$op: column '$name' is referenced by CHECK constraint" +
         s"${if (bound.size > 1) "s" else ""} ${bound.mkString(", ")} — " +
         "drop the constraint(s) first")
+    require(!sp.meta.keys.exists(k => k.startsWith(NonNullPrefix) &&
+      k.stripPrefix(NonNullPrefix).equalsIgnoreCase(name)),
+      s"$op: column '$name' is NOT NULL — drop the NOT NULL gate first")
   }
 
   /** Every physical name the table has ever used ([[UsedPhysKey]], or
@@ -470,9 +696,15 @@ object Tx {
     * Re-adding a name the table used before (a drop + re-add, possibly
     * with a different type) mints a FRESH physical name, so old files'
     * data for the retired column can never bleed into the new one.
+    *
+    * `default`: an INITIAL DEFAULT ([[DefaultMetaKey]]) — rows written
+    * before this evolution read back as this value instead of null
+    * (scalar types only; the value must be a `dataType` value). Rows
+    * written after store what the writer sent, explicit nulls included.
     */
   def addColumn(
       path: String, name: String, dataType: DataType,
+      default: Option[Any] = None,
       maxAttempts: Int = 5): Long = {
     checkColName("addColumn", name)
     var attempt = 0
@@ -494,6 +726,7 @@ object Tx {
         }.find(!used.contains(_)).get
       val meta0 = new org.apache.spark.sql.types.MetadataBuilder()
       if (phys != name) meta0.putString(PhysMetaKey, phys)
+      default.foreach(d => putDefault(meta0, dataType, d))
       val ns = StructType(st.fields :+
         org.apache.spark.sql.types.StructField(name, dataType,
           nullable = true, metadata = meta0.build()))
@@ -595,6 +828,63 @@ object Tx {
     }
     throw new IllegalStateException(
       s"dropColumn lost $maxAttempts CAS races on $path")
+  }
+
+  /** TYPE WIDENING — `int -> long` / `float -> double` IN PLACE, as a
+    * metadata-only commit (Delta 3.x's type widening): the manifest
+    * schema records the wider type, files keep their narrower physical
+    * type, and every read surface upcasts old files on decode (Spark's
+    * parquet readers read INT32 as LongType / FLOAT as DoubleType when
+    * the requested schema is wider; the row-fallback decoder upcasts
+    * explicitly). Binds FORWARD: later commits must send the wider
+    * type, while time travel to earlier versions serves THEIR type.
+    *
+    * Only the two lossless promotions are legal — anything else remains
+    * the documented drop + re-add (which hides the old data under a
+    * retired physical name by design). LAYOUT columns refuse: the
+    * bucket hash is TYPE-sensitive (the same logical key as int vs
+    * long hashes to different buckets), so widening a merge/bucket key
+    * would strand every existing row in the wrong bucket; zone-map
+    * stats and file-sort encodings bind to the stored type the same
+    * way.
+    */
+  def widenColumn(
+      path: String, name: String, to: DataType,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (sp, st) = resolveEvolution("widenColumn", path)
+      val f = st.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumn: no column '$name' in " +
+            st.fieldNames.mkString(", ")))
+      val legal = (f.dataType, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(legal,
+        s"widenColumn: ${f.dataType.catalogString} -> " +
+          s"${to.catalogString} is not a supported widening (only " +
+          "int -> bigint and float -> double are lossless in place); " +
+          "any other retype is DROP COLUMN + ADD COLUMN, which retires " +
+          "the old data under a fresh physical name by design")
+      require(!layoutColsOf(sp).contains(name),
+        s"widenColumn: '$name' is a LAYOUT column (merge key, bucket " +
+          "key, zone-map stats, or file sort) — the bucket hash and " +
+          "stat encodings are type-sensitive; re-shape the table instead")
+      refuseConstraintBound("widenColumn", sp, name)
+      val ns = StructType(st.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
+          op = "widenColumn"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"widenColumn lost $maxAttempts CAS races on $path")
   }
 
   /** CHANGE DATA FEED — the row-level diff between two committed
@@ -1929,6 +2219,18 @@ object Tx {
                 s"batch — e.g. ${bad.headOption.getOrElse("")}; no " +
                 "version was published")
           }
+          // column-level NOT NULL gates, same chokepoint and same
+          // delete-path exemption as the CHECK gate above
+          if (establishSchema) carried.keys.toSeq.collect {
+            case k if k.startsWith(NonNullPrefix) =>
+              k.stripPrefix(NonNullPrefix)
+          }.sorted.foreach { cn =>
+            val bad = staged.filter(col(cn).isNull).take(1)
+            require(bad.isEmpty,
+              s"$opName: NOT NULL column '$cn' received a NULL row — " +
+                s"e.g. ${bad.headOption.getOrElse("")}; no version was " +
+                "published")
+          }
           // the change feed reserves '_change' and the '__o_'/'__n_'
           // prefixes (and '__b' is the bucket column everywhere) — a
           // table whose OWN schema used them would yield ambiguous feed
@@ -2370,6 +2672,71 @@ object Tx {
       s"dropConstraint lost $maxAttempts CAS races on $path")
   }
 
+  /** NOT NULL — record `__nonnull.<col>` as a metadata-only commit,
+    * after validating no EXISTING row is null in it (O(table) — the
+    * [[addConstraint]] contract; a gate the current data violates would
+    * make the table unwritable-but-claiming-clean). From then on every
+    * incoming table-shaped batch refuses nulls in the column with a
+    * named error, and [[renameColumn]]/[[dropColumn]] refuse the column
+    * while the gate stands.
+    */
+  def addNotNull(
+      spark: SparkSession, path: String, column: String,
+      maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (sp, st) = resolveEvolution("addNotNull", path)
+      // resolve case-insensitively, record the SCHEMA's spelling — the
+      // gate and the rename/drop refusal both key on it
+      val resolved = st.fields.map(_.name)
+        .find(_.equalsIgnoreCase(column)).getOrElse(
+          throw new IllegalArgumentException(
+            s"addNotNull: no column '$column' in " +
+              st.fieldNames.mkString(", ")))
+      val key = NonNullPrefix + resolved
+      require(!sp.meta.contains(key),
+        s"addNotNull: '$resolved' is already NOT NULL")
+      val bad = read(spark, path).filter(col(resolved).isNull).take(1)
+      require(bad.isEmpty,
+        s"addNotNull: existing rows hold NULL in '$resolved' — e.g. " +
+          s"${bad.headOption.getOrElse("")}; repair the table first")
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta + (key -> "true"), sp.stats, sp.sizes,
+          op = "addNotNull"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"addNotNull lost $maxAttempts CAS races on $path")
+  }
+
+  /** Drop a NOT NULL gate — metadata-only; unknown columns are a named
+    * error (a typo'd drop silently succeeding would leave the caller
+    * believing the gate is off).
+    */
+  def dropNotNull(
+      path: String, column: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"dropNotNull: no committed version in $path"))
+      val key = sp.meta.keys
+        .find(k => k.startsWith(NonNullPrefix) &&
+          k.stripPrefix(NonNullPrefix).equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropNotNull: no NOT NULL on '$column' in $path (recorded: " +
+            sp.meta.keys.filter(_.startsWith(NonNullPrefix))
+              .map(_.stripPrefix(NonNullPrefix)).toSeq.sorted
+              .mkString(", ") + ")"))
+      if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
+          sp.meta - key, sp.stats, sp.sizes, op = "dropNotNull"))
+        return sp.version + 1
+    }
+    throw new IllegalStateException(
+      s"dropNotNull lost $maxAttempts CAS races on $path")
+  }
+
   /** RESTORE — the recovery verb after a bad commit: re-publish version
     * `version`'s table state as a NEW commit, BY REFERENCE (the new
     * manifest lists the old version's file set verbatim — one manifest
@@ -2424,10 +2791,12 @@ object Tx {
           s"(kept: ${live.head}..${live.last}) — a vacuumed version's " +
           "files are gone; restore can only re-publish a live version")
       val src = snapshot(path, version)
-      // layout keys AND constraints describe that version's data and
-      // schema — they travel with the restored file set (see scaladoc)
+      // layout keys AND constraints (CHECK + NOT NULL) describe that
+      // version's data and schema — they travel with the restored file
+      // set (see scaladoc)
       def fromSrc(k: String): Boolean =
-        layoutKeys.contains(k) || k.startsWith(ConstraintPrefix)
+        layoutKeys.contains(k) || k.startsWith(ConstraintPrefix) ||
+          k.startsWith(NonNullPrefix)
       val meta = cur.meta.view.filterKeys(!fromSrc(_)).toMap ++
         src.meta.view.filterKeys(fromSrc).toMap
       if (tryPublish(path, cur.version + 1, src.nBuckets, src.dirs, meta,

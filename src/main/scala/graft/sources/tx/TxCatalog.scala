@@ -37,7 +37,7 @@ import graft.sources.Tx
   * concurrent writers — maintenance-window semantics, like vacuum).
   */
 class TxCatalog extends TableCatalog with ProcedureCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -51,6 +51,12 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def name(): String = catalogName
+
+  // lets `ALTER TABLE ... ADD COLUMN x T DEFAULT <lit>` route through
+  // (the analyzer refuses DEFAULT clauses for catalogs without it); the
+  // literal lands as the column's INITIAL default (Tx.DefaultMetaKey)
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def defaultNamespace(): Array[String] = Array.empty
 
@@ -73,6 +79,27 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
 
   private def isTableDir(f: java.io.File): Boolean =
     new java.io.File(f, "_v").isDirectory
+
+  /** FunctionCatalog: the one function the format defines is its bucket
+    * transform ([[TxBucketFunction]]) in the TOP-LEVEL namespace — where
+    * Spark's `V2ExpressionUtils` looks when it resolves the
+    * `bucket(n, keys...)` transform a [[TxScan]] reports as its
+    * KeyGroupedPartitioning. That resolution is what lets two same-layout
+    * Tx tables join storage-partitioned (zero Exchange); without this
+    * surface the report is silently ignored and the join plans shuffles.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      TxBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** `tx.<table>.history` / `tx.<table>.files` — when the identifier's
     * LAST namespace part resolves to a Tx table and the name is a
@@ -184,7 +211,21 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "TxCatalog: ADD COLUMN supports top-level columns only")
-        Tx.addColumn(p, add.fieldNames()(0), add.dataType())
+        // DEFAULT <literal> becomes the INITIAL default: pre-evolution
+        // rows read back as it (Tx.addColumn validates the type); an
+        // expression default has no literal and is refused
+        val dv = Option(add.defaultValue()).map { d =>
+          val l = d.getValue
+          if (l == null) throw new UnsupportedOperationException(
+            "TxCatalog: ADD COLUMN DEFAULT supports literal defaults " +
+              "only (expression defaults have no storable value)")
+          if (l.dataType() == add.dataType()) l.value()
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.value(), l.dataType()),
+            add.dataType(), Some("UTC")).eval(null)
+        }
+        Tx.addColumn(p, add.fieldNames()(0), add.dataType(), dv)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames().length == 1,
           "TxCatalog: RENAME COLUMN supports top-level columns only")
@@ -193,6 +234,12 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
         require(del.fieldNames().length == 1,
           "TxCatalog: DROP COLUMN supports top-level columns only")
         Tx.dropColumn(p, del.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "TxCatalog: ALTER COLUMN TYPE supports top-level columns only")
+        // in-place for the lossless widenings; everything else gets
+        // widenColumn's named drop+re-add guidance
+        Tx.widenColumn(p, ut.fieldNames()(0), ut.newDataType())
       case set: TableChange.SetProperty =>
         def cols(v: String) = v.split(",").toSeq.filter(_.nonEmpty)
         set.property().toLowerCase match {
@@ -214,24 +261,33 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
             // could never address by its given spelling
             Tx.addConstraint(org.apache.spark.sql.SparkSession.active, p,
               set.property().substring("constraint.".length), set.value())
+          case c if c.startsWith("nonnull.") =>
+            Tx.addNotNull(org.apache.spark.sql.SparkSession.active, p,
+              set.property().substring("nonnull.".length))
           case "nbuckets" => throw new UnsupportedOperationException(
             "TxCatalog: nbuckets is changed by re-layout, not ALTER — " +
               "CALL <catalog>.system.rebucket(tbl => ..., nbuckets => ...)")
           case other => throw new UnsupportedOperationException(
             s"TxCatalog: unsupported table property '$other' — only the " +
               "late-enableable layout properties (statscols, " +
-              "filesortcols, maxrowsperfile) can be set after creation")
+              "filesortcols, maxrowsperfile) and write-time gates " +
+              "('constraint.<name>', 'nonnull.<col>') can be set after " +
+              "creation")
         }
       case unset: TableChange.RemoveProperty
           if unset.property().toLowerCase.startsWith("constraint.") =>
         // case-insensitive prefix match, case-preserving name (above)
         Tx.dropConstraint(p,
           unset.property().substring("constraint.".length))
+      case unset: TableChange.RemoveProperty
+          if unset.property().toLowerCase.startsWith("nonnull.") =>
+        Tx.dropNotNull(p, unset.property().substring("nonnull.".length))
       case other => throw new UnsupportedOperationException(
         s"TxCatalog: unsupported ALTER ($other) — the format's " +
-          "evolution is ADD / RENAME / DROP COLUMN, layout-property " +
-          "enablement, and CHECK constraints ('constraint.<name>'); " +
-          "retype would need file rewrite")
+          "evolution is ADD (with DEFAULT) / RENAME / DROP COLUMN, " +
+          "ALTER COLUMN TYPE for the lossless widenings, " +
+          "layout-property enablement, and the write-time gates " +
+          "('constraint.<name>', 'nonnull.<col>')")
     }
     loadTable(ident)
   }

@@ -67,9 +67,19 @@ class TxChangesStreamTable(
               throw new IllegalArgumentException(
                 s"graft-tx: option($name) takes a numeric Tx version, " +
                   s"got '$v'")))
+          // startingTimestamp resolves to the EARLIEST commit at or
+          // after it (Tx.versionAtOrAfter — Delta's inclusive rule),
+          // then rides the same startingVersion contract
+          val sv = longOpt("startingVersion")
+          val st = Option(options.get("startingTimestamp"))
+          require(sv.isEmpty || st.isEmpty,
+            "graft-tx: option(\"startingVersion\") and " +
+              "option(\"startingTimestamp\") are exclusive — pin the " +
+              "start one way")
           new TxChangesStream(path, emitPre,
             StructType(stamped.fields.dropRight(2)), // table schema
-            longOpt("startingVersion"),
+            st.map(t => Tx.versionAtOrAfter(
+              path, TxSource.parseTsMillis(t))).orElse(sv),
             longOpt("maxVersionsPerTrigger"),
             TxChanges.maxDiffBytesOf(options))
         }

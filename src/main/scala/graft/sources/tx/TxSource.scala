@@ -252,6 +252,8 @@ class TxTableV2(path: String, version: Long, tableSchema: StructType)
       snap.meta.foreach { case (k, v) =>
         if (k.startsWith(Tx.ConstraintPrefix))
           m.put("constraint." + k.stripPrefix(Tx.ConstraintPrefix), v)
+        else if (k.startsWith(Tx.NonNullPrefix))
+          m.put("nonnull." + k.stripPrefix(Tx.NonNullPrefix), v)
       }
       m.put("version", snap.version.toString)
     }
@@ -574,7 +576,44 @@ class TxScan(
     pinnedVersion: Long = -1L,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOINS: report the recorded bucket layout as
+    * `KeyGroupedPartitioning(bucket(nBuckets, bucketKeys...))` — one
+    * partition per kept bucket, keyed by its bucket id
+    * ([[TxBucketPartition.partitionKey]]). Under
+    * `spark.sql.sources.v2.bucketing.enabled`, two Tx tables with the
+    * SAME layout (key types + nBuckets — the compatibility the bound
+    * function's canonicalName and the transform's numBuckets encode)
+    * then sort-merge scan-to-join with ZERO Exchange on either side;
+    * any mismatch makes Spark fall back to the normal shuffle plan.
+    * Reported only when the scan (a) reads real columns (not a pushed
+    * aggregate's metadata rows) and (b) still projects every bucket-key
+    * column — the transform's references must resolve against the
+    * scan's output, and a layout the join can't see buys nothing. The
+    * transform resolves through the owning [[TxCatalog]]'s
+    * FunctionCatalog surface, so catalog reads get the layout and
+    * path reads (`format("graft-tx").load`) stay on the sound
+    * unknown-partitioning default.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val bk = snap.meta.get(Tx.BucketKeysKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def projected(c: String): Option[String] =
+      required.fields.find(f => resolver(f.name, c)).map(_.name)
+    val proj = bk.map(projected)
+    if (aggs.isEmpty && bk.nonEmpty && proj.forall(_.isDefined))
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(snap.nBuckets, proj.map(_.get): _*)),
+          runtimeKept.size)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(runtimeKept.size)
+  }
 
   /** PLAIN streaming read ([[TxTableStream]]): snapshot batch first,
     * then the new commits' inserts — see the class doc for the
@@ -595,8 +634,19 @@ class TxScan(
       Option(options.get(name)).map(v => v.toLongOption.getOrElse(
         throw new IllegalArgumentException(
           s"graft-tx: option($name) takes a numeric Tx version, got '$v'")))
+    // startingTimestamp -> the EARLIEST commit at or after it
+    // (Tx.versionAtOrAfter, Delta's inclusive round-up rule), then the
+    // same inclusive startingVersion contract as the numeric option
+    val sv = longOpt("startingVersion")
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "graft-tx: option(\"startingVersion\") and " +
+        "option(\"startingTimestamp\") are exclusive — pin the start " +
+        "one way")
     new TxTableStream(path, snap.version, required, fullSchema,
-      longOpt("startingVersion"), longOpt("maxVersionsPerTrigger"),
+      st.map(t => Tx.versionAtOrAfter(
+        path, TxSource.parseTsMillis(t))).orElse(sv),
+      longOpt("maxVersionsPerTrigger"),
       options.getBoolean("ignoreChanges", false),
       TxChanges.maxDiffBytesOf(options))
   }
@@ -713,9 +763,10 @@ class TxScan(
         // projection's, which is all Spark consumes downstream
         val reqPhys = fullSchema.map(Tx.physSchema(required, _))
           .getOrElse(required)
-        runtimeKept.toSeq.sorted.flatMap(b => snap.dirs.get(b))
-          .map(rel => TxBucketPartition(s"$path/$rel", reqPhys.json,
-            ranges): InputPartition)
+        runtimeKept.toSeq.sorted
+          .flatMap(b => snap.dirs.get(b).map(b -> _))
+          .map { case (b, rel) => TxBucketPartition(s"$path/$rel",
+            reqPhys.json, ranges, b): InputPartition }
           .toArray
     }
   }
@@ -749,10 +800,17 @@ object TxScan {
   * strings so the partition serializes to any executor; `ranges` are
   * the pushed filters' conjunctive boxes in the encoded stat domain,
   * for per-file `.zones` skipping inside sorted multi-file buckets.
+  * `bucket` is the bucket id — the partition KEY under the scan's
+  * reported KeyGroupedPartitioning (storage-partitioned joins group
+  * and align partitions by this row).
   */
 case class TxBucketPartition(dir: String, schemaJson: String,
-    ranges: Seq[(String, String, String)] = Nil)
-    extends InputPartition
+    ranges: Seq[(String, String, String)] = Nil,
+    bucket: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** The files a bucket reader opens, after `.zones` skipping: sound like
   * every other pruning layer — a file without a zones entry, a missing
@@ -851,11 +909,31 @@ class TxBucketColumnarReader(dir: String, required: StructType,
 
   private var reader: VectorizedParquetRecordReader = _
 
+  // INITIAL DEFAULTS: projected fields carrying Tx.DefaultMetaKey whose
+  // column the CURRENT file physically lacks are substituted with a
+  // constant vector of the default (Iceberg's initial-default read
+  // shape). Which indices need it is a per-file fact — one extra footer
+  // read per file, paid only when the projection has defaulted fields.
+  private val defaultedIdx: Seq[Int] = required.fields.zipWithIndex
+    .filter(_._1.metadata.contains(Tx.DefaultMetaKey)).map(_._2).toSeq
+  private var absentIdx: Array[Int] = Array.empty
+
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!files.hasNext) return false
     val f = files.next()
     TxReadCounters.fileOpened()
+    if (defaultedIdx.nonEmpty) {
+      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new Configuration()))
+      val fileSchema =
+        try pf.getFooter.getFileMetaData.getSchema finally pf.close()
+      absentIdx = defaultedIdx
+        .filterNot(i => fileSchema.containsField(required.fields(i).name))
+        .toArray
+    }
     // copy-construct from the class template: a fresh Configuration
     // loads XML resources every time; the copy is cheap and each reader
     // still gets its own mutable instance (tasks run concurrently)
@@ -892,15 +970,57 @@ class TxBucketColumnarReader(dir: String, required: StructType,
     false // unreachable
   }
 
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.getCurrentValue
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val b = reader.getCurrentValue
       .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    if (absentIdx.isEmpty) b
+    else {
+      // substitute a constant default vector for each projected column
+      // this file predates; the other vectors pass through untouched
+      val cols = Array.tabulate[
+        org.apache.spark.sql.vectorized.ColumnVector](b.numCols()) { i =>
+        if (absentIdx.contains(i))
+          TxBucketColumnarReader.constVector(
+            b.numRows(), required.fields(i))
+        else b.column(i)
+      }
+      new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+    }
+  }
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }
 }
 
 object TxBucketColumnarReader {
+
+  /** A ConstantColumnVector holding `f`'s initial default, sized to one
+    * batch — the vectorized twin of the row readers' default fill.
+    */
+  private[tx] def constVector(
+      n: Int, f: StructField)
+      : org.apache.spark.sql.vectorized.ColumnVector = {
+    val cv = new org.apache.spark.sql.execution.vectorized
+      .ConstantColumnVector(n, f.dataType)
+    Tx.initDefaultValue(f) match {
+      case None => cv.setNull()
+      case Some(v) => f.dataType match {
+        case ByteType => cv.setByte(v.asInstanceOf[Byte])
+        case ShortType => cv.setShort(v.asInstanceOf[Short])
+        case IntegerType | DateType => cv.setInt(v.asInstanceOf[Int])
+        case LongType | TimestampType | TimestampNTZType =>
+          cv.setLong(v.asInstanceOf[Long])
+        case FloatType => cv.setFloat(v.asInstanceOf[Float])
+        case DoubleType => cv.setDouble(v.asInstanceOf[Double])
+        case BooleanType => cv.setBoolean(v.asInstanceOf[Boolean])
+        case StringType => cv.setUtf8String(v.asInstanceOf[UTF8String])
+        case other => throw new IllegalStateException(
+          s"graft-tx: initial default for unsupported type $other")
+      }
+    }
+    cv
+  }
+
   /** The constant part of every reader's conf — built once per JVM.
     * The schema-converter keys must be PRESENT (it toBooleans them);
     * values are the stock session defaults — the requested schema set
@@ -1007,7 +1127,13 @@ class TxBucketReader(dir: String, required: StructType,
     reader = ParquetReader.builder(new GroupReadSupport(), hp)
       .withConf(c2).build()
     decoders = required.fields.map { fd =>
-      if (!present(fd.name)) (_: Group) => null
+      if (!present(fd.name)) {
+        // absent column: the initial default if the field declares one
+        // (constant per file — the row readers' twin of constVector),
+        // else null
+        val dv = Tx.initDefaultValue(fd).orNull
+        (_: Group) => dv
+      }
       else {
         val idx = projection.getFieldIndex(fd.name)
         val raw = projection.getFields.get(idx)
@@ -1028,8 +1154,8 @@ class TxBucketReader(dir: String, required: StructType,
         emptyRowsLeft -= 1
         current =
           if (required.isEmpty) InternalRow.empty
-          else new GenericInternalRow(
-            Array.fill[Any](required.length)(null))
+          else new GenericInternalRow(required.fields.map(f =>
+            Tx.initDefaultValue(f).orNull))
         return true
       }
       if (reader != null) {
@@ -1067,6 +1193,10 @@ private[tx] object TxDecode {
       g => if (g.getFieldRepetitionCount(idx) == 0) null else f(g)
     (dt, pt.getPrimitiveTypeName) match {
       case (LongType, INT64) => nullable(_.getLong(idx, 0))
+      // WIDENED columns (Tx.widenColumn): files written before the
+      // widening keep the narrower physical type — upcast on decode
+      case (LongType, INT32) => nullable(_.getInteger(idx, 0).toLong)
+      case (DoubleType, FLOAT) => nullable(_.getFloat(idx, 0).toDouble)
       case (IntegerType, INT32) => nullable(_.getInteger(idx, 0))
       case (ShortType, INT32) =>
         nullable(_.getInteger(idx, 0).toShort)

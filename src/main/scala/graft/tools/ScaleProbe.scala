@@ -45,6 +45,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("spj")) {
+      spjFamily(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val big = (0 until mult).map { r =>
@@ -463,6 +468,69 @@ object ScaleProbe {
     * claim; equal bucket counts are require()d so the cheap path is
     * proven to compute the same view.
     */
+  /** STORAGE-PARTITIONED JOIN growth probe: two Tx facts landed at
+    * `mult`× (fixed 32 buckets, like a cluster whose per-bucket volume
+    * grows with data), joined twice — once storage-partitioned (zero
+    * Exchange require()d on the plan) and once with V2 bucketing off
+    * (the both-sides-shuffle plan) — so SCALE.md records the win and
+    * its growth, not a one-off. Usage:
+    * `tools/run.sh graft.tools.ScaleProbe <sfDir> <mult> spj`.
+    */
+  private def spjFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import graft.sources.Tx
+    val nb = 32
+    val shift = 100000000L
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val evBig = graft.sources.Stage.through {
+      (0 until mult).map(r => ev.select(
+        (col("event_id") + lit(r * shift)).as("event_id"),
+        col("user_id"), col("value"), col("event_type")))
+        .reduce(_ unionByName _)
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spj_probe").toString
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+    timed(s"spj: land both Tx facts ($mult×)") {
+      Tx.commitMerge(spark, s"$base/fa",
+        evBig.select("event_id", "user_id", "value"),
+        Seq("event_id"), nBuckets = nb)
+      Tx.commitMerge(spark, s"$base/fb",
+        evBig.select("event_id", "event_type"),
+        Seq("event_id"), nBuckets = nb)
+      evBig.count()
+    }
+    val cat = "spjp"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    def joinOnly() = spark.table(s"$cat.fa").hint("merge")
+      .join(spark.table(s"$cat.fb"), Seq("event_id"))
+    def joined() = joinOnly()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // the assert is on the BARE join: the rollup above it re-groups on
+    // a non-bucket column, whose Exchange is the query's, not the join's
+    val plan = joinOnly().queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+      s"spj probe must plan a zero-Exchange sort-merge join, got:\n$plan")
+    timed(s"spj: storage-partitioned join (zero exchange asserted, $mult×)")(
+      joined().count())
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    timed(s"spj: same join, V2 bucketing OFF (both sides shuffle, $mult×)")(
+      joined().count())
+    // probe hygiene: drop the staged tables (same walk as Tx.vacuum's)
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walked.close()
+  }
+
   private def mvFamily(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val base = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"),

@@ -739,6 +739,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       drain(s"$dir/ck6", extra = Map("startingVersion" -> "99")))
     assert(e.getMessage.contains("startingVersion") ||
       Option(e.getCause).exists(_.getMessage.contains("startingVersion")))
+    // startingTimestamp: Delta's inclusive round-UP — a probe just
+    // before v3's stamp resolves to v3 and emits commits 3..5's changes
+    def stampOf(v: Long) =
+      Tx.snapshot(up, v).meta(Tx.CommitTsKey).toLong
+    assert(drain(s"$dir/ck7", extra =
+      Map("startingTimestamp" -> (stampOf(3L) - 1L).toString)).toSet ==
+      stamped(2L, 5L),
+      "startingTimestamp must round up to the next commit, inclusively")
+    // exactly at a stamp includes that commit too
+    assert(drain(s"$dir/ck7b", extra =
+      Map("startingTimestamp" -> stampOf(4L).toString)).toSet ==
+      stamped(3L, 5L))
+    // after the latest commit: named error, never a silent empty feed
+    val e2 = intercept[Exception](drain(s"$dir/ck8", extra =
+      Map("startingTimestamp" -> (stampOf(5L) + 60000L).toString)))
+    assert((e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("at or after"))
+    // both pins at once is a caller bug
+    val e3 = intercept[Exception](drain(s"$dir/ck9", extra = Map(
+      "startingVersion" -> "3",
+      "startingTimestamp" -> stampOf(3L).toString)))
+    assert((e3.getMessage +
+      Option(e3.getCause).map(_.getMessage).getOrElse(""))
+      .contains("exclusive"))
   }
 
   test("writeStream into graft-tx: epoch-stamped atomic merges, replay-safe") {
@@ -895,6 +920,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "ignoreChanges" -> "true")).toSet ==
       ((1L to 10L).map(i => (i, i * 10)).toSet ++
         Set((11L, 110L), (12L, 120L), (1L, 999L))))
+    // startingTimestamp resolves through the SAME inclusive contract:
+    // a probe just before v2's stamp == startingVersion=2 (Delta's
+    // round-up rule); after-latest is a named error
+    def stampOf(v: Long) = Tx.snapshot(up, v).meta(Tx.CommitTsKey).toLong
+    assert(drain("ck3c", Map(
+      "startingTimestamp" -> (stampOf(2L) - 1L).toString,
+      "ignoreChanges" -> "true")).toSet ==
+      Set((11L, 110L), (12L, 120L), (1L, 999L)))
+    val e2 = intercept[Exception](drain("ck3d", Map(
+      "startingTimestamp" -> (stampOf(5L) + 60000L).toString)))
+    assert((e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("at or after"))
     // a fresh full drain = the current content (snapshot at latest)
     val current = Tx.read(spark, up).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -2450,6 +2450,200 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       Tx.addColumn(path, "a__b", org.apache.spark.sql.types.LongType))
   }
 
+  test("type widening: int->long / float->double in place, refusals named") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 7, 1.5f), (2L, 8, 2.5f)).toDF("id", "n", "x"),
+      Seq("id"), nBuckets = 4)
+    Tx.widenColumn(path, "n", LongType)   // v2, metadata-only
+    Tx.widenColumn(path, "x", DoubleType) // v3
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n", "x").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Seq((1L, 7L, 1.5), (2L, 8L, 2.5))
+    // OLD files (int32/float physical) upcast on every read surface
+    assert(got(Tx.read(spark, path)) == want, "side API")
+    assert(got(spark.read.format("graft-tx").load(path)) == want,
+      "vectorized DSv2")
+    assert(got(spark.read.format("graft-tx")
+      .option("vectorized", false).load(path)) == want, "row fallback")
+    // post-widen commits send the WIDER type and mix file generations
+    Tx.commitMerge(spark, path,
+      Seq((3L, 9L, 3.5)).toDF("id", "n", "x"), Seq("id"), nBuckets = 4)
+    assert(got(Tx.read(spark, path)) == want :+ ((3L, 9L, 3.5)))
+    // ...and a narrow post-widen batch is the usual type-drift error
+    intercept[Exception](Tx.commitMerge(spark, path,
+      Seq((4L, 10, 4.5)).toDF("id", "n", "x"), Seq("id"), nBuckets = 4))
+    // time travel serves each version's own type
+    assert(Tx.read(spark, path, 1L).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // change feed across the widening boundary reads both sides wide
+    val ch = Tx.changes(spark, path, 1L, 4L)
+    assert(ch.schema("n").dataType == LongType)
+    assert(ch.filter(col("id") === 3L).select("n").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    // refusals: layout column (the bucket hash is type-sensitive),
+    // non-lossless pair (named drop+re-add guidance), unknown column
+    val e1 = intercept[IllegalArgumentException](
+      Tx.widenColumn(path, "id", LongType))
+    assert(e1.getMessage.contains("not a supported widening") ||
+      e1.getMessage.contains("LAYOUT"))
+    val e2 = intercept[IllegalArgumentException](
+      Tx.widenColumn(path, "n", org.apache.spark.sql.types.StringType))
+    assert(e2.getMessage.contains("DROP COLUMN + ADD COLUMN"))
+    // SQL route: ALTER COLUMN TYPE
+    val base = path.stripSuffix("/t")
+    val cat = s"txw${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val p2 = tmp()
+    Tx.commitMerge(spark, p2, Seq((1L, 5)).toDF("id", "m"),
+      Seq("id"), nBuckets = 4)
+    val base2 = p2.stripSuffix("/t")
+    val cat2 = s"txw2${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", base2)
+    spark.sql(s"ALTER TABLE $cat2.t ALTER COLUMN m TYPE BIGINT")
+    assert(spark.table(s"$cat2.t").select("m").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("column-level NOT NULL gates writes; add refuses existing nulls") {
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, Option(10L), "a"), (2L, Option.empty[Long], "b"))
+        .toDF("id", "v", "tag"),
+      Seq("id"), nBuckets = 4)
+    // recording refuses while existing rows hold NULLs (Delta contract)
+    val e0 = intercept[IllegalArgumentException](
+      Tx.addNotNull(spark, path, "v"))
+    assert(e0.getMessage.contains("existing rows hold NULL"))
+    // repair, then record (case-insensitive resolution)
+    Tx.commitMerge(spark, path, Seq((2L, Option(20L), "b"))
+      .toDF("id", "v", "tag"), Seq("id"), nBuckets = 4)
+    Tx.addNotNull(spark, path, "V")
+    // a null-bearing batch is a named error publishing nothing
+    val v0 = Tx.latest(path).get.version
+    val e1 = intercept[IllegalArgumentException](Tx.commitMerge(spark, path,
+      Seq((3L, Option.empty[Long], "c")).toDF("id", "v", "tag"),
+      Seq("id"), nBuckets = 4))
+    assert(e1.getMessage.contains("NOT NULL") &&
+      e1.getMessage.contains("no version was published"))
+    assert(Tx.latest(path).get.version == v0)
+    // deletes (keys-only) are exempt — removing rows can't add a null
+    Tx.commitDelete(spark, path, Seq(Tuple1(1L)).toDF("id"),
+      Seq("id"), nBuckets = 4)
+    // rename/drop of the gated column refuse while the gate stands
+    intercept[IllegalArgumentException](Tx.renameColumn(path, "v", "w"))
+    intercept[IllegalArgumentException](Tx.dropColumn(path, "v"))
+    Tx.dropNotNull(path, "v")
+    Tx.renameColumn(path, "v", "w")
+    assert(Tx.schemaOf(path).get.fieldNames.toSeq == Seq("id", "w", "tag"))
+    // typo'd drop is a named error
+    val e2 = intercept[IllegalArgumentException](Tx.dropNotNull(path, "w"))
+    assert(e2.getMessage.contains("no NOT NULL"))
+  }
+
+  test("addColumn initial DEFAULT: pre-evolution rows serve it, nulls stay") {
+    import org.apache.spark.sql.types.LongType
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.addColumn(path, "flag", LongType, default = Some(7L))
+    // side API: every pre-evolution row serves 7, not null
+    assert(rows(Tx.read(spark, path).select(col("id"),
+      col("flag").as("v"))) == Seq(1L -> 7L, 2L -> 7L, 3L -> 7L, 4L -> 7L))
+    // post-evolution write: explicit values INCLUDING an explicit null
+    Tx.commitMerge(spark, path,
+      Seq((2L, 20L, Some(99L)), (3L, 30L, Option.empty[Long]))
+        .toDF("id", "v", "flag"),
+      Seq("id"), nBuckets = 4)
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "flag").na.fill(-1L, Seq("flag")).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Seq((1L, 7L), (2L, 99L), (3L, -1L), (4L, 7L))
+    assert(got(Tx.read(spark, path)) == want, "side API (grouped dirs)")
+    // DSv2, both decoders — the per-file substitution must agree
+    assert(got(spark.read.format("graft-tx").load(path)) == want,
+      "vectorized DSv2 read")
+    assert(got(spark.read.format("graft-tx")
+      .option("vectorized", false).load(path)) == want,
+      "row-fallback DSv2 read")
+    // time travel to v1: the pre-evolution SHAPE, no flag at all
+    assert(Tx.read(spark, path, 1L).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // change feed across the boundary reads both sides under the newer
+    // schema — the old side serves the DEFAULT, not null, so the
+    // default→explicit-null transition on id=3 is a REAL change (a
+    // null-serving old side would compare it out as null≡null)
+    val ch = Tx.changes(spark, path, 1L, 3L)
+    assert(ch.filter(col("id") === 2L).select("flag").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L))
+    val r3 = ch.filter(col("id") === 3L).collect()
+    assert(r3.length == 1 &&
+      r3(0).getString(r3(0).fieldIndex("_change")) == "update" &&
+      r3(0).isNullAt(r3(0).fieldIndex("flag")),
+      s"default -> explicit-null must surface as an update, got " +
+        r3.mkString(", "))
+  }
+
+  test("initial DEFAULT survives rename; drop+re-add mints a fresh default") {
+    import org.apache.spark.sql.types.StringType
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.addColumn(path, "tier", StringType, default = Some("std"))
+    Tx.renameColumn(path, "tier", "grade")
+    assert(Tx.read(spark, path).select("grade").collect()
+      .map(_.getString(0)).toSeq == Seq("std"),
+      "the default must ride the rename (metadata travels with the field)")
+    // drop, then re-add with a DIFFERENT default: the fresh physical
+    // name means every existing file predates the new column — all
+    // rows serve the NEW default; the old 'std' bytes never bleed in
+    Tx.dropColumn(path, "grade")
+    Tx.addColumn(path, "tier", StringType, default = Some("cold"))
+    assert(Tx.read(spark, path).select("tier").collect()
+      .map(_.getString(0)).toSeq == Seq("cold"))
+    // a rewrite MATERIALIZES the default into the new files and the
+    // served value is unchanged
+    Tx.commitMerge(spark, path,
+      Seq((2L, 20L, "hot")).toDF("id", "v", "tier"), Seq("id"), nBuckets = 4)
+    assert(Tx.read(spark, path).orderBy("id").select("tier").collect()
+      .map(_.getString(0)).toSeq == Seq("cold", "hot"))
+  }
+
+  test("ADD COLUMN DEFAULT via SQL; unsupported defaults are named errors") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    val base = path.stripSuffix("/t")
+    val cat = s"txf${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score DOUBLE DEFAULT 1.5")
+    assert(spark.table(s"$cat.t").select("score").collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.5))
+    // an int literal for a BIGINT column widens through the cast path
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN n BIGINT DEFAULT 5")
+    assert(spark.table(s"$cat.t").select("n").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    // a mistyped default is a named error, not a silent null
+    val e = intercept[Exception](Tx.addColumn(path, "bad",
+      org.apache.spark.sql.types.LongType, default = Some("oops")))
+    assert(e.getMessage.contains("initial default"))
+    // unsupported (non-scalar) type
+    val e2 = intercept[Exception](Tx.addColumn(path, "arr",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType),
+      default = Some(Seq(1L))))
+    assert(e2.getMessage.contains("scalar"))
+  }
+
   test("hash pruning: bucket-key equality opens exactly its bucket") {
     import graft.sources.tx.TxScan
     val path = tmp()
