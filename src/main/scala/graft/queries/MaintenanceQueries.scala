@@ -715,6 +715,51 @@ object MaintenanceQueries {
         .withColumn("exchange_free", lit(true))
         .orderBy("event_id")
     }),
+    // q285 COMPLETED: with the facts FILE-SORTED on the bucket key
+    // (fileSortCols + maxRowsPerFile -> multi-file buckets with a
+    // .sorted marker per commit dir), the scan also reports its output
+    // ORDERING, so the storage-partitioned join plans scan ->
+    // merge-join with NO Exchange AND NO Sort on either side — the
+    // q240 bucketBy + legacy-outputOrdering proof rebuilt entirely on
+    // the format's own metadata. Both plan facts require()d; the
+    // oracle is the raw re-projection (a mis-ordered file concat
+    // would mis-pair join rows and hash-fail). Quarter subset.
+    "q287_tx_spj_sorted" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tx_spjs").toString
+      Tx.commitMerge(s, s"$base/fact_a",
+        existing.select("event_id", "user_id", "value"),
+        Seq("event_id"), nBuckets = 32,
+        fileSortCols = Seq("event_id"), maxRowsPerFile = 4096L)
+      Tx.commitMerge(s, s"$base/fact_b",
+        existing.select("event_id", "event_type"),
+        Seq("event_id"), nBuckets = 32,
+        fileSortCols = Seq("event_id"), maxRowsPerFile = 4096L)
+      val cat = "txs" + java.util.UUID.randomUUID().toString
+        .filter(_.isLetterOrDigit).take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.tx.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      val joined = s.table(s"$cat.fact_a").hint("merge")
+        .join(s.table(s"$cat.fact_b"), Seq("event_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"sorted same-layout Tx facts must sort-merge, got:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"the storage-partitioned join must elide every exchange, " +
+          s"got:\n$plan")
+      require(!plan.contains("Sort ["),
+        s"the file-sorted layout must elide every Sort too — scan to " +
+          s"merge-join with nothing between, got:\n$plan")
+      joined.select("event_id", "user_id", "event_type", "value")
+        .withColumn("exchange_and_sort_free", lit(true))
+        .orderBy("event_id")
+    }),
     // PLAIN STREAMING READ of a Tx table — Delta's readStream shape,
     // the one consumption route the format still lacked: the first
     // micro-batch is the FULL snapshot pinned at stream start, later
@@ -1884,6 +1929,14 @@ object MaintenanceQueries {
             CASE WHEN event_id % 20 = 0 THEN NULL ELSE 'hot' END
           ELSE 'std' END AS tier
           FROM events WHERE event_id % 4 = 0 ORDER BY event_id"""
+        .replaceAll("\\s+", " "),
+    // q285's oracle with the sort-free contract column — the in-plan
+    // requires carry the Exchange/Sort facts; the content gate catches
+    // a mis-ordered multi-file concat (rows would mis-pair or drop)
+    "q287_tx_spj_sorted" ->
+      """SELECT event_id, user_id, event_type, value,
+          true AS exchange_and_sort_free FROM events
+          WHERE event_id % 4 = 0 ORDER BY event_id"""
         .replaceAll("\\s+", " "),
     // the raw re-projection — the exchange-free join must serve exactly
     // the quarter subset's rows (the zero-Exchange contract is the

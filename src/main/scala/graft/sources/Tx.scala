@@ -358,6 +358,45 @@ object Tx {
   private val dirColCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Marker file a SORTED commit drops in its commit directory
+    * (`data/c-<uuid>/.sorted`, content = the sort column list): the
+    * per-directory proof [[graft.sources.tx.TxScan]] needs before
+    * reporting its output ORDERING to Spark. The manifest's
+    * [[FileSortKey]] alone is not enough — the property can be enabled
+    * LATE, so directories written before it are unsorted and carried by
+    * reference; a scan that reported ordering over one of those would
+    * silently mis-join. Absence of the marker = no ordering report
+    * (sound), which also covers every pre-marker table.
+    */
+  private[sources] val SortedMarker = ".sorted"
+
+  private[sources] def writeSortedMarker(
+      commitDir: Path, effSort: Seq[String]): Unit =
+    if (effSort.nonEmpty && Files.isDirectory(commitDir))
+      Files.write(commitDir.resolve(SortedMarker),
+        effSort.mkString(",").getBytes("UTF-8"))
+
+  /** The `.sorted` marker content of a BUCKET directory's commit dir
+    * (its parent), memoized forever — commit dirs are immutable. None =
+    * unsorted or pre-marker.
+    */
+  private val sortedDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  private[sources] def sortedMarkerOf(bucketDirAbs: String): Option[String] = {
+    val parent = new java.io.File(bucketDirAbs).getParent
+    if (parent == null) return None
+    val cached = sortedDirCache.get(parent)
+    if (cached != null) return cached
+    val f = new java.io.File(parent, SortedMarker)
+    val v =
+      if (f.isFile)
+        Some(new String(Files.readAllBytes(f.toPath), "UTF-8").trim)
+      else None
+    sortedDirCache.put(parent, v)
+    v
+  }
+
   private def dirHasColumn(dir: String, phys: String): Boolean = {
     val key = dir + "\u0000" + phys
     val cached = dirColCache.get(key)
@@ -2355,6 +2394,7 @@ object Tx {
                   writer0.option("maxRecordsPerFile", effMaxRows)
                 else writer0
               writer.parquet(s"$path/$dir")
+              writeSortedMarker(Paths.get(path, dir), effSort)
               // buckets the rewrite EMPTIED produce no directory — they
               // must leave the manifest, not point at a missing path
               val w = listBucketDirs(Paths.get(path, dir))
@@ -2492,6 +2532,7 @@ object Tx {
           if (effMaxRows > 0L) writer0.option("maxRecordsPerFile", effMaxRows)
           else writer0
         writer.parquet(s"$path/$dir")
+        writeSortedMarker(Paths.get(path, dir), effSort)
         val w = listBucketDirs(Paths.get(path, dir))
         val st =
           if (statsCols.isEmpty || w.isEmpty) Map.empty[Int, String]

@@ -577,7 +577,43 @@ class TxScan(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
+
+  /** Report the file-sort layout as the scan's OUTPUT ORDERING — with
+    * [[outputPartitioning]] this completes the storage-partitioned
+    * join: two same-layout Tx facts file-sorted on the bucket key plan
+    * scan → merge-join with NO Exchange and NO Sort on either side
+    * (the q240 `bucketBy` + legacy-outputOrdering proof rebuilt on the
+    * format's own metadata). Sound per DIRECTORY: a sorted commit
+    * leaves a `.sorted` marker in its commit dir, and the ordering is
+    * reported only when EVERY kept bucket dir carries one matching the
+    * recorded sort — a dir written before a LATE file-sort enablement
+    * has no marker and silently (correctly) suppresses the report.
+    * Within a bucket the rolled files' `-cNNN` counters reconstruct the
+    * write order ([[TxBucketFiles]]), so concatenating them preserves
+    * the per-partition sort the writers produced
+    * (`sortWithinPartitions`, ascending nulls-first).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val sortCols = snap.meta.get(Tx.FileSortKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (aggs.nonEmpty || sortCols.isEmpty) return Array.empty
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val proj = sortCols.map(c =>
+      required.fields.find(f => resolver(f.name, c)).map(_.name))
+    if (proj.exists(_.isEmpty)) return Array.empty
+    val spec = sortCols.mkString(",")
+    val allSorted = kept.toSeq.flatMap(snap.dirs.get).forall(rel =>
+      Tx.sortedMarkerOf(s"$path/$rel").contains(spec))
+    if (!allSorted) return Array.empty
+    proj.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(c.get),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING)).toArray
+  }
 
   /** STORAGE-PARTITIONED JOINS: report the recorded bucket layout as
     * `KeyGroupedPartitioning(bucket(nBuckets, bucketKeys...))` — one
@@ -819,12 +855,34 @@ case class TxBucketPartition(dir: String, schemaJson: String,
   * [[TxReadCounters]] so specs and probes can observe the skipping.
   */
 private[tx] object TxBucketFiles {
+
+  /** Order within a bucket directory = WRITE order: one task writes a
+    * whole bucket (rows of a bucket hash identically, so they land in
+    * one repartition slot) and `maxRecordsPerFile` rolls files with a
+    * monotonically increasing `-cNNN` counter — sorting by that counter
+    * (numerically: `c999` -> `c1000` breaks lexicographic order)
+    * reconstructs the task's write order, which under the file-sort
+    * layout is the SORTED order the scan's reported output ordering
+    * promises. Files without a counter sort by name after the
+    * countered ones cannot occur in one task's output, but name is the
+    * deterministic tiebreak anyway.
+    */
+  // matches `-c000.snappy.parquet` and uncompressed `-c000.parquet`
+  private val RolledCounter = ".*-c(\\d+)\\.(?:[^.]+\\.)?parquet$".r
+
+  private def fileOrder(f: java.io.File): (Long, String) =
+    f.getName match {
+      case RolledCounter(n) => (n.toLong, f.getName)
+      case _ => (-1L, f.getName)
+    }
+
   def of(dir: String,
       ranges: Seq[(String, String, String)]): Seq[java.io.File] = {
     val fs = new java.io.File(dir).listFiles()
     if (fs == null) return Nil
     val all = fs.toSeq.filter(f => f.isFile &&
       f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(fileOrder)
     if (ranges.isEmpty) return all
     val zonesFile = new java.io.File(dir, ".zones")
     if (!zonesFile.exists()) return all

@@ -493,13 +493,15 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    timed(s"spj: land both Tx facts ($mult×)") {
+    timed(s"spj: land both Tx facts, file-sorted ($mult×)") {
       Tx.commitMerge(spark, s"$base/fa",
         evBig.select("event_id", "user_id", "value"),
-        Seq("event_id"), nBuckets = nb)
+        Seq("event_id"), nBuckets = nb,
+        fileSortCols = Seq("event_id"), maxRowsPerFile = 1000000L)
       Tx.commitMerge(spark, s"$base/fb",
         evBig.select("event_id", "event_type"),
-        Seq("event_id"), nBuckets = nb)
+        Seq("event_id"), nBuckets = nb,
+        fileSortCols = Seq("event_id"), maxRowsPerFile = 1000000L)
       evBig.count()
     }
     val cat = "spjp"
@@ -517,9 +519,11 @@ object ScaleProbe {
     // the assert is on the BARE join: the rollup above it re-groups on
     // a non-bucket column, whose Exchange is the query's, not the join's
     val plan = joinOnly().queryExecution.executedPlan.toString
-    require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
-      s"spj probe must plan a zero-Exchange sort-merge join, got:\n$plan")
-    timed(s"spj: storage-partitioned join (zero exchange asserted, $mult×)")(
+    require(plan.contains("SortMergeJoin") && !plan.contains("Exchange") &&
+      !plan.contains("Sort ["),
+      s"spj probe must plan scan -> merge-join with no Exchange and " +
+        s"no Sort, got:\n$plan")
+    timed(s"spj: storage-partitioned join (no Exchange/Sort asserted, $mult×)")(
       joined().count())
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     timed(s"spj: same join, V2 bucketing OFF (both sides shuffle, $mult×)")(

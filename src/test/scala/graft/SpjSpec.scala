@@ -145,6 +145,64 @@ class SpjSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("file-sorted layout elides the join Sorts too (scan-to-merge-join)") {
+    val root = freshRoot()
+    val a = (1L to 2000L).map(i => (i, i * 2)).toDF("id", "va")
+    val b = (1L to 2000L).map(i => (i, i * 3)).toDF("id", "vb")
+    // maxRowsPerFile forces MULTI-FILE buckets: the reported ordering
+    // is only sound if the reader concatenates the rolled files in
+    // write order (TxBucketFiles' -cNNN counter sort)
+    Tx.commitMerge(spark, s"$root/fa", a, Seq("id"), nBuckets = 4,
+      fileSortCols = Seq("id"), maxRowsPerFile = 100L)
+    Tx.commitMerge(spark, s"$root/fb", b, Seq("id"), nBuckets = 4,
+      fileSortCols = Seq("id"), maxRowsPerFile = 100L)
+    val cat = registerCat(root)
+    withSpj {
+      val joined = spark.table(s"$cat.fa").hint("merge")
+        .join(spark.table(s"$cat.fb"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned: no Exchange expected:\n$plan")
+      // "Sort [" matches only Sort operators (SortMergeJoin prints with
+      // no space): scan -> merge-join, NOTHING between
+      assert(!plan.contains("Sort ["),
+        s"file-sorted layout must elide the join sorts, got:\n$plan")
+      val got = joined.orderBy("id").collect()
+      assert(got.length == 2000 &&
+        (got(6).getLong(0), got(6).getLong(1), got(6).getLong(2)) ==
+          (7L, 14L, 21L))
+    }
+  }
+
+  test("late-enabled file sort does NOT report ordering over old dirs") {
+    val root = freshRoot()
+    val a = (1L to 400L).map(i => (i, i * 2)).toDF("id", "va")
+    val b = (1L to 400L).map(i => (i, i * 3)).toDF("id", "vb")
+    // fa: v1 UNSORTED, then the sort declared late, then one commit
+    // touching only bucket(s) of a key subset — old dirs carry no
+    // .sorted marker, so the scan must NOT promise an ordering
+    Tx.commitMerge(spark, s"$root/fa", a, Seq("id"), nBuckets = 4)
+    Tx.setLayoutProperties(s"$root/fa", fileSortCols = Seq("id"))
+    Tx.commitMerge(spark, s"$root/fa",
+      Seq((1L, 111L)).toDF("id", "va"), Seq("id"), nBuckets = 4)
+    Tx.commitMerge(spark, s"$root/fb", b, Seq("id"), nBuckets = 4,
+      fileSortCols = Seq("id"))
+    val cat = registerCat(root)
+    withSpj {
+      val joined = spark.table(s"$cat.fa").hint("merge")
+        .join(spark.table(s"$cat.fb"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the partitioning still aligns (zero Exchange), but fa's mixed
+      // sorted/unsorted dirs force a Sort — soundness over speed
+      assert(!plan.contains("Exchange"), s"no Exchange expected:\n$plan")
+      assert(plan.contains("Sort ["),
+        s"mixed sorted/unsorted dirs must keep the Sort, got:\n$plan")
+      val got = joined.orderBy("id").collect()
+      assert(got.length == 400 && got(0).getLong(1) == 111L)
+    }
+  }
+
   test("path reads (no catalog) stay on the sound shuffle plan") {
     val root = freshRoot()
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("id", "va")
