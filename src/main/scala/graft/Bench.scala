@@ -145,6 +145,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts: ns-as-long for NANOS-era testdata (no-op on MICROS)
       .config("spark.sql.ansi.enabled", "false") // reference semantics: lenient casts, x/0→inf
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins on from session start (not flipped
+      // mid-sweep by the first SPJ query): Tx scans report their bucket
+      // layout, and same-layout joins/aggs plan shuffle-free
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

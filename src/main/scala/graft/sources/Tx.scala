@@ -869,16 +869,18 @@ object Tx {
       s"dropColumn lost $maxAttempts CAS races on $path")
   }
 
-  /** TYPE WIDENING — `int -> long` / `float -> double` IN PLACE, as a
-    * metadata-only commit (Delta 3.x's type widening): the manifest
-    * schema records the wider type, files keep their narrower physical
-    * type, and every read surface upcasts old files on decode (Spark's
-    * parquet readers read INT32 as LongType / FLOAT as DoubleType when
-    * the requested schema is wider; the row-fallback decoder upcasts
-    * explicitly). Binds FORWARD: later commits must send the wider
-    * type, while time travel to earlier versions serves THEIR type.
+  /** TYPE WIDENING — lossless promotions IN PLACE, as a metadata-only
+    * commit (Delta 3.x's type widening): byte/short/int up the
+    * integral chain and float -> double. The manifest schema records
+    * the wider type, files keep their narrower physical type, and
+    * every read surface upcasts old files on decode (Spark's parquet
+    * readers read narrow INT32 shapes as the wider integral / FLOAT as
+    * DoubleType when the requested schema is wider; the row-fallback
+    * decoder upcasts explicitly). Binds FORWARD: later commits must
+    * send the wider type, while time travel to earlier versions serves
+    * THEIR type.
     *
-    * Only the two lossless promotions are legal — anything else remains
+    * Only the lossless promotions are legal — anything else remains
     * the documented drop + re-add (which hides the old data under a
     * retired physical name by design). LAYOUT columns refuse: the
     * bucket hash is TYPE-sensitive (the same logical key as int vs
@@ -900,16 +902,19 @@ object Tx {
           s"widenColumn: no column '$name' in " +
             st.fieldNames.mkString(", ")))
       val legal = (f.dataType, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
         case (IntegerType, LongType) => true
         case (FloatType, DoubleType) => true
         case _ => false
       }
       require(legal,
         s"widenColumn: ${f.dataType.catalogString} -> " +
-          s"${to.catalogString} is not a supported widening (only " +
-          "int -> bigint and float -> double are lossless in place); " +
-          "any other retype is DROP COLUMN + ADD COLUMN, which retires " +
-          "the old data under a fresh physical name by design")
+          s"${to.catalogString} is not a supported widening (only the " +
+          "lossless in-place promotions: tinyint/smallint/int up the " +
+          "integral chain, and float -> double); any other retype is " +
+          "DROP COLUMN + ADD COLUMN, which retires the old data under " +
+          "a fresh physical name by design")
       require(!layoutColsOf(sp).contains(name),
         s"widenColumn: '$name' is a LAYOUT column (merge key, bucket " +
           "key, zone-map stats, or file sort) — the bucket hash and " +

@@ -203,6 +203,40 @@ class SpjSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("one-side shuffle: a non-Tx frame shuffles INTO the Tx layout") {
+    val root = freshRoot()
+    val a = (1L to 400L).map(i => (i, i * 2)).toDF("id", "va")
+    Tx.commitMerge(spark, s"$root/fa", a, Seq("id"), nBuckets = 8)
+    val cat = registerCat(root)
+    withSpj {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        // the other side is a PLAIN in-memory frame: Spark evaluates
+        // the catalog's bucket function (TxBucketBound.produceResult)
+        // to shuffle it into the Tx layout — ONE Exchange instead of
+        // two, and a hash drift between produceResult and the writers'
+        // layout would mis-bucket rows and drop join matches, so the
+        // full-match assert below pins the two hashes equal
+        val other = (1L to 400L).map(i => (i, i * 3)).toDF("id", "vb")
+        val joined = spark.table(s"$cat.fa").hint("merge")
+          .join(other, Seq("id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        val exchanges = "Exchange".r.findAllIn(plan).length
+        assert(exchanges == 1,
+          s"one-side shuffle expected exactly ONE Exchange, got " +
+            s"$exchanges:\n$plan")
+        val got = joined.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(got.length == 400 && got(6) == (7L, 14L, 21L),
+          "every key must match — a produceResult/writer hash drift " +
+            "would silently drop rows")
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("path reads (no catalog) stay on the sound shuffle plan") {
     val root = freshRoot()
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("id", "va")

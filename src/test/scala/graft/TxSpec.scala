@@ -2509,6 +2509,44 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"ALTER TABLE $cat2.t ALTER COLUMN m TYPE BIGINT")
     assert(spark.table(s"$cat2.t").select("m").collect()
       .map(_.getLong(0)).toSeq == Seq(5L))
+    // the integral chain: byte -> short -> long in two steps, old
+    // INT32(8bit)-physical files upcast at every width
+    val p3 = tmp()
+    Tx.commitMerge(spark, p3,
+      Seq((1L, 3.toByte)).toDF("id", "b"), Seq("id"), nBuckets = 4)
+    Tx.widenColumn(p3, "b", org.apache.spark.sql.types.ShortType)
+    assert(Tx.read(spark, p3).select("b").collect()
+      .map(_.getShort(0)).toSeq == Seq(3.toShort))
+    Tx.widenColumn(p3, "b", LongType)
+    assert(spark.read.format("graft-tx").load(p3).select("b").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L), "vectorized byte->long upcast")
+    assert(spark.read.format("graft-tx").option("vectorized", false)
+      .load(p3).select("b").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L), "row-fallback byte->long upcast")
+    // narrowing is never a widening
+    intercept[IllegalArgumentException](
+      Tx.widenColumn(p3, "b", org.apache.spark.sql.types.IntegerType))
+  }
+
+  test("CREATE TABLE column DEFAULTs: INSERT fills them analyzer-side") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ctd").toString
+    val cat = s"txg${java.util.UUID.randomUUID().toString.take(8).filter(_.isLetterOrDigit)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.tx.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT DEFAULT 5) " +
+      "TBLPROPERTIES ('keys'='id', 'nbuckets'='4')")
+    // a column-subset INSERT: Spark's analyzer fills the declared
+    // DEFAULT from the schema metadata BEFORE the batch reaches the
+    // commit path (which enforces the full table shape) — no format
+    // machinery involved, but the end-to-end behavior is pinned here
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, DEFAULT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 30)")
+    assert(spark.table(s"$cat.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 5L), (3L, 30L)))
   }
 
   test("column-level NOT NULL gates writes; add refuses existing nulls") {
@@ -2589,6 +2627,31 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       r3(0).isNullAt(r3(0).fieldIndex("flag")),
       s"default -> explicit-null must surface as an update, got " +
         r3.mkString(", "))
+  }
+
+  test("initial DEFAULT: defaulted-only projection and multi-batch files") {
+    import org.apache.spark.sql.types.LongType
+    val path = tmp()
+    // 10k rows in 2 buckets -> ~5k rows per file, >1 vectorized batch
+    // (capacity 4096): the constant-vector substitution must hold
+    // across batch boundaries, not just the first batch
+    Tx.commitMerge(spark, path,
+      (1L to 10000L).map(i => (i, i * 2)).toDF("id", "v"),
+      Seq("id"), nBuckets = 2)
+    Tx.addColumn(path, "flag", LongType, default = Some(7L))
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(sum("flag"), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val want = (7L * 10000L, 10000L)
+    assert(sums(spark.read.format("graft-tx").load(path)
+      .select("flag")) == want,
+      "vectorized, multi-batch, defaulted-ONLY projection")
+    assert(sums(spark.read.format("graft-tx")
+      .option("vectorized", false).load(path).select("flag")) == want,
+      "row fallback: every requested column postdates the file " +
+        "(the footer-count path must fill defaults, not nulls)")
+    assert(sums(Tx.read(spark, path).select("flag")) == want, "side API")
   }
 
   test("initial DEFAULT survives rename; drop+re-add mints a fresh default") {
