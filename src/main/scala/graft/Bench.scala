@@ -103,22 +103,24 @@ object Bench {
     * number prices memory/CPU pressure, not disk, and a LOW write with
     * a HIGH read is the virtualized-storage-contention signature.
     */
-  private def ioProbeMBs(): String =
+  private def ioProbeMBs(): String = {
+    var f: java.io.File = null
+    var ch: java.nio.channels.FileChannel = null
+    var rch: java.nio.channels.FileChannel = null
     try {
-      val f = java.io.File.createTempFile("graft_hcio", ".bin")
+      f = java.io.File.createTempFile("graft_hcio", ".bin")
       val MB = 1 << 20
       val n = 64
       val buf = java.nio.ByteBuffer.allocate(MB)
       new java.util.Random(42).nextBytes(buf.array())
-      val ch = java.nio.channels.FileChannel.open(f.toPath,
+      ch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE)
       val t0 = System.nanoTime()
       var i = 0
       while (i < n) { buf.rewind(); ch.write(buf); i += 1 }
       ch.force(true)
       val wSec = (System.nanoTime() - t0) / 1e9
-      ch.close()
-      val rch = java.nio.channels.FileChannel.open(f.toPath,
+      rch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.READ)
       val t1 = System.nanoTime()
       buf.clear()
@@ -129,10 +131,16 @@ object Bench {
         k = rch.read(buf)
       }
       val rSec = (System.nanoTime() - t1) / 1e9
-      rch.close()
-      f.delete()
       s"w${math.round(n / wSec)}r${math.round(n / rSec)}"
     } catch { case _: Throwable => "na" }
+    finally {
+      // a mid-probe failure (disk full on the contended host the probe
+      // exists to detect) must not leak channels or the 64 MB tmp file
+      try if (ch != null) ch.close() catch { case _: Throwable => () }
+      try if (rch != null) rch.close() catch { case _: Throwable => () }
+      try if (f != null) f.delete() catch { case _: Throwable => () }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -358,6 +358,9 @@ object Tx {
   private val dirColCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  // loaded once per JVM; footer probes copy-construct from it
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** Marker file a SORTED commit drops in its commit directory
     * (`data/c-<uuid>/.sorted`, content = the sort column list): the
     * per-directory proof [[graft.sources.tx.TxScan]] needs before
@@ -409,7 +412,9 @@ object Tx {
       val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration()))
+          // copy-construct: a fresh Configuration re-loads XML
+          // resources on every probe
+          new org.apache.hadoop.conf.Configuration(footerConf)))
       try pf.getFooter.getFileMetaData.getSchema.containsField(phys)
       finally pf.close()
     }
@@ -755,14 +760,20 @@ object Tx {
       require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"addColumn: column '$name' already exists")
       val used = usedPhysOf(sp, st)
+      // freshness is CASE-INSENSITIVE: readers clip file schemas under
+      // Spark's case-insensitive resolver, so a retired physical 'V'
+      // would satisfy a request for 'v' and the retired column's bytes
+      // would bleed into the re-added one — exactly what minting exists
+      // to prevent
+      def taken(c: String) = used.exists(_.equalsIgnoreCase(c))
       // probe suffixes until free: a legacy column literally named
       // '<name>__p<v>' (pre-dating checkColName's '__' rejection) can
       // occupy the first candidate, so minting must never assume it
-      val phys = if (!used.contains(name)) name
+      val phys = if (!taken(name)) name
         else Iterator.from(0).map {
           case 0 => s"${name}__p${sp.version + 1}"
           case i => s"${name}__p${sp.version + 1}x$i"
-        }.find(!used.contains(_)).get
+        }.find(!taken(_)).get
       val meta0 = new org.apache.spark.sql.types.MetadataBuilder()
       if (phys != name) meta0.putString(PhysMetaKey, phys)
       default.foreach(d => putDefault(meta0, dataType, d))
@@ -2403,6 +2414,44 @@ object Tx {
               // buckets the rewrite EMPTIED produce no directory — they
               // must leave the manifest, not point at a missing path
               val w = listBucketDirs(Paths.get(path, dir))
+              // commitFold's combine SYNTHESIZES values — unlike merge/
+              // overwrite/delta/replace-where, whose outputs are unions
+              // of rows already validated (existing rows at THEIR
+              // commit, batch rows by the gates above) — so the
+              // batch-level CHECK / NOT NULL gates cannot cover a
+              // fold's output. Validate what actually LANDED (gated
+              // predicates over the just-written touched buckets only,
+              // page-cache warm) before the CAS: a violating fold
+              // deletes its staging and publishes nothing.
+              if (opName == "commitFold" && w.nonEmpty) {
+                val checks = carried.toSeq.sortBy(_._1).flatMap {
+                  case (k, ex) if k.startsWith(ConstraintPrefix) =>
+                    Some(s"CHECK constraint " +
+                      s"'${k.stripPrefix(ConstraintPrefix)}' ($ex)" ->
+                      (coalesce(expr(ex), lit(true)) === false))
+                  case (k, _) if k.startsWith(NonNullPrefix) =>
+                    val c = k.stripPrefix(NonNullPrefix)
+                    Some(s"NOT NULL column '$c'" -> col(c).isNull)
+                  case _ => None
+                }
+                if (checks.nonEmpty) {
+                  val landedDirs = w.toSeq.sorted
+                    .map(b => s"$path/$dir/__b=$b")
+                  val landed = recorded.fold(
+                    spark.read.parquet(landedDirs: _*))(
+                    readPhysAliased(spark, _, landedDirs))
+                  checks.foreach { case (label, violated) =>
+                    val bad = landed.filter(violated).take(1)
+                    if (bad.nonEmpty) {
+                      deleteRecursive(Paths.get(path, dir))
+                      throw new IllegalArgumentException(
+                        s"requirement failed: $opName: $label violated " +
+                          s"by the fold output — e.g. ${bad.head}; no " +
+                          "version was published")
+                    }
+                  }
+                }
+              }
               // zone maps for what actually LANDED: one bounded agg over
               // the commit's own files (touched buckets only, never the
               // table) grouped per FILE, collected as O(files) rows;

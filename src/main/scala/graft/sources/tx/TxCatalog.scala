@@ -262,6 +262,11 @@ class TxCatalog extends TableCatalog with ProcedureCatalog
             Tx.addConstraint(org.apache.spark.sql.SparkSession.active, p,
               set.property().substring("constraint.".length), set.value())
           case c if c.startsWith("nonnull.") =>
+            // only 'true' is a meaningful value: silently treating
+            // 'false' as "add the gate" would invert the user's intent
+            require(set.value() == "true",
+              s"TxCatalog: 'nonnull.<col>' takes 'true' (UNSET the " +
+                s"property to drop the gate), got '${set.value()}'")
             Tx.addNotNull(org.apache.spark.sql.SparkSession.active, p,
               set.property().substring("nonnull.".length))
           case "nbuckets" => throw new UnsupportedOperationException(

@@ -982,10 +982,12 @@ class TxBucketColumnarReader(dir: String, required: StructType,
     val f = files.next()
     TxReadCounters.fileOpened()
     if (defaultedIdx.nonEmpty) {
+      // copy-construct from the template (a fresh Configuration loads
+      // XML resources every time — same reasoning as openNext's conf)
       val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
         HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-          new Configuration()))
+          new Configuration(TxBucketColumnarReader.template)))
       val fileSchema =
         try pf.getFooter.getFileMetaData.getSchema finally pf.close()
       absentIdx = defaultedIdx
@@ -1157,6 +1159,7 @@ class TxBucketReader(dir: String, required: StructType,
   // the file predates, else a (Group => Any) bound to the projected index
   private var decoders: Array[Group => Any] = _
   private var emptyRowsLeft: Long = 0L // count(*) path: rows per footer
+  private var constantRow: InternalRow = _ // lazy, see next()
   private var current: InternalRow = _
 
   private def openNext(): Boolean = {
@@ -1210,10 +1213,16 @@ class TxBucketReader(dir: String, required: StructType,
     while (true) {
       if (emptyRowsLeft > 0) {
         emptyRowsLeft -= 1
-        current =
-          if (required.isEmpty) InternalRow.empty
-          else new GenericInternalRow(required.fields.map(f =>
-            Tx.initDefaultValue(f).orNull))
+        // one constant row reused for the whole file (the reader
+        // contract only guarantees the row until the next() call, and
+        // every synthesized row is identical — don't re-dispatch the
+        // default per row × column over a million-row file)
+        if (constantRow == null)
+          constantRow =
+            if (required.isEmpty) InternalRow.empty
+            else new GenericInternalRow(required.fields.map(f =>
+              Tx.initDefaultValue(f).orNull))
+        current = constantRow
         return true
       }
       if (reader != null) {

@@ -2528,6 +2528,55 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       Tx.widenColumn(p3, "b", org.apache.spark.sql.types.IntegerType))
   }
 
+  test("case-variant drop+re-add never serves the retired column's bytes") {
+    import org.apache.spark.sql.types.LongType
+    val path = tmp()
+    Tx.commitMerge(spark, path,
+      Seq((1L, 10L, 77L)).toDF("id", "v", "Flag"), Seq("id"), nBuckets = 4)
+    Tx.dropColumn(path, "Flag")
+    // the re-add differs only in CASE: readers clip file schemas under
+    // Spark's case-insensitive resolver, so minting must treat the
+    // retired physical 'Flag' as occupying 'flag' too — a fresh
+    // physical name, and the old 77s can never bleed in
+    Tx.addColumn(path, "flag", LongType)
+    assert(Tx.read(spark, path).select("flag").collect()
+      .forall(_.isNullAt(0)), "side API must serve null, not 77")
+    assert(spark.read.format("graft-tx").load(path).select("flag")
+      .collect().forall(_.isNullAt(0)), "DSv2 must serve null, not 77")
+  }
+
+  test("commitFold's combine OUTPUT is gated by CHECK and NOT NULL") {
+    val path = tmp()
+    Tx.commitMerge(spark, path, Seq((1L, 10L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4)
+    Tx.addConstraint(spark, path, "pos", "v > 0")
+    Tx.addNotNull(spark, path, "v")
+    val v0 = Tx.latest(path).get.version
+    // the incoming batch is CLEAN — only the combine's output violates,
+    // which the batch-level gates cannot see (fold synthesizes values)
+    val e = intercept[IllegalArgumentException](
+      Tx.commitFold(spark, path, Seq((1L, 5L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 4) { (_, in) =>
+        in.withColumn("v", lit(-1L))
+      })
+    assert(e.getMessage.contains("pos") &&
+      e.getMessage.contains("no version was published"))
+    assert(Tx.latest(path).get.version == v0,
+      "a violating fold must publish nothing")
+    val e2 = intercept[IllegalArgumentException](
+      Tx.commitFold(spark, path, Seq((1L, 5L)).toDF("id", "v"),
+        Seq("id"), nBuckets = 4) { (_, in) =>
+        in.withColumn("v", lit(null).cast("long"))
+      })
+    assert(e2.getMessage.contains("NOT NULL"))
+    assert(Tx.latest(path).get.version == v0)
+    // a clean fold still lands, and the violating attempts left no
+    // referenced debris (their staging dirs were deleted pre-CAS)
+    Tx.commitFold(spark, path, Seq((1L, 5L)).toDF("id", "v"),
+      Seq("id"), nBuckets = 4) { (_, in) => in }
+    assert(rows(Tx.read(spark, path)) == Seq((1L, 5L)))
+  }
+
   test("CREATE TABLE column DEFAULTs: INSERT fills them analyzer-side") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ctd").toString
