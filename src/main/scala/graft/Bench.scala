@@ -117,7 +117,13 @@ object Bench {
         java.nio.file.StandardOpenOption.WRITE)
       val t0 = System.nanoTime()
       var i = 0
-      while (i < n) { buf.rewind(); ch.write(buf); i += 1 }
+      while (i < n) {
+        buf.rewind()
+        // FileChannel.write may return short — drain the buffer, or a
+        // partial write silently shrinks the file and overstates MB/s
+        while (buf.hasRemaining) ch.write(buf)
+        i += 1
+      }
       ch.force(true)
       val wSec = (System.nanoTime() - t0) / 1e9
       rch = java.nio.channels.FileChannel.open(f.toPath,
@@ -143,9 +149,31 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // DEADLINE-AWARE SWEEP (BENCH_r14 was rc=124/parsed-null: three ~600 s
+    // passes became ~1878 s each under a 62 MB/s fsync band and the driver
+    // window closed before the JSON line ever printed). The sweep now takes
+    // a wall-clock budget and guarantees a parseable line no matter the
+    // host weather:
+    //  (a) after each pass, if the remaining budget cannot fit another pass
+    //      (estimated at the SLOWEST pass observed so far), stop and emit
+    //      min-of-completed-passes, with "passes":N declared in-band;
+    //  (b) inside a pass, if the deadline arrives mid-sweep, the pass is
+    //      abandoned between queries (never mid-query) — queries already
+    //      timed this pass keep the extra sample;
+    //  (c) a JVM shutdown hook prints the best line built so far, so even
+    //      a SIGTERM from the driver's timeout leaves a parseable tail.
+    // Queries never measured at all (deadline inside pass 1 — catastrophic
+    // weather) are counted in "qmissing" and excluded from qds36/queries;
+    // "qn" always equals the number of MEASURED queries, so a partial
+    // artifact is self-describing rather than silently incomparable.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val reserveSec = 45.0 // line build + spark.stop + sbt log-pump drain
+    def remainingSec: Double = budgetSec - reserveSec - elapsedSec
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -178,47 +206,134 @@ object Bench {
     val hcCpu = scala.collection.mutable.ArrayBuffer.empty[String]
     val hcIo = scala.collection.mutable.ArrayBuffer(ioProbeMBs())
 
-    for (pass <- 1 to passes) {
+    var passesDone = 0
+    var passAborted = false
+
+    // Line construction is hoisted so the shutdown hook can emit the best
+    // line built so far; `latestLine` is refreshed after every pass and on
+    // a mid-pass abort. Explanations of the encoding live below (the
+    // original emission-notes block).
+    val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    def qid(name: String): Int = {
+      val s = name.stripPrefix("q").takeWhile(_.isDigit)
+      if (s.isEmpty) Int.MaxValue else s.toInt
+    }
+    def buildLine(): String = {
+      val measured = queries.collect { case (name, _) if times(name).nonEmpty =>
+        name -> times(name).min
+      }
+      val qmissing = queries.size - measured.size
+      val qds36 = measured.sortBy { case (k, _) => (qid(k), k) }.map { case (_, v) =>
+        digits.charAt(math.min(Math.round(v * 10), 35L).toInt)
+      }.mkString
+      val entries = measured
+        .map { case (k, v) =>
+          val id0 = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
+          val id = if (id0.isEmpty) "0" else id0
+          (Math.round(v * 10), "\"" + id + "\":" + Math.round(v * 10))
+        }
+        .sortBy { case (ds, s) => (-ds, s) }
+      val total = if (measured.nonEmpty) measured.map(_._2).sum else 0.0
+      val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      def line(qs: String, omitted: Int, floorDs: Long) =
+        s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${measured.size},"qmissing":$qmissing,"passes":$passesDone,"qomitted":$omitted,"qfloor_ds":$floorDs,"hc_loop":"${hcLoop.mkString("/")}","hc_cpu":"${hcCpu.mkString("|")}","hc_io":"${hcIo.mkString("/")}","qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
+      val mapBudget = 1900 - line("{}", 0, 0).length
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 2 // braces
+      var omitted = 0
+      var floorDs = 0L
+      var full = false
+      entries.foreach { case (ds, s) =>
+        // stop at the FIRST non-fitting entry so every kept value >= every
+        // omitted value (qfloor_ds is then a true bound on all absentees)
+        if (!full && used + s.length + 1 <= mapBudget) { kept += s; used += s.length + 1 }
+        else { full = true; omitted += 1; floorDs = math.max(floorDs, ds) }
+      }
+      line(kept.mkString("{", ",", "}"), omitted, floorDs)
+    }
+
+    val latestLine = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val emittedNormally = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Belt (c): driver timeout sends SIGTERM → shutdown hooks run. Print
+    // the best-known line immediately (twice, flushed) so the merged-output
+    // tail stays parseable even when Spark's own shutdown logging follows.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val l = latestLine.get()
+      if (!emittedNormally.get() && l != null) {
+        println(l); System.out.flush()
+        println(l); System.out.flush()
+      }
+    }))
+
+    var pass = 1
+    var maxPassSec = 0.0
+    var stop = false
+    while (pass <= passes && !stop) {
       val p0 = System.nanoTime()
       val cpu0 = cpuTicks()
-      queries.foreach { case (name, fn) =>
-        // noop sink: forces full evaluation of every output column (a bare
-        // count() would let Catalyst prune most of the query away).
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        val t = (System.nanoTime() - t0) / 1e9
-        times(name) = times(name) :+ t
-        // Per-execution hygiene: a query whose execution localCheckpoints
-        // or persists decision frames must release them itself; anything
-        // left is reaped here so the next query starts clean.
-        val persisted = spark.sparkContext.getPersistentRDDs
-        leaked(name) += persisted.size
-        persisted.values.foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
+      val it = queries.iterator
+      while (it.hasNext && !passAborted) {
+        if (remainingSec <= 0 && times.nonEmpty) {
+          // deadline mid-pass: abandon the rest of this pass (samples
+          // already taken are kept). In pass 1 this yields a partial
+          // artifact (qmissing > 0) — still parseable, still self-describing.
+          passAborted = true
+        } else {
+          val (name, fn) = it.next()
+          // noop sink: forces full evaluation of every output column (a bare
+          // count() would let Catalyst prune most of the query away).
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          val t = (System.nanoTime() - t0) / 1e9
+          times(name) = times(name) :+ t
+          // Per-execution hygiene: a query whose execution localCheckpoints
+          // or persists decision frames must release them itself; anything
+          // left is reaped here so the next query starts clean.
+          val persisted = spark.sparkContext.getPersistentRDDs
+          leaked(name) += persisted.size
+          persisted.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          // in pass 1 every measured query improves the abort-path line
+          if (passesDone == 0) latestLine.set(buildLine())
+        }
       }
       System.gc() // lets ContextCleaner drop dead broadcasts between passes
       hcCpu += cpuDelta(cpu0, cpuTicks())
       hcLoop += spinMs()
       hcIo += ioProbeMBs()
+      val passSec = (System.nanoTime() - p0) / 1e9
+      if (!passAborted) { passesDone += 1; maxPassSec = math.max(maxPassSec, passSec) }
+      latestLine.set(buildLine())
       System.err.println(
-        f"[bench-diag] pass $pass/$passes done in ${(System.nanoTime() - p0) / 1e9}%.1f s " +
+        f"[bench-diag] pass $pass/$passes ${if (passAborted) "ABORTED at deadline" else "done"} in $passSec%.1f s " +
           s"(canary loop ${hcLoop.last} ms, cpu ${hcCpu.last}, io ${hcIo.last} MB/s)")
+      // (a): stop early when the slowest observed pass no longer fits the
+      // remaining budget — contention only ever slows passes down, so the
+      // max is the honest estimate of the next one under current weather.
+      if (passAborted) stop = true
+      else if (pass < passes && remainingSec < maxPassSec) {
+        System.err.println(
+          f"[bench-diag] deadline: ${remainingSec}%.0f s left < slowest pass $maxPassSec%.0f s — stopping after $passesDone pass(es)")
+        stop = true
+      }
+      pass += 1
     }
 
     // Full-name per-query stats to stderr for humans; the stdout JSON line
     // uses the short `qNN` ids and 3-decimal seconds so the WHOLE line fits
     // the driver's 2000-char stdout tail window (BENCH_r01–r03 all recorded
     // parsed:null because the full-name line overflowed it).
-    val results = queries.map { case (name, _) =>
+    queries.foreach { case (name, _) =>
       val ts = times(name)
-      val best = ts.min
       if (leaked(name) > 0)
         System.err.println(
           f"[bench-diag] $name: reaped ${leaked(name)} leaked persisted RDD(s) across passes")
-      System.err.println(
-        f"[bench-final] $name%-32s min=$best%.3f s  passes=${ts.map(r => f"$r%.2f").mkString("/")}")
-      name -> best
+      if (ts.isEmpty)
+        System.err.println(f"[bench-final] $name%-32s UNMEASURED (deadline before first sample)")
+      else
+        System.err.println(
+          f"[bench-final] $name%-32s min=${ts.min}%.3f s  passes=${ts.map(r => f"$r%.2f").mkString("/")}")
     }
     // The driver parses the JSON line out of a 2000-char tail window over the
     // MERGED sbt output, so the line must satisfy TWO constraints at once:
@@ -256,48 +371,15 @@ object Bench {
     //     map is explicit ("qomitted"/"qfloor_ds" = count and the largest
     //     omitted ds) and harmless — every omitted query still has its
     //     digit in qds36. Full per-query sweeps live in BASELINE.md.
-    val digits = "0123456789abcdefghijklmnopqrstuvwxyz"
-    def qid(name: String): Int = {
-      val s = name.stripPrefix("q").takeWhile(_.isDigit)
-      if (s.isEmpty) Int.MaxValue else s.toInt
-    }
-    val qds36 = results.sortBy { case (k, _) => (qid(k), k) }.map { case (_, v) =>
-      digits.charAt(math.min(Math.round(v * 10), 35L).toInt)
-    }.mkString
-    val entries = results
-      .map { case (k, v) =>
-        val id0 = k.stripPrefix("q").takeWhile(_ != '_').dropWhile(_ == '0')
-        val id = if (id0.isEmpty) "0" else id0
-        (Math.round(v * 10), "\"" + id + "\":" + Math.round(v * 10))
-      }
-      .sortBy { case (ds, s) => (-ds, s) }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // Whole line must land inside the driver's 2000-char tail window with
-    // sbt's trailing "[success]" row (~75 chars) after it; the explicit
-    // map gets whatever the fixed fields + qds36 leave over.
+    // The construction itself lives in buildLine() above (hoisted so the
+    // shutdown hook shares it); "qmissing"/"passes" document partial sweeps.
     // hc_loop: fixed-compute canary ms (pre-warmup, then one per pass);
     // hc_cpu: per-pass /proc/stat user/steal/iowait % of total jiffies;
     // hc_io: fsync'd-write/read-back MB/s bookends (pre-warmup + per
-    // pass) — the virtualized-storage band hc_cpu is blind to.
-    // Flat hc_loop + low steal/iowait + flat hc_io = the sweep is
-    // trustworthy; an inflated sweep carries its own adjudication
-    // evidence.
-    def line(qs: String, omitted: Int, floorDs: Long) =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","qunit":"decisec","qn":${results.size},"qomitted":$omitted,"qfloor_ds":$floorDs,"hc_loop":"${hcLoop.mkString("/")}","hc_cpu":"${hcCpu.mkString("|")}","hc_io":"${hcIo.mkString("/")}","qds36":"$qds36","qds36_order":"id-asc","qds36_cap":"z=>=35ds, exact in queries","queries":$qs,"sf":"$sfName"}"""
-    val mapBudget = 1900 - line("{}", 0, 0).length
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 2 // braces
-    var omitted = 0
-    var floorDs = 0L
-    var full = false
-    entries.foreach { case (ds, s) =>
-      // stop at the FIRST non-fitting entry so every kept value >= every
-      // omitted value (qfloor_ds is then a true bound on all absentees)
-      if (!full && used + s.length + 1 <= mapBudget) { kept += s; used += s.length + 1 }
-      else { full = true; omitted += 1; floorDs = math.max(floorDs, ds) }
-    }
-    val jsonLine = line(kept.mkString("{", ",", "}"), omitted, floorDs)
+    // pass) — the virtualized-storage band hc_cpu is blind to. The read
+    // channel is page-cache-warm BY DESIGN (prices memory bandwidth, not
+    // disk); the WRITE channel is the storage-health signal.
+    val jsonLine = buildLine()
     System.err.println(s"[bench-diag] json line length: ${jsonLine.length} chars (tail window 2000)")
     System.err.flush(); System.out.flush()
     spark.sparkContext.setLogLevel("OFF")
@@ -309,5 +391,6 @@ object Bench {
     Thread.sleep(500)
     println(jsonLine)
     System.out.flush()
+    emittedNormally.set(true) // the shutdown hook stands down
   }
 }
