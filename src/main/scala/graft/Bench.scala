@@ -294,6 +294,9 @@ object Bench {
           leaked(name) += persisted.size
           persisted.values.foreach(_.unpersist(blocking = false))
           spark.catalog.clearCache()
+          // tmpfs scaffolding (Scratch) is RAM-backed — reap per query so
+          // the sweep's resident footprint stays one query's scaffolding
+          graft.sources.Scratch.reap()
           // in pass 1 every measured query improves the abort-path line
           if (passesDone == 0) latestLine.set(buildLine())
         }

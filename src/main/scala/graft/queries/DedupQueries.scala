@@ -933,8 +933,16 @@ object DedupQueries {
     // per-split release totals, putting write + compaction + read-back
     // under the correctness gate the way q67 does for the events sink.
     "q102_release_export" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_q102").toString
-      val sink = work + "/sink"
+      // staging is scaffolding (Scratch/tmpfs), but the SINK stays on the
+      // real filesystem: this query's contract IS the durable export —
+      // land + merge + compaction + read-back priced as disk IO (the one
+      // query of the lifecycle family deliberately left exposed to the
+      // host's storage band; the rest re-derive from raw and moved to
+      // Scratch in r15)
+      val work = graft.sources.Scratch.dir("graft_q102")
+      val sinkRoot = java.nio.file.Files
+        .createTempDirectory("graft_q102_sink").toString
+      val sink = sinkRoot + "/sink"
       // stage the manifest once, then merge the staged table — same
       // land-then-merge shape (and single-execution rationale) as
       // releaseManifest's decision tables
@@ -982,7 +990,7 @@ object DedupQueries {
     // structurally impossible, not just checkpointed away) and the query
     // leaves zero persisted RDDs behind. At 100 TB these are exactly the
     // dedup-decisions / contamination-decisions tables an audit reads.
-    val work = java.nio.file.Files.createTempDirectory("graft_release").toString
+    val work = graft.sources.Scratch.dir("graft_release")
     def committed(name: String, buckets: Int)(df: DataFrame): DataFrame = {
       val path = s"$work/$name"
       // Land the batch as a STAGED table first (one execution of the

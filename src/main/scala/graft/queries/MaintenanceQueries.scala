@@ -84,8 +84,7 @@ object MaintenanceQueries {
       def stateP(df: DataFrame) = hourlyState(df)
         .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
       val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_mvp").toString + "/state"
+      val statePath = graft.sources.Scratch.dir("graft_mvp") + "/state"
       val keys = Seq("p_day", "bucket_h")
       Mv.refreshPartitioned(s, statePath, stateP(ev.filter(col("ts") < cut)),
         "p_day", keys, adds = Seq("n_rows", "sum_v6"),
@@ -117,8 +116,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_q").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_q") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitMerge(s, path, updates.unionByName(inserts),
         Seq("event_id"), nBuckets = 16)
@@ -145,8 +143,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_w").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_w") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       updates.unionByName(inserts)
         .write.format("graft-tx").mode("append").save(path)
@@ -173,8 +170,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_mi").toString
+      val base = graft.sources.Scratch.dir("graft_tx_mi")
       Tx.commitMerge(s, s"$base/ev", existing, Seq("event_id"),
         nBuckets = 16)
       val cat = "txm" + java.util.UUID.randomUUID().toString
@@ -216,8 +212,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_sw").toString
+      val base = graft.sources.Scratch.dir("graft_tx_sw")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -253,8 +248,7 @@ object MaintenanceQueries {
     "q274_tx_sql_update" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_up").toString
+      val base = graft.sources.Scratch.dir("graft_tx_up")
       Tx.commitMerge(s, s"$base/ev", existing, Seq("event_id"),
         nBuckets = 16)
       val cat = "txu" + java.util.UUID.randomUUID().toString
@@ -281,8 +275,7 @@ object MaintenanceQueries {
     "q250_tx_delete" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_d").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_d") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitDelete(s, path,
         existing.filter(col("event_id") % 7 === 0).select("event_id"),
@@ -305,8 +298,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_t").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_t") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitMerge(s, path, updates.unionByName(inserts),
         Seq("event_id"), nBuckets = 16)
@@ -336,8 +328,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_h").toString
+      val base = graft.sources.Scratch.dir("graft_tx_h")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitMerge(s, path, updates.unionByName(inserts),
@@ -388,8 +379,7 @@ object MaintenanceQueries {
     "q277_tx_agg_pushdown" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_ag").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_ag") + "/t"
       Tx.commitMerge(s, path, ev, Seq("event_id"), nBuckets = 16,
         statsCols = Seq("event_id"))
       Tx.commitDelete(s, path,
@@ -421,8 +411,7 @@ object MaintenanceQueries {
     "q278_tx_replace_where" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_rw").toString
+      val base = graft.sources.Scratch.dir("graft_tx_rw")
       val path = s"$base/t"
       Tx.commitMerge(s, path, ev, Seq("event_id"), nBuckets = 16,
         statsCols = Seq("event_id"))
@@ -459,8 +448,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_mc").toString
+      val base = graft.sources.Scratch.dir("graft_tx_mc")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16,
         statsCols = Seq("event_id"))
@@ -499,8 +487,7 @@ object MaintenanceQueries {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_rs").toString
+      val base = graft.sources.Scratch.dir("graft_tx_rs")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       // the bad commit: an overwrite that replaced the table with a
@@ -546,8 +533,7 @@ object MaintenanceQueries {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_cc").toString
+      val base = graft.sources.Scratch.dir("graft_tx_cc")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       val cat = "txq" + java.util.UUID.randomUUID().toString
@@ -614,8 +600,7 @@ object MaintenanceQueries {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_pl").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_pl") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 32)
       val tag = "q283_" + java.util.UUID.randomUUID().toString.take(8)
       val out = s.read.format("graft-tx").option("scanTag", tag).load(path)
@@ -641,12 +626,42 @@ object MaintenanceQueries {
     // shape (require()d in-plan). The oracle derives the same frame
     // from raw with a CASE across the boundary. Quarter subset like
     // the other Tx-lifecycle queries.
+    // MERGE-ON-READ DELETE (deletion vectors, q288): a GDPR-style
+    // keyed delete that rewrites ZERO data files — commitDeleteVectors
+    // lands the matched keys as per-bucket tombstone sidecars and one
+    // manifest CAS; at 100 TB this is the difference between a one-key
+    // delete costing a multi-GB bucket rewrite and costing a KB
+    // sidecar. Both zero-rewrite facts are require()d in-plan (bucket
+    // dirs literally identical across the delete; sidecars present),
+    // and the read-back goes through the DSv2 scan — tombstoned
+    // buckets ride the filtering row reader — so the oracle's raw
+    // anti-filter hash-fails a reader that leaked a dead row, killed a
+    // live one, or served the (stale) footer counts. The follow-up
+    // COMPACTION path and the CDF classification are TxSpec-pinned.
+    "q288_tx_delete_vectors" -> ((s, dir) => {
+      val existing = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = graft.sources.Scratch.dir("graft_tx_dv") + "/t"
+      Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
+      val v1 = Tx.latest(path).get
+      val victims = Tx.read(s, path)
+        .filter(col("event_id") % 36 === 0).select("event_id")
+      Tx.commitDeleteVectors(s, path, victims, Seq("event_id"))
+      val v2 = Tx.latest(path).get
+      require(v2.dirs == v1.dirs,
+        "q288: a deletion-vector delete must rewrite ZERO data files")
+      require(v2.tombs.nonEmpty,
+        "q288: the delete must land tombstone sidecars")
+      s.read.format("graft-tx").load(path)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     "q286_tx_add_default" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_dflt").toString
+      val base = graft.sources.Scratch.dir("graft_tx_dflt")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       val cat = "txd" + java.util.UUID.randomUUID().toString
@@ -687,8 +702,7 @@ object MaintenanceQueries {
     "q285_tx_spj_join" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_spj").toString
+      val base = graft.sources.Scratch.dir("graft_tx_spj")
       Tx.commitMerge(s, s"$base/fact_a",
         existing.select("event_id", "user_id", "value"),
         Seq("event_id"), nBuckets = 32)
@@ -727,8 +741,7 @@ object MaintenanceQueries {
     "q287_tx_spj_sorted" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_spjs").toString
+      val base = graft.sources.Scratch.dir("graft_tx_spjs")
       Tx.commitMerge(s, s"$base/fact_a",
         existing.select("event_id", "user_id", "value"),
         Seq("event_id"), nBuckets = 32,
@@ -782,8 +795,7 @@ object MaintenanceQueries {
         .select("event_id", "user_id", "event_type", "value")
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_sr").toString
+      val base = graft.sources.Scratch.dir("graft_tx_sr")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       val buf = collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
@@ -825,8 +837,7 @@ object MaintenanceQueries {
       def stateP(df: DataFrame) = hourlyState(df)
         .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
       val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_mvb").toString + "/state"
+      val statePath = graft.sources.Scratch.dir("graft_mvb") + "/state"
       val keys = Seq("p_day", "bucket_h")
       // state with the defect: recent days under-counted
       Mv.refreshPartitioned(s, statePath,
@@ -860,8 +871,7 @@ object MaintenanceQueries {
       def stateP(df: DataFrame) = hourlyState(df)
         .withColumn("p_day", date_format(col("bucket_h"), "yyyyMMdd").cast("long"))
       val cut = lit("2024-01-25 00:00:00").cast("timestamp_ntz")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_mvtx").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_mvtx") + "/t"
       val keys = Seq("p_day", "bucket_h")
       // bucketed on the DAY alone (the coarse key), so the 6-day batch
       // touches only its days' buckets — hashing the full (day, hour)
@@ -899,8 +909,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_c").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_c") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitMerge(s, path, updates.unionByName(inserts),
         Seq("event_id"), nBuckets = 16)
@@ -929,8 +938,7 @@ object MaintenanceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_cs").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_cs") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.commitMerge(s, path, updates.unionByName(inserts),
         Seq("event_id"), nBuckets = 16)
@@ -961,8 +969,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_z").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_z") + "/t"
       val keys = Seq("p_day", "event_id")
       // 32 buckets over ~30 days → day zones stay tight enough to prune
       Tx.commitMerge(s, path, ev, keys, nBuckets = 32,
@@ -995,8 +1002,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_v2").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_v2") + "/t"
       val keys = Seq("p_day", "event_id")
       Tx.commitMerge(s, path, ev, keys, nBuckets = 32,
         bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
@@ -1030,8 +1036,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_cat").toString
+      val base = graft.sources.Scratch.dir("graft_tx_cat")
       Tx.commitMerge(s, s"$base/ev", ev, Seq("p_day", "event_id"),
         nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
       val cat = "txq" + java.util.UUID.randomUUID().toString
@@ -1066,8 +1071,7 @@ object MaintenanceQueries {
     "q261_tx_string_skip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("source", "doc_id", "lang", "n_chars")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_s").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_s") + "/t"
       Tx.commitMerge(s, path, docs, Seq("source", "doc_id"), nBuckets = 32,
         bucketKeys = Seq("source"), statsCols = Seq("source"))
       val scan = s.read.format("graft-tx").load(path)
@@ -1098,8 +1102,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_or").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_or") + "/t"
       Tx.commitMerge(s, path, ev, Seq("p_day", "event_id"), nBuckets = 32,
         bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
       val scan = s.read.format("graft-tx").load(path)
@@ -1131,8 +1134,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_del").toString
+      val base = graft.sources.Scratch.dir("graft_tx_del")
       Tx.commitMerge(s, s"$base/ev", ev, Seq("p_day", "event_id"),
         nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
       val cat = "txd" + java.util.UUID.randomUUID().toString
@@ -1163,8 +1165,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_fz").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_fz") + "/t"
       val n = ev.count()
       Tx.commitMerge(s, path, ev, Seq("p_day", "event_id"), nBuckets = 4,
         bucketKeys = Seq("p_day"), statsCols = Seq("p_day"),
@@ -1206,8 +1207,7 @@ object MaintenanceQueries {
         col("event_id"),
         floor(col("value") * 1e6).cast("long").as("v6"),
         date_format(col("ts"), "yyyyMMdd").cast("long").as("p_day"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_dpp").toString
+      val base = graft.sources.Scratch.dir("graft_tx_dpp")
       val factPath = s"$base/fact"
       Tx.commitMerge(s, factPath, ev, Seq("p_day", "event_id"),
         nBuckets = 32, bucketKeys = Seq("p_day"), statsCols = Seq("p_day"))
@@ -1269,8 +1269,7 @@ object MaintenanceQueries {
       val ev = Tables.events(s, dir).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_f").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_f") + "/t"
       def hour(df: DataFrame) = df.withColumn("bucket_h",
         date_trunc("hour", col("ts")).cast("timestamp_ntz"))
       def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
@@ -1318,8 +1317,7 @@ object MaintenanceQueries {
         .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_sc").toString
+      val base = graft.sources.Scratch.dir("graft_tx_sc")
       val path = s"$base/t"
       def hour(df: DataFrame) = df.withColumn("bucket_h",
         date_trunc("hour", col("ts")).cast("timestamp_ntz"))
@@ -1378,8 +1376,7 @@ object MaintenanceQueries {
       val ev = Tables.events(s, dir).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_b").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_b") + "/t"
       def hour(df: DataFrame) = df.withColumn("bucket_h",
         date_trunc("hour", col("ts")).cast("timestamp_ntz"))
       def mv(df: DataFrame) = hour(df).groupBy("bucket_h")
@@ -1431,8 +1428,7 @@ object MaintenanceQueries {
         .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_fb").toString
+      val base = graft.sources.Scratch.dir("graft_tx_fb")
       val up = s"$base/up"
       val st = s"$base/st"
       def hour(df: DataFrame) = df.withColumn("bucket_h",
@@ -1483,10 +1479,8 @@ object MaintenanceQueries {
       val ev = Tables.events(s, dir).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val up = java.nio.file.Files
-        .createTempDirectory("graft_tx_fu").toString + "/t"
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_tx_fs").toString + "/t"
+      val up = graft.sources.Scratch.dir("graft_tx_fu") + "/t"
+      val st = graft.sources.Scratch.dir("graft_tx_fs") + "/t"
       def follow() = Mv.followChanges(s, up, st, Seq("bucket_h"),
         adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
         support = "n_rows",
@@ -1529,20 +1523,15 @@ object MaintenanceQueries {
         .filter(col("event_id") % 4 === 0).select(
         col("event_id"), col("ts"),
         floor(col("value") * 1e6).cast("long").as("v6"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_fss").toString
+      val base = graft.sources.Scratch.dir("graft_tx_fss")
       val up = s"$base/up"
       val st = s"$base/st"
-      // the checkpoint goes to tmpfs when available: THIS query proves
-      // (by wiping it mid-run) that delivery rides the manifest cursor,
-      // not the checkpoint — so the checkpoint's fsync durability is
-      // contractually irrelevant here and only prices the harness; the
-      // data tables stay on disk, where the operator's IO is real
-      val ckBase =
-        if (new java.io.File("/dev/shm").isDirectory)
-          java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get("/dev/shm"), "graft_fss_ck").toString
-        else base
+      // the checkpoint rides the same Scratch base as the tables (tmpfs
+      // when available, reaped after the query — r14 ADVICE closed the
+      // old leak here): THIS query proves (by wiping it mid-run) that
+      // delivery rides the manifest cursor, not the checkpoint, so the
+      // checkpoint's fsync durability only ever priced the harness
+      val ckBase = base
       def stream() = graft.streaming.Streaming.followChangesStream(
         s, up, st, Seq("bucket_h"),
         adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6")),
@@ -1590,8 +1579,7 @@ object MaintenanceQueries {
     "q255_tx_evolve" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .select("event_id", "user_id", "value")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_e").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_e") + "/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       Tx.addColumn(path, "tier", org.apache.spark.sql.types.StringType)
       val upd = Tx.read(s, path).filter(col("event_id") % 10 === 0)
@@ -1620,8 +1608,7 @@ object MaintenanceQueries {
       val existing = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
         .select("event_id", "user_id", "event_type", "value")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_tx_rn").toString
+      val base = graft.sources.Scratch.dir("graft_tx_rn")
       val path = s"$base/t"
       Tx.commitMerge(s, path, existing, Seq("event_id"), nBuckets = 16)
       val cat = "txe" + java.util.UUID.randomUUID().toString
@@ -1738,8 +1725,7 @@ object MaintenanceQueries {
         col("user_id"))
       def sk(df: DataFrame) = df.groupBy("bucket_h")
         .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_mvhll").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_mvhll") + "/t"
       val unionFold = (existing: DataFrame, delta: DataFrame) =>
         existing.select(col("bucket_h"), col("__b"), col("sk").as("__x"))
           .join(delta.select(col("bucket_h"), col("__b"), col("sk").as("__y")),
@@ -1923,6 +1909,13 @@ object MaintenanceQueries {
     // values, and the explicit NULLs stay null — a coalesce-over-null
     // implementation or a default leaking into post-evolution writes
     // hash-fails
+    // the raw anti-filter: event_id % 4 = 0 landed, % 36 = 0 deleted
+    // merge-on-read — a scan serving a tombstoned row (or eating a
+    // live one) hash-fails
+    "q288_tx_delete_vectors" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_id % 4 = 0 AND event_id % 36 <> 0
+          ORDER BY event_id""".replaceAll("\\s+", " "),
     "q286_tx_add_default" ->
       """SELECT event_id, user_id, event_type, value,
           CASE WHEN event_id % 10 = 0 THEN

@@ -253,8 +253,7 @@ object ReferenceQueries {
     "q207_delete_partitioned" -> ((s, dir) => {
       val existing = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_q207").toString + "/sink"
+      val sink = graft.sources.Scratch.dir("graft_q207") + "/sink"
       Merge.upsertPartitioned(s, existing, sink, Seq("event_id"), numBuckets = 16)
       Merge.deletePartitioned(s,
         existing.filter(col("event_id") % 50 === 0).select("event_id"),
@@ -415,8 +414,7 @@ object ReferenceQueries {
         .withColumn("value", col("value") * 2)
       val inserts = existing.filter(col("event_id") < 50)
         .withColumn("event_id", col("event_id") + 1000000L)
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_q67").toString + "/sink"
+      val sink = graft.sources.Scratch.dir("graft_q67") + "/sink"
       Merge.upsertPartitioned(s, existing, sink, Seq("event_id"), numBuckets = 16)
       Merge.upsertPartitioned(
         s, updates.unionByName(inserts), sink, Seq("event_id"), numBuckets = 16)

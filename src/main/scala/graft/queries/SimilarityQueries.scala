@@ -71,8 +71,7 @@ object SimilarityQueries {
     // SAME oracle as q37 — the format and the read path must be
     // result-invisible to the similarity surface.
     "q265_tx_embeddings" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tx_emb").toString + "/t"
+      val path = graft.sources.Scratch.dir("graft_tx_emb") + "/t"
       graft.sources.Tx.commitMerge(s, path,
         Tables.embeddings(s, dir).select("vec_id", "embedding", "label"),
         Seq("vec_id"), nBuckets = 16)
@@ -190,8 +189,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
-      val layout = java.nio.file.Files
-        .createTempDirectory("graft_q111").toString + "/ivf"
+      val layout = graft.sources.Scratch.dir("graft_q111") + "/ivf"
       Similarity.ivfAssign(
           emb.select("vec_id", "embedding"), "vec_id", "embedding", centroids)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(layout)
@@ -227,8 +225,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
-      val layout = java.nio.file.Files
-        .createTempDirectory("graft_q132").toString + "/ivf"
+      val layout = graft.sources.Scratch.dir("graft_q132") + "/ivf"
       val base = emb.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
       val batch = emb.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
       graft.sources.Merge.upsertPartitionedBy(s,
@@ -273,8 +270,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_emb"))
-      val layout = java.nio.file.Files
-        .createTempDirectory("graft_q136").toString + "/ivf"
+      val layout = graft.sources.Scratch.dir("graft_q136") + "/ivf"
       Similarity.ivfAssign(
           emb.select("vec_id", "embedding"), "vec_id", "embedding", cents)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(layout)

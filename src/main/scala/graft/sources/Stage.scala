@@ -11,18 +11,15 @@ import org.apache.spark.sql.DataFrame
   * `cache`/`localCheckpoint` — at cluster scale the staged table is what
   * a production pipeline materializes anyway.
   *
-  * Each call writes a fresh subdirectory of one per-JVM temp root
-  * (bounded by queries-per-session; decision tables are KB–MB sized).
+  * Each call writes a fresh [[Scratch]] dir (tmpfs when available, reaped
+  * by the harness after the query — staged decision tables are KB–MB
+  * sized scaffolding whose durability is never the contract).
   */
 object Stage {
 
-  private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft_stage").toString
-  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Write `df` to a fresh staging path and return the read-back frame. */
   def through(df: DataFrame): DataFrame = {
-    val p = s"$root/s${counter.incrementAndGet()}"
+    val p = Scratch.dir("graft_stage") + "/t"
     df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
   }

@@ -93,7 +93,9 @@ object Tx {
       version: Long, nBuckets: Int, dirs: Map[Int, String],
       meta: Map[String, String] = Map.empty,
       stats: Map[Int, String] = Map.empty,
-      sizes: Map[Int, Long] = Map.empty)
+      sizes: Map[Int, Long] = Map.empty,
+      rows: Map[Int, Long] = Map.empty,
+      tombs: Map[Int, Seq[String]] = Map.empty)
 
   /** Reserved manifest-meta key holding the table schema JSON. Caller
     * meta keys may not start with "__".
@@ -347,16 +349,28 @@ object Tx {
   }
 
   /** Whether a (committed, immutable) data directory's files physically
-    * contain `phys` — ONE footer read per (dir, column), memoized for
-    * the JVM's lifetime, which is sound because commit directories are
-    * never mutated (vacuum only ever deletes them whole). All files in
+    * contain `phys` — ONE footer read per (dir, column), memoized in a
+    * bounded LRU — sound because commit directories are never mutated
+    * (vacuum only ever deletes them whole; eviction merely re-probes). All files in
     * a dir come from one commit under one schema, so the first file
     * answers for the directory. Used only when the schema carries an
     * initial default ([[DefaultMetaKey]]); a table that never declared
     * one pays nothing.
     */
-  private val dirColCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Size-capped LRU (synchronized — these are driver-side planning
+    * probes, not hot-path), so a long-lived session that reads many
+    * tables (or vacuums/reaps their dirs) can't accumulate entries for
+    * dead commit dirs without bound. 4096 entries ≈ a few hundred KB of
+    * path strings — far above any working set, far below a leak.
+    */
+  private def lruCache[V](max: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean = size() > max
+      })
+
+  private val dirColCache = lruCache[java.lang.Boolean](4096)
 
   // loaded once per JVM; footer probes copy-construct from it
   private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
@@ -380,11 +394,11 @@ object Tx {
         effSort.mkString(",").getBytes("UTF-8"))
 
   /** The `.sorted` marker content of a BUCKET directory's commit dir
-    * (its parent), memoized forever — commit dirs are immutable. None =
+    * (its parent), memoized in a bounded LRU — commit dirs are
+    * immutable (eviction merely re-probes). None =
     * unsorted or pre-marker.
     */
-  private val sortedDirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  private val sortedDirCache = lruCache[Option[String]](4096)
 
   private[sources] def sortedMarkerOf(bucketDirAbs: String): Option[String] = {
     val parent = new java.io.File(bucketDirAbs).getParent
@@ -488,18 +502,24 @@ object Tx {
     }.toMap
     // bucket line: "<b>\t<dir>[\t<zone maps>[\t<bytes>]]" — the stats
     // field may be empty when only the byte size is recorded
+    // bucket line fields: b, dir, stats, bytes, rows, tombstone-dirs
+    // (comma-list of relative deletion-vector dirs; see commitDeleteVectors)
     val parsed = bucketLines.map { l =>
-      l.split("\t", 4) match {
-        case Array(b, dir) => (b.toInt, dir, "", None)
-        case Array(b, dir, st) => (b.toInt, dir, st, None)
-        case Array(b, dir, st, sz) => (b.toInt, dir, st, Some(sz.toLong))
-      }
+      val f = l.split("\t", 6)
+      def at(i: Int) = if (f.length > i) f(i) else ""
+      (f(0).toInt, f(1), at(2), at(3).toLongOption, at(4).toLongOption,
+        at(5).split(",").toSeq.filter(_.nonEmpty))
     }
-    val dirs = parsed.map { case (b, dir, _, _) => b -> dir }.toMap
-    val stats =
-      parsed.collect { case (b, _, st, _) if st.nonEmpty => b -> st }.toMap
-    val sizes = parsed.collect { case (b, _, _, Some(sz)) => b -> sz }.toMap
-    Snapshot(version, nb, dirs, meta, stats, sizes)
+    val dirs = parsed.map { case (b, dir, _, _, _, _) => b -> dir }.toMap
+    val stats = parsed.collect {
+      case (b, _, st, _, _, _) if st.nonEmpty => b -> st }.toMap
+    val sizes = parsed.collect {
+      case (b, _, _, Some(sz), _, _) => b -> sz }.toMap
+    val rows = parsed.collect {
+      case (b, _, _, _, Some(r), _) => b -> r }.toMap
+    val tombs = parsed.collect {
+      case (b, _, _, _, _, ts) if ts.nonEmpty => b -> ts }.toMap
+    Snapshot(version, nb, dirs, meta, stats, sizes, rows, tombs)
   }
 
   /** Newest value of a metadata key across committed versions (newest
@@ -638,15 +658,54 @@ object Tx {
       .map(rel => s"$path/$rel")
     val schema = schemaOverride.orElse(snap.meta.get(SchemaKey)
       .map(DataType.fromJson(_).asInstanceOf[StructType]))
-    if (dirs.nonEmpty)
-      // request PHYSICAL names, serve logical ones — files written
-      // before a rename stay readable without rewrite
-      schema.fold(spark.read.parquet(dirs: _*))(
-        readPhysAliased(spark, _, dirs))
-    else schema match {
-      case Some(st) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], st)
-      case None => spark.emptyDataFrame
+    val base =
+      if (dirs.nonEmpty)
+        // request PHYSICAL names, serve logical ones — files written
+        // before a rename stay readable without rewrite
+        schema.fold(spark.read.parquet(dirs: _*))(
+          readPhysAliased(spark, _, dirs))
+      else schema match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], st)
+        case None => spark.emptyDataFrame
+      }
+    // DELETION VECTORS (merge-on-read): rows whose keys a kept bucket's
+    // tombstone sidecars list are dead in THIS snapshot — anti-join them
+    // out. Tombstone sets are tiny (matched deleted keys only), so the
+    // anti join broadcasts; tables without tombstones skip this branch
+    // entirely and keep their exact pre-DV plans. Keys are non-null by
+    // the commit gates, so plain equi-anti-join is exact.
+    tombKeysFrame(spark, path, snap, buckets) match {
+      case Some(tk) =>
+        val keys = snap.meta.get(KeysKey).map(_.split(",").toSeq)
+          .getOrElse(throw new IllegalStateException(
+            s"$path carries deletion vectors but no recorded merge keys"))
+        base.join(broadcast(tk), keys, "left_anti")
+      case None => base
+    }
+  }
+
+  /** The deletion-vector keys of `buckets` in `snap`: one frame of the
+    * merge-key columns under their LOGICAL names (files store physical),
+    * or None when those buckets carry no tombstones — the common case,
+    * which must cost nothing.
+    */
+  private def tombKeysFrame(
+      spark: SparkSession, path: String, snap: Snapshot,
+      buckets: Iterable[Int]): Option[DataFrame] = {
+    val dirs = buckets.toSeq.sorted
+      .flatMap(b => snap.tombs.getOrElse(b, Nil)).map(rel => s"$path/$rel")
+    if (dirs.isEmpty) None
+    else {
+      val schema = snap.meta.get(SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"$path carries deletion vectors but no recorded schema"))
+      val keys = snap.meta.get(KeysKey).map(_.split(",").toSeq)
+        .getOrElse(throw new IllegalStateException(
+          s"$path carries deletion vectors but no recorded merge keys"))
+      val keySchema = StructType(keys.map(k => schema(schema.fieldIndex(k))))
+      Some(readPhysAliased(spark, keySchema, dirs))
     }
   }
 
@@ -783,7 +842,7 @@ object Tx {
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (SchemaKey -> ns.json) +
             (UsedPhysKey -> (used + phys).toSeq.sorted.mkString(",")),
-          sp.stats, sp.sizes, op = "addColumn"))
+          sp.stats, sp.sizes, sp.rows, sp.tombs, op = "addColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -834,7 +893,7 @@ object Tx {
       })
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
-          op = "renameColumn"))
+          sp.rows, sp.tombs, op = "renameColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -873,7 +932,7 @@ object Tx {
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (SchemaKey -> ns.json) +
             (UsedPhysKey -> used.toSeq.sorted.mkString(",")),
-          sp.stats, sp.sizes, op = "dropColumn"))
+          sp.stats, sp.sizes, sp.rows, sp.tombs, op = "dropColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -935,7 +994,7 @@ object Tx {
         if (x.name == name) x.copy(dataType = to) else x))
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (SchemaKey -> ns.json), sp.stats, sp.sizes,
-          op = "widenColumn"))
+          sp.rows, sp.tombs, op = "widenColumn"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -1011,7 +1070,8 @@ object Tx {
         s"changes: table column '$n' collides with the feed's internal " +
           "names ('_change', '__'-prefixed) — rewrite the table without it"))
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
-      .filter(k => a.dirs.get(k) != b.dirs.get(k))
+      .filter(k => a.dirs.get(k) != b.dirs.get(k) ||
+        a.tombs.get(k) != b.tombs.get(k))
     def side(sp: Snapshot) =
       readDirs(spark, path, sp, changed, Some(schema))
     val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
@@ -1858,7 +1918,7 @@ object Tx {
           Option(maxRowsPerFile.toString).filter(_ => maxRowsPerFile > 0L))
       if (adds.isEmpty) return sp.version // everything already recorded
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta ++ adds, sp.stats, sp.sizes, op = "setProperties"))
+          sp.meta ++ adds, sp.stats, sp.sizes, sp.rows, sp.tombs, op = "setProperties"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -2029,6 +2089,157 @@ object Tx {
         withB.filter(lit(false))
     }
 
+  /** DELETE by key, MERGE-ON-READ (deletion vectors) — the write-
+    * amplification answer [[commitDelete]] lacks: a copy-on-write delete
+    * rewrites every touched bucket (multi-GB at 100 TB for a one-key
+    * GDPR request); this verb instead lands the MATCHED keys as per-
+    * bucket tombstone sidecars (`data/t-<uuid>/__b=N`, parquet of the
+    * merge-key columns under physical names, recorded as the bucket
+    * line's 6th manifest field) and rewrites NOTHING — Delta's deletion
+    * vectors / Iceberg's position-delete shape, keyed rather than
+    * positional because the format's identity is the merge key. Every
+    * read path applies the sidecars (batch scans route tombstoned
+    * buckets through a filtering row reader; [[read]]/[[changes]]
+    * anti-join; the CDF diff classifies tombstoned keys as deletes),
+    * time travel serves each version's own tombstone set, any rewrite
+    * of a bucket FOLDS its sidecars in ([[commitRewrite]] — so a
+    * re-inserted key can never be killed by a stale tombstone), 
+    * [[compactDeletes]] restores the tombstone-free layout, and
+    * [[vacuum]] retires sidecars with their versions.
+    *
+    * Only keys PRESENT AND LIVE are recorded (a semi-join against the
+    * current de-vectored bucket content — O(touched buckets' key
+    * columns), no rewrite): tombstone sets therefore partition the
+    * deleted rows exactly, which is what keeps the manifest row counts
+    * (`rows -= matched`) and the CDF classification exact. Deleting
+    * zero live keys publishes a stamped no-op version (auditability —
+    * every delete request lands a version).
+    */
+  def commitDeleteVectors(
+      spark: SparkSession,
+      path: String,
+      keysBatch: DataFrame,
+      keys: Seq[String],
+      maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty,
+      beforeCas: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val sp = latest(path).getOrElse(throw new IllegalStateException(
+        s"commitDeleteVectors: no committed version in $path"))
+      val schema = sp.meta.get(SchemaKey)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"commitDeleteVectors: $path has no recorded schema (no data " +
+            "commit yet)"))
+      val recordedKeys = sp.meta.get(KeysKey).map(_.split(",").toSeq)
+        .getOrElse(throw new IllegalStateException(
+          s"commitDeleteVectors: $path has no recorded merge keys"))
+      require(keys.sorted == recordedKeys.sorted,
+        s"commitDeleteVectors: keys ${keys.mkString(",")} must be the " +
+          s"table's recorded merge keys ${recordedKeys.mkString(",")}")
+      val bk = sp.meta.get(BucketKeysKey).map(_.split(",").toSeq)
+        .getOrElse(keys)
+      val nb = sp.nBuckets
+      val probe = keysBatch.select(keys.map(col): _*).distinct()
+      require(
+        probe.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
+        "commitDeleteVectors: NULL values in merge key(s) — no stored " +
+          "row has null keys, so they could never match")
+      val touched = probe.withColumn("__b", bucketOf(bk, nb))
+        .select("__b").distinct().collect().map(_.getInt(0)).toSet
+        .intersect(sp.dirs.keySet) // data-less buckets can't match
+      def publishNoop(): Boolean =
+        tryPublish(path, sp.version + 1, nb, sp.dirs, sp.meta ++ meta,
+          sp.stats, sp.sizes, sp.rows, sp.tombs, op = "deleteVectors")
+      if (touched.isEmpty) {
+        beforeCas()
+        if (publishNoop()) return sp.version + 1
+      } else {
+        // matched = LIVE rows' keys (current sidecars applied by
+        // readDirs) ∩ the batch — never a key already dead, never one
+        // absent; sidecar sets stay exact partitions of the deleted rows
+        val live = readDirs(spark, path, sp, touched.toSeq.sorted)
+          .select(keys.map(col): _*)
+        val matched = live.join(broadcast(probe), keys, "left_semi")
+          .withColumn("__b", bucketOf(bk, nb))
+        val dir = s"data/t-${java.util.UUID.randomUUID()}"
+        try {
+          val keyFields = keys.map(k => schema(schema.fieldIndex(k)))
+          val physed = matched.select(keyFields.map(f =>
+            col(f.name).as(physicalName(f))) :+ col("__b"): _*)
+          physed.write.partitionBy("__b")
+            .mode(SaveMode.ErrorIfExists).parquet(s"$path/$dir")
+          val w = listBucketDirs(Paths.get(path, dir))
+          if (w.isEmpty) { // nothing live matched after all
+            deleteRecursive(Paths.get(path, dir))
+            beforeCas()
+            if (publishNoop()) return sp.version + 1
+          } else {
+            val cnt = bucketRowCounts(Paths.get(path, dir), w)
+            val newTombs = sp.tombs ++ w.map(b =>
+              b -> (sp.tombs.getOrElse(b, Nil) :+ s"$dir/__b=$b"))
+            // recorded row counts stay exact: matched keys were live
+            val newRows = sp.rows ++ w.toSeq.flatMap(b =>
+              sp.rows.get(b).map(r => b -> (r - cnt(b))))
+            beforeCas()
+            if (tryPublish(path, sp.version + 1, nb, sp.dirs,
+                sp.meta ++ meta, sp.stats, sp.sizes, newRows, newTombs,
+                op = "deleteVectors"))
+              return sp.version + 1
+            // CAS lost: the matched set reflects a stale snapshot
+            deleteRecursive(Paths.get(path, dir))
+          }
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            deleteRecursive(Paths.get(path, dir))
+            throw t
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"commitDeleteVectors lost $maxAttempts CAS races on $path")
+  }
+
+  /** Fold every deletion-vector sidecar into its bucket: rewrite exactly
+    * the tombstoned buckets without their dead rows (a bucket left
+    * empty drops from the manifest) and publish a tombstone-free
+    * layout. The maintenance half of [[commitDeleteVectors]]'s
+    * contract — reads get faster (columnar path again, aggregate
+    * pushdown back), the sidecars die with their versions on the
+    * vacuum schedule. O(tombstoned buckets), not O(table).
+    */
+  def compactDeletes(
+      spark: SparkSession, path: String, maxAttempts: Int = 5,
+      meta: Map[String, String] = Map.empty): Long = {
+    val sp0 = latest(path).getOrElse(throw new IllegalStateException(
+      s"compactDeletes: no committed version in $path"))
+    if (sp0.tombs.isEmpty) return sp0.version // nothing to fold
+    val schema = sp0.meta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"compactDeletes: $path has no recorded schema"))
+    val keys = sp0.meta.get(KeysKey).map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"compactDeletes: $path has no recorded merge keys"))
+    val bk = sp0.meta.get(BucketKeysKey).map(_.split(",").toSeq)
+      .getOrElse(keys)
+    val emptyBatch = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(keys.map(k => schema(schema.fieldIndex(k)))))
+    commitRewrite(spark, path, emptyBatch, keys, sp0.nBuckets,
+      maxAttempts, meta, () => (), "compactDeletes",
+      establishSchema = false, bk, _ => false, Nil,
+      replaceTouch = Some(snap =>
+        snap.map(_.tombs.keySet).getOrElse(Set.empty))) {
+      // the existing side arrives de-vectored (commitRewrite applies
+      // the touched buckets' sidecars); landing it verbatim IS the fold
+      case (Some(existing), _, _) => existing
+      case (None, withB, _) => withB.filter(lit(false))
+    }
+  }
+
   private def fieldTypes(st: StructType): Map[String, DataType] =
     st.fields.map(f => f.name -> denull(f.dataType)).toMap
 
@@ -2114,7 +2325,8 @@ object Tx {
       // buckets the rewrite actually produced, the base dirs it saw,
       // the written buckets' zone-map stats, their data byte sizes)
       var plan: Option[(String, Seq[Int], Set[Int], Map[Int, String],
-        Map[Int, String], Map[Int, Long])] = None
+        Map[Int, Seq[String]], Map[Int, String], Map[Int, Long],
+        Map[Int, Long])] = None
       // the table version the surviving plan was derived against: no
       // manifest at or below it can reference the plan's staged dir
       // (the dir did not exist yet), so failure cleanup only needs to
@@ -2127,7 +2339,7 @@ object Tx {
         // idempotence guard INSIDE the retry loop: a CAS loser whose
         // duplicate already won must abort, not re-apply (see commitMerge)
         snap.filter(abortIf).foreach { sp =>
-          plan.foreach { case (dir, _, _, _, _, _) =>
+          plan.foreach { case (dir, _, _, _, _, _, _, _) =>
             deleteRecursive(Paths.get(path, dir))
           }
           return sp.version
@@ -2154,7 +2366,7 @@ object Tx {
             case Some(sp) if meta.isEmpty => return sp.version
             case Some(sp) =>
               if (tryPublish(path, sp.version + 1, nb, sp.dirs,
-                  carried ++ meta, sp.stats, sp.sizes, op = opName))
+                  carried ++ meta, sp.stats, sp.sizes, sp.rows, sp.tombs, op = opName))
                 return sp.version + 1
             // CAS lost: fall through and retry on the new snapshot
           }
@@ -2326,15 +2538,23 @@ object Tx {
           // a REPLACE-WHERE plan needs the base IDENTICAL — any racer
           // commit could land condition-matching rows in a bucket the
           // stale plan's touchWhere never considered
-          val reusable = plan.filter { case (_, touched, _, planBase, _, _) =>
-            touched.forall(b => baseDirs.get(b) == planBase.get(b)) &&
-              (!touchAll || baseDirs.keySet.subsetOf(touched.toSet)) &&
-              (replaceTouch.isEmpty || baseDirs == planBase)
+          val baseTombs = snap.map(_.tombs).getOrElse(Map.empty)
+          val reusable = plan.filter {
+            case (_, touched, _, planBase, planTombs, _, _, _) =>
+              touched.forall(b => baseDirs.get(b) == planBase.get(b)) &&
+                // a racer may have added deletion vectors to a touched
+                // bucket since the plan staged — its existing side
+                // would resurrect the newly-dead keys; re-derive
+                touched.forall(b =>
+                  baseTombs.get(b) == planTombs.get(b)) &&
+                (!touchAll || baseDirs.keySet.subsetOf(touched.toSet)) &&
+                (replaceTouch.isEmpty || baseDirs == planBase)
           }
-          val (commitDir, touched, written, wStats, wSizes) = reusable match {
-            case Some((dir, t, w, _, st, sz)) => (dir, t, w, st, sz)
+          val (commitDir, touched, written, wStats, wSizes, wRows) =
+            reusable match {
+            case Some((dir, t, w, _, _, st, sz, rc)) => (dir, t, w, st, sz, rc)
             case None =>
-              plan.foreach { case (dir, _, _, _, _, _) => // overlap: stale
+              plan.foreach { case (dir, _, _, _, _, _, _, _) => // overlap: stale
                 deleteRecursive(Paths.get(path, dir))
               }
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
@@ -2363,11 +2583,21 @@ object Tx {
                 // written before an addColumn lack the evolved column
                 // and must serve nulls for it, and mixed-footer dirs
                 // must not leave the column set to parquet inference;
-                // physical names requested, logical served (renames)
-                else Some(recorded.fold(
-                  spark.read.parquet(existingDirs: _*))(
-                  readPhysAliased(spark, _, existingDirs))
-                  .withColumn("__b", bucketOf(bk, nb)))
+                // physical names requested, logical served (renames).
+                // Deletion vectors on the touched buckets apply here
+                // too: a rewrite folds them in (the rewritten bucket
+                // is tombstone-free below), and a tombstoned key must
+                // not resurrect through the rewrite's existing side.
+                else {
+                  val raw = recorded.fold(
+                    spark.read.parquet(existingDirs: _*))(
+                    readPhysAliased(spark, _, existingDirs))
+                  val deVectored = snap
+                    .flatMap(sp => tombKeysFrame(spark, path, sp, t))
+                    .fold(raw)(tk =>
+                      raw.join(broadcast(tk), keys, "left_anti"))
+                  Some(deVectored.withColumn("__b", bucketOf(bk, nb)))
+                }
               val rewritten = op(existing, withB, keys)
               // the rewrite's schema lands in the table's files: a
               // caller-supplied fold returning the wrong shape would
@@ -2471,10 +2701,16 @@ object Tx {
               // (O(touched) listings of just-written dirs), so a later
               // scan's size estimate is a pure manifest read
               val sz = bucketByteSizes(Paths.get(path, dir), w)
+              // row counts for what LANDED, from the just-written (page-
+              // cache-warm) footers — O(touched files) driver-side reads,
+              // reusing the COUNT(*) pushdown's source of truth, so a
+              // later scan's numRows estimate is a pure manifest read
+              val rc = bucketRowCounts(Paths.get(path, dir), w)
               planBaseV = snap.map(_.version).getOrElse(0L)
-              (dir, t, w, st, sz)
+              (dir, t, w, st, sz, rc)
           }
-          plan = Some((commitDir, touched, written, baseDirs, wStats, wSizes))
+          plan = Some((commitDir, touched, written, baseDirs, baseTombs,
+            wStats, wSizes, wRows))
           val newDirs = (baseDirs -- touched) ++
             written.map(b => b -> s"$commitDir/__b=$b").toMap
           // untouched buckets keep their stats and byte sizes by
@@ -2484,11 +2720,17 @@ object Tx {
             wStats
           val newSizes = (snap.map(_.sizes).getOrElse(Map.empty) -- touched) ++
             wSizes
+          val newRows = (snap.map(_.rows).getOrElse(Map.empty) -- touched) ++
+            wRows
+          // a rewrite FOLDS deletion vectors: touched buckets land
+          // tombstone-free (their existing side was de-vectored above);
+          // untouched buckets keep their sidecars by reference
+          val newTombs = snap.map(_.tombs).getOrElse(Map.empty) -- touched
           beforeCas()
           val next = snap.map(_.version + 1).getOrElse(1L)
           if (tryPublish(path, next, nb, newDirs,
-              carried ++ schemaEntry ++ meta, newStats, newSizes,
-              op = opName))
+              carried ++ schemaEntry ++ meta, newStats, newSizes, newRows,
+              newTombs, op = opName))
             return next
         }
       }
@@ -2501,7 +2743,7 @@ object Tx {
         // deleting — deleting published data would be corruption, a
         // leaked orphan is merely clutter for vacuum.
         case scala.util.control.NonFatal(t) =>
-          plan.foreach { case (dir, _, _, _, _, _) =>
+          plan.foreach { case (dir, _, _, _, _, _, _, _) =>
             val commitId = dir.split("/").last
             // only manifests NEWER than the plan's base could reference
             // the staged dir — older ones predate its existence
@@ -2514,7 +2756,7 @@ object Tx {
           }
           throw t
       }
-      plan.foreach { case (dir, _, _, _, _, _) =>
+      plan.foreach { case (dir, _, _, _, _, _, _, _) =>
         deleteRecursive(Paths.get(path, dir)) // nothing references them
       }
       throw new IllegalStateException(
@@ -2597,9 +2839,10 @@ object Tx {
             bucketSt
           }
         val sz = bucketByteSizes(Paths.get(path, dir), w)
+        val rc = bucketRowCounts(Paths.get(path, dir), w)
         val dirs = w.map(b => b -> s"$dir/__b=$b").toMap
         if (tryPublish(path, sp.version + 1, newNBuckets, dirs, sp.meta,
-            st, sz, op = "rebucket"))
+            st, sz, rc, op = "rebucket"))
           return sp.version + 1
         // CAS lost: the staged layout reflects a stale snapshot — drop
         // it and re-derive against the winner's
@@ -2626,6 +2869,29 @@ object Tx {
         else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(_.length()).sum
       b -> sz
+    }.toMap
+
+  /** Footer record counts per bucket of a just-written commit directory —
+    * recorded in the manifest (5th bucket-line field) so
+    * `estimateStatistics().numRows` is a pure manifest read. One footer
+    * read per file, driver-side, over files this JVM just wrote (page-
+    * cache warm); the same source of truth the COUNT(*) pushdown reads.
+    */
+  private def bucketRowCounts(
+      commitDir: Path, buckets: Set[Int]): Map[Int, Long] =
+    buckets.map { b =>
+      val fs = commitDir.resolve(s"__b=$b").toFile.listFiles()
+      val n =
+        if (fs == null) 0L
+        else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map { f =>
+            val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                footerConf))
+            try pf.getRecordCount finally pf.close()
+          }.sum
+      b -> n
     }.toMap
 
   private def listBucketDirs(commitDir: Path): Set[Int] = {
@@ -2657,6 +2923,8 @@ object Tx {
       meta: Map[String, String],
       stats: Map[Int, String] = Map.empty,
       sizes: Map[Int, Long] = Map.empty,
+      rows: Map[Int, Long] = Map.empty,
+      tombs: Map[Int, Seq[String]] = Map.empty,
       op: String = "commit"): Boolean = {
     val d = vdir(path)
     Files.createDirectories(d)
@@ -2667,12 +2935,15 @@ object Tx {
     val body = ((s"nbuckets=$nb" +:
       stampedMeta.toSeq.sorted.map { case (k, mv) => s"meta:$k=$mv" }) ++
       dirs.toSeq.sortBy(_._1).map { case (b, dir) =>
-        (stats.get(b), sizes.get(b)) match {
-          case (Some(st), Some(sz)) => s"$b\t$dir\t$st\t$sz"
-          case (Some(st), None) => s"$b\t$dir\t$st"
-          case (None, Some(sz)) => s"$b\t$dir\t\t$sz"
-          case (None, None) => s"$b\t$dir"
-        }
+        // fields: b, dir, stats, bytes, rows — trailing empties dropped,
+        // so a line without row counts renders byte-identically to the
+        // pre-rows format (old manifests parse unchanged; see snapshot())
+        val fields = Seq(dir, stats.getOrElse(b, ""),
+          sizes.get(b).map(_.toString).getOrElse(""),
+          rows.get(b).map(_.toString).getOrElse(""),
+          tombs.get(b).map(_.mkString(",")).getOrElse(""))
+        val kept = fields.reverse.dropWhile(_.isEmpty).reverse
+        (b.toString +: kept).mkString("\t")
       })
       .mkString("\n")
     val tmp = Files.createTempFile(d, ".tmp-", ".manifest")
@@ -2734,7 +3005,7 @@ object Tx {
           s"e.g. ${bad.headOption.getOrElse("")}; repair the table first")
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (key -> sqlExpr), sp.stats, sp.sizes,
-          op = "addConstraint"))
+          sp.rows, sp.tombs, op = "addConstraint"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -2760,7 +3031,7 @@ object Tx {
             .map(_.stripPrefix(ConstraintPrefix)).toSeq.sorted
             .mkString(", ") + ")")
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta - key, sp.stats, sp.sizes, op = "dropConstraint"))
+          sp.meta - key, sp.stats, sp.sizes, sp.rows, sp.tombs, op = "dropConstraint"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -2798,7 +3069,7 @@ object Tx {
           s"${bad.headOption.getOrElse("")}; repair the table first")
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
           sp.meta + (key -> "true"), sp.stats, sp.sizes,
-          op = "addNotNull"))
+          sp.rows, sp.tombs, op = "addNotNull"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -2825,7 +3096,7 @@ object Tx {
               .map(_.stripPrefix(NonNullPrefix)).toSeq.sorted
               .mkString(", ") + ")"))
       if (tryPublish(path, sp.version + 1, sp.nBuckets, sp.dirs,
-          sp.meta - key, sp.stats, sp.sizes, op = "dropNotNull"))
+          sp.meta - key, sp.stats, sp.sizes, sp.rows, sp.tombs, op = "dropNotNull"))
         return sp.version + 1
     }
     throw new IllegalStateException(
@@ -2895,7 +3166,7 @@ object Tx {
       val meta = cur.meta.view.filterKeys(!fromSrc(_)).toMap ++
         src.meta.view.filterKeys(fromSrc).toMap
       if (tryPublish(path, cur.version + 1, src.nBuckets, src.dirs, meta,
-          src.stats, src.sizes, op = "restore"))
+          src.stats, src.sizes, src.rows, src.tombs, op = "restore"))
         return cur.version + 1
     }
     throw new IllegalStateException(
@@ -2926,8 +3197,10 @@ object Tx {
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepVersions, 0))
     def commitIds(versions: Seq[Long]): Set[String] =
-      versions.flatMap(v => snapshot(path, v).dirs.values)
-        .map(rel => rel.split("/")(1)) // the c-<uuid> component
+      versions.flatMap { v =>
+        val sp = snapshot(path, v)
+        sp.dirs.values ++ sp.tombs.values.flatten // DV dirs are state too
+      }.map(rel => rel.split("/")(1)) // the c-/t-<uuid> component
         .toSet
     val referenced = commitIds(keep)
     val retired = commitIds(drop) -- referenced

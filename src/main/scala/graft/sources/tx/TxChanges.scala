@@ -159,14 +159,19 @@ object TxChangesScan {
         "the bucket-local change feed cannot diff across a re-layout. " +
         "Diff the boundary with Tx.changes (key-based, layout-blind), " +
         "or re-bootstrap the consumer from the post-rebucket snapshot")
+    // a bucket whose DIR is unchanged but whose deletion-vector set
+    // differs still changed: merge-on-read deletes move no files
     val changed = (a.dirs.keySet ++ b.dirs.keySet)
-      .filter(k => a.dirs.get(k) != b.dirs.get(k))
+      .filter(k => a.dirs.get(k) != b.dirs.get(k) ||
+        a.tombs.get(k) != b.tombs.get(k))
     changed.toSeq.sorted.map { k =>
       TxDiffPartition(
         a.dirs.get(k).map(rel => s"$path/$rel").getOrElse(""),
         b.dirs.get(k).map(rel => s"$path/$rel").getOrElse(""),
         schema.json, keys, emitPre, maxDiffBytes,
-        stampVersion): InputPartition
+        stampVersion,
+        a.tombs.getOrElse(k, Nil).map(rel => s"$path/$rel"),
+        b.tombs.getOrElse(k, Nil).map(rel => s"$path/$rel")): InputPartition
     }.toArray
   }
 
@@ -187,7 +192,10 @@ case class TxDiffPartition(
     oldDir: String, newDir: String, schemaJson: String,
     keys: Seq[String], emitPre: Boolean,
     maxDiffBytes: Long = 8L << 30,
-    stampVersion: Option[Long] = None) extends InputPartition
+    stampVersion: Option[Long] = None,
+    oldTombs: Seq[String] = Nil, // each side's deletion-vector dirs:
+    newTombs: Seq[String] = Nil) // a side's content = dir minus its DVs
+    extends InputPartition
 
 /** Bucket-local diff: the OLD side loads into a hash map keyed by the
   * merge keys, the NEW side streams against it — inserts and updates
@@ -292,12 +300,10 @@ class TxDiffReader(part: TxDiffPartition)
   /** Row views out of the vectorized reader's ColumnarBatches — valid
     * only until the next advance; callers project/copy before keeping.
     */
-  private def viewRows(dir: String): Iterator[InternalRow] =
+  private def rawRows(dir: String, under: StructType): Iterator[InternalRow] =
     if (dir.isEmpty) Iterator.empty
     else {
-      // request PHYSICAL names (renamed columns live in files under
-      // their birth name); the diff's indices stay logical positions
-      val r = new TxBucketColumnarReader(dir, Tx.physSchema(schema, schema))
+      val r = new TxBucketColumnarReader(dir, under)
       new Iterator[InternalRow] {
         private var batchRows: java.util.Iterator[InternalRow] = _
         private var open = true
@@ -312,6 +318,39 @@ class TxDiffReader(part: TxDiffPartition)
       }
     }
 
+  // deletion-vector sidecar files hold exactly the key columns (physical
+  // names), so a side's dead set loads under the key schema alone
+  private lazy val physKeySchema = Tx.physSchema(
+    StructType(keyIdx.map(schema(_)).toSeq), schema)
+
+  private def deadKeys(dirs: Seq[String]): java.util.HashSet[Seq[Any]] = {
+    val set = new java.util.HashSet[Seq[Any]]()
+    val idx = physKeySchema.fields.indices
+    dirs.foreach { td =>
+      rawRows(td, physKeySchema).foreach { r =>
+        set.add(idx.map(i =>
+          if (r.isNullAt(i)) null
+          else norm(r.get(i, physKeySchema(i).dataType))))
+      }
+    }
+    set
+  }
+
+  /** One SIDE's logical rows: the dir's rows minus that side's
+    * deletion-vector keys — merge-on-read applied before the diff, so a
+    * tombstoned key classifies exactly like a rewritten-away one.
+    */
+  private def viewRows(dir: String, tombs: Seq[String]): Iterator[InternalRow] = {
+    // request PHYSICAL names (renamed columns live in files under
+    // their birth name); the diff's indices stay logical positions
+    val base = rawRows(dir, Tx.physSchema(schema, schema))
+    if (tombs.isEmpty) base
+    else {
+      val dead = deadKeys(tombs)
+      base.filterNot(r => dead.contains(keyOf(r)))
+    }
+  }
+
   // compact copies for storage/emission: UnsafeProjection materializes
   // any schema (nested included) into one contiguous buffer. ONE
   // instance serves both sides — the old side is fully materialized
@@ -325,7 +364,7 @@ class TxDiffReader(part: TxDiffPartition)
   private val oldRows: java.util.HashMap[Seq[Any], UnsafeRow] = {
     val m = new java.util.HashMap[Seq[Any], UnsafeRow]()
     var bytes = 0L
-    viewRows(part.oldDir).foreach { r =>
+    viewRows(part.oldDir, part.oldTombs).foreach { r =>
       val u = proj(r).copy()
       bytes += u.getSizeInBytes + 64L // entry + key overhead, roughly
       if (bytes > part.maxDiffBytes) throw new IllegalStateException(
@@ -355,7 +394,7 @@ class TxDiffReader(part: TxDiffPartition)
     new GenericInternalRow(vals)
   }
 
-  private val newSide = viewRows(part.newDir)
+  private val newSide = viewRows(part.newDir, part.newTombs)
   private var deletes: Iterator[UnsafeRow] = _
   private var pending: InternalRow = _ // second row of a pre/post pair
   private var current: InternalRow = _

@@ -357,6 +357,11 @@ class TxScanBuilder(
     import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     if (sawFilters || agg.groupByExpressions.nonEmpty ||
       agg.aggregateExpressions.isEmpty) return false
+    // DELETION VECTORS: footer row counts over-count tombstoned rows
+    // and a manifest bound may belong to a dead row — a table carrying
+    // any sidecar refuses the whole pushdown and scans real (filtered)
+    // rows instead; compactDeletes restores the metadata-only path
+    if (snap.tombs.nonEmpty) return false
     // resolve under the session's resolver (case-insensitive by
     // default) — MAX(EVENT_ID) must find event_id; the returned name is
     // the SCHEMA's spelling, which the stat lookup keys on
@@ -633,6 +638,32 @@ class TxScan(
     * path reads (`format("graft-tx").load`) stay on the sound
     * unknown-partitioning default.
     */
+  /** SKEW GATE on the partitioning report (r14 verdict item 4): under
+    * KeyGroupedPartitioning the join runs ONE unsplittable task per
+    * bucket — AQE's skew-join splitting does not apply to storage-
+    * partitioned joins, so a pathologically hot bucket becomes the
+    * straggler AQE exists to kill. When the manifest's per-bucket byte
+    * sizes put max/median above `spark.graft.tx.spj.maxSkew` (default
+    * 16; <= 0 disables), the scan DECLINES to report the layout and the
+    * join falls back to the shuffle plan, where AQE can split the hot
+    * key. The statistic is a pure manifest read over the kept buckets;
+    * buckets without recorded sizes (pre-sizes manifests) leave the
+    * report in place — the gate only ever acts on evidence. The report
+    * stays advisory either way: declining costs a shuffle, never
+    * correctness.
+    */
+  private lazy val skewGated: Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.tx.spj.maxSkew", "16").toDouble
+    threshold > 0 && {
+      val sizes = kept.toSeq.flatMap(snap.sizes.get).sorted
+      sizes.size >= 2 && {
+        val median = sizes(sizes.size / 2)
+        sizes.last > threshold * math.max(1L, median)
+      }
+    }
+  }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val bk = snap.meta.get(Tx.BucketKeysKey)
@@ -641,7 +672,8 @@ class TxScan(
     def projected(c: String): Option[String] =
       required.fields.find(f => resolver(f.name, c)).map(_.name)
     val proj = bk.map(projected)
-    if (aggs.isEmpty && bk.nonEmpty && proj.forall(_.isDefined))
+    if (aggs.isEmpty && bk.nonEmpty && proj.forall(_.isDefined) &&
+        !skewGated)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -749,11 +781,24 @@ class TxScan(
       })
     }.sum
 
+  /** Row count over kept buckets, from the manifest's per-bucket footer
+    * counts (stamped at commit) — reported only when EVERY kept bucket
+    * has one (absent beats wrong: pre-rows manifests stay silent rather
+    * than undercounting). Pre-pushdown-filter semantics, like
+    * sizeInBytes — an estimate, and only ever an overestimate of the
+    * post-filter output, which is the safe direction for join sizing.
+    */
+  private lazy val keptRows: Option[Long] = {
+    val ks = kept.toSeq
+    if (ks.forall(snap.rows.contains)) Some(ks.map(snap.rows).sum) else None
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(keptBytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      keptRows.fold(java.util.OptionalLong.empty())(
+        java.util.OptionalLong.of)
   }
   override def description(): String =
     s"TxScan($path v${snap.version}, buckets=${kept.size}/" +
@@ -799,16 +844,34 @@ class TxScan(
         // projection's, which is all Spark consumes downstream
         val reqPhys = fullSchema.map(Tx.physSchema(required, _))
           .getOrElse(required)
+        // merge-key schema under PHYSICAL names, shipped only to
+        // tombstoned buckets (their readers must match keys even when
+        // the projection lacks them)
+        val keyPhysJson = (for {
+          fs <- fullSchema
+          ks <- snap.meta.get(Tx.KeysKey).map(_.split(",").toSeq)
+        } yield Tx.physSchema(
+          StructType(ks.map(k => fs(fs.fieldIndex(k)))), fs).json)
+          .getOrElse("")
+        // same superset the factory's columnar decision uses — every
+        // partition of a degraded scan routes through the filter reader
+        val scanTombed = kept.exists(snap.tombs.contains)
         runtimeKept.toSeq.sorted
           .flatMap(b => snap.dirs.get(b).map(b -> _))
-          .map { case (b, rel) => TxBucketPartition(s"$path/$rel",
-            reqPhys.json, ranges, b): InputPartition }
+          .map { case (b, rel) =>
+            val tb = snap.tombs.getOrElse(b, Nil).map(t => s"$path/$t")
+            TxBucketPartition(s"$path/$rel", reqPhys.json, ranges, b,
+              tb, if (scanTombed) keyPhysJson else ""): InputPartition }
           .toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TxReaderFactory(vectorized)
+    // Spark requires every partition of a scan to agree on columnar vs
+    // row: one tombstoned kept bucket degrades the WHOLE scan to the
+    // row path (clean buckets still decode vectorized inside
+    // TxTombstoneRowReader; compactDeletes restores the columnar plan)
+    new TxReaderFactory(vectorized && !kept.exists(snap.tombs.contains))
 }
 
 object TxScan {
@@ -842,7 +905,9 @@ object TxScan {
   */
 case class TxBucketPartition(dir: String, schemaJson: String,
     ranges: Seq[(String, String, String)] = Nil,
-    bucket: Int = -1)
+    bucket: Int = -1,
+    tombs: Seq[String] = Nil, // deletion-vector dirs (absolute)
+    keysJson: String = "") // merge-key schema (physical names); set iff tombs
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -923,7 +988,10 @@ class TxReaderFactory(vectorized: Boolean = true)
     */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case part: TxBucketPartition =>
-      vectorized &&
+      // a bucket carrying deletion vectors must filter per row — it
+      // rides the row path (vectorized DECODE inside, filtered
+      // iteration out) until compactDeletes folds the sidecars in
+      vectorized && part.tombs.isEmpty &&
         DataType.fromJson(part.schemaJson).asInstanceOf[StructType].nonEmpty
     case _ => false
   }
@@ -940,6 +1008,14 @@ class TxReaderFactory(vectorized: Boolean = true)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case part: TxAggPartition => new TxAggReader(part.dir, part.tasks)
+      case part: TxBucketPartition if part.keysJson.nonEmpty =>
+        // tombstone-degraded scan: filtering row reader for every
+        // bucket (dead set is empty for clean ones — vectorized decode
+        // either way, nested columns included)
+        new TxTombstoneRowReader(part.dir,
+          DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
+          part.ranges, part.tombs,
+          DataType.fromJson(part.keysJson).asInstanceOf[StructType])
       case part: TxBucketPartition => new TxBucketReader(part.dir,
         DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
         part.ranges)
@@ -1139,6 +1215,102 @@ class TxAggReader(dir: String, tasks: Seq[TxAggTask])
     }.toArray)
 
   override def close(): Unit = ()
+}
+
+/** MERGE-ON-READ reader for a bucket carrying deletion-vector sidecars
+  * ([[Tx.commitDeleteVectors]]): decodes through the VECTORIZED reader
+  * (nested columns, evolution nulls, zone-range file skipping — same
+  * soundness as the columnar path) but iterates rows, dropping any row
+  * whose merge-key tuple the sidecars list. The dead-key set loads once
+  * per task (sidecars hold only the MATCHED deleted keys — small by
+  * construction); when the projection lacks a key column the read
+  * schema is widened with it and the emitted row projects back down.
+  * Key equality is Spark-`<=>`-shaped (NaN==NaN, -0.0==0.0) to be
+  * robust even for float keys, matching [[TxDiffReader]]'s map.
+  */
+class TxTombstoneRowReader(
+    dir: String, required: StructType,
+    ranges: Seq[(String, String, String)],
+    tombDirs: Seq[String], keySchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val extraKeys = keySchema.fields.filterNot(kf =>
+    required.fieldNames.contains(kf.name))
+  private val readSchema = StructType(required.fields ++ extraKeys)
+  private val keyIdx = keySchema.fields.map(kf => readSchema.fieldIndex(kf.name))
+  private val keyTypes = keyIdx.map(readSchema(_).dataType)
+
+  private def norm(v: Any): Any = v match {
+    case d: Double =>
+      if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+      else if (d == 0.0) java.lang.Double.valueOf(0.0) else d
+    case f: Float =>
+      if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+      else if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case other => other
+  }
+
+  private def keyAt(r: InternalRow, idxs: Array[Int],
+      dts: Array[DataType]): Seq[Any] =
+    idxs.indices.map(i =>
+      if (r.isNullAt(idxs(i))) null else norm(r.get(idxs(i), dts(i))))
+
+  /** The dead keys, loaded once — sidecar files store exactly the key
+    * columns (physical names), in `keySchema`'s order.
+    */
+  private val dead: java.util.HashSet[Seq[Any]] = {
+    val set = new java.util.HashSet[Seq[Any]]()
+    val tombIdx = keySchema.fields.indices.toArray
+    val tombTypes = keySchema.fields.map(_.dataType)
+    tombDirs.foreach { td =>
+      val r = new TxBucketColumnarReader(td, keySchema)
+      try {
+        while (r.next()) {
+          val it = r.get().rowIterator()
+          while (it.hasNext) set.add(keyAt(it.next(), tombIdx, tombTypes))
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  private val inner = new TxBucketColumnarReader(dir, readSchema, ranges)
+  private var rows: java.util.Iterator[InternalRow] = _
+  private var current: InternalRow = _
+  // one reusable row when the projection is narrower than the read
+  private val projWidth = required.length
+  private val needsProject = extraKeys.nonEmpty
+
+  override def next(): Boolean = {
+    while (true) {
+      while (rows == null || !rows.hasNext) {
+        if (!inner.next()) return false
+        rows = inner.get().rowIterator()
+      }
+      val r = rows.next()
+      if (!dead.contains(keyAt(r, keyIdx, keyTypes))) {
+        current =
+          if (!needsProject) r
+          else {
+            val vals = new Array[Any](projWidth)
+            var i = 0
+            while (i < projWidth) {
+              vals(i) =
+                if (r.isNullAt(i)) null else r.get(i, readSchema(i).dataType)
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Decodes one bucket directory's parquet files into InternalRows under

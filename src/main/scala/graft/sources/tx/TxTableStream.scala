@@ -118,8 +118,22 @@ class TxTableStream(
       // request PHYSICAL names (renamed columns live in files under
       // their birth name); positions stay the logical projection's
       val reqPhys = Tx.physSchema(required, tableSchema)
-      snap.dirs.toSeq.sortBy(_._1).map { case (_, rel) =>
-        TxBucketPartition(s"$path/$rel", reqPhys.json): InputPartition
+      // merge-key schema (physical names) rides only to tombstoned
+      // buckets — their snapshot rows must drop deletion-vector keys
+      lazy val keyPhysJson = snap.meta.get(Tx.KeysKey)
+        .map(_.split(",").toSeq).map(ks => Tx.physSchema(
+          StructType(ks.map(k =>
+            tableSchema(tableSchema.fieldIndex(k)))), tableSchema).json)
+        .getOrElse("")
+      // carry the REAL bucket id: TxBucketPartition always implements
+      // HasPartitionKey, and although Spark 4.1's partitioning matcher
+      // only consults batch scans today, a default -1 here would be a
+      // latent wrong-partition-key trap if streaming ever does
+      snap.dirs.toSeq.sortBy(_._1).map { case (b, rel) =>
+        val tb = snap.tombs.getOrElse(b, Nil).map(t => s"$path/$t")
+        TxBucketPartition(s"$path/$rel", reqPhys.json,
+          bucket = b, tombs = tb,
+          keysJson = if (tb.nonEmpty) keyPhysJson else ""): InputPartition
       }.toArray
     } else {
       val lo = s.version
@@ -194,6 +208,13 @@ case class TxTableStreamReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
+      case part: TxBucketPartition if part.tombs.nonEmpty =>
+        // snapshot bucket with deletion vectors: same filtering row
+        // reader the batch scan uses (ranges are Nil on the stream path)
+        new TxTombstoneRowReader(part.dir,
+          DataType.fromJson(part.schemaJson).asInstanceOf[StructType],
+          Nil, part.tombs,
+          DataType.fromJson(part.keysJson).asInstanceOf[StructType])
       case part: TxBucketPartition =>
         new TxColumnarRowReader(part.dir,
           DataType.fromJson(part.schemaJson).asInstanceOf[StructType])

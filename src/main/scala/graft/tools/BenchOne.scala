@@ -33,6 +33,7 @@ object BenchOne {
       // same per-rep hygiene as Bench: reap what the execution left persisted
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      graft.sources.Scratch.reap()
     }
     spark.stop()
   }

@@ -237,6 +237,86 @@ class SpjSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("partially-clustered dial: SPJ stays correct and exchange-free") {
+    // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    // .enabled` is upstream's skew dial for SPJ: when a scan emits
+    // MULTIPLE splits per partition key, Spark may keep one side
+    // partially clustered and replicate the other instead of grouping.
+    // TxScan emits exactly ONE InputPartition per bucket (a bucket
+    // never fragments — Tx.scala layout invariant), so there is nothing
+    // for the dial to split and the plan is pinned IDENTICAL to the
+    // plain SPJ plan: zero Exchange, one task per bucket. This test
+    // documents that behavior; the hot-bucket answer is the skew GATE
+    // below, not this dial.
+    val root = freshRoot()
+    val a = (1L to 400L).map(i => (i, i * 2)).toDF("id", "va")
+    val b = (1L to 400L).map(i => (i, i * 3)).toDF("id", "vb")
+    Tx.commitMerge(spark, s"$root/fa", a, Seq("id"), nBuckets = 8)
+    Tx.commitMerge(spark, s"$root/fb", b, Seq("id"), nBuckets = 8)
+    val cat = registerCat(root)
+    withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      try {
+        val joined = spark.table(s"$cat.fa").hint("merge")
+          .join(spark.table(s"$cat.fb"), Seq("id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"one split per bucket: the dial must not change the " +
+            s"zero-Exchange plan, got:\n$plan")
+        assert(joined.rdd.getNumPartitions == 8,
+          "one task per bucket under the dial too")
+        val got = joined.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(got.length == 400 && got(6) == (7L, 14L, 21L))
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled")
+    }
+  }
+
+  test("skew gate: a pathologically hot bucket falls back to shuffle") {
+    val root = freshRoot()
+    // keys 1..64 carry 4 small rows each; key 7 carries 20k rows with
+    // distinct ~60-byte payloads — its bucket dwarfs the median by far
+    // more than the gate's default 16x
+    val cold = (1L to 64L).flatMap(k => (1L to 4L).map(i =>
+      (k, s"v$k-$i")))
+    val hot = (1L to 20000L).map(i =>
+      (7L, s"hot-payload-$i-${"x" * 40}"))
+    val a = (cold ++ hot).zipWithIndex
+      .map { case ((k, v), ix) => (ix.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val dim = (1L to 64L).map(k => (k, k * 10)).toDF("k", "w")
+    Tx.commitMerge(spark, s"$root/fa", a, Seq("id", "k"),
+      bucketKeys = Seq("k"), nBuckets = 8)
+    Tx.commitMerge(spark, s"$root/fd", dim, Seq("k"), nBuckets = 8)
+    val cat = registerCat(root)
+    withSpj {
+      // default gate (maxSkew 16): fa's hot bucket trips it, the scan
+      // declines the layout report, and the join takes the shuffle
+      // plan — where AQE's skew handling CAN split the hot key
+      val joined = spark.table(s"$cat.fa").hint("merge")
+        .join(spark.table(s"$cat.fd"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"the skew gate must decline SPJ for a hot bucket, got:\n$plan")
+      assert(joined.count() == cold.size + hot.size)
+      // dial the gate off: the layout reports again and the join is
+      // storage-partitioned (zero Exchange) — the gate is advisory,
+      // never load-bearing for correctness
+      spark.conf.set("spark.graft.tx.spj.maxSkew", "0")
+      try {
+        val j2 = spark.table(s"$cat.fa").hint("merge")
+          .join(spark.table(s"$cat.fd"), Seq("k"))
+        val plan2 = j2.queryExecution.executedPlan.toString
+        assert(!plan2.contains("Exchange"),
+          s"gate disabled: same-layout join must be exchange-free:\n$plan2")
+        assert(j2.count() == cold.size + hot.size)
+      } finally spark.conf.unset("spark.graft.tx.spj.maxSkew")
+    }
+  }
+
   test("path reads (no catalog) stay on the sound shuffle plan") {
     val root = freshRoot()
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("id", "va")

@@ -1403,6 +1403,65 @@ class TxSpec extends AnyFunSuite with SparkFixture {
       "the listing fallback must agree with the recorded sizes")
   }
 
+  test("numRows statistics: manifest row counts, carry-forward, pruning") {
+    val path = tmp()
+    def reportedRows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+            .asInstanceOf[org.apache.spark.sql.connector.read
+              .SupportsReportStatistics]
+            .estimateStatistics().numRows()
+      }.get
+    Tx.commitMerge(spark, path,
+      (1L to 200L).map(i => (i, i * 10)).toDF("id", "v"),
+      Seq("id"), nBuckets = 8)
+    Tx.commitMerge(spark, path, // touch few buckets; the rest carry
+      Seq((1L, 999L), (500L, 1L)).toDF("id", "v"), Seq("id"), nBuckets = 8)
+    val snap = Tx.latest(path).get
+    // every bucket has a recorded count and the sum is the table count —
+    // and resolving it is a PURE manifest read: zero data-file opens
+    graft.sources.tx.TxReadCounters.reset()
+    val full = spark.read.format("graft-tx").load(path)
+    val n = reportedRows(full)
+    assert(graft.sources.tx.TxReadCounters.filesOpened() == 0L,
+      "numRows must come from the manifest, not footer IO at plan time")
+    assert(n.isPresent && n.getAsLong == 201L,
+      s"numRows must equal the table count, got $n")
+    assert(snap.rows.values.sum == 201L)
+    // counts stamped per bucket agree with per-bucket footer truth
+    snap.dirs.foreach { case (b, rel) =>
+      val truth = spark.read.parquet(s"$path/$rel").count()
+      assert(snap.rows(b) == truth, s"bucket $b row count drifted")
+    }
+    // untouched buckets carried their count by reference
+    val s1 = Tx.snapshot(path, 1L)
+    val carried = snap.dirs.keySet.filter(b => s1.dirs.get(b) == snap.dirs.get(b))
+    assert(carried.nonEmpty && carried.forall(b => snap.rows(b) == s1.rows(b)))
+    // bucket pruning scales the estimate: a single-key probe reports
+    // only its kept bucket's rows (an over-estimate of the output, but
+    // far sharper than the table total)
+    val probe = full.filter(col("id") === 7L)
+    val pr = reportedRows(probe)
+    assert(pr.isPresent && pr.getAsLong < 201L && pr.getAsLong > 0L,
+      s"a pruned scan must report only kept buckets' rows, got $pr")
+    // a pre-rows manifest (5th field stripped) stays silent — absent
+    // beats wrong
+    val mPath = java.nio.file.Paths.get(path, "_v")
+      .resolve(f"v${snap.version}%013d.manifest")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .split("\n").map { l =>
+        if (l.startsWith("nbuckets=") || l.startsWith("meta:")) l
+        else l.split("\t", 5).take(4).mkString("\t").stripSuffix("\t")
+      }.mkString("\n")
+    java.nio.file.Files.delete(mPath)
+    java.nio.file.Files.write(mPath, legacy.getBytes("UTF-8"))
+    assert(Tx.latest(path).get.rows.isEmpty)
+    val nLegacy = reportedRows(spark.read.format("graft-tx").load(path))
+    assert(!nLegacy.isPresent,
+      "a manifest without row counts must report empty numRows, not 0")
+  }
+
   test("DSv2 pruning shapes: Or unions, IsNotNull prunes all-null zones") {
     val path = tmp()
     // 32 day-buckets; x is NULL except on days 1 and 2 — day zones prune
@@ -2990,5 +3049,135 @@ class TxSpec extends AnyFunSuite with SparkFixture {
     assert(Tx.latest(sparse).get.dirs.size < 16, "fixture must be sparse")
     assert(spark.sql(s"SELECT n_buckets FROM $cat.sparse.history")
       .collect().map(_.getInt(0)).toSeq == Seq(16))
+  }
+
+  test("deletion vectors: zero-rewrite delete, reads, travel, CDF, fold") {
+    val path = tmp()
+    val b1 = (1L to 64L).map(i => (i, i * 10)).toDF("id", "v")
+    assert(Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 4) == 1L)
+    val s1 = Tx.latest(path).get
+    val deadIds = Seq(3L, 7L, 11L, 15L, 64L)
+    assert(Tx.commitDeleteVectors(spark, path,
+      deadIds.toDF("id"), Seq("id")) == 2L)
+    val s2 = Tx.latest(path).get
+    // MERGE-ON-READ: not one data file rewritten — every bucket dir is
+    // the SAME path string; the delete is entirely sidecar + manifest
+    assert(s2.dirs == s1.dirs,
+      "a deletion-vector delete must rewrite zero data files")
+    assert(s2.tombs.nonEmpty && s2.tombs.values.flatten.forall(_.startsWith("data/t-")))
+    val expect = rows(b1.filter(!col("id").isin(deadIds: _*)))
+    // driver read path
+    assert(rows(Tx.read(spark, path)) == expect)
+    // DSv2 path (tombstoned buckets ride the filtering row reader)
+    val dsv2 = spark.read.format("graft-tx").load(path)
+    assert(rows(dsv2) == expect)
+    assert(dsv2.count() == 59L)
+    // aggregates refuse the metadata pushdown and stay CORRECT: 64 was
+    // deleted, so max(id) must NOT come from the (stale) manifest bound
+    val mm = dsv2.agg(min(col("id")), max(col("id"))).collect().head
+    assert((mm.getLong(0), mm.getLong(1)) == (1L, 63L))
+    // manifest row counts tracked the matched deletes exactly
+    assert(s2.rows.values.sum == 59L)
+    // time travel serves v1's tombstone-free state
+    assert(Tx.read(spark, path, version = 1L).count() == 64L)
+    // CDF: the span classifies exactly the five dead keys as deletes,
+    // carrying their PRE rows — through the DSv2 feed and changes()
+    val feed = spark.read.format("graft-tx")
+      .option("readChangeFeed", true)
+      .option("fromVersion", 1).option("toVersion", 2).load(path)
+      .collect()
+    assert(feed.length == 5 &&
+      feed.forall(_.getString(2) == "delete") &&
+      feed.map(_.getLong(0)).sorted.toSeq == deadIds.sorted &&
+      feed.forall(r => r.getLong(1) == r.getLong(0) * 10))
+    val prog = Tx.changes(spark, path, 1L, 2L).collect()
+    assert(prog.length == 5 && prog.forall(_.getString(2) == "delete"))
+    // second DV delete: an already-dead key and an absent key match
+    // nothing (sidecars record only LIVE matched keys); one live key
+    // matches — counts and CDF stay exact
+    assert(Tx.commitDeleteVectors(spark, path,
+      Seq(3L, 999L, 20L).toDF("id"), Seq("id")) == 3L)
+    val s3 = Tx.latest(path).get
+    assert(s3.rows.values.sum == 58L)
+    assert(Tx.read(spark, path).count() == 58L)
+    val feed23 = spark.read.format("graft-tx")
+      .option("readChangeFeed", true)
+      .option("fromVersion", 2).option("toVersion", 3).load(path)
+      .collect()
+    assert(feed23.length == 1 && feed23.head.getLong(0) == 20L &&
+      feed23.head.getString(2) == "delete")
+    // a MERGE touching a tombstoned bucket FOLDS its sidecars: the
+    // re-inserted key lives, the bucket comes out tombstone-free, and
+    // no stale tombstone can ever kill the new row
+    assert(Tx.commitMerge(spark, path,
+      Seq((3L, 333L)).toDF("id", "v"), Seq("id"), nBuckets = 4) == 4L)
+    val s4 = Tx.latest(path).get
+    val rewritten = s4.dirs.keySet.filter(b => s4.dirs(b) != s3.dirs(b))
+    assert(rewritten.size == 1)
+    assert(!s4.tombs.contains(rewritten.head),
+      "a rewritten bucket must come out tombstone-free")
+    assert(rows(Tx.read(spark, path)).contains((3L, 333L)))
+    assert(Tx.read(spark, path).count() == 59L)
+    // CDF across the fold: id 3 was dead at v3, so its re-landing is an
+    // INSERT — and the folded bucket's survivors diff empty (the fold
+    // moved files, not rows)
+    val feed34 = spark.read.format("graft-tx")
+      .option("readChangeFeed", true)
+      .option("fromVersion", 3).option("toVersion", 4).load(path)
+      .collect()
+    assert(feed34.length == 1 && feed34.head.getLong(0) == 3L &&
+      feed34.head.getString(2) == "insert")
+    // compactDeletes folds EVERY remaining sidecar: tombstone-free
+    // manifest, identical content, O(tombstoned buckets) — untouched
+    // buckets carry by reference
+    val before = rows(Tx.read(spark, path))
+    val tombBuckets = s4.tombs.keySet
+    assert(Tx.compactDeletes(spark, path) == 5L)
+    val s5 = Tx.latest(path).get
+    assert(s5.tombs.isEmpty)
+    assert(rows(Tx.read(spark, path)) == before)
+    assert((s5.dirs.keySet -- tombBuckets).forall(b =>
+      s5.dirs(b) == s4.dirs(b)),
+      "compaction must carry untombstoned buckets by reference")
+    // compacting a clean table is a no-op version-wise
+    assert(Tx.compactDeletes(spark, path) == 5L)
+    // sidecars survive vacuum while a live manifest references them,
+    // then die with their versions
+    Tx.vacuum(path, keepVersions = 3, minOrphanAgeMs = 0L) // keeps v3..v5
+    def tDirs() = {
+      val fs = new java.io.File(s"$path/data").listFiles()
+      if (fs == null) Nil
+      else fs.filter(f => f.isDirectory && f.getName.startsWith("t-")).toSeq
+    }
+    assert(tDirs().nonEmpty,
+      "v3 still references sidecars — vacuum must keep them")
+    assert(Tx.read(spark, path, version = 3L).count() == 58L)
+    Tx.vacuum(path, keepVersions = 1, minOrphanAgeMs = 0L) // only v5
+    assert(tDirs().isEmpty,
+      "no kept manifest references sidecars — vacuum must retire them")
+    assert(rows(Tx.read(spark, path)) == before)
+  }
+
+  test("deletion vectors: a fully-tombstoned bucket reads empty and compacts away") {
+    val path = tmp()
+    val b1 = (1L to 32L).map(i => (i, i)).toDF("id", "v")
+    Tx.commitMerge(spark, path, b1, Seq("id"), nBuckets = 4)
+    val s1 = Tx.latest(path).get
+    // kill EVERY key of one bucket, merge-on-read
+    val victim = s1.dirs.keySet.min
+    val victimIds = Tx.read(spark, path)
+      .withColumn("__bb", expr(s"pmod(xxhash64(id), 4)"))
+      .filter(col("__bb") === victim).select("id")
+    Tx.commitDeleteVectors(spark, path, victimIds, Seq("id"))
+    val s2 = Tx.latest(path).get
+    assert(s2.dirs == s1.dirs, "still zero rewrites")
+    val live = rows(Tx.read(spark, path))
+    assert(live.size < 32 && live.size == s2.rows.values.sum)
+    assert(rows(spark.read.format("graft-tx").load(path)) == live)
+    // the all-dead bucket drops from the manifest at compaction
+    Tx.compactDeletes(spark, path)
+    val s3 = Tx.latest(path).get
+    assert(!s3.dirs.contains(victim) && s3.tombs.isEmpty)
+    assert(rows(Tx.read(spark, path)) == live)
   }
 }
