@@ -174,9 +174,9 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
     val reserveSec = 45.0 // line build + spark.stop + sbt log-pump drain
     def remainingSec: Double = budgetSec - reserveSec - elapsedSec
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts: ns-as-long for NANOS-era testdata (no-op on MICROS)
       .config("spark.sql.ansi.enabled", "false") // reference semantics: lenient casts, x/0→inf

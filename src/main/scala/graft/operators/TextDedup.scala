@@ -395,13 +395,20 @@ object TextDedup {
       .select(col(idCol).as("doc"), size(col(hashesCol)).as("n"), col(hashesCol).as("__hs"))
     val exploded = docs
       .select(col("doc"), col("n"), explode(col("__hs")).as("h"))
-      .repartition(col("h")) // shared barrier: df agg + rank join
-    val rank = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("__df"), col("h"))))
-      .select("h", "rank")
-    val prefix = exploded.join(rank, "h")
+      .repartition(col("h")) // shared barrier: df agg + df join
+    // Rarest-first prefix order WITHOUT a global rank window: the per-doc
+    // window only needs the RELATIVE order of a doc's own shingles, and
+    // (__df, h) is already a strict total order ((df, h) pairs are unique —
+    // h is distinct in the dimension table), so ordering by it directly is
+    // row-for-row identical to ordering by the global row_number over the
+    // same keys. This removes a single-task unpartitioned WindowExec (a
+    // serialization point at ANY scale — the whole vocabulary moved to one
+    // task), its global sort, and the exchange that re-partitioned the
+    // ranked dimension table back onto h for the join.
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
+    val prefix = exploded.join(dfreq, "h")
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("doc")).orderBy(col("rank"))))
+        row_number().over(Window.partitionBy(col("doc")).orderBy(col("__df"), col("h"))))
       .filter(col("__rn") <= col("n") - expr(s"(($tNum * n) + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc"), col("n"), col("__rn").as("pos"), col("h"))
       .repartition(col("h")) // barrier: both self-join sides reuse one exchange
