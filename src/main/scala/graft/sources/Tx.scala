@@ -1817,8 +1817,8 @@ object Tx {
     val del = deleteKeys.select(keys.map(col): _*).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(del.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
-        "commitDelta: NULL values in delete keys")
+      // delete-side NULL keys are gated inside commitRewrite's fused
+      // delete-bucket probe (one pass instead of a separate scan here)
       commitRewrite(spark, path, upserts, keys, nBuckets, maxAttempts,
         meta, beforeCas, "commitDelta", establishSchema = true, bucketKeys,
         abortIf, statsCols, alsoTouchKeys = Some(del)) {
@@ -2143,12 +2143,15 @@ object Tx {
         .getOrElse(keys)
       val nb = sp.nBuckets
       val probe = keysBatch.select(keys.map(col): _*).distinct()
-      require(
-        probe.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
+      // one fused probe pass (same shape as commitRewrite's): per-bucket
+      // null-key counts give the null gate AND the touched-bucket set
+      val tb = probe.groupBy(bucketOf(bk, nb).as("__b"))
+        .agg(count_if(keys.map(col(_).isNull).reduce(_ or _)).as("__nn"))
+        .collect()
+      require(tb.map(_.getLong(1)).sum == 0L,
         "commitDeleteVectors: NULL values in merge key(s) — no stored " +
           "row has null keys, so they could never match")
-      val touched = probe.withColumn("__b", bucketOf(bk, nb))
-        .select("__b").distinct().collect().map(_.getInt(0)).toSet
+      val touched = tb.map(_.getInt(0)).toSet
         .intersect(sp.dirs.keySet) // data-less buckets can't match
       def publishNoop(): Boolean =
         tryPublish(path, sp.version + 1, nb, sp.dirs, sp.meta ++ meta,
@@ -2317,10 +2320,40 @@ object Tx {
     try {
       // NULL merge keys can never equi-join a matched row — they would
       // only ever duplicate. Reject them before any commit attempt.
-      require(
-        staged.filter(keys.map(col(_).isNull).reduce(_ or _)).isEmpty,
+      // ONE probe pass answers THREE commit preconditions that used to
+      // pay separate driver job round trips per commit (the null-key
+      // filter(...).isEmpty — a full scan whenever the batch is clean,
+      // since take(1) over an empty filter result exhausts the input —
+      // plus a staged.isEmpty inside the attempt loop, plus the
+      // per-attempt batch-bucket distinct().collect()): group the batch
+      // by its bucket id, counting rows and null-key rows per bucket.
+      // The bucket expression is loop-invariant — every attempt
+      // require()s nb == nBuckets (or an empty snapshot, where nb IS
+      // nBuckets) — so the bucket set cannot drift across retries. At
+      // most nBuckets rows come back, and the same pass fully
+      // materializes the persisted frame the rewrite below reuses.
+      val bucketProbe = staged
+        .groupBy(bucketOf(bk, nBuckets).as("__b"))
+        .agg(count(lit(1)).as("__n"),
+          count_if(keys.map(col(_).isNull).reduce(_ or _)).as("__nn"))
+        .collect()
+      val stagedEmpty = bucketProbe.isEmpty
+      val batchBuckets = bucketProbe.map(_.getInt(0)).toSet
+      require(bucketProbe.map(_.getLong(2)).sum == 0L,
         s"$opName: NULL values in merge key(s) ${keys.mkString(", ")} — " +
           "a NULL key never matches and would silently duplicate")
+      // delta DELETE keys touch buckets too — their bucket set is just
+      // as loop-invariant, and precomputing it also answers the
+      // "any delete keys at all?" probe the empty-batch branch asks and
+      // the delete-side null-key gate (same single-pass fusion as above)
+      val delProbe = alsoTouchKeys.map(
+        _.groupBy(bucketOf(bk, nBuckets).as("__b"))
+          .agg(count_if(keys.map(col(_).isNull).reduce(_ or _)).as("__nn"))
+          .collect())
+      delProbe.foreach(tb => require(tb.map(_.getLong(1)).sum == 0L,
+        s"$opName: NULL values in delete keys"))
+      val delBuckets =
+        delProbe.map(_.map(_.getInt(0)).toSet).getOrElse(Set.empty[Int])
       // a surviving plan from a lost race: (commitDir, touched buckets,
       // buckets the rewrite actually produced, the base dirs it saw,
       // the written buckets' zone-map stats, their data byte sizes)
@@ -2348,8 +2381,10 @@ object Tx {
         require(nb == nBuckets || snap.isEmpty,
           s"table has nbuckets=$nb, caller asked $nBuckets")
         val carried = snap.map(_.meta).getOrElse(Map.empty)
-        if (staged.isEmpty && alsoTouchKeys.forall(_.isEmpty) &&
-            replaceTouch.isEmpty) {
+        // delBuckets.isEmpty ⟺ the delete-keys frame is empty (a nonempty
+        // frame always lands in ≥1 bucket — bucketOf is never null), so
+        // the old alsoTouchKeys.forall(_.isEmpty) probe job is free here
+        if (stagedEmpty && delBuckets.isEmpty && replaceTouch.isEmpty) {
           // empty batch: no data motion, but a caller with meta (e.g. a
           // streaming sink's batch-id stamp) still gets a stamped
           // version — "every stream commit is stamped" holds even for
@@ -2558,14 +2593,8 @@ object Tx {
                 deleteRecursive(Paths.get(path, dir))
               }
               val withB = staged.withColumn("__b", bucketOf(bk, nb))
-              val batchBuckets = withB.select("__b").distinct()
-                .collect().map(_.getInt(0)).toSet
-              // a delta's DELETE keys touch their buckets too, even
-              // where the upsert side lands nothing
-              val delBuckets = alsoTouchKeys.map(
-                _.withColumn("__b", bucketOf(bk, nb)).select("__b")
-                  .distinct().collect().map(_.getInt(0)).toSet)
-                .getOrElse(Set.empty[Int])
+              // batchBuckets / delBuckets are the hoisted pre-loop probe
+              // results (nb == nBuckets on every reachable path here)
               // an overwrite touches EVERY existing bucket too: the ones
               // the batch misses must drop out of the manifest; a
               // replace-where additionally touches the buckets that
