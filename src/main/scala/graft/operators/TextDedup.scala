@@ -1097,10 +1097,21 @@ object TextDedup {
     *
     * Returns the k-core node set as a single `id` column.
     */
+  /** `stopWhenStable = true` stops peeling at the PROVABLE fixed point:
+    * survivor sets shrink monotonically (each round filters the previous
+    * round's survivors), so an unchanged row count between rounds means an
+    * unchanged set, and every later peel is the identity — the result is
+    * row-for-row what the full `rounds` budget produces. Rounds stay the
+    * hard budget; the count is one footer-metadata job per committed
+    * round. Only meaningful with a MATERIALIZING `commit` (a count on the
+    * default lazy tower would execute the whole tower per round), hence
+    * opt-in.
+    */
   def kCore(
       pairs: DataFrame, aCol: String, bCol: String,
       k: Int, rounds: Int, assertFixpoint: Boolean = false,
-      commit: DataFrame => DataFrame = identity): DataFrame = {
+      commit: DataFrame => DataFrame = identity,
+      stopWhenStable: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 16, s"bad kCore params k=$k rounds=$rounds")
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1117,7 +1128,16 @@ object TextDedup {
     // each round, making every round one small job over the previous
     // round's table — the checkpoint-per-round discipline CC uses.
     var surv = und.select(col("src").as("id")).distinct()
-    for (_ <- 1 to rounds) surv = commit(peel(surv))
+    var prevN = -1L
+    var stable = false
+    for (_ <- 1 to rounds; if !stable) {
+      surv = commit(peel(surv))
+      if (stopWhenStable) {
+        val n = surv.count()
+        stable = n == prevN
+        prevN = n
+      }
+    }
     if (!assertFixpoint) surv
     else {
       val chk = surv.agg(count(lit(1)).as("__n1"))

@@ -111,14 +111,23 @@ object DedupQueries {
       // copies) minus eval-fold originals — so a COPY of a flagged doc
       // can sit in the halo without being flagged itself
       val train = augmented(s, dir).filter((col("doc_id") % 100000L) % 37 =!= 0)
-      val seeds = graft.sources.Stage.through(
+      // the seed set (gram join) and the near-dup edge list (prefix join)
+      // are independent decision tables — stage them CONCURRENTLY (guide
+      // §2.6: overlap independent jobs so the shorter staging back-fills
+      // cores the longer one leaves idle in its tail)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val seedsF = Future(graft.sources.Stage.through(
         TextDedup.contaminationPairs(train, docs.filter(col("doc_id") % 37 === 0),
           "doc_id", "text", n = 3, minShared = 2)
-          .select(col("train_id").as("doc_id")).distinct())
-      val pairs = graft.sources.Stage.through(
+          .select(col("train_id").as("doc_id")).distinct()))
+      val pairsF = Future(graft.sources.Stage.through(
         TextDedup.prefixFilterJaccardPairs(
           withShingles(train), "doc_id", "shash", tNum = 7, tDen = 10)
-          .select("doc_a", "doc_b"))
+          .select("doc_a", "doc_b")))
+      val seeds = Await.result(seedsF, Duration.Inf)
+      val pairs = Await.result(pairsF, Duration.Inf)
       val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       val h1 = und.join(seeds.withColumnRenamed("doc_id", "a"), "a")
@@ -587,10 +596,20 @@ object DedupQueries {
       val deg = e.select(col("src").as("doc_id"))
         .unionByName(e.select(col("dst").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-      val c2 = TextDedup.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 4,
-        assertFixpoint = true, commit = graft.sources.Stage.through)
-      val c3 = TextDedup.kCore(pairs, "doc_a", "doc_b", k = 3, rounds = 4,
-        assertFixpoint = true, commit = graft.sources.Stage.through)
+      // The two peeling towers are INDEPENDENT — overlap them (guide
+      // §2.6: submit independent jobs from driver threads so one tower's
+      // tiny per-round jobs back-fill the cores the other leaves idle);
+      // stopWhenStable skips committed rounds past the provable fixpoint
+      // (monotone survivor sets: equal count ⟹ equal set ⟹ identity peel)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def tower(k: Int) = Future(TextDedup.kCore(
+        pairs, "doc_a", "doc_b", k = k, rounds = 4, assertFixpoint = true,
+        commit = graft.sources.Stage.through, stopWhenStable = true))
+      val (f2, f3) = (tower(2), tower(3))
+      val c2 = Await.result(f2, Duration.Inf)
+      val c3 = Await.result(f3, Duration.Inf)
       deg
         .join(c2.select(col("id").as("doc_id"), lit(1L).as("in_2core")),
           Seq("doc_id"), "left")
