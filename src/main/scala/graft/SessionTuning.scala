@@ -34,4 +34,15 @@ object SessionTuning {
       sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     .config("spark.sql.files.openCostInBytes",
       sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"))
+    // ObjectHashAggregate (collect_list/collect_set — the prefix join's
+    // per-doc rarest-first aggregation, r16) falls back to SORT-based
+    // aggregation after this many distinct keys in the in-memory map; the
+    // 128-key default reintroduces the very sort the hash-agg formulation
+    // removes on any partition with >128 docs. 64k keys bounds the map at
+    // roughly one well-sized partition's buffers (64 MB–1 GB production
+    // partitions hold ~10–200k rows/group-free docs, and past the bound
+    // the graceful sort fallback — NOT an OOM — resumes). Env-tunable for
+    // clusters with bigger/smaller per-task memory.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
 }

@@ -101,17 +101,23 @@ object Mv {
     val staged = deltaAgg.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (staged.isEmpty) return // empty batch is a no-op
+      // ONE probe pass answers empty + touched set + the null guard
+      // (r16 probe fusion, the Merge.upsertPartitionedBy discipline —
+      // groupBy keeps a null group, so a null partition value surfaces
+      // as a null probe key): the old shape paid an isEmpty job, a
+      // null-filter full scan on the initial branch, and the
+      // distinct().collect() separately.
+      val touched = staged.groupBy(partCol).agg(count(lit(1)))
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) return // empty batch is a no-op
       if (!Files.exists(Paths.get(statePath))) {
-        require(staged.filter(col(partCol).isNull).isEmpty,
+        require(!touched.contains(null),
           s"NULL $partCol — null rows land in the hive default partition, " +
             "which later pruned merges can never match")
         staged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
           .parquet(statePath)
         return
       }
-      val touched = staged.select(partCol).distinct().collect()
-        .map(_.get(0)).toSeq
       require(!touched.contains(null),
         s"NULL $partCol in the batch — the partition column must be a " +
           "non-null deterministic function of the bucket key")

@@ -390,27 +390,30 @@ object TextDedup {
       tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"bad threshold $tNum/$tDen")
-    import org.apache.spark.sql.expressions.Window
     val docs = df.filter(size(col(hashesCol)) > 0)
       .select(col(idCol).as("doc"), size(col(hashesCol)).as("n"), col(hashesCol).as("__hs"))
     val exploded = docs
       .select(col("doc"), col("n"), explode(col("__hs")).as("h"))
       .repartition(col("h")) // shared barrier: df agg + df join
-    // Rarest-first prefix order WITHOUT a global rank window: the per-doc
-    // window only needs the RELATIVE order of a doc's own shingles, and
-    // (__df, h) is already a strict total order ((df, h) pairs are unique —
-    // h is distinct in the dimension table), so ordering by it directly is
-    // row-for-row identical to ordering by the global row_number over the
-    // same keys. This removes a single-task unpartitioned WindowExec (a
-    // serialization point at ANY scale — the whole vocabulary moved to one
-    // task), its global sort, and the exchange that re-partitioned the
-    // ranked dimension table back onto h for the join.
+    // Rarest-first prefix WITHOUT any per-doc sort window: collect each
+    // doc's (__df, h) pairs into one array (hash aggregation — no
+    // partition-wide sort of the exploded stream), array_sort the row
+    // (struct ordering is exactly the (__df, h) lexicographic order the
+    // window's orderBy used; the order is strict and total because h is
+    // distinct in the dimension table, so ties cannot exist), and cut to
+    // the prefix length p = n − ⌈t·n⌉ + 1 BEFORE re-exploding — the
+    // generator emits only prefix rows, where the window formulation
+    // ranked every (doc, shingle) row through a SortExec + WindowExec
+    // and filtered after. Row-for-row identical: pos here (posexplode
+    // index + 1 over the sorted array) equals the old row_number.
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("__df"))
     val prefix = exploded.join(dfreq, "h")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("doc")).orderBy(col("__df"), col("h"))))
-      .filter(col("__rn") <= col("n") - expr(s"(($tNum * n) + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc"), col("n"), col("__rn").as("pos"), col("h"))
+      .groupBy(col("doc"), col("n"))
+      .agg(collect_list(struct(col("__df"), col("h"))).as("__dh"))
+      .select(col("doc"), col("n"),
+        posexplode(slice(array_sort(col("__dh")), lit(1),
+          col("n") - expr(s"(($tNum * n) + ${tDen - 1}) div $tDen") + 1)))
+      .select(col("doc"), col("n"), (col("pos") + 1).as("pos"), col("col.h").as("h"))
       .repartition(col("h")) // barrier: both self-join sides reuse one exchange
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
@@ -746,12 +749,27 @@ object TextDedup {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
 
+    // Driver-side scale-adaptive join hint (guide §3.1, r16): each
+    // round's EXACT edge count is already in hand (the previous round's
+    // convergence checksum), and the per-node minimum table is bounded
+    // by it — so when the round is provably broadcast-sized the two
+    // star joins take an explicit broadcast() and plan statically as
+    // BroadcastHashJoin with no shuffle of either side, where AQE's
+    // runtime conversion (load-bearing on these stats-blind LogicalRDD
+    // roots — r15 negative result) first pays shuffle-materialization
+    // jobs per exchange per round. The hint is COUNT-GATED, never
+    // blind: a 100 TB round-1 edge set exceeds the bound and keeps the
+    // unhinted AQE behavior unchanged.
+    val bcRows = sys.env.getOrElse("SPARK_GRAFT_CC_BROADCAST_ROWS", "1000000").toLong
+    def hinted(mins: DataFrame, bc: Boolean): DataFrame =
+      if (bc) broadcast(mins) else mins
+
     // for each node: min(neighbors ∪ {self}); larger neighbors point there
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, bc: Boolean): DataFrame = {
       val nbrs = bothDirs(e)
       val mins = nbrs.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
-      nbrs.join(mins, "src")
+      nbrs.join(hinted(mins, bc), "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -760,13 +778,13 @@ object TextDedup {
 
     // orient large→small; each node's smaller neighbors (and itself) point
     // to the minimum of that set
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, bc: Boolean): DataFrame = {
       val or = e.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
       val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
-      or.join(mins, "src")
+      or.join(hinted(mins, bc), "src")
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("src"), col("m").as("dst")))
@@ -789,8 +807,13 @@ object TextDedup {
     var converged = false
     while (!converged && rounds < maxRounds) {
       // each round rematerializes as a LogicalRDD — see materializeRound:
-      // without lineage truncation the round-k plan grows geometrically
-      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges)))
+      // without lineage truncation the round-k plan grows geometrically.
+      // sig._1 = the CURRENT edge count; both stars' min tables hold at
+      // most one row per node ≤ 2× that, so the hint gate is a proof,
+      // not a guess (large-star output ≤ input edges, so the small-star
+      // side is covered by the same bound)
+      val bc = sig._1 <= bcRows
+      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges, bc), bc))
       val nsig = checksum(next)
       edgesRdd.unpersist(blocking = false)
       edges = next
@@ -1114,8 +1137,17 @@ object TextDedup {
       stopWhenStable: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 16, s"bad kCore params k=$k rounds=$rounds")
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    // The undirected edge view is referenced TWICE PER ROUND (the src and
+    // dst semi-join sides) for every peel round plus the fixpoint check —
+    // lazily that re-derives the union+distinct (and whatever candidate
+    // pipeline feeds `pairs`) each time. Materialize it ONCE through the
+    // caller's commit: with the default identity this is a no-op (the
+    // lazy shape is unchanged); with a materializing commit every round
+    // becomes two joins + one agg over a plain scan of the staged edges
+    // (r16 — same §2.4 shared-pass rule as the round commits below).
+    val und = commit(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
     def peel(s: DataFrame): DataFrame =
       und.join(s.select(col("id").as("src")), "src")
         .join(s.select(col("id").as("dst")), "dst")

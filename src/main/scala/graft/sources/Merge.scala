@@ -82,7 +82,15 @@ object Merge {
       partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (withP.isEmpty) return // reference: empty batch is a no-op
+      // ONE probe pass answers the empty check AND the touched-partition
+      // set (r16, the Tx.commitRewrite bucket-probe fusion applied to the
+      // hive sink): the old isEmpty was a separate job — and a FULL scan
+      // of the staged frame whenever the batch was empty — before the
+      // distinct().collect() ran anyway. partCol here is pmod(xxhash64),
+      // never null, so the probe keys are the exact directory set.
+      val touched = withP.groupBy(partCol).agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return // reference: empty batch is a no-op
       // The bucket count is part of the sink's on-disk contract: rows land in
       // pmod(hash, N), so merging with a different N would let a key's rows
       // migrate partitions — the pruned anti-join would miss the conflict and
@@ -101,7 +109,6 @@ object Merge {
             s"$numBuckets — keys would migrate partitions and the merge would " +
             "silently duplicate them. Rewrite the sink to change bucketing.")
       } else Files.writeString(marker, numBuckets.toString) // pre-marker sink: adopt
-      val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
       val existing = spark.read.parquet(path)
         .filter(col(partCol).isin(touched: _*)) // prunes to touched directories
       upsert(existing, withP, keys)
@@ -137,9 +144,16 @@ object Merge {
     // not re-execute an expensive incoming plan (e.g. an IVF assignment).
     val staged = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (staged.isEmpty) return // reference: empty batch is a no-op
+      // ONE probe pass answers empty + touched set + the null guard (r16
+      // probe fusion — groupBy keeps a null group, so a null partition
+      // value surfaces as a null probe key): the old shape paid an
+      // isEmpty job, then on the initial branch a null-filter FULL scan,
+      // then the distinct().collect().
+      val touched = staged.groupBy(partCol).agg(count(lit(1)))
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) return // reference: empty batch is a no-op
       if (!Files.exists(Paths.get(path))) {
-        require(staged.filter(col(partCol).isNull).isEmpty,
+        require(!touched.contains(null),
           s"NULL $partCol in initial write to $path — null rows land in the " +
             "hive default partition, which later pruned merges (isin over " +
             "touched values) can never match, so their keys would silently " +
@@ -147,12 +161,11 @@ object Merge {
         staged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
         return
       }
-      val touched = staged.select(partCol).distinct().collect().map(_.get(0)).toSeq
       // A NULL partition value would land in __HIVE_DEFAULT_PARTITION__ while
       // the pruned read's isin(touched) never matches null — an existing row
       // under the null partition would dodge the anti-join and its key would
-      // duplicate. Refuse rather than merge wrong; the distinct collect above
-      // already surfaces the null, so the guard costs no extra pass.
+      // duplicate. Refuse rather than merge wrong; the probe above already
+      // surfaces the null, so the guard costs no extra pass.
       require(!touched.contains(null),
         s"NULL $partCol in incoming batch for $path — the partition column " +
           "must be a non-null deterministic function of the merge keys.")
@@ -236,7 +249,11 @@ object Merge {
       .withColumn(partCol, pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (withP.isEmpty) return
+      // same single-probe fusion as upsertPartitioned: empty check +
+      // touched set in one job (partCol = pmod(xxhash64), never null)
+      val touched = withP.groupBy(partCol).agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
       val marker = Paths.get(path, "_graft_buckets")
       if (Files.exists(marker)) {
         val recorded = Files.readString(marker).trim.toInt
@@ -244,7 +261,6 @@ object Merge {
           s"sink at $path is bucketed with $recorded buckets; delete called with " +
             s"$numBuckets — pruning would miss the keys' actual partitions.")
       }
-      val touched = withP.select(partCol).distinct().collect().map(_.getInt(0)).toSeq
       val existing = spark.read.parquet(path)
         .filter(col(partCol).isin(touched: _*))
       val survivors = existing.join(withP, keys, "left_anti")

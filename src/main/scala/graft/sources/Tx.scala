@@ -1965,28 +1965,27 @@ object Tx {
     // nor admit a batch row (it would escape the next replace of the
     // same region, the exact failure the constraint exists to prevent)
     val matches = coalesce(cond, lit(false))
-    // validate against the STAGED frame (shared persist with the
-    // commit below): the check and the commit must see the SAME rows —
-    // a nondeterministic batch re-executed for the check could pass it
-    // and still stage violating rows; sharing also avoids computing an
-    // expensive backfill plan twice
-    val staged = batch.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      require(staged.filter(!matches).isEmpty,
+    // the constraint check rides commitRewrite's fused bucket probe
+    // (r16): ONE pass over the persisted staged frame answers
+    // batch-empty + bucket set + null keys + this condition, where it
+    // used to pay its own full-batch `filter(...).isEmpty` driver job.
+    // The validated rows are STILL exactly the committed rows — the
+    // probe runs over commitRewrite's persisted frame, so a
+    // nondeterministic batch cannot pass the check and stage different
+    // violating rows.
+    commitRewrite(spark, path, batch, keys, nBuckets, maxAttempts, meta,
+      beforeCas, "commitReplaceWhere", establishSchema = true, bucketKeys,
+      abortIf, statsCols, replaceTouch = Some(touchWhere),
+      gate = Some((!matches,
         s"commitReplaceWhere: every batch row must satisfy the overwrite " +
           s"condition ($cond) — rows outside it would silently survive " +
-          "the next replace of the same region")
-      commitRewrite(spark, path, staged, keys, nBuckets, maxAttempts, meta,
-        beforeCas, "commitReplaceWhere", establishSchema = true, bucketKeys,
-        abortIf, statsCols, replaceTouch = Some(touchWhere)) {
-        case (Some(existing), withB, ks) =>
-          existing.filter(!matches)
-            .join(withB.select(ks.map(col): _*), ks, "left_anti")
-            .unionByName(withB)
-        case (None, withB, _) => withB
-      }
-    } finally staged.unpersist(blocking = false)
+          "the next replace of the same region"))) {
+      case (Some(existing), withB, ks) =>
+        existing.filter(!matches)
+          .join(withB.select(ks.map(col): _*), ks, "left_anti")
+          .unionByName(withB)
+      case (None, withB, _) => withB
+    }
   }
 
   /** CREATE an empty table with its properties pinned up front — the
@@ -2297,7 +2296,14 @@ object Tx {
       // the CURRENT snapshot (zone-pruned "might hold matching rows");
       // presence also forces the strict-rebase and no-empty-shortcut
       // disciplines below
-      replaceTouch: Option[Option[Snapshot] => Set[Int]] = None)(
+      replaceTouch: Option[Option[Snapshot] => Set[Int]] = None,
+      // caller-supplied batch precondition, fused into the single bucket
+      // probe below (r16): (violation predicate, failure message) — a
+      // batch with ANY violating row fails before a file is written,
+      // same surface as the null-key gate. Replaces what used to be a
+      // separate full-batch `filter(...).isEmpty` driver job per
+      // replace-where commit.
+      gate: Option[(org.apache.spark.sql.Column, String)] = None)(
       op: (Option[DataFrame], DataFrame, Seq[String]) => DataFrame): Long = {
     require(maxRowsPerFile >= 0L, "maxRowsPerFile must be >= 0")
     require(nBuckets > 0)
@@ -2332,13 +2338,20 @@ object Tx {
       // nBuckets) — so the bucket set cannot drift across retries. At
       // most nBuckets rows come back, and the same pass fully
       // materializes the persisted frame the rewrite below reuses.
+      val probeAggs = Seq(count(lit(1)).as("__n"),
+        count_if(keys.map(col(_).isNull).reduce(_ or _)).as("__nn")) ++
+        gate.map { case (viol, _) => count_if(viol).as("__ng") }
       val bucketProbe = staged
         .groupBy(bucketOf(bk, nBuckets).as("__b"))
-        .agg(count(lit(1)).as("__n"),
-          count_if(keys.map(col(_).isNull).reduce(_ or _)).as("__nn"))
+        .agg(probeAggs.head, probeAggs.tail: _*)
         .collect()
       val stagedEmpty = bucketProbe.isEmpty
       val batchBuckets = bucketProbe.map(_.getInt(0)).toSet
+      // the caller's gate reports FIRST (it did when it was a separate
+      // pre-commit scan — commitReplaceWhere's condition check preceded
+      // every null-key path), then the null-key gate
+      gate.foreach { case (_, msg) =>
+        require(bucketProbe.map(_.getLong(3)).sum == 0L, msg) }
       require(bucketProbe.map(_.getLong(2)).sum == 0L,
         s"$opName: NULL values in merge key(s) ${keys.mkString(", ")} — " +
           "a NULL key never matches and would silently duplicate")
@@ -2501,37 +2514,52 @@ object Tx {
               recordedMaxRows
             } else maxRowsPerFile
           // CHECK constraints gate every incoming TABLE-SHAPED batch row
-          // (NULL passes — SQL CHECK semantics): one existence probe per
-          // constraint over the persisted staged frame, BEFORE any
-          // file is written — a violating batch publishes nothing.
-          // Re-read from the CURRENT snapshot each attempt, so a
-          // constraint a racer just added still gates this commit.
-          // DELETES skip the gate (establishSchema=false ⇔ the staged
-          // frame is keys-only): removing rows can never violate a
-          // CHECK, and a constraint over a non-key column would not
+          // (NULL passes — SQL CHECK semantics) over the persisted
+          // staged frame, BEFORE any file is written — a violating batch
+          // publishes nothing. Re-read from the CURRENT snapshot each
+          // attempt, so a constraint a racer just added still gates this
+          // commit. DELETES skip the gate (establishSchema=false ⇔ the
+          // staged frame is keys-only): removing rows can never violate
+          // a CHECK, and a constraint over a non-key column would not
           // even resolve against the keys-only frame.
-          if (establishSchema) carried.toSeq.collect {
-            case (k, ex) if k.startsWith(ConstraintPrefix) =>
-              k.stripPrefix(ConstraintPrefix) -> ex
-          }.sortBy(_._1).foreach { case (cn, ex) =>
-            val bad = staged.filter(
-              coalesce(expr(ex), lit(true)) === false).take(1)
-            require(bad.isEmpty,
-              s"$opName: CHECK constraint '$cn' ($ex) violated by the " +
-                s"batch — e.g. ${bad.headOption.getOrElse("")}; no " +
-                "version was published")
-          }
-          // column-level NOT NULL gates, same chokepoint and same
-          // delete-path exemption as the CHECK gate above
-          if (establishSchema) carried.keys.toSeq.collect {
-            case k if k.startsWith(NonNullPrefix) =>
-              k.stripPrefix(NonNullPrefix)
-          }.sorted.foreach { cn =>
-            val bad = staged.filter(col(cn).isNull).take(1)
-            require(bad.isEmpty,
-              s"$opName: NOT NULL column '$cn' received a NULL row — " +
-                s"e.g. ${bad.headOption.getOrElse("")}; no version was " +
-                "published")
+          // ONE fused probe for ALL gates (r16): each CHECK / NOT NULL
+          // used to pay its own full-batch take(1) driver job per
+          // attempt; a single count_if aggregate answers every gate, and
+          // only a FAILING gate pays a second pass to fetch the example
+          // row its message quotes — check order and messages unchanged
+          // (CHECKs sorted by name, then NOT NULLs sorted by column).
+          if (establishSchema) {
+            val gates: Seq[(org.apache.spark.sql.Column, String => String)] =
+              carried.toSeq.collect {
+                case (k, ex) if k.startsWith(ConstraintPrefix) =>
+                  k.stripPrefix(ConstraintPrefix) -> ex
+              }.sortBy(_._1).map { case (cn, ex) =>
+                (coalesce(expr(ex), lit(true)) === false,
+                  (bad: String) =>
+                    s"$opName: CHECK constraint '$cn' ($ex) violated by " +
+                      s"the batch — e.g. $bad; no version was published")
+              } ++
+              carried.keys.toSeq.collect {
+                case k if k.startsWith(NonNullPrefix) =>
+                  k.stripPrefix(NonNullPrefix)
+              }.sorted.map { cn =>
+                (col(cn).isNull,
+                  (bad: String) =>
+                    s"$opName: NOT NULL column '$cn' received a NULL " +
+                      s"row — e.g. $bad; no version was published")
+              }
+            if (gates.nonEmpty) {
+              val counts = staged.agg(
+                count_if(gates.head._1),
+                gates.tail.map(g => count_if(g._1)): _*).head()
+              gates.zipWithIndex.foreach { case ((viol, msg), i) =>
+                if (counts.getLong(i) > 0L) {
+                  val bad = staged.filter(viol).take(1)
+                  throw new IllegalArgumentException("requirement failed: " +
+                    msg(bad.headOption.map(_.toString).getOrElse("")))
+                }
+              }
+            }
           }
           // the change feed reserves '_change' and the '__o_'/'__n_'
           // prefixes (and '__b' is the bucket column everywhere) — a
