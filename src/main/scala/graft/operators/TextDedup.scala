@@ -749,27 +749,24 @@ object TextDedup {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
 
-    // Driver-side scale-adaptive join hint (guide §3.1, r16): each
-    // round's EXACT edge count is already in hand (the previous round's
-    // convergence checksum), and the per-node minimum table is bounded
-    // by it — so when the round is provably broadcast-sized the two
-    // star joins take an explicit broadcast() and plan statically as
-    // BroadcastHashJoin with no shuffle of either side, where AQE's
-    // runtime conversion (load-bearing on these stats-blind LogicalRDD
-    // roots — r15 negative result) first pays shuffle-materialization
-    // jobs per exchange per round. The hint is COUNT-GATED, never
-    // blind: a 100 TB round-1 edge set exceeds the bound and keeps the
-    // unhinted AQE behavior unchanged.
-    val bcRows = sys.env.getOrElse("SPARK_GRAFT_CC_BROADCAST_ROWS", "1000000").toLong
-    def hinted(mins: DataFrame, bc: Boolean): DataFrame =
-      if (bc) broadcast(mins) else mins
-
     // for each node: min(neighbors ∪ {self}); larger neighbors point there
-    def largeStar(e: DataFrame, bc: Boolean): DataFrame = {
+    // (r16 negative result, kept for the record: an explicit count-gated
+    // broadcast() of `mins` — provably broadcast-sized from the previous
+    // round's checksum count — cut 4 jobs/query in isolated profiles but
+    // REGRESSED the interleaved sweep family-wide: q101 +34 %, q102
+    // +24 %, q202 +24 %, q196 +19 %, q182 +16 % against a 1.07× host
+    // band, and a same-window q88 A/B read +15 % with the hint on. AQE's
+    // runtime conversion builds the broadcast FROM the mins shuffle's
+    // map output; the static hint instead executes the whole mins
+    // subtree — including its internal aggregation exchange — as an
+    // un-coalesced collect inside a BroadcastExchange per star per
+    // round. Reverted; AQE stays load-bearing here, same conclusion as
+    // r15's AQE-off experiment from the other direction.)
+    def largeStar(e: DataFrame): DataFrame = {
       val nbrs = bothDirs(e)
       val mins = nbrs.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
-      nbrs.join(hinted(mins, bc), "src")
+      nbrs.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -778,13 +775,13 @@ object TextDedup {
 
     // orient large→small; each node's smaller neighbors (and itself) point
     // to the minimum of that set
-    def smallStar(e: DataFrame, bc: Boolean): DataFrame = {
+    def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
       val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
-      or.join(hinted(mins, bc), "src")
+      or.join(mins, "src")
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("src"), col("m").as("dst")))
@@ -807,13 +804,8 @@ object TextDedup {
     var converged = false
     while (!converged && rounds < maxRounds) {
       // each round rematerializes as a LogicalRDD — see materializeRound:
-      // without lineage truncation the round-k plan grows geometrically.
-      // sig._1 = the CURRENT edge count; both stars' min tables hold at
-      // most one row per node ≤ 2× that, so the hint gate is a proof,
-      // not a guess (large-star output ≤ input edges, so the small-star
-      // side is covered by the same bound)
-      val bc = sig._1 <= bcRows
-      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges, bc), bc))
+      // without lineage truncation the round-k plan grows geometrically
+      val (next, nextRdd) = materializeRound(smallStar(largeStar(edges)))
       val nsig = checksum(next)
       edgesRdd.unpersist(blocking = false)
       edges = next

@@ -1402,8 +1402,13 @@ object MaintenanceQueries {
         mv(hour(Tx.read(s, path, toV)).join(dirtyKeys, Seq("bucket_h"),
           "left_semi"))
       val adds = Seq("n_rows" -> lit(1L), "sum_v6" -> col("v6"))
+      // the bounded fold references the feed TWICE (signed delta + the
+      // dirty-group detection join), and this feed is changes()'s
+      // full-outer per-version join — stage it once per step so the diff
+      // executes once, not twice (r16; Stage.through is the same scratch
+      // materializer the state snapshots already ride)
       def step(st: DataFrame, fromV: Long, toV: Long) =
-        Mv.applyChangeFeedWithBounds(st, feed(fromV, toV),
+        Mv.applyChangeFeedWithBounds(st, Stage.through(feed(fromV, toV)),
           Seq("bucket_h"), adds, support = "n_rows",
           mins = Seq("min_v6" -> col("v6")),
           maxs = Seq("max_v6" -> col("v6")),
